@@ -1,0 +1,652 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The declared-query contract (SURVEY.md §2): every operator the engine
+  * claims is exposed here as a `(SparkSession, sfDir) => DataFrame`
+  * builder plus, where SQL-expressible, an equivalent DuckDB oracle
+  * query. The driver hash-compares both on the same parquet at sf0.01.
+  *
+  * Determinism rules applied to every query (SURVEY §7.4): total-order
+  * ORDER BY on a unique key; no raw-double aggregates (exact decimal or
+  * fixed-point integer arithmetic instead); explicit pivot values;
+  * RE2-safe regexes in oracle-checked queries; event-time math on raw
+  * epoch nanos (timezone-free); `row_number` outputs cast to long to
+  * match DuckDB's BIGINT.
+  */
+object Queries {
+
+  final case class Declared(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val Dec18_2 = DecimalType(18, 2)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(Dec18_2)
+
+  import Tables._
+
+  val all: Seq[Declared] = Seq(
+
+    // ================= 2.A / 2.F — scans, sorts, limits =================
+
+    Declared("q_scan_limit",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(25),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 25""")),
+
+    Declared("q_topk",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""")),
+
+    // ================= 2.B — projection / filter / predicates ==========
+
+    Declared("q_filter_conj",
+      (s, d) => orders(s, d)
+        .filter((col("o_orderstatus") === "O" || col("o_orderpriority") === "1-URGENT")
+          && col("o_totalprice") > 250000.0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE (o_orderstatus = 'O' OR o_orderpriority = '1-URGENT')
+          AND o_totalprice > 250000.0
+        ORDER BY o_orderkey""")),
+
+    Declared("q_filter_notnull",
+      (s, d) => orders(s, d)
+        .withColumn("status_nn", expr("nullif(o_orderstatus, 'O')"))
+        .filter(col("status_nn").isNotNull)
+        .select("o_orderkey", "status_nn")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_nn
+        FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL
+        ORDER BY o_orderkey""")),
+
+    Declared("q_filter_eq",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem WHERE l_returnflag = 'R'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Declared("q_filter_range",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType)
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast(DateType).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Declared("q_filter_rlike",
+      (s, d) => documents(s, d)
+        .filter(col("text").rlike("^(scan|join) .*merge"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE regexp_matches(text, '^(scan|join) .*merge')
+        ORDER BY doc_id""")),
+
+    Declared("q_null_ratio",
+      (s, d) => Relational.nullProfile(
+        orders(s, d).withColumn("status_nn", expr("nullif(o_orderstatus, 'O')")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority", "status_nn")),
+      Some("""WITH t AS (SELECT *, NULLIF(o_orderstatus, 'O') AS status_nn FROM orders),
+        n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM t)
+        SELECT c.col_name, c.n_nulls, n.n_rows,
+               c.n_nulls * 1000000 // n.n_rows AS null_ppm
+        FROM (
+          SELECT 'o_orderkey' AS col_name, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls FROM t
+          UNION ALL SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+          UNION ALL SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+          UNION ALL SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+          UNION ALL SELECT 'o_orderdate', SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+          UNION ALL SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+          UNION ALL SELECT 'status_nn', SUM(CASE WHEN status_nn IS NULL THEN 1 ELSE 0 END)::BIGINT FROM t
+        ) c, n
+        ORDER BY c.col_name""")),
+
+    // ================= 2.C — joins ======================================
+
+    Declared("q_join_inner",
+      (s, d) => orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    Declared("q_join_left",
+      (s, d) => {
+        val agg = orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("order_cnt"), sum(dec(col("o_totalprice"))).as("ts"))
+        customer(s, d).join(agg, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+            dec(coalesce(col("ts"), lit(0))).as("total_spent"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, COALESCE(o.cnt, 0)::BIGINT AS order_cnt,
+               CAST(COALESCE(o.ts, 0) AS DECIMAL(18,2)) AS total_spent
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS cnt,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ts
+          FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o.o_custkey
+        ORDER BY c_custkey""")),
+
+    Declared("q_join_3way",
+      (s, d) => orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          dec(sum(dec(col("o_totalprice")))).as("total_value"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, COUNT(*)::BIGINT AS order_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    Declared("q_join_semi",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    Declared("q_join_anti",
+      (s, d) => customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey""")),
+
+    // ================= 2.D — aggregations ===============================
+
+    Declared("q_agg_count2key",
+      (s, d) => events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("value")))).as("sum_value"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")),
+
+    Declared("q_pivot",
+      (s, d) => Relational.pivotCounts(events(s, d), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+          COUNT(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+          COUNT(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+          COUNT(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+          COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Declared("q_value_counts",
+      (s, d) => Relational.valueCounts(lineitem(s, d), "l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS cnt FROM lineitem
+        GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""")),
+
+    Declared("q_agg_multi",
+      (s, d) => qAggMulti(s, d),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+          CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+          MIN(l_quantity) AS min_qty,
+          MAX(l_extendedprice) AS max_price,
+          COUNT(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Declared("q_agg_global",
+      (s, d) => lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_partkey")).as("nd_part")),
+      Some("""SELECT COUNT(*)::BIGINT AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+          MIN(l_extendedprice) AS min_price,
+          MAX(l_extendedprice) AS max_price,
+          COUNT(DISTINCT l_partkey)::BIGINT AS nd_part
+        FROM lineitem""")),
+
+    Declared("q_agg_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey)::BIGINT AS nd_part,
+          COUNT(DISTINCT l_suppkey)::BIGINT AS nd_supp, COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Declared("q_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ================= 2.E — window functions ===========================
+
+    Declared("q_window_rank",
+      (s, d) => Relational.topNPerGroup(orders(s, d),
+        Seq(col("o_custkey")), Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
+        .select(col("o_custkey"), col("rn").cast(LongType).as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_custkey, rn""")),
+
+    Declared("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          dec(sum(dec(col("o_totalprice"))).over(wRun)).as("run_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS prev_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,2)) AS run_sum
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ================= 2.G — set operations =============================
+
+    Declared("q_union",
+      (s, d) => {
+        val o = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.filter(col("o_orderstatus") === "O")
+          .unionByName(o.filter(col("o_orderstatus") === "F"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey""")),
+
+    // ================= 2.H — scalar functions ===========================
+
+    Declared("q_regexp_extract",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^(\\w+) (\\w+)", 2).as("second_word"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word
+        FROM documents ORDER BY doc_id""")),
+
+    Declared("q_regexp_replace",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[aeiou]", ""), 1, 40).as("devoweled"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          substr(regexp_replace(text, '[aeiou]', '', 'g'), 1, 40) AS devoweled
+        FROM documents ORDER BY doc_id""")),
+
+    Declared("q_date_parse",
+      (s, d) => {
+        val ds = when(pmod(col("o_orderkey"), lit(3)) === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+          .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy"))
+        orders(s, d).withColumn("date_str", ds)
+          .select(col("o_orderkey"), col("date_str"),
+            coalesce(
+              try_to_timestamp(col("date_str"), lit("yyyy-MM-dd")),
+              try_to_timestamp(col("date_str"), lit("yyyy/MM/dd")),
+              try_to_timestamp(col("date_str"), lit("dd.MM.yyyy"))
+            ).cast(DateType).as("parsed_date"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, date_str,
+          CAST(COALESCE(try_strptime(date_str, '%Y-%m-%d'),
+                        try_strptime(date_str, '%Y/%m/%d'),
+                        try_strptime(date_str, '%d.%m.%Y')) AS DATE) AS parsed_date
+        FROM (SELECT o_orderkey,
+                CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+                  ELSE strftime(o_orderdate, '%d.%m.%Y') END AS date_str
+              FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // NB the oracle side: DuckDB truncates parquet TIMESTAMP(NANOS) to µs
+    // at read time (verified), so oracle-compared event-time outputs use
+    // µs resolution (`ts div 1000` ≡ `epoch_us`); the engine itself keeps
+    // full nanos (Tables.events).
+    Declared("q_ts_convert",
+      (s, d) => events(s, d)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          expr(s"date_add(DATE '1970-01-01', CAST(ts div ${Nanos.PerDay} AS INT))").as("event_date"),
+          expr(s"ts div ${Nanos.PerHour} % 24").as("hour_utc"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS event_date,
+          (epoch_us(ts) // 3600000000) % 24 AS hour_utc
+        FROM events ORDER BY event_id""")),
+
+    Declared("q_cast",
+      (s, d) => orders(s, d)
+        .withColumn("num_str",
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            concat(lit("x"), col("o_orderkey").cast(StringType)))
+            .otherwise(col("o_orderkey").cast(StringType)))
+        .select(col("o_orderkey"), col("num_str"),
+          expr("try_cast(num_str AS BIGINT)").as("parsed_key"),
+          dec(col("o_totalprice")).as("price_dec"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, num_str, TRY_CAST(num_str AS BIGINT) AS parsed_key,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+        FROM (SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 5 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS num_str
+              FROM orders)
+        ORDER BY o_orderkey""")),
+
+    Declared("q_coalesce_zero",
+      (s, d) => {
+        val k = when(pmod(col("o_orderkey"), lit(3)) === 0, lit(0.0))
+          .otherwise(col("o_totalprice"))
+        val w = col("o_totalprice") / 2
+        orders(s, d)
+          .select(col("o_orderkey"),
+            graft.functions.Cleaning.fillZeroSentinel(k, w)
+              .cast(DecimalType(18, 4)).as("filled_val"),
+            (k === 0).as("used_fallback"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(CASE WHEN kv = 0 OR kv IS NULL THEN wv ELSE kv END AS DECIMAL(18,4)) AS filled_val,
+          (kv = 0) AS used_fallback
+        FROM (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 3 = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE o_totalprice END AS kv,
+                o_totalprice / 2 AS wv
+              FROM orders)
+        ORDER BY o_orderkey""")),
+
+    Declared("q_json_extract",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events ORDER BY event_id""")),
+
+    Declared("q_explode_words",
+      (s, d) => documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "word"),
+      Some("""SELECT doc_id, word, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id < 100)
+        GROUP BY doc_id, word ORDER BY doc_id, word""")),
+
+    // ================= 2.I — event-time windows =========================
+
+    Declared("q_window_tumbling",
+      (s, d) => EventOps.tumblingHourly(events(s, d)),
+      Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
+          COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Declared("q_window_session",
+      (s, d) => EventOps.sessionizeOn(events(s, d), expr("ts div 1000"),
+        30L * 60L * 1000L * 1000L)
+        .withColumnRenamed("session_start", "session_start_us")
+        .withColumnRenamed("session_end", "session_end_us"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+        g AS (SELECT user_id, tsn, event_id,
+                CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                       OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e),
+        sess AS (SELECT user_id, tsn,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g)
+        SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+               MIN(tsn) AS session_start_us, MAX(tsn) AS session_end_us
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
+    // ================= 2.K — LLM-data-pipeline operators ================
+
+    Declared("q_dedup_exact",
+      (s, d) => DedupOps.exactDedup(documents(s, d)),
+      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*)::BIGINT AS dup_cnt
+        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""")),
+
+    Declared("q_dedup_first",
+      (s, d) => DedupOps.keepFirstPerKey(
+        events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+        .select("user_id", "event_type", "event_id", "ts_us")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, event_id, ts_us
+        FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events) WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    Declared("q_neardup_jaccard",
+      (s, d) => DedupOps.jaccardPairs(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT c.a_id, c.b_id, c.common,
+               sa.set_size + sb.set_size - c.common AS union_size,
+               c.common * 1000000 // (sa.set_size + sb.set_size - c.common) AS jaccard_ppm
+        FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+        WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80
+        ORDER BY c.a_id, c.b_id""")),
+
+    Declared("q_simsearch_topk",
+      (s, d) => SimilarityOps.topKDotExact(embeddings(s, d), (0L until 8L), 5),
+      Some("""WITH q AS (SELECT vec_id AS q_id, unnest(embedding) AS qv,
+                     unnest(range(64)) AS pos
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS n_id, unnest(embedding) AS cv, unnest(range(64)) AS pos
+              FROM embeddings),
+        s AS (SELECT q.q_id, c.n_id,
+                SUM(CAST(round(CAST(q.qv AS DOUBLE) * 10000000) AS BIGINT)
+                    * CAST(round(CAST(c.cv AS DOUBLE) * 10000000) AS BIGINT)) AS score_s14
+              FROM q JOIN c ON q.pos = c.pos GROUP BY q.q_id, c.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, CAST(score_s14 AS BIGINT) AS score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
+    Declared("q_wordcount",
+      (s, d) => TextOps.wordCounts(documents(s, d)),
+      Some("""SELECT lang, word, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY lang, word ORDER BY lang, word""")),
+
+    Declared("q_tfidf_topterms",
+      (s, d) => TextOps.tfIdfTopTerms(documents(s, d), 3)
+        .select(col("doc_id"), col("rn").cast(LongType).as("rn"), col("word"),
+          col("tf"), col("df"), col("score_ppm")),
+      Some("""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY doc_id, word),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                tf.tf * 1000000 // dfq.df AS score_ppm
+              FROM tf JOIN dfq USING (word))
+        SELECT doc_id, rn, word, tf, df, score_ppm FROM (
+          SELECT doc_id, word, tf, df, score_ppm,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score_ppm DESC, tf DESC, word) AS rn
+          FROM s) WHERE rn <= 3
+        ORDER BY doc_id, rn""")),
+
+    Declared("q_text_quality",
+      (s, d) => TextOps.textQuality(documents(s, d), Seq("a", "the", "of", "and", "in")),
+      Some("""SELECT doc_id, nw AS n_words,
+          (n_chars - (nw - 1)) * 1000000 // nw AS chars_per_word_ppm,
+          sc * 1000000 // nw AS stopword_ppm,
+          n_chars
+        FROM (SELECT doc_id, n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+              FROM documents)
+        ORDER BY doc_id""")),
+
+    Declared("q_token_count",
+      (s, d) => TextOps.tokenCounts(documents(s, d)),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens,
+          n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    Declared("q_fingerprint",
+      (s, d) => TextOps.fingerprints(documents(s, d)),
+      Some("""SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""")),
+
+    // ---- implemented, declared rows-only (no SQL-expressible oracle:
+    // engine-specific hash seeds / approximate results / double scores) --
+
+    Declared("q_minhash_lsh",
+      (s, d) => DedupOps.minHashCandidates(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3),
+      None),
+
+    Declared("q_simhash",
+      (s, d) => DedupOps.simHash(documents(s, d)),
+      None),
+
+    Declared("q_ngram_jaccard",
+      (s, d) => DedupOps.ngramJaccardPairs(
+        documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0), 3, 30),
+      None),
+
+    Declared("q_simsearch_fast",
+      (s, d) => SimilarityOps.topKDotFast(embeddings(s, d), (0L until 8L), 5),
+      None),
+
+    Declared("q_simsearch_lsh",
+      (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5),
+      None),
+
+    Declared("q_agg_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      None),
+
+    Declared("q_lang_id",
+      (s, d) => TextOps.languageId(documents(s, d), Map(
+        "de" -> Seq("hash", "merge", "batch"),
+        "en" -> Seq("scan", "join", "filter"),
+        "es" -> Seq("row", "column", "table"),
+        "fr" -> Seq("key", "value", "index"),
+        "zh" -> Seq("stream", "vector", "data"))),
+      None)
+  )
+
+  /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship
+    * `entry` query. Money math runs entirely in decimals: per-row casts
+    * are exact for 2-decimal source data; decimal sums are
+    * order-independent, so the result is reproducible at any parallelism.
+    */
+  def qAggMulti(s: SparkSession, d: String): DataFrame = {
+    val price = dec(col("l_extendedprice"))
+    val discFactor = lit(1).cast(Dec18_2) - dec(col("l_discount"))
+    val taxFactor = lit(1).cast(Dec18_2) + dec(col("l_tax"))
+    val discPrice = (price * discFactor).cast(DecimalType(18, 4))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast(TimestampNTZType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dec(sum(price)).as("sum_base_price"),
+        sum(discPrice).cast(DecimalType(18, 4)).as("sum_disc_price"),
+        sum((discPrice * taxFactor).cast(DecimalType(18, 6)))
+          .cast(DecimalType(18, 6)).as("sum_charge"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> normalize(o))).toMap
+
+  /** Collapse the triple-quoted SQL to single-line (defensive against
+    * JSON-escaping surprises in the driver round-trip).
+    */
+  private def normalize(sql: String): String =
+    sql.replaceAll("\\s+", " ").trim
+}

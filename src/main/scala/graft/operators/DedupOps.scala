@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2 K L1/L2): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every pairwise comparison goes through an inverted-index
+  * (equi-join on token / band-bucket) rather than a cross join, so the
+  * shuffle key is the token, candidate generation is linear in index
+  * size, and skewed tokens can be handled by AQE skew-join. Nothing here
+  * is O(n²) in the corpus except the *verified candidate set*.
+  */
+object DedupOps {
+
+  /** L1 — exact dedup by content: keep the smallest doc_id per identical
+    * text (deterministic, unlike dropDuplicates), with the duplicate
+    * count. Uses md5 of the text as the grouping key so the shuffle rows
+    * carry a 16-byte hash instead of the full document.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
+      .orderBy("keep_doc_id")
+
+  /** Distinct (doc, word) pairs — the inverted-index relation. */
+  private def docWords(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+
+  /** L2 — exact pairwise word-set Jaccard via inverted-index join:
+    * explode distinct words, self-join on word (candidate pairs share ≥1
+    * word), count common words per pair, derive |A∪B| = |A|+|B|-common,
+    * and keep pairs with `common * 100 >= minJaccardPct * union` — pure
+    * integer arithmetic, so the result is hash-exact reproducible.
+    */
+  def jaccardPairs(documents: DataFrame, minJaccardPct: Int): DataFrame = {
+    val words = docWords(documents).cache()
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val common = words.as("a")
+      .join(words.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("union_size", col("sa.set_size") + col("sb.set_size") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select(col("a_id"), col("b_id"), col("common"), col("union_size"),
+        expr("common * 1000000L div union_size").as("jaccard_ppm"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** L2 — MinHash signatures: k independent hash permutations approximated
+    * by seeded xxhash64 over the word set; signature element i is
+    * `min(xxhash64(word, seed_i))`. Computed per document with
+    * `transform` over a seed array — no shuffle at all for the signature
+    * stage.
+    */
+  def minHashSignatures(documents: DataFrame, numHashes: Int): DataFrame = {
+    val ws = array_distinct(split(col("text"), " "))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(ws, w => xxhash64(lit(i), w))).as(s"mh_$i")
+    }
+    documents.select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** L2 — MinHash + LSH banding: split the signature into bands of
+    * `rowsPerBand`, hash each band, group docs by (band_idx, band_hash).
+    * Docs sharing any band bucket become candidate pairs — candidate
+    * generation is a single groupBy on band hash (the LSH bucket join),
+    * never a cross join. Returns distinct candidate pairs.
+    */
+  def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minHashSignatures(documents, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      sigs.select(
+        col("doc_id"),
+        lit(b).as("band_idx"),
+        xxhash64(bandCols: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** L2 — SimHash: 64-bit signature where bit j is the sign of the sum
+    * over words of ±1 according to bit j of xxhash64(word). Near-dups
+    * have small Hamming distance. Pure expression pipeline (explode +
+    * bit ops + groupBy).
+    */
+  def simHash(documents: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b_$j")
+    }
+    val perBit = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    perBit.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** L2 — n-gram (shingle) Jaccard: same inverted-index pipeline as
+    * [[jaccardPairs]] but over word n-gram shingles, which is the
+    * standard near-dup unit for LLM corpus cleaning.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, minJaccardPct: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    val shingled = documents.select(
+      col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("word"))
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val common = shingled.as("a")
+      .join(shingled.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("union_size", col("sa.set_size") + col("sb.set_size") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select(col("a_id"), col("b_id"), col("common"), col("union_size"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic "keep one row per key" for arbitrary tables: first row
+    * per key under an explicit total order.
+    */
+  def keepFirstPerKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables.Nanos
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY.md §2 I).
+  *
+  * The `ts` column is epoch **nanoseconds as LongType** (see
+  * [[graft.Tables.events]]). All bucket math is integer division on the
+  * raw nanos — exact, timezone-free, and codegen-friendly.
+  */
+object EventOps {
+
+  /** Epoch-nanos → `TimestampType` (µs precision) via integer division. */
+  def nanosToTimestamp(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / lit(1000L)).cast("long"))
+
+  /** I1 — tumbling-window aggregation: per (hour-bucket, event_type)
+    * count + exact decimal sum of `value`. `hour_start` is epoch seconds
+    * of the bucket start — a pure function of the nanos, immune to
+    * session-timezone drift between engines.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_start", expr(s"ts div ${Nanos.PerHour} * 3600"))
+      .groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("cnt"), Relational.decSum(col("value")).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** I3 — gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapNanos`. Expressed as
+    * lag + running sum over a single per-user window (one shuffle on
+    * user_id; state is O(1) per row — the 100 TB-scale pattern, and the
+    * exact batch semantics of `session_window` with end-exclusive gaps).
+    */
+  def sessionize(events: DataFrame, gapNanos: Long): DataFrame =
+    sessionizeOn(events, col("ts"), gapNanos)
+
+  /** Sessionize on an arbitrary integer event-time column (`tsCol`) with
+    * the gap in the same unit — lets callers pick µs resolution when an
+    * external comparator only preserves µs.
+    */
+  def sessionizeOn(events: DataFrame, tsCol: Column, gap: Long): DataFrame = {
+    val withTs = events.withColumn("__t", tsCol)
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTs
+      .withColumn("__prev_ts", lag(col("__t"), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull || col("__t") - col("__prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__t")).as("session_start"),
+        max(col("__t")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** I5 / L1 — deterministic keyed dedup: keep the first event per key by
+    * (ts, event_id). Unlike `dropDuplicates` (which keeps an arbitrary
+    * row), row_number with a total order is reproducible across runs and
+    * cluster sizes.
+    */
+  def firstEventPerKey(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"), col("event_id"))
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

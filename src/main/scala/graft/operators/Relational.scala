@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reusable relational building blocks (SURVEY.md §2 B–G).
+  *
+  * Scale notes: every helper is a declarative plan fragment — Catalyst
+  * handles pushdown/pruning; aggregations get partial (map-side) combine
+  * automatically; `orderBy(...).limit(n)` compiles to
+  * `TakeOrderedAndProject` (per-partition top-k + driver merge of k·p
+  * rows, never a full sort); window functions shuffle once on their
+  * partition keys.
+  */
+object Relational {
+
+  val Dec18_2: DecimalType = DecimalType(18, 2)
+
+  /** Sum a double column deterministically: per-row cast to decimal, then
+    * an order-independent exact decimal sum (SURVEY §7.3 H2 — raw
+    * double sums differ across partition orders and engines).
+    */
+  def decSum(c: Column): Column = sum(c.cast(Dec18_2)).cast(Dec18_2)
+
+  /** D4 — pandas `value_counts`: group-count, descending count with a
+    * deterministic tie-break on the key.
+    */
+  def valueCounts(df: DataFrame, key: String, cntName: String = "cnt"): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as(cntName))
+      .orderBy(desc(cntName), asc(key))
+
+  /** B4/D3 — per-column null profile in long form (one row per column):
+    * `(col_name, n_nulls, n_rows, null_ppm)`. A single aggregate pass
+    * over the data; the unpivot is width-bounded, not data-bounded.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggRow = df.select(
+      (count(lit(1)).cast(LongType).as("__n_rows__") +:
+        cols.toIndexedSeq.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType).as(c))): _*)
+    aggRow
+      .unpivot(Array(col("__n_rows__")), cols.map(col).toArray, "col_name", "n_nulls")
+      .select(
+        col("col_name"),
+        col("n_nulls"),
+        col("__n_rows__").as("n_rows"),
+        expr("`n_nulls` * 1000000L div `__n_rows__`").as("null_ppm"))
+      .orderBy("col_name")
+  }
+
+  /** E1 — top-N rows per group with a total-order tie-break. */
+  def topNPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                   n: Int, rankName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= n)
+  }
+
+  /** D2+D7 — pivot with explicit values (deterministic column order,
+    * SURVEY §7.3 H4) and zero-fill of absent cells.
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+                  values: Seq[String]): DataFrame =
+    df.groupBy(rowKey).pivot(pivotCol, values).agg(count(lit(1)))
+      .na.fill(0L, values)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (SURVEY.md §2 K L3).
+  *
+  * Two implementations:
+  *  - [[topKDotFast]] — the production path: broadcast the (small) query
+  *    set, compute the dot product with a single `aggregate(zip_with(…))`
+  *    expression (one pass, no explode, no shuffle until the final
+  *    per-query top-k window). This is the plan you want at 100 TB: the
+  *    corpus streams through map tasks; the only shuffle carries
+  *    `|queries| × k`-bounded rows.
+  *  - [[topKDotExact]] — the oracle-parity path: identical ranking, but
+  *    the dot product is an exact decimal sum over position-exploded
+  *    elements, making the score bit-reproducible across engines
+  *    (double summation order never matters because decimal addition is
+  *    exact and commutative).
+  *  - [[lshBucketTopK]] — the approximate scale path: random-hyperplane
+  *    (sign-LSH) bucketing; candidates only within the query's bucket.
+  */
+object SimilarityOps {
+
+  /** Fixed-point scale for the exact dot product: each float element is
+    * rounded to an integer at 1e7 resolution; the pairwise-product sum is
+    * then pure int64 arithmetic — order-independent and bit-identical in
+    * any engine (doubles summed in different orders are not; double→
+    * decimal casts round differently across engines). Max |elem| ~1 →
+    * scaled ~1e7, product ~1e14, 64-dim sum ~6e15 « Long.MaxValue.
+    */
+  val FixedPointScale: Double = 1e7
+
+  /** Round a float-array element to the fixed-point integer grid. */
+  def fixedPoint(c: Column): Column =
+    round(c.cast(DoubleType) * FixedPointScale).cast(LongType)
+
+  /** Exact top-k by dot product with fixed-point integer scores
+    * (`score_s14` ≈ dot · 1e14). Position-exploded + equi-joined on the
+    * element index, so the same plan works whatever the corpus size; the
+    * tiny query side is broadcast.
+    */
+  def topKDotExact(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), posexplode(col("embedding")).as(Seq("pos", "qv")))
+      .withColumn("qi", fixedPoint(col("qv")))
+    val corpus = embeddings
+      .select(col("vec_id").as("n_id"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .withColumn("ci", fixedPoint(col("cv")))
+    val scores = corpus
+      .join(broadcast(queries), Seq("pos"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("qi") * col("ci")).as("score_s14"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    scores.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Double-precision dot product of two array columns in one expression
+    * (codegen-friendly, no explode).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm of an array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  /** Brute-force top-k by cosine: broadcast-joined query set, single-pass
+    * dot/norm expressions, per-query top-k window.
+    */
+  def topKDotFast(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                  cosine: Boolean = true): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = embeddings
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(queries))
+    val score =
+      if (cosine) dot(col("q_emb"), col("n_emb")) / (l2Norm(col("q_emb")) * l2Norm(col("n_emb")))
+      else dot(col("q_emb"), col("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
+    joined.withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Sign-LSH bucket id: the 0/1 signs of dot products against
+    * `numPlanes` pseudo-random hyperplanes, packed into a long. Planes
+    * are generated deterministically from a seed via a hash-based
+    * construction inlined in the plan (no driver-side RNG state).
+    */
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planeDots: Seq[Column] = (0 until numPlanes).map { p =>
+      // plane component j = hash(seed, p, j) scaled to [-1, 1)
+      val comps = sequence(lit(0), lit(dim - 1))
+      val plane = transform(comps, j =>
+        (pmod(xxhash64(lit(seed), lit(p), j), lit(2000000L)).cast(DoubleType) / 1000000.0) - 1.0)
+      aggregate(zip_with(emb, plane, (x, y) => x.cast(DoubleType) * y), lit(0.0), (a, v) => a + v)
+    }
+    planeDots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: restrict candidates to corpus vectors falling in
+    * the same sign-LSH bucket as the query, then exact-rank the bucket.
+    * At 100 TB this turns an all-pairs scan into a bucket-equi-join whose
+    * fan-in is corpus/2^planes per query on average.
+    */
+  def lshBucketTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val queries = bucketed
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val cands = bucketed
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
+    cands.withColumn("score", dot(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score")
+      .orderBy("q_id", "rn")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the `documents` table (SURVEY.md §2 K L4;
+  * the training-data-pipeline extensions mandated by BASELINE.json).
+  *
+  * Everything is native expressions over `split`/`explode`/aggregation —
+  * fully distributed, no driver materialization, no UDFs. At 100 TB the
+  * word-level explode is the classic inverted-index build: it shuffles on
+  * the grouping keys once and map-side-combines first.
+  */
+object TextOps {
+
+  /** Tokenize on single spaces (the documents corpus is space-joined). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** L4 — per-(lang, word) counts over the whole corpus. */
+  def wordCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "word")
+
+  /** Per-(doc, word) term frequencies. */
+  def termFrequencies(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** L4 — top-N terms per document by a deterministic tf-idf-style score.
+    *
+    * Classic tf·idf multiplies by `ln(N/df)`; `ln` on doubles differs in
+    * the last ulp across libm implementations, which breaks hash-exact
+    * oracle comparison. Since `ln(N/df)` is strictly decreasing in `df`,
+    * ranking by the integer score `tf * 1_000_000 div df` preserves the
+    * tf/df trade-off with fully exact arithmetic (documented deviation;
+    * same top-N ordering philosophy).
+    */
+  def tfIdfTopTerms(documents: DataFrame, topN: Int): DataFrame = {
+    val tf = termFrequencies(documents)
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("word"))
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_ppm"), desc("tf"), asc("word"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select("doc_id", "rn", "word", "tf", "df", "score_ppm")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** L4 — quality scoring: word count, mean word length, stopword ratio —
+    * all in exact integer arithmetic (ppm = parts per million). The
+    * corpus is space-joined, so total word chars = n_chars - (n_words-1).
+    */
+  def textQuality(documents: DataFrame, stopwords: Seq[String]): DataFrame =
+    documents
+      .withColumn("n_words", size(words(col("text"))).cast("long"))
+      .withColumn("__stop_cnt", size(filter(words(col("text")),
+        w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        expr("(n_chars - (n_words - 1)) * 1000000L div n_words").as("chars_per_word_ppm"),
+        expr("__stop_cnt * 1000000L div n_words").as("stopword_ppm"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** L4 — BPE-ish token counting: alpha runs + digit runs + single
+    * non-space symbols, via one regex pass.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .cast("long").as("n_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** L4 — document fingerprint: md5 over the exact text (content-hash
+    * identity for exact-dedup joins across 100 TB corpora; md5 is
+    * bit-identical across engines, unlike engine-specific hash()).
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** L4 — n-gram language-ID heuristic: score each candidate language by
+    * how many of its marker words appear in the text; pick the best
+    * (ties broken lexicographically). Marker lists are tiny and inlined
+    * into the plan — no join, no shuffle beyond the final sort.
+    */
+  def languageId(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    val scores: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map {
+      case (lang, ws) =>
+        lang -> size(filter(words(col("text")),
+          w => w.isin(ws.map(_.asInstanceOf[Any]): _*)))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    documents.select(col("doc_id"), col("lang").as("lang_actual"),
+      best.getField("lang").as("lang_guess"),
+      best.getField("score").cast("long").as("marker_hits"))
+      .orderBy("doc_id")
+  }
+}
