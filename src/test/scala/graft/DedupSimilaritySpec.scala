@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d", "en"),
+    (2L, "a b c e", "en"),   // jaccard(1,2) = 3/5 = 60%
+    (3L, "x y z w", "en"),
+    (4L, "a b c d", "en"))   // exact dup of 1
+    .toDF("doc_id", "text", "lang")
+
+  test("exactDedup keeps min doc_id with duplicate count") {
+    val out = DedupOps.exactDedup(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("jaccardPairs: hand-computed pair survives threshold") {
+    val out = DedupOps.jaccardPairs(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // (1,2): common 3, union 5 (60%); (1,4)/(2,4): dup pair 4/4 & 3/5; (3,*) disjoint
+    assert(out == Seq((1L, 2L, 3L, 5L), (1L, 4L, 4L, 4L), (2L, 4L, 3L, 5L)))
+  }
+
+  test("jaccardPairs threshold filters low-similarity pairs") {
+    val out = DedupOps.jaccardPairs(docs, 90).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+  }
+
+  test("minHash: identical docs share signatures; LSH surfaces them") {
+    val sigs = DedupOps.minHashSignatures(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    val cands = DedupOps.minHashCandidates(docs, 8, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("simHash: identical docs equal, disjoint docs differ") {
+    val m = DedupOps.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(4L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("ngramJaccardPairs on shared trigrams") {
+    val d2 = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),   // trigrams: {abc,bcd,cde} vs {abc,bcd,cdx}: 2/4 = 50%
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val out = DedupOps.ngramJaccardPairs(d2, 3, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 2L, 2L, 4L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f)),
+    (2L, Seq(0f, 1f, 0f)),
+    (3L, Seq(-1f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("topKDotExact ranks by dot product deterministically") {
+    val out = SimilarityOps.topKDotExact(vecs, Seq(0L), 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("topKDotFast cosine agrees with exact ranking on separated vectors") {
+    val out = SimilarityOps.topKDotFast(vecs, Seq(0L), 3).collect()
+      .map(r => r.getLong(2)).toSeq
+    assert(out == Seq(0L, 1L, 2L))
+  }
+
+  test("dot and l2Norm") {
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+    val r = df.select(
+      SimilarityOps.dot(col("a"), col("b")).as("d"),
+      SimilarityOps.l2Norm(col("a")).as("n")).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
+  }
+
+  test("lshBucketTopK returns same-bucket neighbors ranked by dot") {
+    val out = SimilarityOps.lshBucketTopK(vecs, Seq(0L), 4, numPlanes = 4, dim = 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // query 0 must at least find itself (same bucket by construction)
+    assert(got.contains((0L, 0L)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the relational / event / text operator modules on tiny
+  * literal DataFrames with hand-computed expectations.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNPerGroup keeps n rows per group with deterministic tie-break") {
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 99, "d"))
+      .toDF("grp", "score", "id")
+    val out = Relational.topNPerGroup(df, Seq(col("grp")),
+      Seq(desc("score"), asc("id")), 2)
+    val got = out.orderBy("grp", "rn").select("id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a", "b", "d"))
+  }
+
+  test("pivotCounts: cells sum to group totals, absent cells zero-filled") {
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "y")).toDF("k", "t")
+    val out = Relational.pivotCounts(df, "k", "t", Seq("x", "y", "z"))
+      .orderBy("k").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1 && out(0).getLong(3) == 0)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 1 && out(1).getLong(3) == 0)
+  }
+
+  test("nullProfile computes per-column null counts and ppm") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (None, None))
+      .toDF("x", "y")
+    val out = Relational.nullProfile(df, Seq("x", "y")).collect()
+    val byName = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byName("x") == ((2L, 3L, 666666L)))
+    assert(byName("y") == ((1L, 3L, 333333L)))
+  }
+
+  test("valueCounts orders by count desc then key") {
+    val df = Seq("b", "a", "a", "c", "c").toDF("k")
+    val got = Relational.valueCounts(df, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("c", 2L), ("b", 1L)))
+  }
+
+  test("sessionize splits on gap and aggregates bounds") {
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 100L), (1L, 4L, 1000L),
+      (2L, 5L, 7L))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventOps.sessionize(df, 50L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 0L, 10L),
+      (1L, 2L, 1L, 100L, 100L),
+      (1L, 3L, 1L, 1000L, 1000L),
+      (2L, 1L, 1L, 7L, 7L)))
+  }
+
+  test("firstEventPerKey keeps earliest (ts, event_id) row") {
+    val df = Seq((1L, "c", 30L, 9L), (1L, "c", 10L, 5L), (1L, "c", 10L, 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventOps.firstEventPerKey(df, Seq("user_id", "event_type"))
+    assert(out.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("wordCounts and termFrequencies") {
+    val docs = Seq((1L, "a b a", "en"), (2L, "b c", "en")).toDF("doc_id", "text", "lang")
+    val wc = TextOps.wordCounts(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(wc == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    val tf = TextOps.termFrequencies(docs).orderBy("doc_id", "word").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(tf == Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L)))
+  }
+
+  test("tfIdfTopTerms ranks rarer-but-frequent terms first") {
+    val docs = Seq(
+      (1L, "rare rare common", "en"),
+      (2L, "common other", "en"),
+      (3L, "common other", "en")).toDF("doc_id", "text", "lang")
+    val top = TextOps.tfIdfTopTerms(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // doc1: rare tf=2 df=1 → score 2M; common tf=1 df=3 → 333k
+    assert(top(1L) == "rare")
+  }
+
+  test("textQuality integer arithmetic") {
+    // text "aa b a" → 3 words, n_chars 6, word-chars 4, stopwords {a}: 1 hit
+    val docs = Seq((1L, "aa b a", 6L)).toDF("doc_id", "text", "n_chars")
+    val r = TextOps.textQuality(docs, Seq("a")).collect()(0)
+    assert(r.getLong(1) == 3L)             // n_words
+    assert(r.getLong(2) == 1333333L)       // (6-2)*1e6 div 3
+    assert(r.getLong(3) == 333333L)        // 1*1e6 div 3
+  }
+
+  test("languageId picks the lang with most marker hits") {
+    val docs = Seq((1L, "der die das scan", "xx")).toDF("doc_id", "text", "lang")
+    val r = TextOps.languageId(docs, Map(
+      "de" -> Seq("der", "die", "das"), "en" -> Seq("scan", "join"))).collect()(0)
+    assert(r.getString(2) == "de" && r.getLong(3) == 3L)
+  }
+}
