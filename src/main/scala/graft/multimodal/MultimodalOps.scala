@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY.md §2 K L5): image/audio/video
+  * payloads ride as opaque `BinaryType` columns with a typed metadata
+  * struct; decode / feature-extraction runs per-partition so one task
+  * amortizes codec init across its whole batch — the same shape a real
+  * decoder (via JNI/FFI or `mapInPandas` on the Python side) would use.
+  *
+  * The actual codecs are NOT in this environment, so [[decodeStub]] is a
+  * clearly-marked deterministic fake; everything around it — schema,
+  * partitioning, batch iteration, null passthrough — is real and tested.
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried alongside every binary payload. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),      // image | audio | video
+    StructField("format", StringType),          // png, wav, mp4, ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Canonical multimodal row schema: id + payload + metadata. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", MetadataSchema)))
+
+  /** Feature schema produced by [[extractFeatures]]. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType),
+    StructField("feature", ArrayType(DoubleType))))
+
+  /** STUB decoder — deterministic fake standing in for a real image/audio
+    * codec (not installed in this container). Produces a 16-bin byte
+    * histogram normalized to [0,1] — stable across runs/partitions, so
+    * tests can assert on it. A production build swaps ONLY this function
+    * for a real decoder; the Spark plumbing around it is unchanged.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    if (payload != null && payload.nonEmpty) {
+      payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      var i = 0
+      while (i < 16) { hist(i) /= payload.length; i += 1 }
+    }
+    hist
+  }
+
+  /** Per-partition feature extraction: one iterator pass per task, codec
+    * state initialized once per partition (here trivially; a real codec
+    * would allocate its context in the `mapPartitions` head). Null
+    * payloads yield null features, mirroring how a decode failure is
+    * represented without poisoning the batch.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      // real impl: val codec = Codec.open(); it.map { ... codec.decode ... }
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null) Row(id, null, null)
+        else Row(id, payload.length.toLong, decodeStub(payload).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, FeatureSchema)
+  }
+
+  /** "Resize" stub for images: records the target dims in metadata and
+    * (deterministically) truncates the payload — the plumbing for a real
+    * transcode: payload in, payload out, metadata updated in lockstep.
+    */
+  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      // ??? real resize goes here; deterministic truncation keeps the
+      // bytes→bytes contract testable without a codec
+      expr(s"substring(payload, 1, ${width * height})").as("payload"),
+      struct(
+        col("meta.media_type").as("media_type"),
+        col("meta.format").as("format"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        col("meta.duration_ms").as("duration_ms")).as("meta"))
+
+  /** Frame-sampling stub for video: emit one row per sampled frame index
+    * (`explode` over a bounded sequence — the real pattern for
+    * frame-level fan-out, where each output row would carry the decoded
+    * frame bytes).
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .filter(col("meta.media_type") === "video" && col("meta.duration_ms").isNotNull)
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)))
+          .as("frame_ts_ms"))
+
+  /** Build a media frame from raw (id, bytes, type, format) tuples — the
+    * ingest path a binary-file datasource (`spark.read.format
+    * ("binaryFile")`) would feed.
+    */
+  def fromBytes(spark: SparkSession, rows: Seq[(Long, Array[Byte], String, String)]): DataFrame = {
+    val data = rows.map { case (id, bytes, mt, fmt) =>
+      Row(id, bytes, Row(mt, fmt, null, null, if (mt == "video") 10000L else null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data), MediaSchema)
+  }
+}

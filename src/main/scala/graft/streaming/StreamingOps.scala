@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming analogs of the engine's event-time operators
+  * (SURVEY.md §2.I). The batch queries in [[graft.Queries]] share the
+  * same expressions; these wrappers add watermarks/state so the
+  * identical logic runs incrementally.
+  *
+  * Scale notes: all operators below are keyed by (window × type) or
+  * user_id, so state partitions across executors; watermarks bound state
+  * size; `foreachBatch` gives the reference's chunked-load semantics
+  * (A4/A7) with exactly-once per micro-batch.
+  */
+object StreamingOps {
+
+  /** I1/I4 — tumbling-window counts + sums over a streaming frame with a
+    * watermark bounding late data. `events` must carry a timestamp
+    * column `ts_ts` (use [[graft.operators.EventOps.nanosToTimestamp]]
+    * when feeding from the nanos table).
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** I2 — sliding-window variant. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** I3 — session windows with the built-in `session_window` (gap-based,
+    * state merges handled by Spark).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(session_window(col("ts_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** I5 — stateful streaming dedup: watermark-bounded state keyed on
+    * `keys`; duplicates arriving within the watermark horizon are
+    * dropped exactly once.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts_ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** A4/A7 — the reference's chunked micro-batch load loop re-expressed:
+    * each micro-batch goes through `write`, with cumulative progress
+    * logging (the reference printed elapsed seconds per 1M-row chunk).
+    */
+  def chunkedLoad(stream: DataFrame, write: (DataFrame, Long) => Unit,
+                  checkpoint: String): DataStreamWriter[Row] = {
+    val start = System.nanoTime()
+    var total = 0L
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val n = batch.count()
+        total += n
+        write(batch, id)
+        // progress print mirrors challenge.py::load's elapsed-seconds loop
+        println(f"[chunkedLoad] batch $id%d: $n%d rows, $total%d total, " +
+          f"${(System.nanoTime() - start) / 1e9}%.1f s elapsed")
+      }
+  }
+
+  /** Convenience: start a memory-sink query for tests/inspection. */
+  def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+}

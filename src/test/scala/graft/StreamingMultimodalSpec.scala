@@ -1,0 +1,116 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window aggregates micro-batched events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.tumblingCounts(events), "tumbling_test", "update")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:45:00"), "click", 2.0, 1L),
+        (ts("2024-01-01 11:05:00"), "view", 3.0, 2L))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select("window_start", "event_type", "cnt").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming session window groups within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionCounts(events, gap = "10 minutes"), "session_test", "complete")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),   // same session
+        (ts("2024-01-01 12:00:00"), "click", 1.0, 1L))   // new session
+      q.processAllAvailable()
+      val got = spark.table("session_test")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.dedupWithinWatermark(events, Seq("user_id", "event_type")),
+      "dedup_test", "append")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:00:30"), "click", 9.0, 1L),   // dup key → dropped
+        (ts("2024-01-01 10:01:00"), "view", 2.0, 1L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("chunkedLoad drains a stream through foreachBatch exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      (ts("2024-01-01 10:01:00"), "view", 2.0, 2L))
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val cp = java.nio.file.Files.createTempDirectory("chunk_cp").toString
+    val q = StreamingOps.chunkedLoad(events,
+      (batch, _) => seen.addAndGet(batch.count()), cp).start()
+    q.awaitTermination(30000)
+    assert(seen.get() == 2L)
+  }
+
+  test("multimodal: feature extraction over binary payloads") {
+    val media = MultimodalOps.fromBytes(spark, Seq(
+      (1L, Array[Byte](0, 0, 0, 0), "image", "png"),      // all bytes in bin 0
+      (2L, Array[Byte](-1, -1), "image", "png"),           // 0xFF → bin 15
+      (3L, null, "image", "png")))
+    val feats = MultimodalOps.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(1) == 4L)
+    assert(feats(0).getSeq[Double](2).head == 1.0)          // bin 0 = 100%
+    assert(feats(1).getSeq[Double](2)(15) == 1.0)           // bin 15 = 100%
+    assert(feats(2).isNullAt(1) && feats(2).isNullAt(2))    // null passthrough
+  }
+
+  test("multimodal: resize stub updates metadata and payload in lockstep") {
+    val media = MultimodalOps.fromBytes(spark,
+      Seq((1L, Array.fill[Byte](100)(7), "image", "png")))
+    val out = MultimodalOps.resizeStub(media, 4, 4).collect()(0)
+    assert(out.getAs[Array[Byte]]("payload").length == 16)
+    val meta = out.getStruct(2)
+    assert(meta.getInt(2) == 4 && meta.getInt(3) == 4)
+  }
+
+  test("multimodal: frame sampling explodes video rows only") {
+    val media = MultimodalOps.fromBytes(spark, Seq(
+      (1L, Array[Byte](1), "video", "mp4"),
+      (2L, Array[Byte](1), "image", "png")))
+    val frames = MultimodalOps.sampleFrames(media, 2500L)
+    // duration 10000ms sampled every 2500ms → ts 0,2500,5000,7500,10000
+    assert(frames.count() == 5)
+    assert(frames.select("media_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
