@@ -39,6 +39,8 @@ object DedupOps {
     * integer arithmetic, so the result is hash-exact reproducible.
     */
   def jaccardPairs(documents: DataFrame, minJaccardPct: Int): DataFrame = {
+    // cache: the inverted index feeds three consumers (sizes + both join
+    // sides); at petabyte scale this becomes a checkpoint to storage
     val words = docWords(documents).cache()
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = words.as("a")
@@ -46,9 +48,11 @@ object DedupOps {
         col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("common"))
+    // sizes is O(corpus) — no broadcast hint; AQE promotes to broadcast
+    // when the aggregated side is actually small at runtime
     common
-      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("union_size", col("sa.set_size") + col("sb.set_size") - col("common"))
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
       .select(col("a_id"), col("b_id"), col("common"), col("union_size"),
@@ -134,8 +138,8 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes).as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("b_id") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
       .withColumn("union_size", col("sa.set_size") + col("sb.set_size") - col("common"))
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
       .select(col("a_id"), col("b_id"), col("common"), col("union_size"))

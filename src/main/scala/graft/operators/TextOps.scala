@@ -44,6 +44,10 @@ object TextOps {
   def tfIdfTopTerms(documents: DataFrame, topN: Int): DataFrame = {
     val tf = termFrequencies(documents)
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // df is vocabulary-bounded (distinct words), orders of magnitude
+    // smaller than the tf relation — broadcast is the right call until
+    // the vocabulary itself stops fitting in memory (then drop the hint
+    // and this becomes a shuffle join on word)
     val scored = tf.join(broadcast(df), Seq("word"))
       .withColumn("score_ppm", expr("tf * 1000000L div df"))
     val w = Window.partitionBy("doc_id")
