@@ -306,6 +306,24 @@ object Queries {
                AS DECIMAL(18,2)) AS run_sum
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
+    // I2 — batch sliding windows (1 h window / 15 min slide): each event
+    // lands in 4 windows, enumerated with explode over the offset range;
+    // pure integer µs bucket math on both sides.
+    Declared("q_window_sliding",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("ts div 1000 div 900000000").as("base"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .withColumn("window_start", (col("base") - col("j")) * 900)
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT (b.base - j.j) * 900 AS window_start, b.event_type,
+          COUNT(*)::BIGINT AS cnt
+        FROM (SELECT event_type, epoch_us(ts) // 900000000 AS base FROM events) b
+        CROSS JOIN (SELECT unnest(range(4)) AS j) j
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ================= 2.G — set operations =============================
 
     Declared("q_union",
@@ -319,6 +337,25 @@ object Queries {
         UNION ALL
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
         ORDER BY o_orderkey""")),
+
+    Declared("q_except",
+      (s, d) => orders(s, d).select("o_custkey")
+        .exceptAll(orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        ORDER BY o_custkey""")),
+
+    Declared("q_intersect",
+      (s, d) => customer(s, d).select("c_custkey")
+        .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT o_custkey FROM orders
+        ORDER BY c_custkey""")),
 
     // ================= 2.H — scalar functions ===========================
 
@@ -504,6 +541,24 @@ object Queries {
         WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80
         ORDER BY c.a_id, c.b_id""")),
 
+    Declared("q_neardup_cosine",
+      (s, d) => SimilarityOps.cosinePairsExact(
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(5)) === 0), 30),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v, unnest(range(64)) AS pos
+                    FROM embeddings WHERE vec_id % 5 = 0)),
+        n AS (SELECT vec_id, SUM(vi * vi)::BIGINT AS norm_s FROM e GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.vi * b.vi)::BIGINT AS dot_s
+              FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+              GROUP BY a.vec_id, b.vec_id)
+        SELECT d.a_id, d.b_id, d.dot_s, na.norm_s AS a_norm_s, nb.norm_s AS b_norm_s
+        FROM d JOIN n na ON d.a_id = na.vec_id JOIN n nb ON d.b_id = nb.vec_id
+        WHERE d.dot_s > 0
+          AND (CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE)) * 10000.0 >=
+              (CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE)) * 900.0
+        ORDER BY d.a_id, d.b_id""")),
+
     Declared("q_simsearch_topk",
       (s, d) => SimilarityOps.topKDotExact(embeddings(s, d), (0L until 8L), 5),
       Some("""WITH q AS (SELECT vec_id AS q_id, unnest(embedding) AS qv,
@@ -601,6 +656,15 @@ object Queries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag"),
+      None),
+
+    Declared("q_fingerprint_rolling",
+      (s, d) => {
+        graft.plans.GraftFunctions.register(s)
+        documents(s, d)
+          .select(col("doc_id"), call_function("rolling_hash", col("text")).as("rh"))
+          .orderBy("doc_id")
+      },
       None),
 
     Declared("q_lang_id",

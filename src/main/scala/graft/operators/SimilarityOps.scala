@@ -61,6 +61,36 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** L2/L3 — embedding-cosine near-duplicate pairs with exact fixed-point
+    * arithmetic: `cos(a,b) ≥ τ` tested as `dot² · 10⁴ ≥ τ²·10⁴ · |a|²·|b|²`
+    * on integer dot/norms (the squares go through identical IEEE double
+    * products in any engine, so the boundary decision is reproducible —
+    * no sqrt, no division). Candidate generation is the position
+    * equi-join; at 100 TB swap in the sign-LSH bucketing
+    * ([[lshBucket]]) before the pairwise verify.
+    */
+  def cosinePairsExact(embeddings: DataFrame, minCosPct: Int): DataFrame = {
+    val elems = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vi", fixedPoint(col("v")))
+    val norms = elems.groupBy("vec_id").agg(sum(col("vi") * col("vi")).as("norm_s"))
+    val dots = elems.as("a")
+      .join(elems.as("b"),
+        col("a.pos") === col("b.pos") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(sum(col("a.vi") * col("b.vi")).as("dot_s"))
+    val tauSq = (minCosPct.toLong * minCosPct).toDouble
+    dots
+      .join(norms.as("na"), col("a_id") === col("na.vec_id"))
+      .join(norms.as("nb"), col("b_id") === col("nb.vec_id"))
+      .filter(col("dot_s") > 0 &&
+        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
+          col("na.norm_s").cast(DoubleType) * col("nb.norm_s").cast(DoubleType) * lit(tauSq))
+      .select(col("a_id"), col("b_id"), col("dot_s"),
+        col("na.norm_s").as("a_norm_s"), col("nb.norm_s").as("b_norm_s"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Double-precision dot product of two array columns in one expression
     * (codegen-friendly, no explode).
     */
