@@ -192,6 +192,53 @@ object Queries {
                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         ORDER BY c_custkey""")),
 
+    // As-of join (time-series): each event matched to the most recent
+    // order (day granularity) of the same key — union+window linear
+    // pattern (Relational.asOfJoin); oracle is the brute-force rank.
+    Declared("q_join_asof",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr(s"ts div ${Nanos.PerDay}").as("day"), col("event_id"))
+        val ord = orders(s, d).select(col("o_custkey").as("user_id"),
+          datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
+            .cast(LongType).as("day"),
+          col("o_orderkey"), col("o_totalprice"))
+        Relational.asOfJoin(ev, ord, "user_id", "day", "event_id", "o_orderkey",
+          Seq("o_orderkey", "o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
+        od AS (SELECT o_custkey AS user_id,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                o_orderkey, o_totalprice FROM orders),
+        j AS (SELECT ev.user_id, ev.event_id, ev.day, od.o_orderkey, od.o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY ev.event_id
+                                   ORDER BY od.day DESC, od.o_orderkey DESC) AS rn
+              FROM ev LEFT JOIN od ON ev.user_id = od.user_id AND od.day <= ev.day)
+        SELECT user_id, day, event_id, o_orderkey, o_totalprice
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // Range (band) join: fact side against broadcast price bands.
+    Declared("q_join_range",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          (1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0),
+          (4, 1500.0, 2000.0), (5, 2000.0, 1000000.0))
+          .toDF("band_id", "band_lo", "band_hi")
+        Relational.bandJoin(part(s, d), bands, "p_retailprice")
+          .select("p_partkey", "p_retailprice", "band_id")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, b.band_id
+        FROM part
+        JOIN (VALUES (1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0),
+                     (4, 1500.0, 2000.0), (5, 2000.0, 1000000.0))
+             AS b(band_id, band_lo, band_hi)
+          ON p_retailprice >= b.band_lo AND p_retailprice < b.band_hi
+        ORDER BY p_partkey""")),
+
     // ================= 2.D — aggregations ===============================
 
     Declared("q_agg_count2key",
@@ -270,6 +317,27 @@ object Queries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Declared("q_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Declared("q_median",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).cast(DecimalType(18, 4)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).cast(DecimalType(18, 4)).as("p90_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS median_qty,
+          CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ================= 2.E — window functions ===========================
 
@@ -475,6 +543,63 @@ object Queries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
               FROM documents WHERE doc_id < 100)
         GROUP BY doc_id, word ORDER BY doc_id, word""")),
+
+    Declared("q_string_funcs",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("up10"),
+          lpad(col("lang"), 5, "_").as("lang_pad"),
+          substring_index(col("text"), " ", 1).as("first_word"),
+          concat_ws("|", col("lang"), col("source")).as("lang_source"),
+          length(col("text")).as("text_len"),
+          reverse(col("lang")).as("lang_rev"),
+          substring(regexp_replace(col("text"), " ", "_"), 1, 20).as("snaked"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, upper(substr(text, 1, 10)) AS up10,
+          lpad(lang, 5, '_') AS lang_pad,
+          split_part(text, ' ', 1) AS first_word,
+          concat_ws('|', lang, source) AS lang_source,
+          CAST(length(text) AS INT) AS text_len,
+          reverse(lang) AS lang_rev,
+          substr(replace(text, ' ', '_'), 1, 20) AS snaked
+        FROM documents ORDER BY doc_id""")),
+
+    Declared("q_math_funcs",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc_delta"),
+          ceil(col("l_quantity") / 7).as("ceil_q7"),
+          floor(col("l_quantity") / 7).as("floor_q7"),
+          round(col("l_tax") * 100).as("tax_pct"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gmax"),
+          least(col("l_quantity"), col("l_discount") * 100).as("lmin"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          signum(col("l_discount") - 0.05).as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+          abs(l_discount - 0.05) AS abs_disc_delta,
+          CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q7,
+          CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
+          round(l_tax * 100) AS tax_pct,
+          greatest(l_quantity, l_discount * 100) AS gmax,
+          least(l_quantity, l_discount * 100) AS lmin,
+          l_orderkey % 7 AS key_mod7,
+          CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Declared("q_quality_filter",
+      (s, d) => TextOps.textQuality(documents(s, d), Seq("a", "the", "of", "and", "in"))
+        .filter(col("n_words") >= 30 && col("stopword_ppm") < 100000)
+        .select("doc_id", "n_words", "stopword_ppm")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, nw AS n_words, sc * 1000000 // nw AS stopword_ppm
+        FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+              FROM documents)
+        WHERE nw >= 30 AND sc * 1000000 // nw < 100000
+        ORDER BY doc_id""")),
 
     // ================= 2.I — event-time windows =========================
 

@@ -57,6 +57,48 @@ object Relational {
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= n)
   }
 
+  /** As-of join (the time-series operator Spark lacks natively),
+    * composed from existing ops per the §4.2 decision ladder: union both
+    * sides, one window pass per key ordered by (ts, side, tie-break),
+    * propagate the last right-side payload forward, keep left rows.
+    * Linear in |left|+|right| with a single shuffle on the key — unlike
+    * the naive range-join which is O(|left|·|right per key|). Ties at
+    * equal ts resolve right-before-left (≤ semantics) and
+    * max-tie-break-last among right rows.
+    *
+    * @param rightVals right-side payload columns carried to the output
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftId: String, rightTieBreak: String,
+               rightVals: Seq[String]): DataFrame = {
+    val lSide = left.select(
+      (col(key) +: col(ts).as("__ts") +: lit(1).as("__is_left") +:
+        lit(null).cast(LongType).as("__tb") +: col(leftId).as(leftId) +:
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))): _*)
+    val rSide = right.select(
+      (col(key) +: col(ts).as("__ts") +: lit(0).as("__is_left") +:
+        col(rightTieBreak).cast(LongType).as("__tb") +:
+        lit(null).cast(left.schema(leftId).dataType).as(leftId) +:
+        rightVals.map(v => col(v))): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__is_left"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(lSide.unionByName(rSide)) { (d, v) =>
+      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .select((col(key) +: col("__ts").as(ts) +: col(leftId) +: rightVals.map(col)): _*)
+  }
+
+  /** Range (band) join: assign each row to the bucket whose
+    * [lo, hi) interval contains the value. The bands side is tiny by
+    * construction → broadcast nested-loop join, no shuffle of the fact
+    * side at any scale.
+    */
+  def bandJoin(df: DataFrame, bands: DataFrame, valueCol: String): DataFrame =
+    df.join(broadcast(bands),
+      col(valueCol) >= col("band_lo") && col(valueCol) < col("band_hi"))
+
   /** D2+D7 — pivot with explicit values (deterministic column order,
     * SURVEY §7.3 H4) and zero-fill of absent cells.
     */

@@ -42,6 +42,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L), ("c", 2L), ("b", 1L)))
   }
 
+  test("asOfJoin picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 7L, 0.5), (1L, 10L, 8L, 0.6), (1L, 20L, 9L, 0.7))
+      .toDF("k", "t", "rid", "v")
+    val out = Relational.asOfJoin(left, right, "k", "t", "lid", "rid", Seq("rid", "v"))
+      .orderBy("lid").collect()
+    // lid 100 at t=10: right rows at 5 and 10 qualify (≤) → rid 8
+    assert(out(0).getLong(3) == 8L && out(0).getDouble(4) == 0.6)
+    // lid 101 at t=25 → rid 9
+    assert(out(1).getLong(3) == 9L)
+    // lid 102: key 2 has no right rows → nulls
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
+  test("bandJoin assigns rows to containing [lo, hi) bands") {
+    val df = Seq((1L, 0.0), (2L, 99.9), (3L, 100.0), (4L, 250.0)).toDF("id", "v")
+    val bands = Seq((1, 0.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 300.0))
+      .toDF("band_id", "band_lo", "band_hi")
+    val got = Relational.bandJoin(df, bands, "v").orderBy("id")
+      .select("band_id").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 2, 3))
+  }
+
   test("sessionize splits on gap and aggregates bounds") {
     val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 100L), (1L, 4L, 1000L),
       (2L, 5L, 7L))
