@@ -328,6 +328,21 @@ object Queries {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    Declared("q_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     Declared("q_median",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")
@@ -528,6 +543,15 @@ object Queries {
       (s, d) => events(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events ORDER BY event_id""")),
+
+    Declared("q_from_json",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_val"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         FROM events ORDER BY event_id""")),
@@ -764,8 +788,23 @@ object Queries {
 
     Declared("q_ngram_jaccard",
       (s, d) => DedupOps.ngramJaccardPairs(
-        documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0), 3, 30),
-      None),
+        documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0), 2, 4),
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 20 = 0),
+        sh AS (SELECT DISTINCT doc_id, word
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(w[i:i+1], ' ')
+                               for i in range(1, len(w))]) AS word
+                     FROM docs WHERE len(w) >= 2)),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM sh GROUP BY doc_id),
+        cm AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+               FROM sh a JOIN sh b ON a.word = b.word AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+        SELECT cm.a_id, cm.b_id, cm.common,
+               sa.set_size + sb.set_size - cm.common AS union_size
+        FROM cm JOIN sz sa ON cm.a_id = sa.doc_id JOIN sz sb ON cm.b_id = sb.doc_id
+        WHERE cm.common * 100 >= (sa.set_size + sb.set_size - cm.common) * 4
+        ORDER BY cm.a_id, cm.b_id""")),
 
     Declared("q_simsearch_fast",
       (s, d) => SimilarityOps.topKDotFast(embeddings(s, d), (0L until 8L), 5),

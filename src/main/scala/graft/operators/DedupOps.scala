@@ -126,11 +126,14 @@ object DedupOps {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, minJaccardPct: Int): DataFrame = {
     val ws = split(col("text"), " ")
-    val shingled = documents.select(
-      col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("word"))
+    val shingled = documents
+      // guard: sequence(0, size-n) turns DESCENDING when size < n
+      .filter(size(ws) >= n)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("word"))
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = shingled.as("a")
       .join(shingled.as("b"),
