@@ -674,8 +674,12 @@ object Queries {
               FROM events) WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // dense variant: the 31-word shared vocabulary makes the inverted-
+    // index join skew-bound (31 shuffle keys), so the bounded-candidate
+    // array-intersect plan is used here; jaccardPairs stays the
+    // sparse-vocabulary path (see DedupOps scaladoc + unit tests)
     Declared("q_neardup_jaccard",
-      (s, d) => DedupOps.jaccardPairs(
+      (s, d) => DedupOps.jaccardPairsDense(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80),
       Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),

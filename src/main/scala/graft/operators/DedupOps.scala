@@ -60,6 +60,30 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L2 — exact pairwise Jaccard for BOUNDED candidate sets: broadcast
+    * non-equi self-join + `array_intersect` per pair. Complements
+    * [[jaccardPairs]]: the inverted index wins when candidates are
+    * sparse relative to n²; with a tiny shared vocabulary (or LSH-
+    * prefiltered candidates) the token join degenerates to vocab-many
+    * skewed shuffle keys, and the dense N²/2 array-intersect — no
+    * shuffle at all, broadcast side bounded — is the better plan.
+    * Same integer-exact output contract as [[jaccardPairs]].
+    */
+  def jaccardPairsDense(documents: DataFrame, minJaccardPct: Int): DataFrame = {
+    val sets = documents.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val a = sets.select(col("doc_id").as("a_id"), col("ws").as("aws"))
+    val b = sets.select(col("doc_id").as("b_id"), col("ws").as("bws"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("common", size(array_intersect(col("aws"), col("bws"))).cast("long"))
+      .withColumn("union_size",
+        size(col("aws")).cast("long") + size(col("bws")).cast("long") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select(col("a_id"), col("b_id"), col("common"), col("union_size"),
+        expr("common * 1000000L div union_size").as("jaccard_ppm"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** L2 — MinHash signatures: k independent hash permutations approximated
     * by seeded xxhash64 over the word set; signature element i is
     * `min(xxhash64(word, seed_i))`. Computed per document with

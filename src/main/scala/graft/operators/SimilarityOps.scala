@@ -70,24 +70,30 @@ object SimilarityOps {
     * ([[lshBucket]]) before the pairwise verify.
     */
   def cosinePairsExact(embeddings: DataFrame, minCosPct: Int): DataFrame = {
-    val elems = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("vi", fixedPoint(col("v")))
-    val norms = elems.groupBy("vec_id").agg(sum(col("vi") * col("vi")).as("norm_s"))
-    val dots = elems.as("a")
-      .join(elems.as("b"),
-        col("a.pos") === col("b.pos") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .agg(sum(col("a.vi") * col("b.vi")).as("dot_s"))
+    // Fixed-point dot/norms fold per row with integer arithmetic — sums
+    // of longs are order-free, so no explode is needed for exactness.
+    // Pairing is a broadcast non-equi self-join: a position equi-join
+    // would funnel everything through dim-many (64) shuffle keys — a
+    // skew trap; the candidate set here is bounded by construction
+    // (LSH-bucket first at scale), so NxN/2 zip_with folds win.
+    val withInts = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("norm_s",
+        aggregate(col("vi"), lit(0L), (acc, x) => acc + x * x))
+    val a = withInts.select(col("vec_id").as("a_id"), col("vi").as("avi"),
+      col("norm_s").as("a_norm_s"))
+    val b = withInts.select(col("vec_id").as("b_id"), col("vi").as("bvi"),
+      col("norm_s").as("b_norm_s"))
     val tauSq = (minCosPct.toLong * minCosPct).toDouble
-    dots
-      .join(norms.as("na"), col("a_id") === col("na.vec_id"))
-      .join(norms.as("nb"), col("b_id") === col("nb.vec_id"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("dot_s",
+        aggregate(zip_with(col("avi"), col("bvi"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
       .filter(col("dot_s") > 0 &&
         col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
-          col("na.norm_s").cast(DoubleType) * col("nb.norm_s").cast(DoubleType) * lit(tauSq))
-      .select(col("a_id"), col("b_id"), col("dot_s"),
-        col("na.norm_s").as("a_norm_s"), col("nb.norm_s").as("b_norm_s"))
+          col("a_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) * lit(tauSq))
+      .select(col("a_id"), col("b_id"), col("dot_s"), col("a_norm_s"), col("b_norm_s"))
       .orderBy("a_id", "b_id")
   }
 

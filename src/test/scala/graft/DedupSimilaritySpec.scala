@@ -31,6 +31,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
   }
 
+  test("jaccardPairsDense agrees with the inverted-index implementation") {
+    val sparse = DedupOps.jaccardPairs(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val dense = DedupOps.jaccardPairsDense(docs, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dense == sparse)
+  }
+
   test("minHash: identical docs share signatures; LSH surfaces them") {
     val sigs = DedupOps.minHashSignatures(docs, 8).collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
