@@ -34,13 +34,19 @@ object Queries {
 
     // ================= 2.A / 2.F — scans, sorts, limits =================
 
+    // NB (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // lineitem — every lineitem row-output query orders by ALL output
+    // columns so any remaining ties are full-row duplicates
+    // (interchangeable under positional compare).
     Declared("q_scan_limit",
       (s, d) => lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .limit(25),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 25""")),
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+        LIMIT 25""")),
 
     Declared("q_topk",
       (s, d) => lineitem(s, d)
@@ -78,10 +84,10 @@ object Queries {
       (s, d) => lineitem(s, d)
         .filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         FROM lineitem WHERE l_returnflag = 'R'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     Declared("q_filter_range",
       (s, d) => lineitem(s, d)
@@ -89,12 +95,12 @@ object Queries {
           && col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast(DateType).as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "ship_date"),
       Some("""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, ship_date""")),
 
     Declared("q_filter_rlike",
       (s, d) => documents(s, d)
@@ -599,7 +605,9 @@ object Queries {
           least(col("l_quantity"), col("l_discount") * 100).as("lmin"),
           (col("l_orderkey") % 7).as("key_mod7"),
           signum(col("l_discount") - 0.05).as("disc_sign"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_disc_delta"),
+          col("ceil_q7"), col("floor_q7"), col("tax_pct"), col("gmax"),
+          col("lmin"), col("disc_sign")),
       Some("""SELECT l_orderkey, l_linenumber,
           abs(l_discount - 0.05) AS abs_disc_delta,
           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q7,
@@ -609,7 +617,9 @@ object Queries {
           least(l_quantity, l_discount * 100) AS lmin,
           l_orderkey % 7 AS key_mod7,
           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, abs_disc_delta, ceil_q7,
+                 floor_q7, tax_pct, gmax, lmin, disc_sign""")),
 
     Declared("q_quality_filter",
       (s, d) => TextOps.textQuality(documents(s, d), Seq("a", "the", "of", "and", "in"))
