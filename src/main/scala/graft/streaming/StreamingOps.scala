@@ -15,6 +15,9 @@ import org.apache.spark.sql.Row
   * size; `foreachBatch` gives the reference's chunked-load semantics
   * (A4/A7) with exactly-once per micro-batch.
   */
+/** State record for [[StreamingOps.runningUserStats]]. */
+final case class UserStat(n: Long, sum: Double)
+
 object StreamingOps {
 
   /** I1/I4 — tumbling-window counts + sums over a streaming frame with a
@@ -83,6 +86,28 @@ object StreamingOps {
         println(f"[chunkedLoad] batch $id%d: $n%d rows, $total%d total, " +
           f"${(System.nanoTime() - start) / 1e9}%.1f s elapsed")
       }
+  }
+
+  /** Custom keyed state via `mapGroupsWithState` (the escape hatch when
+    * built-in windows can't express the semantics): per-user running
+    * event count + running value sum, emitted on every micro-batch.
+    * State is one `UserStat` per key — partitioned across executors,
+    * bounded by the key space, evictable via timeouts in production.
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(0L, 0.0))
+          val buf = rows.foldLeft(prev)((s, r) => UserStat(s.n + 1, s.sum + r._2))
+          state.update(buf)
+          (userId, buf.n, buf.sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
   }
 
   /** Convenience: start a memory-sink query for tests/inspection. */

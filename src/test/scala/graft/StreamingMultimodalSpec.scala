@@ -83,6 +83,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(seen.get() == 2L)
   }
 
+  test("mapGroupsWithState accumulates per-user running stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val q = StreamingOps.runningUserStats(events).writeStream
+      .format("memory").queryName("user_stats").outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0))   // second batch: state must carry over
+      q.processAllAvailable()
+      val got = spark.table("user_stats")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, 3L, 10.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("typed Dataset API over curated movies") {
+    import graft.etl.{MoviesEtl, TypedMovies}
+    val result = MoviesEtl.extractTransformLoad(spark,
+      fixture("wiki_movies.json"), fixture("movies_metadata.csv"), fixture("ratings.csv"))
+    val ds = TypedMovies.typed(result.movies)
+    assert(ds.count() == 8)
+    val prof = TypedMovies.profitable(ds).collect().map(_.imdb_id).toSet
+    assert(prof.contains("tt0000001"))      // revenue 123.4M > budget 20M
+    assert(!prof.contains("tt0000012"))     // revenue 0.5M > budget null → false
+    assert(TypedMovies.totalRuntimeHours(ds) > 0)
+  }
+
   test("multimodal: feature extraction over binary payloads") {
     val media = MultimodalOps.fromBytes(spark, Seq(
       (1L, Array[Byte](0, 0, 0, 0), "image", "png"),      // all bytes in bin 0
