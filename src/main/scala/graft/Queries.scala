@@ -828,6 +828,12 @@ object Queries {
       (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5),
       None),
 
+    Declared("q_simsearch_ivf",
+      (s, d) => SimilarityOps.ivfTopK(
+        SimilarityOps.ivfIndex(embeddings(s, d), k = 8, iterations = 2),
+        (0L until 8L), 5, nProbe = 2),
+      None),
+
     Declared("q_agg_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")

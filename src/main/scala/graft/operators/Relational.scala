@@ -50,6 +50,22 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Skew-resistant two-phase aggregation: salt the hot key space into
+    * `saltBuckets` sub-keys (deterministic hash of a distinguishing
+    * column, not rand() — reproducible across retries), partially
+    * aggregate per (key, salt), then merge per key. Turns one giant
+    * reducer for a hot key into `saltBuckets` parallel ones. Counts and
+    * decimal sums re-aggregate losslessly.
+    */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     saltCol: String, saltBuckets: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(saltCol)), lit(saltBuckets.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol).cast(Dec18_2)).as("__sum"))
+      .groupBy(col(key))
+      .agg(sum(col("__cnt")).as("cnt"), decSum(col("__sum")).as("sum_value"))
+      .orderBy(key)
+
   /** E1 — top-N rows per group with a total-order tie-break. */
   def topNPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
                    n: Int, rankName: String = "rn"): DataFrame = {

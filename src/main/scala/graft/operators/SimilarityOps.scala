@@ -132,6 +132,84 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer over the
+    * corpus; queries probe only the `nProbe` nearest centroid cells.
+    * Centroids are trained with a few Lloyd iterations entirely in
+    * DataFrame ops (assign = argmin over broadcast centroids, update =
+    * groupBy(cell) mean) from deterministic seeds (first k corpus
+    * vectors by id), so training is reproducible. At 100 TB the train
+    * runs on a sample; assignment is one broadcast map pass; search
+    * cost drops from O(corpus) to O(corpus·nProbe/k) per query.
+    */
+  def ivfIndex(embeddings: DataFrame, k: Int, iterations: Int): IvfIndex = {
+    val spark = embeddings.sparkSession
+    // deterministic init: lowest-id vectors as seed centroids
+    var centroids: Array[(Int, Seq[Double])] = embeddings
+      .orderBy("vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)) }
+    for (_ <- 0 until iterations) {
+      val cdf = centroidDf(spark, centroids)
+      val assigned = assignCells(embeddings, cdf)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast(DoubleType)).as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))))
+    }
+    val cdf = centroidDf(spark, centroids)
+    IvfIndex(assignCells(embeddings, cdf), cdf)
+  }
+
+  /** Trained IVF index: per-vector cell assignment + the centroid table
+    * (k rows — always broadcastable).
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+                         centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.toSeq.toDF("cell", "centroid")
+  }
+
+  /** Assign each vector to its nearest centroid (max dot product —
+    * cells are cosine-shaped for normalized data). One broadcast pass.
+    */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("score", dot(col("embedding"), col("centroid")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF-accelerated top-k: rank the k centroids per query (a tiny
+    * broadcast cross product), probe only the best `nProbe` cells, then
+    * exact-rank candidates within them. Search cost ≈
+    * O(corpus · nProbe / k) per query; recall governed by nProbe.
+    */
+  def ivfTopK(index: IvfIndex, queryIds: Seq[Long], topK: Int, nProbe: Int): DataFrame = {
+    val queries = index.assigned
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wc = Window.partitionBy("q_id").orderBy(desc("cscore"), asc("cell"))
+    val probeCells = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("cscore", dot(col("q_emb"), col("centroid")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nProbe)
+      .select("q_id", "cell")
+    val cands = index.assigned
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+      .join(broadcast(probeCells.join(queries, "q_id")), Seq("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
+    cands.withColumn("score", dot(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("q_id", "rn", "n_id", "score")
+      .orderBy("q_id", "rn")
+  }
+
   /** Sign-LSH bucket id: the 0/1 signs of dot products against
     * `numPlanes` pseudo-random hyperplanes, packed into a long. Planes
     * are generated deterministically from a seed via a hash-based

@@ -94,6 +94,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
   }
 
+  test("IVF index: probing all cells reproduces brute-force ranking") {
+    val spark2 = spark
+    val emb = graft.Tables.embeddings(spark2, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 100)
+    val index = SimilarityOps.ivfIndex(emb, k = 4, iterations = 2)
+    assert(index.centroids.count() == 4)
+    // nProbe = k → exact: must equal the brute-force top-k neighbor ids
+    val ivfAll = SimilarityOps.ivfTopK(index, Seq(0L, 1L), 5, nProbe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = SimilarityOps.topKDotFast(emb, Seq(0L, 1L), 5, cosine = false)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivfAll == brute)
+    // nProbe = 1 still finds the query itself as its own best match
+    val ivf1 = SimilarityOps.ivfTopK(index, Seq(0L), 5, nProbe = 1)
+      .select("n_id").collect()
+    assert(ivf1.head.getLong(0) == 0L)
+  }
+
+  test("saltedCountSum equals plain group aggregation") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("k", "v")
+    val salted = graft.operators.Relational
+      .saltedCountSum(df, "k", "v", saltCol = "v", saltBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue)).toSeq
+    assert(salted == Seq(("a", 3L, 6.0), ("b", 1L, 10.0)))
+  }
+
   test("lshBucketTopK returns same-bucket neighbors ranked by dot") {
     val out = SimilarityOps.lshBucketTopK(vecs, Seq(0L), 4, numPlanes = 4, dim = 3)
     val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
