@@ -41,6 +41,23 @@ class CleaningSpec extends SparkSpec {
     assert(parseMoney("$1.234") == Seq(Some(1.234)))
   }
 
+  test("parseDollars: form_two negative lookahead rejects comma-grouped millions") {
+    // "$1,234 million": plain form is blocked by (?!\s[mb]illi?on) and the
+    // word form's \d+\.?\d* can't cross the comma → NaN in the reference
+    assert(parseMoney("$1,234 million") == Seq(None))
+    // but the same digits without the suffix parse via form_two
+    assert(parseMoney("$1,234,000") == Seq(Some(1234000.0)))
+  }
+
+  test("collapseMoneyRange: lowercase lookahead guard") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("$90-100 million", "$5-a-ticket show").toDF("s")
+      .select(Cleaning.collapseMoneyRange(col("s")).as("v"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    // range collapses; "-a" (letter follows) is protected by (?![a-z])
+    assert(got == Seq("$100 million", "$5-a-ticket show"))
+  }
+
   test("parseMoneyColumn: citation strip + range collapse compose") {
     val df = Seq("[1]$45,000,000", "$90-100 million", "$150–200 million")
       .toDF("s").select(Cleaning.parseMoneyColumn(col("s")).as("v"))
