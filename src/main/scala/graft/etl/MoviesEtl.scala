@@ -215,6 +215,9 @@ object MoviesEtl {
 
   /** A6/A7 — load stage: parquet sink (overwrite ≡ if_exists='replace');
     * `jdbcUrl` switches to a JDBC sink when a database is reachable.
+    * Both sinks overwrite for idempotent re-runs; the reference's
+    * chunked-append semantics live in
+    * [[graft.streaming.StreamingOps.chunkedLoad]].
     */
   def load(result: Result, outDir: String,
            jdbcUrl: Option[String] = None,
@@ -222,7 +225,7 @@ object MoviesEtl {
     jdbcUrl match {
       case Some(url) =>
         result.movies.write.mode("overwrite").jdbc(url, "movies", jdbcProps)
-        result.moviesWithRatings.write.mode("append").jdbc(url, "movies_with_ratings", jdbcProps)
+        result.moviesWithRatings.write.mode("overwrite").jdbc(url, "movies_with_ratings", jdbcProps)
       case None =>
         result.movies.write.mode("overwrite").parquet(s"$outDir/movies")
         result.moviesWithRatings.write.mode("overwrite").parquet(s"$outDir/movies_with_ratings")

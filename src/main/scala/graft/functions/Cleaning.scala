@@ -23,8 +23,10 @@ object Cleaning {
 
   // --- money grammar (reference: module-level form_one / form_two) ---
 
+  private val MoneyNum = "\\$\\s*\\d+\\.?\\d*\\s*"
+
   /** `$ 123.4 milli?on|billi?on` (typo-tolerant, case-insensitive). */
-  val MoneyFormWord = "\\$\\s*\\d+\\.?\\d*\\s*[mb]illi?on"
+  val MoneyFormWord: String = MoneyNum + "[mb]illi?on"
 
   /** `$ 123,456,789` (or dot-grouped), not followed by ` million`. */
   val MoneyFormPlain = "\\$\\s*\\d{1,3}(?:[,\\.]\\d{3})+(?!\\s[mb]illi?on)"
@@ -50,9 +52,10 @@ object Cleaning {
     * `try_cast` mirrors Python `float()` failure → NaN under ANSI mode.
     */
   def parseDollars(c: Column): Column = {
-    val million = "(?i)^\\$\\s*\\d+\\.?\\d*\\s*milli?on"
-    val billion = "(?i)^\\$\\s*\\d+\\.?\\d*\\s*billi?on"
-    val plain   = "(?i)^\\$\\s*\\d{1,3}(?:[,\\.]\\d{3})+(?!\\s[mb]illi?on)"
+    // anchored (re.match) variants of the shared grammar constants
+    val million = "(?i)^" + MoneyNum + "milli?on"
+    val billion = "(?i)^" + MoneyNum + "billi?on"
+    val plain   = "(?i)^" + MoneyFormPlain
     // re.sub(r'\$|\s|[a-zA-Z]', '', s)  /  re.sub(r'\$|,', '', s)
     val wordNum  = regexp_replace(c, "\\$|\\s|[a-zA-Z]", "").try_cast("double")
     val plainNum = regexp_replace(c, "\\$|,", "").try_cast("double")

@@ -65,10 +65,6 @@ object EventOps {
     * row), row_number with a total order is reproducible across runs and
     * cluster sizes.
     */
-  def firstEventPerKey(events: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"), col("event_id"))
-    events.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def firstEventPerKey(events: DataFrame, keys: Seq[String]): DataFrame =
+    DedupOps.keepFirstPerKey(events, keys, Seq("ts", "event_id"))
 }
