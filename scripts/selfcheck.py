@@ -25,6 +25,10 @@ def norm(v):
         return ("f", v)
     if isinstance(v, Decimal):
         return ("d", str(v.normalize()))
+    if hasattr(v, "tolist"):          # numpy array cell
+        return ("a", tuple(norm(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(norm(x) for x in v))
     return v
 
 

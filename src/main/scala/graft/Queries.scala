@@ -362,6 +362,72 @@ object Queries {
 
     // ================= 2.E — window functions ===========================
 
+    Declared("q_string_agg",
+      (s, d) => orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+          .as("priorities"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+          string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+          COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    Declared("q_array_funcs",
+      (s, d) => embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_elem"),
+          array_max(col("embedding")).as("max_elem"),
+          array_min(col("embedding")).as("min_elem"),
+          slice(col("embedding"), 2, 3).as("mid_slice"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+          embedding[1] AS first_elem,
+          list_max(embedding) AS max_elem,
+          list_min(embedding) AS min_elem,
+          list_slice(embedding, 2, 4) AS mid_slice
+        FROM embeddings ORDER BY vec_id""")),
+
+    Declared("q_window_range",
+      (s, d) => {
+        val wRange = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("order_date"),
+          // RANGE frame: tied order dates share one frame, so the sum is
+          // well-defined for ties without a unique tie-break
+          dec(sum(dec(col("o_totalprice"))).over(wRange)).as("range_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,2)) AS range_sum
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Declared("q_window_rank_variants",
+      (s, d) => {
+        val byPrice = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"))
+        val unique = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        orders(s, d).select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(byPrice).cast(LongType).as("rnk"),
+          dense_rank().over(byPrice).cast(LongType).as("drnk"),
+          percent_rank().over(byPrice).as("prnk"),
+          ntile(4).over(unique).cast(LongType).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+          rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+          dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk,
+          percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS prnk,
+          ntile(4) OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        FROM orders ORDER BY o_orderkey""")),
+
     Declared("q_window_rank",
       (s, d) => Relational.topNPerGroup(orders(s, d),
         Seq(col("o_custkey")), Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
