@@ -51,6 +51,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding window counts events in overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.slidingCounts(events, "1 hour", "30 minutes"), "sliding_test", "update")
+    try {
+      input.addData((ts("2024-01-01 10:40:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val starts = spark.table("sliding_test")
+        .select("window_start").collect().map(_.getTimestamp(0).toString).toSet
+      // 1h window sliding 30min → event belongs to exactly 2 windows
+      assert(starts == Set("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"))
+    } finally q.stop()
+  }
+
+  test("nanosToTimestamp converts epoch nanos to microsecond timestamps") {
+    import graft.operators.EventOps
+    val df = Seq(1704067207179575175L).toDF("ts")
+      .select(EventOps.nanosToTimestamp(col("ts")).as("t"))
+    assert(df.collect()(0).getTimestamp(0).toInstant.toString == "2024-01-01T00:00:07.179575Z")
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
