@@ -335,14 +335,12 @@ object Queries {
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     Declared("q_grouping_sets",
-      (s, d) => {
-        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
-        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
-          FROM lineitem_gs
-          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
-      },
+      (s, d) => lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
         FROM lineitem

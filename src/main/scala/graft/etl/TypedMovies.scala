@@ -39,6 +39,10 @@ object TypedMovies {
 
   def totalRuntimeHours(ds: Dataset[Movie]): Double = {
     import ds.sparkSession.implicits._
-    ds.flatMap(_.runtime).reduce(_ + _) / 60.0
+    // agg, not reduce: reduce throws on an all-null/empty Dataset
+    ds.flatMap(_.runtime).agg(sum("value")).collect()(0) match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0) / 60.0
+    }
   }
 }

@@ -67,14 +67,16 @@ object DedupOps {
     * prefiltered candidates) the token join degenerates to vocab-many
     * skewed shuffle keys, and the dense N²/2 array-intersect — no
     * shuffle at all, broadcast side bounded — is the better plan.
-    * Same integer-exact output contract as [[jaccardPairs]].
+    * Same integer-exact output contract as [[jaccardPairs]]. No
+    * broadcast hint: the caller bounds the candidate set (sample / LSH
+    * bucket) and Spark picks BNLJ vs cartesian from actual sizes.
     */
   def jaccardPairsDense(documents: DataFrame, minJaccardPct: Int): DataFrame = {
     val sets = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     val a = sets.select(col("doc_id").as("a_id"), col("ws").as("aws"))
     val b = sets.select(col("doc_id").as("b_id"), col("ws").as("bws"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    a.join(b, col("a_id") < col("b_id"))
       .withColumn("common", size(array_intersect(col("aws"), col("bws"))).cast("long"))
       .withColumn("union_size",
         size(col("aws")).cast("long") + size(col("bws")).cast("long") - col("common"))

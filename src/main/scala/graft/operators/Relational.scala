@@ -87,23 +87,28 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftId: String, rightTieBreak: String,
                rightVals: Seq[String]): DataFrame = {
+    // The right payload travels as ONE struct so the whole matched row
+    // propagates atomically — per-column last(ignoreNulls) would stitch
+    // together values from different right rows when a payload field is
+    // null in the latest match.
+    val payloadType = StructType(rightVals.map(v => right.schema(v.stripPrefix("`"))))
     val lSide = left.select(
-      (col(key) +: col(ts).as("__ts") +: lit(1).as("__is_left") +:
-        lit(null).cast(LongType).as("__tb") +: col(leftId).as(leftId) +:
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))): _*)
+      col(key), col(ts).as("__ts"), lit(1).as("__is_left"),
+      lit(null).cast(LongType).as("__tb"), col(leftId).as(leftId),
+      lit(null).cast(payloadType).as("__payload"))
     val rSide = right.select(
-      (col(key) +: col(ts).as("__ts") +: lit(0).as("__is_left") +:
-        col(rightTieBreak).cast(LongType).as("__tb") +:
-        lit(null).cast(left.schema(leftId).dataType).as(leftId) +:
-        rightVals.map(v => col(v))): _*)
+      col(key), col(ts).as("__ts"), lit(0).as("__is_left"),
+      col(rightTieBreak).cast(LongType).as("__tb"),
+      lit(null).cast(left.schema(leftId).dataType).as(leftId),
+      struct(rightVals.map(col): _*).as("__payload"))
     val w = Window.partitionBy(key)
       .orderBy(col("__ts"), col("__is_left"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(lSide.unionByName(rSide)) { (d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_left") === 1)
-      .select((col(key) +: col("__ts").as(ts) +: col(leftId) +: rightVals.map(col)): _*)
+    lSide.unionByName(rSide)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select((col(key) +: col("__ts").as(ts) +: col(leftId) +:
+        rightVals.map(v => col(s"__match.$v").as(v))): _*)
   }
 
   /** Range (band) join: assign each row to the bucket whose

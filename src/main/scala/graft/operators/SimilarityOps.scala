@@ -65,9 +65,13 @@ object SimilarityOps {
     * arithmetic: `cos(a,b) ≥ τ` tested as `dot² · 10⁴ ≥ τ²·10⁴ · |a|²·|b|²`
     * on integer dot/norms (the squares go through identical IEEE double
     * products in any engine, so the boundary decision is reproducible —
-    * no sqrt, no division). Candidate generation is the position
-    * equi-join; at 100 TB swap in the sign-LSH bucketing
-    * ([[lshBucket]]) before the pairwise verify.
+    * no sqrt, no division).
+    *
+    * Pairing is an N²/2 non-equi self-join — intended for BOUNDED
+    * candidate sets (a sample, or one LSH bucket via [[lshBucket]] /
+    * [[ivfIndex]] cells, which is the 100 TB path: bucket first, then
+    * run this verify within each bucket). No broadcast hint: Spark picks
+    * BNLJ vs cartesian from the actual side sizes.
     */
   def cosinePairsExact(embeddings: DataFrame, minCosPct: Int): DataFrame = {
     // Fixed-point dot/norms fold per row with integer arithmetic — sums
@@ -86,7 +90,7 @@ object SimilarityOps {
     val b = withInts.select(col("vec_id").as("b_id"), col("vi").as("bvi"),
       col("norm_s").as("b_norm_s"))
     val tauSq = (minCosPct.toLong * minCosPct).toDouble
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    a.join(b, col("a_id") < col("b_id"))
       .withColumn("dot_s",
         aggregate(zip_with(col("avi"), col("bvi"), (x, y) => x * y),
           lit(0L), (acc, x) => acc + x))
@@ -159,7 +163,10 @@ object SimilarityOps {
         .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))))
     }
     val cdf = centroidDf(spark, centroids)
-    IvfIndex(assignCells(embeddings, cdf), cdf)
+    // materialize the assignment: ivfTopK consumes it from two branches,
+    // and an "index" that recomputes a corpus-wide crossJoin per use is
+    // no index at all (at 100 TB this becomes a written table)
+    IvfIndex(assignCells(embeddings, cdf).cache(), cdf)
   }
 
   /** Trained IVF index: per-vector cell assignment + the centroid table

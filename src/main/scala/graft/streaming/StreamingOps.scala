@@ -15,9 +15,6 @@ import org.apache.spark.sql.Row
   * size; `foreachBatch` gives the reference's chunked-load semantics
   * (A4/A7) with exactly-once per micro-batch.
   */
-/** State record for [[StreamingOps.runningUserStats]]. */
-final case class UserStat(n: Long, sum: Double)
-
 object StreamingOps {
 
   /** I1/I4 — tumbling-window counts + sums over a streaming frame with a
@@ -95,7 +92,7 @@ object StreamingOps {
     * bounded by the key space, evictable via timeouts in production.
     */
   def runningUserStats(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
@@ -114,3 +111,6 @@ object StreamingOps {
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
 }
+
+/** State record for [[StreamingOps.runningUserStats]]. */
+final case class UserStat(n: Long, sum: Double)

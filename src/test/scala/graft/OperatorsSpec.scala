@@ -57,6 +57,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(3) && out(2).isNullAt(4))
   }
 
+  test("asOfJoin propagates the matched right row atomically (null payload fields stay null)") {
+    val left = Seq((1L, 3L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 1L, 7L, Some(0.5)), (1L, 2L, 8L, None: Option[Double]))
+      .toDF("k", "t", "rid", "v")
+    val out = Relational.asOfJoin(left, right, "k", "t", "lid", "rid", Seq("rid", "v"))
+      .collect()(0)
+    // latest right row is (rid=8, v=null) — v must NOT leak 0.5 from rid=7
+    assert(out.getLong(3) == 8L)
+    assert(out.isNullAt(4))
+  }
+
   test("bandJoin assigns rows to containing [lo, hi) bands") {
     val df = Seq((1L, 0.0), (2L, 99.9), (3L, 100.0), (4L, 250.0)).toDF("id", "v")
     val bands = Seq((1, 0.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 300.0))
