@@ -848,6 +848,19 @@ object Queries {
           n_chars
         FROM documents ORDER BY doc_id""")),
 
+    Declared("q_hash_split",
+      (s, d) => Relational.assignSplit(documents(s, d), "doc_id", 800000, 100000)
+        .select("doc_id", "bucket_ppm", "split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, b AS bucket_ppm,
+          CASE WHEN b < 800000 THEN 'train'
+               WHEN b < 900000 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+              FROM documents)
+        ORDER BY doc_id""")),
+
     Declared("q_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),
       Some("""SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""")),

@@ -50,6 +50,25 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Deterministic hash bucket in [0, 1e6): first 32 bits of md5 of the
+    * key's string form. md5 is bit-identical across engines and stable
+    * across cluster sizes/runs — the right primitive for reproducible
+    * sampling and train/val/test splits of a training corpus (a seeded
+    * `df.sample` changes membership whenever partitioning changes).
+    */
+  def hashBucketPpm(key: Column): Column =
+    (conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+      % 1000000L).as("bucket_ppm")
+
+  /** Reproducible corpus split: train/val/test by hash bucket. */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  trainPpm: Int, valPpm: Int): DataFrame =
+    df.withColumn("bucket_ppm", hashBucketPpm(col(keyCol)))
+      .withColumn("split",
+        when(col("bucket_ppm") < trainPpm, "train")
+          .when(col("bucket_ppm") < trainPpm + valPpm, "val")
+          .otherwise("test"))
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `saltBuckets` sub-keys (deterministic hash of a distinguishing
     * column, not rand() — reproducible across retries), partially

@@ -97,6 +97,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("assignSplit: deterministic, complete, roughly proportioned") {
+    val df = (0L until 1000L).toDF("id")
+    val s1 = Relational.assignSplit(df, "id", 800000, 100000)
+    val s2 = Relational.assignSplit(df, "id", 800000, 100000)
+    val c1 = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1.values.sum == 1000L)
+    // deterministic across invocations
+    assert(s1.select("id", "split").collect().toSeq == s2.select("id", "split").collect().toSeq)
+    // roughly 80/10/10 (hash uniformity; generous bounds)
+    assert(c1("train") > 700 && c1("train") < 880)
+    assert(c1("val") > 50 && c1("test") > 50)
+  }
+
   test("wordCounts and termFrequencies") {
     val docs = Seq((1L, "a b a", "en"), (2L, "b c", "en")).toDF("doc_id", "text", "lang")
     val wc = TextOps.wordCounts(docs).collect()
