@@ -269,6 +269,45 @@ object Queries {
           COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    Declared("q_pivot_sum",
+      (s, d) => {
+        val values = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = events(s, d).groupBy("user_id")
+          .pivot("event_type", values)
+          .agg(sum(dec(col("value"))))
+        values.foldLeft(pivoted)((df, v) =>
+          df.withColumn(v, dec(coalesce(col(v), lit(0)))))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click'), 0) AS DECIMAL(18,2)) AS click,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error'), 0) AS DECIMAL(18,2)) AS error,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup'), 0) AS DECIMAL(18,2)) AS signup,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view'), 0) AS DECIMAL(18,2)) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Declared("q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("best_order"),
+          last(col("o_orderkey")).over(w).as("worst_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          first_value(o_orderkey) OVER w AS best_order,
+          last_value(o_orderkey) OVER w AS worst_order,
+          nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""")),
+
     Declared("q_value_counts",
       (s, d) => Relational.valueCounts(lineitem(s, d), "l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS cnt FROM lineitem
