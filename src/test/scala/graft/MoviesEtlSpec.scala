@@ -59,6 +59,20 @@ class MoviesEtlSpec extends SparkSpec {
     assert(movieRow("tt0000004").getAs[String]("writers") == "Writer D")
   }
 
+  test("alt-titles map collects language variants through the pipeline") {
+    // alt_titles is assembled pre-curation; assert on the cleaned frame
+    val cleaned = MoviesEtl.cleanMovies(MoviesEtl.filterMovieRecords(
+      MoviesEtl.readWikiJson(spark, fixture("wiki_movies.json"))))
+    val beta = cleaned.filter(col("title") === "Beta Film")
+      .select("alt_titles").collect()(0).getMap[String, String](0)
+    assert(beta == Map("French" -> "Le Film Beta"))
+    val delta = cleaned.filter(col("title") === "Delta Motion Picture")
+      .select("alt_titles").collect()(0).getMap[String, String](0)
+    assert(delta.keySet == Set("Hangul", "Revised Romanization", "McCune-Reischauer"))
+    // the language columns themselves are gone from the frame
+    assert(!cleaned.columns.contains("French") && !cleaned.columns.contains("Hangul"))
+  }
+
   test("ratings pivot: counts per star bucket with zero fill") {
     val wr = result.moviesWithRatings
     val alpha = wr.filter(col("imdb_id") === "tt0000001").collect()(0)
