@@ -7,28 +7,45 @@ Reads verifyOut/oracle_sql.json, runs each oracle in DuckDB against the
 sfDir parquet tables, reads the Spark result parquet, sorts columns by
 name, and compares exact cell values. Reports per-query PASS/FAIL.
 """
-import json, math, sys
+import datetime, glob, json, math, sys
 from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class NonScalar(Exception):
+    """A cell the driver's pandas lexsort cannot hash (array/map/struct)."""
+
+
 def norm(v):
+    # Bit-strict, driver-faithful normalization: a Python Decimal never
+    # equals a float (the driver hash-mismatches them even when
+    # numerically identical), and non-scalar cells hard-error (the
+    # driver's lexsort raises on numpy arrays). Do NOT add tolerant
+    # fallbacks here — round 1 shipped 16 red rows because this gate
+    # was looser than the driver's.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return ("f", v)
+        return ("f", v.hex())
     if isinstance(v, Decimal):
-        return ("d", str(v.normalize()))
-    if hasattr(v, "tolist"):          # numpy array cell
-        return ("a", tuple(norm(x) for x in v.tolist()))
-    if isinstance(v, (list, tuple)):
-        return ("a", tuple(norm(x) for x in v))
+        return ("dec", str(v))
+    # DATE columns: pandas reads Spark parquet date32 as datetime.date
+    # objects while DuckDB's .df() yields datetime64 Timestamps — the
+    # driver's gate hash-matched DATE outputs in round 1 (q_filter_range,
+    # q_date_parse), so canonicalize both to one representation.
+    if isinstance(v, datetime.datetime):
+        return ("dt", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("dt", datetime.datetime(v.year, v.month, v.day).isoformat())
+    if hasattr(v, "tolist") or isinstance(v, (list, tuple, dict, set)):
+        raise NonScalar(repr(type(v)))
     return v
 
 
@@ -53,8 +70,12 @@ def main():
             failures += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+            # pandas/pyarrow, NOT DuckDB: the driver reads the Spark
+            # parquet this way, so decimal columns surface as Python
+            # Decimal objects exactly as they do in the driver's gate
+            parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            got = pd.concat([pd.read_parquet(p) for p in parts],
+                            ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             failures += 1
@@ -70,22 +91,26 @@ def main():
             failures += 1
             continue
         bad = 0
+        nonscalar = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(ev, gv)):
-                na, nb = norm(a), norm(b)
+                try:
+                    na, nb = norm(a), norm(b)
+                except NonScalar as e:
+                    nonscalar = f"{c}[{i}] non-scalar cell {e}"
+                    break
                 if na != nb:
-                    # float-vs-decimal cross-type: compare numerically
-                    try:
-                        if na is not None and nb is not None and \
-                           float(a) == float(b):
-                            continue
-                    except (TypeError, ValueError):
-                        pass
                     if bad < 3:
-                        print(f"  {name}.{c}[{i}]: oracle={a!r} spark={b!r}")
+                        print(f"  {name}.{c}[{i}]: oracle={a!r} spark={b!r}"
+                              f" (dtypes oracle={exp[c].dtype} spark={got[c].dtype})")
                     bad += 1
-        if bad:
+            if nonscalar:
+                break
+        if nonscalar:
+            print(f"FAIL {name}: {nonscalar} (would crash the driver comparator)")
+            failures += 1
+        elif bad:
             print(f"FAIL {name}: {bad} mismatched cells (rows={exp.shape[0]})")
             failures += 1
         else:

@@ -28,6 +28,20 @@ object Queries {
   private val Dec18_2 = DecimalType(18, 2)
   private def dec(c: org.apache.spark.sql.Column) = c.cast(Dec18_2)
 
+  /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
+    * math stays in exact decimal INTERNALLY (order-independent), but every
+    * DECLARED output column is cast to DOUBLE at the boundary — the driver
+    * comparator reads Spark parquet decimals as `Decimal` objects and
+    * DuckDB oracle decimals as float64, hash-mismatching numerically
+    * identical values. An exact decimal casts to the identical nearest
+    * double in both engines (integer-scaled value and power-of-ten divisor
+    * are both exact, IEEE division is correctly rounded), so DOUBLE
+    * outputs hash-match. Oracle SQL mirrors with a final CAST(.. AS
+    * DOUBLE). No declared query may output DECIMAL/ARRAY/MAP/STRUCT —
+    * enforced by QueriesContractSpec.
+    */
+  private def outD(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+
   import Tables._
 
   val all: Seq[Declared] = Seq(
@@ -149,11 +163,11 @@ object Queries {
         customer(s, d).join(agg, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_custkey"), col("c_name"),
             coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
-            dec(coalesce(col("ts"), lit(0))).as("total_spent"))
+            outD(dec(coalesce(col("ts"), lit(0)))).as("total_spent"))
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name, COALESCE(o.cnt, 0)::BIGINT AS order_cnt,
-               CAST(COALESCE(o.ts, 0) AS DECIMAL(18,2)) AS total_spent
+               CAST(CAST(COALESCE(o.ts, 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spent
         FROM customer LEFT JOIN (
           SELECT o_custkey, COUNT(*) AS cnt,
                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ts
@@ -167,10 +181,10 @@ object Queries {
         .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("order_cnt"),
-          dec(sum(dec(col("o_totalprice")))).as("total_value"))
+          outD(sum(dec(col("o_totalprice")))).as("total_value"))
         .orderBy("n_name"),
       Some("""SELECT n_name, COUNT(*)::BIGINT AS order_cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -250,10 +264,10 @@ object Queries {
     Declared("q_agg_count2key",
       (s, d) => events(s, d)
         .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), outD(sum(dec(col("value")))).as("sum_value"))
         .orderBy("user_id", "event_type"),
       Some("""SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY user_id, event_type
         ORDER BY user_id, event_type""")),
 
@@ -276,15 +290,15 @@ object Queries {
           .pivot("event_type", values)
           .agg(sum(dec(col("value"))))
         values.foldLeft(pivoted)((df, v) =>
-          df.withColumn(v, dec(coalesce(col(v), lit(0)))))
+          df.withColumn(v, outD(dec(coalesce(col(v), lit(0))))))
           .orderBy("user_id")
       },
       Some("""SELECT user_id,
-          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click'), 0) AS DECIMAL(18,2)) AS click,
-          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error'), 0) AS DECIMAL(18,2)) AS error,
-          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase,
-          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup'), 0) AS DECIMAL(18,2)) AS signup,
-          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view'), 0) AS DECIMAL(18,2)) AS view
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click'), 0) AS DOUBLE) AS click,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error'), 0) AS DOUBLE) AS error,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS purchase,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup'), 0) AS DOUBLE) AS signup,
+          CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view'), 0) AS DOUBLE) AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
     Declared("q_window_firstlast",
@@ -316,10 +330,10 @@ object Queries {
     Declared("q_agg_multi",
       (s, d) => qAggMulti(s, d),
       Some("""SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-          CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
           MIN(l_quantity) AS min_qty,
           MAX(l_extendedprice) AS max_price,
           COUNT(*)::BIGINT AS count_order
@@ -331,12 +345,12 @@ object Queries {
     Declared("q_agg_global",
       (s, d) => lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outD(sum(dec(col("l_quantity")))).as("sum_qty"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"),
         countDistinct(col("l_partkey")).as("nd_part")),
       Some("""SELECT COUNT(*)::BIGINT AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           MIN(l_extendedprice) AS min_price,
           MAX(l_extendedprice) AS max_price,
           COUNT(DISTINCT l_partkey)::BIGINT AS nd_part
@@ -356,20 +370,20 @@ object Queries {
     Declared("q_rollup",
       (s, d) => lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), outD(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     Declared("q_cube",
       (s, d) => lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), outD(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
@@ -378,24 +392,56 @@ object Queries {
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), outD(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS cnt,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // D-x3 — exact percentiles WITHOUT engine interpolation: built-in
+    // `percentile`/`quantile_cont` interpolate in doubles, so a last-ulp
+    // difference between engines can flip the hash (VERDICT r1 §W4).
+    // Instead: values on an integer grid (quantity · 100), linear-
+    // interpolation rank k = (n-1)·p/10 carried as (k div 10, k mod 10),
+    // and the interpolated value emitted as the exact integer
+    // (10-frac)·v_lo + frac·v_hi — i.e. the percentile scaled ×1000,
+    // pure int64 arithmetic end to end.
     Declared("q_median",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_quantity"), lit(0.5)).cast(DecimalType(18, 4)).as("median_qty"),
-          percentile(col("l_quantity"), lit(0.9)).cast(DecimalType(18, 4)).as("p90_qty"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-          CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(18,4)) AS median_qty,
-          CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(18,4)) AS p90_qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      (s, d) => {
+        val base = lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast(LongType).as("qi"))
+        val ranked = base.withColumn("rn",
+          row_number().over(Window.partitionBy("l_returnflag").orderBy("qi"))
+            .cast(LongType))
+        val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        def interp(pTenths: Int): org.apache.spark.sql.Column = {
+          val k = (col("n") - 1) * pTenths
+          val lo = expr(s"(n - 1) * $pTenths div 10") + 1
+          val fr = pmod(k, lit(10L))
+          sum(
+            when(col("rn") === lo, (lit(10L) - fr) * col("qi")).otherwise(0L) +
+            when(fr > 0 && col("rn") === lo + 1, fr * col("qi")).otherwise(0L))
+        }
+        ranked.join(counts, "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(interp(5).as("median_qty_s3"), interp(9).as("p90_qty_s3"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qi FROM lineitem),
+        r AS (SELECT l_returnflag, qi,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qi) AS rn
+              FROM b),
+        n AS (SELECT l_returnflag, COUNT(*)::BIGINT AS n FROM b GROUP BY l_returnflag)
+        SELECT r.l_returnflag,
+          SUM(CASE WHEN rn = (n-1)*5//10 + 1 THEN (10 - (n-1)*5%10) * qi ELSE 0 END
+            + CASE WHEN (n-1)*5%10 > 0 AND rn = (n-1)*5//10 + 2 THEN (n-1)*5%10 * qi ELSE 0 END)::BIGINT AS median_qty_s3,
+          SUM(CASE WHEN rn = (n-1)*9//10 + 1 THEN (10 - (n-1)*9%10) * qi ELSE 0 END
+            + CASE WHEN (n-1)*9%10 > 0 AND rn = (n-1)*9//10 + 2 THEN (n-1)*9%10 * qi ELSE 0 END)::BIGINT AS p90_qty_s3
+        FROM r JOIN n USING (l_returnflag)
+        GROUP BY r.l_returnflag ORDER BY r.l_returnflag""")),
 
     // ================= 2.E — window functions ===========================
 
@@ -411,20 +457,30 @@ object Queries {
           COUNT(*)::BIGINT AS cnt
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Array functions with scalar-only declared outputs (VERDICT r1 §W2:
+    // an array output column crashes the driver's pandas lexsort). The
+    // float elements go through the proven fixed-point s7 convention;
+    // the slice is serialized to a string.
     Declared("q_array_funcs",
-      (s, d) => embeddings(s, d)
-        .select(col("vec_id"),
-          size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).as("first_elem"),
-          array_max(col("embedding")).as("max_elem"),
-          array_min(col("embedding")).as("min_elem"),
-          slice(col("embedding"), 2, 3).as("mid_slice"))
-        .orderBy("vec_id"),
+      (s, d) => {
+        def s7(c: org.apache.spark.sql.Column) =
+          round(c.cast(DoubleType) * 10000000).cast(LongType)
+        embeddings(s, d)
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            s7(element_at(col("embedding"), 1)).as("first_elem_s7"),
+            s7(array_max(col("embedding"))).as("max_elem_s7"),
+            s7(array_min(col("embedding"))).as("min_elem_s7"),
+            array_join(transform(slice(col("embedding"), 2, 3), e => s7(e)), ",")
+              .as("mid_slice_s7"))
+          .orderBy("vec_id")
+      },
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-          embedding[1] AS first_elem,
-          list_max(embedding) AS max_elem,
-          list_min(embedding) AS min_elem,
-          list_slice(embedding, 2, 4) AS mid_slice
+          CAST(round(CAST(embedding[1] AS DOUBLE) * 10000000) AS BIGINT) AS first_elem_s7,
+          CAST(round(CAST(list_max(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS max_elem_s7,
+          CAST(round(CAST(list_min(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS min_elem_s7,
+          array_to_string(list_transform(list_slice(embedding, 2, 4),
+            x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)), ',') AS mid_slice_s7
         FROM embeddings ORDER BY vec_id""")),
 
     Declared("q_window_range",
@@ -435,14 +491,14 @@ object Queries {
           col("o_orderdate").cast(DateType).as("order_date"),
           // RANGE frame: tied order dates share one frame, so the sum is
           // well-defined for ties without a unique tie-break
-          dec(sum(dec(col("o_totalprice"))).over(wRange)).as("range_sum"))
+          outD(sum(dec(col("o_totalprice"))).over(wRange)).as("range_sum"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(18,2)) AS range_sum
+               AS DOUBLE) AS range_sum
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     Declared("q_window_rank_variants",
@@ -486,7 +542,7 @@ object Queries {
           col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast(DateType).as("order_date"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-          dec(sum(dec(col("o_totalprice"))).over(wRun)).as("run_sum"))
+          outD(sum(dec(col("o_totalprice"))).over(wRun)).as("run_sum"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
@@ -495,7 +551,7 @@ object Queries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(18,2)) AS run_sum
+               AS DOUBLE) AS run_sum
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // I2 — batch sliding windows (1 h window / 15 min slide): each event
@@ -616,10 +672,10 @@ object Queries {
             .otherwise(col("o_orderkey").cast(StringType)))
         .select(col("o_orderkey"), col("num_str"),
           expr("try_cast(num_str AS BIGINT)").as("parsed_key"),
-          dec(col("o_totalprice")).as("price_dec"))
+          outD(dec(col("o_totalprice"))).as("price_dec"))
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, num_str, TRY_CAST(num_str AS BIGINT) AS parsed_key,
-          CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
         FROM (SELECT o_orderkey, o_totalprice,
                 CASE WHEN o_orderkey % 5 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
                      ELSE CAST(o_orderkey AS VARCHAR) END AS num_str
@@ -634,12 +690,12 @@ object Queries {
         orders(s, d)
           .select(col("o_orderkey"),
             graft.functions.Cleaning.fillZeroSentinel(k, w)
-              .cast(DecimalType(18, 4)).as("filled_val"),
+              .cast(DecimalType(18, 4)).cast(DoubleType).as("filled_val"),
             (k === 0).as("used_fallback"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey,
-          CAST(CASE WHEN kv = 0 OR kv IS NULL THEN wv ELSE kv END AS DECIMAL(18,4)) AS filled_val,
+          CAST(CAST(CASE WHEN kv = 0 OR kv IS NULL THEN wv ELSE kv END AS DECIMAL(18,4)) AS DOUBLE) AS filled_val,
           (kv = 0) AS used_fallback
         FROM (SELECT o_orderkey,
                 CASE WHEN o_orderkey % 3 = 0 THEN CAST(0.0 AS DOUBLE)
@@ -744,7 +800,7 @@ object Queries {
       (s, d) => EventOps.tumblingHourly(events(s, d)),
       Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start, event_type,
           COUNT(*)::BIGINT AS cnt,
-          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Declared("q_window_session",
@@ -991,11 +1047,11 @@ object Queries {
       .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast(TimestampNTZType))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(price)).as("sum_base_price"),
-        sum(discPrice).cast(DecimalType(18, 4)).as("sum_disc_price"),
-        sum((discPrice * taxFactor).cast(DecimalType(18, 6)))
-          .cast(DecimalType(18, 6)).as("sum_charge"),
+        outD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outD(sum(price)).as("sum_base_price"),
+        outD(sum(discPrice)).as("sum_disc_price"),
+        outD(sum((discPrice * taxFactor).cast(DecimalType(18, 6))))
+          .as("sum_charge"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_extendedprice")).as("max_price"),
         count(lit(1)).as("count_order"))

@@ -18,15 +18,18 @@ object EventOps {
     timestamp_micros((tsNanos / lit(1000L)).cast("long"))
 
   /** I1 — tumbling-window aggregation: per (hour-bucket, event_type)
-    * count + exact decimal sum of `value`. `hour_start` is epoch seconds
-    * of the bucket start — a pure function of the nanos, immune to
-    * session-timezone drift between engines.
+    * count + exact decimal sum of `value` (emitted as DOUBLE — the exact
+    * decimal casts to the identical nearest double in every engine,
+    * while a DECIMAL output column trips cross-engine comparators).
+    * `hour_start` is epoch seconds of the bucket start — a pure function
+    * of the nanos, immune to session-timezone drift between engines.
     */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
       .withColumn("hour_start", expr(s"ts div ${Nanos.PerHour} * 3600"))
       .groupBy("hour_start", "event_type")
-      .agg(count(lit(1)).as("cnt"), Relational.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        Relational.decSum(col("value")).cast("double").as("sum_value"))
       .orderBy("hour_start", "event_type")
 
   /** I3 — gap-based sessionization: a new session starts when the gap to

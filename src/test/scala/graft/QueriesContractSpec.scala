@@ -33,6 +33,25 @@ class QueriesContractSpec extends SparkSpec {
     }
   }
 
+  test("no declared output column is DECIMAL or non-scalar (driver-comparator safe)") {
+    // VERDICT r1 §W1/§W2: DecimalType outputs hash-mismatch against the
+    // DuckDB oracle (Decimal object vs float64) and Array/Map/Struct
+    // cells crash the driver's pandas lexsort. Internal math may use
+    // decimals freely; the OUTPUT boundary must be scalar non-decimal.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    Queries.all.foreach { q =>
+      q.fn(spark, dir).schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        }
+        assert(!bad, s"${q.name}.${f.name} outputs ${f.dataType} " +
+          "(DECIMAL/ARRAY/MAP/STRUCT breaks the driver comparator)")
+      }
+    }
+  }
+
   test("entry returns rows at sf0.001 (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
