@@ -109,13 +109,15 @@ object DedupOps {
   def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(documents, numHashes)
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
+    // all band hashes from ONE projection + posexplode — a per-band
+    // select unioned numBands times would scan the signature frame
+    // numBands times (round-1 bench finding)
+    val bandHashes = array((0 until numBands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      sigs.select(
-        col("doc_id"),
-        lit(b).as("band_idx"),
-        xxhash64(bandCols: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+      xxhash64(bandCols: _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -123,6 +125,32 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** L2 — the composition you actually run at 100 TB: MinHash+LSH
+    * banding generates candidate pairs (linear in corpus size — a
+    * band-hash equi-join, never all-pairs), then exact set Jaccard
+    * verifies ONLY those candidates via per-pair `array_intersect`.
+    * With enough bands the candidate set provably contains every pair
+    * above the threshold w.h.p. (p_miss = (1-j^r)^b per pair), so the
+    * verified output equals the brute-force answer while the plan stays
+    * linear. Same integer-exact output contract as [[jaccardPairs]].
+    */
+  def lshVerifiedJaccardPairs(documents: DataFrame, numHashes: Int,
+                              rowsPerBand: Int, minJaccardPct: Int): DataFrame = {
+    val cands = minHashCandidates(documents, numHashes, rowsPerBand)
+    val sets = documents.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("ws").as("aws")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ws").as("bws")), "b_id")
+      .withColumn("common", size(array_intersect(col("aws"), col("bws"))).cast("long"))
+      .withColumn("union_size",
+        size(col("aws")).cast("long") + size(col("bws")).cast("long") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select(col("a_id"), col("b_id"), col("common"), col("union_size"),
+        expr("common * 1000000L div union_size").as("jaccard_ppm"))
       .orderBy("a_id", "b_id")
   }
 

@@ -138,12 +138,21 @@ object SimilarityOps {
 
   /** IVF (inverted-file) index: a coarse k-means quantizer over the
     * corpus; queries probe only the `nProbe` nearest centroid cells.
-    * Centroids are trained with a few Lloyd iterations entirely in
-    * DataFrame ops (assign = argmin over broadcast centroids, update =
-    * groupBy(cell) mean) from deterministic seeds (first k corpus
-    * vectors by id), so training is reproducible. At 100 TB the train
-    * runs on a sample; assignment is one broadcast map pass; search
-    * cost drops from O(corpus) to O(corpus·nProbe/k) per query.
+    *
+    * Scale/determinism design (reworked per round-1 review):
+    *  - cell assignment is a PURE PROJECTION — an expression-level
+    *    argmax folding over the k centroids inlined as a literal array.
+    *    Zero shuffle, zero window: at 100 TB the whole assignment is one
+    *    map pass (the previous window-argmin shuffled the full corpus
+    *    once per Lloyd iteration).
+    *  - Lloyd updates sum fixed-point int64 components (exact,
+    *    partition-order-free) and divide once on the driver, so training
+    *    is bit-reproducible across cluster sizes; the collected state is
+    *    k·dim sums — bounded, never corpus-sized.
+    *  - cells that lose all members keep their previous centroid instead
+    *    of silently vanishing (k stays k).
+    * At 100 TB the train runs on a sample; search cost drops from
+    * O(corpus) to O(corpus·nProbe/k) per query.
     */
   def ivfIndex(embeddings: DataFrame, k: Int, iterations: Int): IvfIndex = {
     val spark = embeddings.sparkSession
@@ -153,26 +162,50 @@ object SimilarityOps {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)) }
     for (_ <- 0 until iterations) {
-      val cdf = centroidDf(spark, centroids)
-      val assigned = assignCells(embeddings, cdf)
-      centroids = assigned
+      val updated: Map[Int, Seq[Double]] = assignCells(embeddings, centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v").cast(DoubleType)).as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .groupBy("cell", "pos")
+        .agg(sum(fixedPoint(col("v"))).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("s"), col("n")))).as("ps"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))))
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => p.getLong(1).toDouble / p.getLong(2).toDouble / FixedPointScale))
+        .toMap
+      // carry forward centroids of emptied cells — k must stay k
+      centroids = centroids.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
     }
-    val cdf = centroidDf(spark, centroids)
     // materialize the assignment: ivfTopK consumes it from two branches,
-    // and an "index" that recomputes a corpus-wide crossJoin per use is
-    // no index at all (at 100 TB this becomes a written table)
-    IvfIndex(assignCells(embeddings, cdf).cache(), cdf)
+    // and an "index" that recomputes the corpus scan per use is no index
+    // at all (at 100 TB this becomes a written table)
+    IvfIndex(assignCells(embeddings, centroids).cache(), centroidDf(spark, centroids))
   }
 
   /** Trained IVF index: per-vector cell assignment + the centroid table
-    * (k rows — always broadcastable).
+    * (k rows — always broadcastable). `release()` drops the cached
+    * assignment when the index is retired.
     */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame) {
+    def release(): Unit = assigned.unpersist()
+  }
+
+  /** Per-sfDir memo of trained indexes: bench/verify invoke the declared
+    * query repeatedly, and retraining k-means per invocation is the
+    * "index that isn't an index" anti-pattern. Keyed by (data dir, k,
+    * iterations); [[clearIvfCache]] releases everything.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfIndex]()
+
+  def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
+                     iterations: Int): IvfIndex =
+    ivfCache.computeIfAbsent((cacheKey, k, iterations),
+      _ => ivfIndex(embeddings, k, iterations))
+
+  def clearIvfCache(): Unit = {
+    ivfCache.values.forEach(_.release())
+    ivfCache.clear()
+  }
 
   private def centroidDf(spark: org.apache.spark.sql.SparkSession,
                          centroids: Array[(Int, Seq[Double])]): DataFrame = {
@@ -180,15 +213,27 @@ object SimilarityOps {
     centroids.toSeq.toDF("cell", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid (max dot product —
-    * cells are cosine-shaped for normalized data). One broadcast pass.
+  /** Assign each vector to its nearest centroid (max dot product — cells
+    * are cosine-shaped for normalized data) via an expression-level
+    * argmax over the centroids inlined as a literal array<struct>. Ties
+    * resolve to the lowest cell (strict `>` keeps the earlier entry of
+    * the ascending-cell fold). Pure projection: no join, no window, no
+    * shuffle — the plan a 1000-executor cluster wants.
     */
-  private def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("score", dot(col("embedding"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(desc("score"), asc("cell"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  private def assignCells(embeddings: DataFrame,
+                          centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val centArr = array(centroids.sortBy(_._1).map { case (cell, c) =>
+      struct(lit(cell).as("cell"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val best = aggregate(
+      centArr,
+      struct(lit(Double.NegativeInfinity).as("score"), lit(-1).as("cell")),
+      (acc, cs) => {
+        val sc = dot(col("embedding"), cs.getField("c"))
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), cs.getField("cell").as("cell"))).otherwise(acc)
+      })
+    embeddings.select(col("vec_id"), col("embedding"), best.getField("cell").as("cell"))
   }
 
   /** IVF-accelerated top-k: rank the k centroids per query (a tiny

@@ -100,9 +100,13 @@ object TextOps {
     * into the plan — no join, no shuffle beyond the final sort.
     */
   def languageId(documents: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    // tokenize ONCE into an intermediate projection — scoring references
+    // the materialized token array, so the per-language fold costs one
+    // array scan per language instead of one re-tokenization per language
+    val tokenized = documents.withColumn("__toks", words(col("text")))
     val scores: Seq[(String, Column)] = markers.toSeq.sortBy(_._1).map {
       case (lang, ws) =>
-        lang -> size(filter(words(col("text")),
+        lang -> size(filter(col("__toks"),
           w => w.isin(ws.map(_.asInstanceOf[Any]): _*)))
     }
     val best = scores.tail.foldLeft(
@@ -111,7 +115,7 @@ object TextOps {
         when(sc > acc.getField("score"),
           struct(sc.as("score"), lit(lang).as("lang"))).otherwise(acc)
     }
-    documents.select(col("doc_id"), col("lang").as("lang_actual"),
+    tokenized.select(col("doc_id"), col("lang").as("lang_actual"),
       best.getField("lang").as("lang_guess"),
       best.getField("score").cast("long").as("marker_hits"))
       .orderBy("doc_id")

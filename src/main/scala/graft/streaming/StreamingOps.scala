@@ -76,12 +76,17 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val n = batch.count()
-        total += n
-        write(batch, id)
-        // progress print mirrors challenge.py::load's elapsed-seconds loop
-        println(f"[chunkedLoad] batch $id%d: $n%d rows, $total%d total, " +
-          f"${(System.nanoTime() - start) / 1e9}%.1f s elapsed")
+        // persist: count() and write() both consume the batch — without
+        // it every micro-batch recomputes its source read twice
+        batch.persist()
+        try {
+          val n = batch.count()
+          total += n
+          write(batch, id)
+          // progress print mirrors challenge.py::load's elapsed-seconds loop
+          println(f"[chunkedLoad] batch $id%d: $n%d rows, $total%d total, " +
+            f"${(System.nanoTime() - start) / 1e9}%.1f s elapsed")
+        } finally batch.unpersist()
       }
   }
 

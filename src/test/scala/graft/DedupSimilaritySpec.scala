@@ -110,6 +110,26 @@ class DedupSimilaritySpec extends SparkSpec {
     val ivf1 = SimilarityOps.ivfTopK(index, Seq(0L), 5, nProbe = 1)
       .select("n_id").collect()
     assert(ivf1.head.getLong(0) == 0L)
+    index.release()
+  }
+
+  test("IVF cell assignment is a pure projection (no shuffle, no window)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 100)
+    val index = SimilarityOps.ivfIndex(emb, k = 4, iterations = 1)
+    // the assignment plan must contain no Exchange and no Window: the
+    // argmax over centroids is an expression fold, not a row_number
+    val plan = index.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
+    index.release()
+  }
+
+  test("lshVerifiedJaccardPairs equals dense all-pairs Jaccard") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dense = DedupOps.jaccardPairsDense(docs, 80).collect().toSeq
+    val lsh = DedupOps.lshVerifiedJaccardPairs(docs, 24, 2, 80).collect().toSeq
+    assert(lsh == dense)
   }
 
   test("saltedCountSum equals plain group aggregation") {
