@@ -27,6 +27,39 @@ class SinkSpec extends SparkSpec {
     assert(dirs.contains("lang=en") && dirs.size == 5)
   }
 
+  test("JDBC sink round-trip via embedded Derby (replace + append)") {
+    // Derby ships in /opt/spark/jars, so the A6/A7 JDBC branch is
+    // executable in-process: exercise MoviesEtl.load's actual sink code
+    // (replace semantics), then append mode, then read back via JDBC.
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("derbydb").toString
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val m1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "title")
+    val r1 = Seq((1L, "alpha", 4.5)).toDF("id", "title", "rating")
+    etl.MoviesEtl.load(etl.MoviesEtl.Result(m1, r1), outDir = dbDir,
+      jdbcUrl = Some(url), jdbcProps = props)
+    assert(spark.read.jdbc(url, "movies", props).count() == 2)
+    assert(spark.read.jdbc(url, "movies_with_ratings", props).count() == 1)
+
+    // replace: a second load overwrites, not duplicates (idempotent rerun)
+    val m2 = Seq((3L, "gamma")).toDF("id", "title")
+    etl.MoviesEtl.load(etl.MoviesEtl.Result(m2, r1), outDir = dbDir,
+      jdbcUrl = Some(url), jdbcProps = props)
+    val afterReplace = spark.read.jdbc(url, "movies", props)
+      .as[(Long, String)].collect().toSet
+    assert(afterReplace == Set((3L, "gamma")))
+
+    // append: chunked-load style incremental write
+    m1.write.mode("append").jdbc(url, "movies", props)
+    val afterAppend = spark.read.jdbc(url, "movies", props)
+      .as[(Long, String)].collect().toSet
+    assert(afterAppend == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
   test("PERMISSIVE CSV keeps malformed rows as nulls (pandas-like tolerance)") {
     val dir = java.nio.file.Files.createTempDirectory("csv_in").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
