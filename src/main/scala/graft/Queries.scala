@@ -943,6 +943,37 @@ object Queries {
           n_chars
         FROM documents ORDER BY doc_id""")),
 
+    Declared("q_scrub_pii",
+      (s, d) => TextOps.scrubPii(documents(s, d)),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          substr(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 1, 60) AS scrubbed_prefix
+        FROM documents ORDER BY doc_id""")),
+
+    Declared("q_repetition",
+      (s, d) => TextOps.repetitionStats(documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM t GROUP BY doc_id, word),
+        agg AS (SELECT doc_id, SUM(tf)::BIGINT AS n_words, COUNT(*)::BIGINT AS distinct_words,
+                       MAX(tf)::BIGINT AS top_word_cnt
+                FROM tf GROUP BY doc_id),
+        bgt AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS cnt
+                FROM (SELECT doc_id,
+                        unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+                      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+                      WHERE len(w) >= 2)
+                GROUP BY doc_id, bg),
+        bga AS (SELECT doc_id, MAX(cnt)::BIGINT AS top_bigram_cnt, SUM(cnt)::BIGINT AS n_bigrams
+                FROM bgt GROUP BY doc_id)
+        SELECT a.doc_id, a.n_words, a.distinct_words,
+               (a.n_words - a.distinct_words) * 1000000 // a.n_words AS dup_word_ppm,
+               a.top_word_cnt, b.top_bigram_cnt,
+               b.top_bigram_cnt * 1000000 // b.n_bigrams AS top_bigram_ppm
+        FROM agg a JOIN bga b USING (doc_id) ORDER BY a.doc_id""")),
+
     Declared("q_hash_split",
       (s, d) => Relational.assignSplit(documents(s, d), "doc_id", 800000, 100000)
         .select("doc_id", "bucket_ppm", "split")
@@ -991,6 +1022,35 @@ object Queries {
         FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
         WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80
         ORDER BY c.a_id, c.b_id""")),
+
+    // Clusters + keeper selection over the verified near-dup pairs: the
+    // decision step of dedup (which rows survive). Oracle recomputes the
+    // same clusters from the brute-force pair set via a recursive
+    // transitive closure — min-label components are order-free, so both
+    // engines agree exactly.
+    Declared("q_neardup_clusters",
+      (s, d) => DedupOps.nearDupKeepers(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        numHashes = 24, rowsPerBand = 2, minJaccardPct = 80),
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst))::BIGINT AS cluster_id,
+               (LEAST(src, MIN(dst)) = src) AS is_keeper
+        FROM reach GROUP BY src ORDER BY doc_id""")),
 
     Declared("q_simhash",
       (s, d) => DedupOps.simHash(documents(s, d)),

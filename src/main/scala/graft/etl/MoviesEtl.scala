@@ -213,6 +213,47 @@ object MoviesEtl {
     Result(movies, withRatings(movies, ratingCounts(ratings)))
   }
 
+  /** Outcome of a resilient run: the (possibly partial) result plus the
+    * per-stage audit trail.
+    */
+  final case class ResilientRun(result: Result, completed: Seq[String],
+                                failed: Seq[(String, String)])
+
+  /** E1 parity — the reference wraps fragile stages in `try/except` and
+    * continues with partial results (SURVEY §3.1). Spark's PERMISSIVE
+    * readers cover the data-level half; this covers the stage level:
+    * each optional source/transform runs under `Try`, a failure records
+    * (stage, error) and degrades gracefully — missing kaggle ⇒ wiki-only
+    * movies, missing ratings ⇒ `moviesWithRatings == movies`. The wiki
+    * branch is the pipeline's spine and still propagates its failure
+    * (there is no partial result without it), matching the reference,
+    * whose outer function aborts when the wiki JSON cannot load.
+    */
+  def extractTransformLoadResilient(spark: SparkSession, wikiPath: String,
+                                    kagglePath: String,
+                                    ratingsPath: String): ResilientRun = {
+    val completed = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[(String, String)]
+    def stage[A](name: String)(thunk: => A): Option[A] =
+      scala.util.Try(thunk) match {
+        case scala.util.Success(a) => completed += name; Some(a)
+        case scala.util.Failure(e) =>
+          failed += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          None
+      }
+    val wiki = parseWikiColumns(dedupByImdbId(cleanMovies(
+      filterMovieRecords(readWikiJson(spark, wikiPath)))))
+    completed += "wiki_extract_transform"
+    val movies = stage("kaggle_clean")(cleanKaggle(readCsv(spark, kagglePath)))
+      .flatMap(k => stage("merge_movies")(mergeMovies(wiki, k)))
+      .getOrElse(wiki)
+    val withR = stage("ratings_read")(readCsv(spark, ratingsPath)
+        .withColumn("rated_at", Cleaning.fromUnixSeconds(col("timestamp"))))
+      .flatMap(r => stage("ratings_pivot_join")(withRatings(movies, ratingCounts(r))))
+      .getOrElse(movies)
+    ResilientRun(Result(movies, withR), completed.result(), failed.result())
+  }
+
   /** A6/A7 — load stage: parquet sink (overwrite ≡ if_exists='replace');
     * `jdbcUrl` switches to a JDBC sink when a database is reachable.
     * Both sinks overwrite for idempotent re-runs; the reference's

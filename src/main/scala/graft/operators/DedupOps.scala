@@ -203,6 +203,75 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L2 — connected components over candidate pairs by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round takes the min of its own and its neighbors' labels; fixpoint
+    * in O(component diameter) rounds. Near-dup clusters have tiny
+    * diameters (they are near-cliques), so this converges in 2-3 rounds
+    * in practice; each round is one equi-join + groupBy — all shuffles
+    * keyed on node id, no driver state. `localCheckpoint` truncates the
+    * iterative lineage (at 100 TB make this a reliable checkpoint or
+    * alternate large-star/small-star rounds, which bound iterations by
+    * O(log n) on adversarial graphs).
+    *
+    * Returns (id, cluster_id) where cluster_id = min doc id of the
+    * component — deterministic under any partitioning.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Undirected doubling PLUS self-loops via ONE explode projection (a
+    // union of selects would execute the — possibly expensive — pairs
+    // pipeline once per branch). The self-loop rows fold the "keep own
+    // label" case into the neighbor-min aggregation, so each round is
+    // exactly one join + one groupBy — two shuffles, no left-join repair
+    // step.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")),
+        struct(col("a_id").as("src"), col("a_id").as("dst")),
+        struct(col("b_id").as("src"), col("b_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    // Convergence probe without a prev-vs-next comparison join: label
+    // updates are monotone decreasing, so sum(label) strictly decreases
+    // until the fixpoint — an unchanged checksum ⟺ converged. One scalar
+    // aggregation per round.
+    var checksum = Long.MinValue
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("label"))
+        .persist()
+      val nextSum = next.agg(sum("label")).collect()(0).getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
+      labels = next
+      iter += 1
+      System.err.println(s"[connectedComponents] round $iter checksum=$nextSum")
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** The end-to-end near-dup DEDUP decision at 100 TB: LSH candidates →
+    * exact verify → connected components → keep the minimum doc id per
+    * cluster. Output: one row per document that appears in any verified
+    * near-dup pair, with its cluster and keeper verdict.
+    */
+  def nearDupKeepers(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                     minJaccardPct: Int): DataFrame = {
+    val pairs = lshVerifiedJaccardPairs(documents, numHashes, rowsPerBand,
+      minJaccardPct).select("a_id", "b_id")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic "keep one row per key" for arbitrary tables: first row
     * per key under an explicit total order.
     */

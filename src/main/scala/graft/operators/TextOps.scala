@@ -94,6 +94,58 @@ object TextOps {
     documents.select(col("doc_id"), md5(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** RE2-safe PII patterns (no lookahead — they must run identically in
+    * Java regex and RE2-based engines).
+    */
+  val UrlRegex = "https?://[^ ]+"
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** L4 — PII scrubbing for training corpora: mask URLs and email
+    * addresses, reporting per-document match counts. One codegen'd regex
+    * pass per pattern, map-side only — scales linearly.
+    */
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$UrlRegex', 0)")).cast("long").as("n_urls"),
+      size(expr(s"regexp_extract_all(text, '$EmailRegex', 0)")).cast("long").as("n_emails"),
+      substring(
+        regexp_replace(regexp_replace(col("text"), UrlRegex, "<URL>"),
+          EmailRegex, "<EMAIL>"), 1, 60).as("scrubbed_prefix"))
+      .orderBy("doc_id")
+
+  /** L4 — repetition profile (Gopher-style quality rules): duplicate-word
+    * ratio, most-frequent-word count, and most-frequent-bigram share —
+    * the standard signals for detecting degenerate/boilerplate text.
+    * Integer ppm arithmetic throughout; two wordcount-shaped shuffles
+    * (unigram + bigram term frequencies), both map-side combined.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = words(col("text"))
+    val uni = documents
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_words"),
+        count(lit(1)).as("distinct_words"),
+        max("tf").as("top_word_cnt"))
+    val bi = documents
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        max("cnt").as("top_bigram_cnt"),
+        sum("cnt").as("n_bigrams"))
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("distinct_words"),
+        expr("(n_words - distinct_words) * 1000000L div n_words").as("dup_word_ppm"),
+        col("top_word_cnt"), col("top_bigram_cnt"),
+        expr("top_bigram_cnt * 1000000L div n_bigrams").as("top_bigram_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** L4 — n-gram language-ID heuristic: score each candidate language by
     * how many of its marker words appear in the text; pick the best
     * (ties broken lexicographically). Marker lists are tiny and inlined

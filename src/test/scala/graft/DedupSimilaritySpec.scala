@@ -125,6 +125,29 @@ class DedupSimilaritySpec extends SparkSpec {
     index.release()
   }
 
+  test("connectedComponents labels chains and keeps singleton pairs apart") {
+    // components: {1,2,3,4} (a chain — needs propagation), {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupKeepers marks exactly the cluster minima as keepers") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = DedupOps.nearDupKeepers(docs, 24, 2, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // keeper iff doc_id == cluster_id; every cluster has exactly one
+    out.foreach { case (id, cl, keep) => assert(keep == (id == cl) && cl <= id) }
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cl keeper count != 1")
+    }
+  }
+
   test("lshVerifiedJaccardPairs equals dense all-pairs Jaccard") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val dense = DedupOps.jaccardPairsDense(docs, 80).collect().toSeq

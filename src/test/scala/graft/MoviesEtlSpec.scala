@@ -94,4 +94,29 @@ class MoviesEtlSpec extends SparkSpec {
     val back = spark.read.parquet(s"$out/movies")
     assert(back.count() == 8)
   }
+
+  test("resilient run with all sources healthy matches the strict façade") {
+    val run = MoviesEtl.extractTransformLoadResilient(spark,
+      fixture("wiki_movies.json"),
+      fixture("movies_metadata.csv"),
+      fixture("ratings.csv"))
+    assert(run.failed.isEmpty)
+    assert(run.completed.contains("merge_movies") &&
+      run.completed.contains("ratings_pivot_join"))
+    assert(run.result.movies.count() == 8)
+    assert(run.result.moviesWithRatings.count() == 8)
+  }
+
+  test("resilient run degrades per stage: bad kaggle → wiki-only, bad ratings → unmerged") {
+    val run = MoviesEtl.extractTransformLoadResilient(spark,
+      fixture("wiki_movies.json"),
+      "/nonexistent/kaggle.csv",
+      "/nonexistent/ratings.csv")
+    assert(run.failed.map(_._1) == Seq("kaggle_clean", "ratings_read"))
+    // wiki spine survives: 9 records post filter+dedup (no kaggle join,
+    // so no outlier drop to 8)
+    assert(run.result.movies.count() == 9)
+    // no ratings → moviesWithRatings degrades to movies
+    assert(run.result.moviesWithRatings.count() == 9)
+  }
 }

@@ -146,4 +146,27 @@ class OperatorsSpec extends SparkSpec {
       "de" -> Seq("der", "die", "das"), "en" -> Seq("scan", "join"))).collect()(0)
     assert(r.getString(2) == "de" && r.getLong(3) == 3L)
   }
+
+  test("scrubPii masks urls and emails and counts matches") {
+    val docs = Seq(
+      (1L, "see https://example.com/x and mail bob.smith@corp.io today"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val rows = TextOps.scrubPii(docs).collect()
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L)
+    assert(rows(0).getString(3).startsWith("see <URL> and mail <EMAIL> today"))
+    assert(rows(1).getLong(1) == 0L && rows(1).getLong(2) == 0L)
+    assert(rows(1).getString(3) == "nothing sensitive here")
+  }
+
+  test("repetitionStats: hand-computed duplicate-word and bigram shares") {
+    // "a a a b": 4 words, 2 distinct, dup ppm = 2*1e6/4 = 500000,
+    // top word 'a' ×3; bigrams [a a, a a, a b]: top 'a a' ×2 of 3
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 500000L)
+    assert(r.getLong(4) == 3L)
+    assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == 666666L)
+  }
 }
