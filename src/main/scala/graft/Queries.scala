@@ -987,6 +987,47 @@ object Queries {
               FROM documents)
         ORDER BY doc_id""")),
 
+    // Reproducible stratified downsampling (per-language rates) — pure
+    // function of the key, so membership is identical on any cluster
+    // size / partitioning, unlike seeded sampleBy.
+    Declared("q_stratified_sample",
+      (s, d) => Relational.stratifiedSample(documents(s, d), "lang", "doc_id",
+        Map("en" -> 500000, "de" -> 200000), defaultPpm = 100000)
+        .select("doc_id", "lang", "bucket_ppm")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, b AS bucket_ppm
+        FROM (SELECT doc_id, lang,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS b
+              FROM documents)
+        WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END
+        ORDER BY doc_id""")),
+
+    // Test-set decontamination: corpus docs sharing ≥3 distinct word
+    // trigrams with any held-out benchmark doc (doc_id % 100 = 0 plays
+    // the benchmark role; the sides are disjoint).
+    Declared("q_decontaminate",
+      (s, d) => DedupOps.decontaminate(
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) === 0),
+        n = 3, minShared = 3),
+      Some("""WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 100 <> 0),
+        b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 100 = 0),
+        cs AS (SELECT DISTINCT doc_id, sh
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                     FROM c WHERE len(w) >= 3)),
+        bs AS (SELECT DISTINCT bench_id, sh
+               FROM (SELECT bench_id,
+                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                     FROM b WHERE len(w) >= 3))
+        SELECT cs.doc_id, bs.bench_id, COUNT(*)::BIGINT AS n_shared
+        FROM cs JOIN bs USING (sh)
+        GROUP BY cs.doc_id, bs.bench_id
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id""")),
+
     Declared("q_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),
       Some("""SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""")),

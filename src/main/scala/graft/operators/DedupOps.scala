@@ -272,6 +272,32 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L2/L4 — benchmark decontamination: flag corpus documents that share
+    * at least `minShared` word n-grams with any benchmark document — the
+    * standard guard against test-set leakage into training data. Shape:
+    * shingle both sides, equi-join on the shingle (inverted index — the
+    * benchmark side is tiny, so the join broadcasts), count distinct
+    * shared shingles per (corpus doc, benchmark doc). Linear in corpus
+    * shingle count; no all-pairs comparison at any scale.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                    minShared: Int): DataFrame = {
+    def shingles(df: DataFrame, idAs: String): DataFrame = {
+      val ws = split(col("text"), " ")
+      df.filter(size(ws) >= n)
+        .select(col("doc_id").as(idAs),
+          explode(array_distinct(transform(
+            sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("sh"))
+    }
+    shingles(corpus, "doc_id")
+      .join(broadcast(shingles(benchmark, "bench_id")), "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Deterministic "keep one row per key" for arbitrary tables: first row
     * per key under an explicit total order.
     */

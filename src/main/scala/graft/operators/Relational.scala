@@ -69,6 +69,23 @@ object Relational {
           .when(col("bucket_ppm") < trainPpm + valPpm, "val")
           .otherwise("test"))
 
+  /** Deterministic stratified sampling: keep rows whose md5 bucket falls
+    * under the per-stratum rate (ppm). Unlike seeded `sampleBy`, the
+    * selected set is a pure function of the key — stable across cluster
+    * sizes, partitionings, and retries, which is what a reproducible
+    * training-data pipeline needs. Unknown strata default to 0 ppm
+    * (dropped) unless a default rate is given.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       ratesPpm: Map[String, Int],
+                       defaultPpm: Int = 0): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (stratum, ppm)) =>
+      when(col(stratumCol) === stratum, lit(ppm)).otherwise(acc)
+    }
+    df.withColumn("bucket_ppm", hashBucketPpm(col(keyCol)))
+      .filter(col("bucket_ppm") < rate)
+  }
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `saltBuckets` sub-keys (deterministic hash of a distinguishing
     * column, not rand() — reproducible across retries), partially

@@ -147,6 +147,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getString(2) == "de" && r.getLong(3) == 3L)
   }
 
+  test("stratifiedSample: per-stratum hash-rate membership, deterministic") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = graft.operators.Relational
+      .stratifiedSample(df, "lang", "id", Map("en" -> 500000), defaultPpm = 0)
+    val rows = out.collect()
+    // default 0 ppm drops the whole 'de' stratum
+    assert(rows.forall(_.getString(1) == "en"))
+    // membership is exactly "bucket < rate" — rerun yields identical ids
+    val again = graft.operators.Relational
+      .stratifiedSample(df, "lang", "id", Map("en" -> 500000), defaultPpm = 0)
+    assert(rows.map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+    // ~50% of the en stratum within a loose band (md5 is uniform)
+    assert(rows.length > 60 && rows.length < 140)
+  }
+
+  test("decontaminate flags docs sharing >= minShared n-grams with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dog"),   // shares 3 distinct trigrams
+      (2L, "totally different words here now")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps away")).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.decontaminate(corpus, bench, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // shared trigrams: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert(out.toSeq == Seq((1L, 100L, 3L)))
+  }
+
   test("scrubPii masks urls and emails and counts matches") {
     val docs = Seq(
       (1L, "see https://example.com/x and mail bob.smith@corp.io today"),
