@@ -1097,6 +1097,14 @@ object Queries {
       (s, d) => DedupOps.simHash(documents(s, d)),
       None),
 
+    // banded SimHash candidate→verify pairs (rows-only: signatures are
+    // xxhash64-seeded, no SQL oracle; recall property unit-tested)
+    Declared("q_simhash_pairs",
+      (s, d) => DedupOps.simHashPairs(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        maxHamming = 3),
+      None),
+
     Declared("q_ngram_jaccard",
       (s, d) => DedupOps.ngramJaccardPairs(
         documents(s, d).filter(pmod(col("doc_id"), lit(20)) === 0), 2, 4),

@@ -272,6 +272,39 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L2 — SimHash near-dup pairs at scale: band the 64-bit signature
+    * into `maxHamming + 1` equal bit-slices — by pigeonhole, any pair
+    * within `maxHamming` differing bits collides exactly in ≥ 1 band —
+    * generate candidates via a band equi-join, then verify with
+    * `bit_count(xor)` (codegen'd). Recall 100% w.r.t. the hamming
+    * threshold, cost linear in corpus + collisions. At larger corpora
+    * widen/add bands (smaller slices collide more): band width is the
+    * recall/cost dial, not correctness — the verify step is exact.
+    */
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(documents)
+    val numBands = maxHamming + 1
+    val width = 64 / numBands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until numBands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("a_sig"), col("b.simhash").as("b_sig"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
   /** L2/L4 — benchmark decontamination: flag corpus documents that share
     * at least `minShared` word n-grams with any benchmark document — the
     * standard guard against test-set leakage into training data. Shape:

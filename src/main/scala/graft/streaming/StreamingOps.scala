@@ -64,6 +64,26 @@ object StreamingOps {
     events.withWatermark("ts_ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: enrich a stream of events (`left`)
+    * with matching rows from another stream (`right`) on a key, where
+    * the right row's event time falls within [left - before, left].
+    * Both sides carry watermarks so Spark can bound the join state and
+    * emit/evict deterministically — the streaming analog of the batch
+    * as-of/range join family. Columns: both frames need `ts_ts` and the
+    * key; the right frame is exposed with an `r_` prefix.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   before: String = "1 hour",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts_ts", watermark)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark("r_ts_ts", watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts_ts") >= col("ts_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts_ts") <= col("ts_ts"))
+  }
+
   /** A4/A7 — the reference's chunked micro-batch load loop re-expressed:
     * each micro-batch goes through `write`, with cumulative progress
     * logging (the reference printed elapsed seconds per 1M-row chunk).

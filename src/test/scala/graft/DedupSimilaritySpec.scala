@@ -125,6 +125,18 @@ class DedupSimilaritySpec extends SparkSpec {
     index.release()
   }
 
+  test("simHashPairs: identical docs pair at hamming 0, disjoint docs don't pair") {
+    val docs = Seq(
+      (1L, "spark scans parquet files fast and clean"),
+      (2L, "spark scans parquet files fast and clean"),   // exact dup of 1
+      (3L, "completely unrelated tokens xylophone quartz umbrella")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("connectedComponents labels chains and keeps singleton pairs apart") {
     // components: {1,2,3,4} (a chain — needs propagation), {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

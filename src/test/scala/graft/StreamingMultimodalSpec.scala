@@ -91,6 +91,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches right rows within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Double, Long)]
+    val buys = MemoryStream[(Timestamp, String, Double, Long)]
+    val l = clicks.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val r = buys.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val joined = StreamingOps.intervalJoin(l, r, "user_id", before = "30 minutes")
+      .select(col("user_id"), col("event_type"), col("r_event_type"),
+        col("r_ts_ts"))
+    val q = StreamingOps.toMemorySink(joined, "interval_join_test", "append")
+    try {
+      buys.addData(
+        (ts("2024-01-01 10:00:00"), "purchase", 9.99, 1L),   // in window
+        (ts("2024-01-01 08:00:00"), "purchase", 1.0, 1L),    // too old
+        (ts("2024-01-01 10:10:00"), "purchase", 5.0, 2L))    // other user
+      clicks.addData((ts("2024-01-01 10:20:00"), "click", 0.0, 1L))
+      q.processAllAvailable()
+      val got = spark.table("interval_join_test").collect()
+        .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2),
+          r0.getTimestamp(3).toString)).toSet
+      assert(got == Set((1L, "click", "purchase", "2024-01-01 10:00:00.0")))
+    } finally q.stop()
+  }
+
   test("chunkedLoad drains a stream through foreachBatch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
