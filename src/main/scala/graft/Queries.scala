@@ -356,6 +356,42 @@ object Queries {
           COUNT(DISTINCT l_partkey)::BIGINT AS nd_part
         FROM lineitem""")),
 
+    // pandas .describe() analog (reference notebook E2): long-form
+    // per-column stats from one aggregate pass
+    Declared("q_describe",
+      (s, d) => Relational.describeStats(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""WITH a AS (SELECT COUNT(*)::BIGINT AS n,
+            MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS q_sum,
+            MIN(l_extendedprice) AS p_min, MAX(l_extendedprice) AS p_max,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS p_sum,
+            MIN(l_discount) AS d_min, MAX(l_discount) AS d_max,
+            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS d_sum
+          FROM lineitem)
+        SELECT 'l_discount' AS col_name, n AS n_rows, d_min AS min_val, d_max AS max_val,
+               d_sum AS sum_val, d_sum / n AS avg_val FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', n, p_min, p_max, p_sum, p_sum / n FROM a
+        UNION ALL
+        SELECT 'l_quantity', n, q_min, q_max, q_sum, q_sum / n FROM a
+        ORDER BY col_name""")),
+
+    // unpivot / melt (wide → long): passthrough values, no arithmetic
+    Declared("q_unpivot",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+        FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                       FROM lineitem)
+              ON l_quantity, l_discount, l_tax INTO NAME measure VALUE val)
+        ORDER BY l_orderkey, l_linenumber, measure, val""")),
+
     Declared("q_agg_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")

@@ -69,6 +69,33 @@ object Relational {
           .when(col("bucket_ppm") < trainPpm + valPpm, "val")
           .otherwise("test"))
 
+  /** Pandas-`describe()` analog (the reference notebook's E2 inspection
+    * op) in long form: one row per numeric column with count / min /
+    * max / sum / mean. ONE aggregate pass over the data, then a
+    * width-bounded explode — never a per-column scan. Sums run in exact
+    * decimal and emit DOUBLE; the mean divides the exact double sum by
+    * the count (identical IEEE operands ⇒ identical result in any
+    * engine).
+    */
+  def describeStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).cast(LongType).as("__n") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"),
+        sum(col(c).cast(Dec18_2)).cast(Dec18_2).cast(DoubleType).as(s"__sum_$c")))
+    val row = df.select(aggs: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"__min_$c").cast(DoubleType).as("min_val"),
+      col(s"__max_$c").cast(DoubleType).as("max_val"),
+      col(s"__sum_$c").as("sum_val"),
+      (col(s"__sum_$c") / col("__n")).as("avg_val")))
+    row.select(col("__n").as("n_rows"), explode(array(entries: _*)).as("s"))
+      .select(col("s.col_name"), col("n_rows"), col("s.min_val"),
+        col("s.max_val"), col("s.sum_val"), col("s.avg_val"))
+      .orderBy("col_name")
+  }
+
   /** Deterministic stratified sampling: keep rows whose md5 bucket falls
     * under the per-stratum rate (ppm). Unlike seeded `sampleBy`, the
     * selected set is a pure function of the key — stable across cluster
