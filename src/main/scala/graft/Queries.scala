@@ -608,6 +608,31 @@ object Queries {
         CROSS JOIN (SELECT unnest(range(4)) AS j) j
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // pandas fillna(method='ffill') parity: carry the last non-null
+    // value forward per user in event-time order. Values pass through
+    // untouched (no arithmetic), so the hash compare is exact.
+    Declared("q_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("v_nn",
+            when(col("event_type") === "error", lit(null).cast(DoubleType))
+              .otherwise(col("value")))
+          .select(col("user_id"), col("event_id"), col("ts_us"), col("v_nn"),
+            last(col("v_nn"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT user_id, event_id, ts_us, v_nn,
+          last_value(v_nn IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_nn
+              FROM events)
+        ORDER BY event_id""")),
+
     // ================= 2.G — set operations =============================
 
     Declared("q_union",
