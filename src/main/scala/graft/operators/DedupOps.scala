@@ -185,9 +185,7 @@ object DedupOps {
       .filter(size(ws) >= n)
       .select(
         col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("word"))
+        explode(array_distinct(TextOps.wordNgrams(ws, n))).as("word"))
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = shingled.as("a")
       .join(shingled.as("b"),
@@ -215,9 +213,13 @@ object DedupOps {
     * O(log n) on adversarial graphs).
     *
     * Returns (id, cluster_id) where cluster_id = min doc id of the
-    * component — deterministic under any partitioning.
+    * component — deterministic under any partitioning. The returned
+    * frame is persisted (it was the last propagation round); callers
+    * holding it long-term should `unpersist()` when done. Throws if the
+    * iteration cap is hit before the fixpoint — a capped exit would
+    * silently emit wrong clusters.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected doubling PLUS self-loops via ONE explode projection (a
     // union of selects would execute the — possibly expensive — pairs
     // pipeline once per branch). The self-loop rows fold the "keep own
@@ -241,19 +243,31 @@ object DedupOps {
     var checksum = Long.MinValue
     var iter = 0
     var converged = false
+    var prev: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
       val next = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("label"))
         .persist()
-      val nextSum = next.agg(sum("label")).collect()(0).getLong(0)
-      converged = nextSum == checksum
+      // sum over an empty frame is a null cell — empty pair set ⇒
+      // vacuously converged (empty result), not an NPE
+      val sumRow = next.agg(sum("label")).collect()(0)
+      val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      converged = sumRow.isNullAt(0) || nextSum == checksum
       checksum = nextSum
+      prev.foreach(_.unpersist())  // only the latest round's cache stays live
+      prev = Some(next)
       labels = next
       iter += 1
       System.err.println(s"[connectedComponents] round $iter checksum=$nextSum")
     }
+    // exiting on the iteration cap with unpropagated labels would emit
+    // silently WRONG clusters — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the cap); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -319,9 +333,7 @@ object DedupOps {
       val ws = split(col("text"), " ")
       df.filter(size(ws) >= n)
         .select(col("doc_id").as(idAs),
-          explode(array_distinct(transform(
-            sequence(lit(0), size(ws) - n),
-            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))).as("sh"))
+          explode(array_distinct(TextOps.wordNgrams(ws, n))).as("sh"))
     }
     shingles(corpus, "doc_id")
       .join(broadcast(shingles(benchmark, "bench_id")), "sh")

@@ -189,18 +189,24 @@ object SimilarityOps {
     def release(): Unit = assigned.unpersist()
   }
 
-  /** Per-sfDir memo of trained indexes: bench/verify invoke the declared
-    * query repeatedly, and retraining k-means per invocation is the
-    * "index that isn't an index" anti-pattern. Keyed by (data dir, k,
-    * iterations); [[clearIvfCache]] releases everything.
+  /** Per-dataset memo of trained indexes: bench/verify invoke the
+    * declared query repeatedly, and retraining k-means per invocation is
+    * the "index that isn't an index" anti-pattern. Keyed by the caller's
+    * label PLUS the semantic hash of the input frame's analyzed plan, so
+    * two different frames (e.g. a filtered subset) can never silently
+    * share an index; [[clearIvfCache]] releases everything. The memo does
+    * not watch the files under the plan — rebuild (clear) if the data
+    * dir is rewritten mid-session.
     */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), IvfIndex]()
 
   def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
-                     iterations: Int): IvfIndex =
-    ivfCache.computeIfAbsent((cacheKey, k, iterations),
+                     iterations: Int): IvfIndex = {
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    ivfCache.computeIfAbsent((cacheKey, planKey, k, iterations),
       _ => ivfIndex(embeddings, k, iterations))
+  }
 
   def clearIvfCache(): Unit = {
     ivfCache.values.forEach(_.release())

@@ -17,6 +17,16 @@ object TextOps {
   /** Tokenize on single spaces (the documents corpus is space-joined). */
   def words(c: Column): Column = split(c, " ")
 
+  /** Word n-gram shingles of a token-array column: the windowed-slice
+    * expression shared by repetition stats, decontamination, and n-gram
+    * Jaccard (one definition — three consumers). Caller guards
+    * `size(ws) >= n` (Spark `sequence` DESCENDS when the bound is
+    * negative).
+    */
+  def wordNgrams(ws: Column, n: Int): Column =
+    transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+
   /** L4 — per-(lang, word) counts over the whole corpus. */
   def wordCounts(documents: DataFrame): DataFrame =
     documents
@@ -103,12 +113,19 @@ object TextOps {
   /** L4 — PII scrubbing for training corpora: mask URLs and email
     * addresses, reporting per-document match counts. One codegen'd regex
     * pass per pattern, map-side only — scales linearly.
+    *
+    * NB: patterns go through the `Column` API only — interpolating a
+    * pattern into an `expr(...)` SQL string would strip the `\.` escape
+    * at the SQL-literal layer (verified), silently widening the email
+    * match and diverging from both the replace pass and the oracle.
     */
   def scrubPii(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '$UrlRegex', 0)")).cast("long").as("n_urls"),
-      size(expr(s"regexp_extract_all(text, '$EmailRegex', 0)")).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRegex), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0)))
+        .cast("long").as("n_emails"),
       substring(
         regexp_replace(regexp_replace(col("text"), UrlRegex, "<URL>"),
           EmailRegex, "<EMAIL>"), 1, 60).as("scrubbed_prefix"))
@@ -131,9 +148,7 @@ object TextOps {
         max("tf").as("top_word_cnt"))
     val bi = documents
       .filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("bg"))
+      .select(col("doc_id"), explode(wordNgrams(toks, 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         max("cnt").as("top_bigram_cnt"),

@@ -3,12 +3,13 @@ package graft
 import graft.operators.DedupOps
 import org.apache.spark.sql.functions._
 
-/** Scratch timing harness for the near-dup clustering path (run manually
-  * via `testOnly graft.ClusterDebug`, not part of the gate).
+/** Scratch timing harness for the near-dup clustering path. `ignore`d so
+  * the gate suite doesn't pay its sf0.1 wall clock (and doesn't break on
+  * machines without the testdata); flip to `test` to profile manually.
   */
 class ClusterDebug extends SparkSpec {
 
-  test("time pairs vs clustering at sf0.1") {
+  ignore("time pairs vs clustering at sf0.1") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
       .filter(pmod(col("doc_id"), lit(10)) === 0)
     def t[A](name: String)(f: => A): A = {

@@ -147,6 +147,11 @@ class DedupSimilaritySpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents on an empty pair set returns empty, not NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.connectedComponents(empty).count() == 0)
+  }
+
   test("nearDupKeepers marks exactly the cluster minima as keepers") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = DedupOps.nearDupKeepers(docs, 24, 2, 80)

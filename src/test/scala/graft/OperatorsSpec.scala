@@ -186,6 +186,16 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1).getString(3) == "nothing sensitive here")
   }
 
+  test("scrubPii email dot is literal: count and replace agree (regression)") {
+    // 'x@ab_cd' must NOT match — an expr()-interpolated pattern loses the
+    // \. escape at the SQL-literal layer and would count it as an email
+    val docs = Seq((1L, "ping x@ab_cd and real.person@site.org ok"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.scrubPii(docs).collect()(0)
+    assert(r.getLong(2) == 1L, s"n_emails=${r.getLong(2)} (dot no longer literal?)")
+    assert(r.getString(3) == "ping x@ab_cd and <EMAIL> ok")
+  }
+
   test("repetitionStats: hand-computed duplicate-word and bigram shares") {
     // "a a a b": 4 words, 2 distinct, dup ppm = 2*1e6/4 = 500000,
     // top word 'a' ×3; bigrams [a a, a a, a b]: top 'a a' ×2 of 3
