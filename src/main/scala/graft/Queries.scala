@@ -1195,10 +1195,13 @@ object Queries {
       None),
 
     // probe-only declared query: the index trains once per data dir and
-    // is memoized (an index retrained inside every query is no index)
+    // is memoized (an index retrained inside every query is no index);
+    // centroids train on a 1-in-4 deterministic sample — the 100 TB
+    // pattern (full-corpus Lloyd iterations never pay for themselves)
     Declared("q_simsearch_ivf",
       (s, d) => SimilarityOps.ivfTopK(
-        SimilarityOps.ivfIndexCached(embeddings(s, d), d, k = 8, iterations = 2),
+        SimilarityOps.ivfIndexCached(embeddings(s, d), d, k = 8,
+          iterations = 2, trainSampleMod = 4),
         (0L until 8L), 5, nProbe = 2),
       None),
 

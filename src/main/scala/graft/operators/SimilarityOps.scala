@@ -154,15 +154,22 @@ object SimilarityOps {
     * At 100 TB the train runs on a sample; search cost drops from
     * O(corpus) to O(corpus·nProbe/k) per query.
     */
-  def ivfIndex(embeddings: DataFrame, k: Int, iterations: Int): IvfIndex = {
+  def ivfIndex(embeddings: DataFrame, k: Int, iterations: Int,
+               trainSampleMod: Int = 1): IvfIndex = {
     val spark = embeddings.sparkSession
+    // k-means quality needs only a representative sample; at 100 TB you
+    // never Lloyd-iterate the full corpus. The sample is hash-of-id
+    // deterministic (`vec_id % mod`), so training stays reproducible.
+    val trainSet =
+      if (trainSampleMod <= 1) embeddings
+      else embeddings.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
     // deterministic init: lowest-id vectors as seed centroids
-    var centroids: Array[(Int, Seq[Double])] = embeddings
+    var centroids: Array[(Int, Seq[Double])] = trainSet
       .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)) }
     for (_ <- 0 until iterations) {
-      val updated: Map[Int, Seq[Double]] = assignCells(embeddings, centroids)
+      val updated: Map[Int, Seq[Double]] = assignCells(trainSet, centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg(sum(fixedPoint(col("v"))).as("s"), count(lit(1)).as("n"))
@@ -199,13 +206,13 @@ object SimilarityOps {
     * dir is rewritten mid-session.
     */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfIndex]()
 
   def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
-                     iterations: Int): IvfIndex = {
+                     iterations: Int, trainSampleMod: Int = 1): IvfIndex = {
     val planKey = embeddings.queryExecution.analyzed.semanticHash()
-    ivfCache.computeIfAbsent((cacheKey, planKey, k, iterations),
-      _ => ivfIndex(embeddings, k, iterations))
+    ivfCache.computeIfAbsent((cacheKey, planKey, k, iterations, trainSampleMod),
+      _ => ivfIndex(embeddings, k, iterations, trainSampleMod))
   }
 
   def clearIvfCache(): Unit = {
