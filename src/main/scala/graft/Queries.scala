@@ -1205,6 +1205,28 @@ object Queries {
         (0L until 8L), 5, nProbe = 2),
       None),
 
+    // skew-resistant two-phase (salted) aggregation, oracle-checked
+    // against the plain GROUP BY — salting must be semantically
+    // transparent, and counts/decimal-sums re-aggregate losslessly
+    Declared("q_salted_agg",
+      (s, d) => Relational.saltedCountSum(events(s, d), "event_type", "value",
+        saltCol = "event_id", saltBuckets = 16)
+        .withColumn("sum_value", col("sum_value").cast(DoubleType))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS cnt,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // t-digest approximate percentiles (rows-only: sketch internals are
+    // engine-specific; exact counterpart is q_median)
+    Declared("q_approx_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("p90_approx"))
+        .orderBy("l_returnflag"),
+      None),
+
     Declared("q_agg_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")
