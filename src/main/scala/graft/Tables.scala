@@ -45,6 +45,22 @@ object Tables {
     table(spark, dir, "events")
   }
 
+  /** All table names under a data dir. */
+  val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the full engine surface is
+    * reachable through `spark.sql(...)` — a user of the reference can
+    * drive the same data with raw SQL instead of the DataFrame API. The
+    * views are lazy plans over the parquet scans (no materialization);
+    * `events` goes through the nanos shim like everywhere else.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => table(spark, dir, n).createOrReplaceTempView(n)
+    }
+
   /** Nanoseconds per time unit, for integer-exact event-time math. */
   object Nanos {
     val PerSecond: Long = 1000L * 1000L * 1000L
