@@ -884,6 +884,40 @@ object Queries {
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id""")),
 
+    // Funnel: furthest view→click→purchase stage per user, strictly
+    // increasing µs timestamps. Oracle = the nested-min formulation
+    // (equivalent to the greedy state-machine fold).
+    Declared("q_funnel",
+      (s, d) => EventOps.funnelStages(events(s, d), expr("ts div 1000"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT u.user_id,
+          CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id""")),
+
+    // Retention cohorts: first-activity-day cohort × day offset →
+    // distinct active users.
+    Declared("q_retention",
+      (s, d) => EventOps.retentionCohorts(events(s, d),
+        expr(s"ts div ${Nanos.PerDay}")),
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+                epoch_ns(ts) // 86400000000000 AS day FROM events),
+        c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+               COUNT(DISTINCT d.user_id)::BIGINT AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY c.cohort_day, d.day - c.cohort_day
+        ORDER BY cohort_day, day_offset""")),
+
     // ================= 2.K — LLM-data-pipeline operators ================
 
     Declared("q_dedup_exact",

@@ -63,6 +63,53 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Funnel analysis (the product-analytics staple): per user, the
+    * furthest stage reached following `stages` in order with strictly
+    * increasing event times. ONE shuffle (groupBy user) + an
+    * expression-level state-machine fold over the time-sorted event
+    * array — no iterative joins, no window cascade; the greedy
+    * first-match scan is provably equivalent to the nested
+    * min-timestamp formulation (each stage's match is the minimal
+    * timestamp strictly after the previous stage's match).
+    */
+  def funnelStages(events: DataFrame, tsCol: Column,
+                   stages: Seq[String]): DataFrame = {
+    val sorted = events
+      .select(col("user_id"), tsCol.as("__t"), col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("__t"), col("event_id"), col("event_type")))).as("evs"))
+    val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("ts"))
+    val folded = aggregate(col("evs"), init, (acc, e) => {
+      val nextType = stages.zipWithIndex.foldLeft(lit("")) {
+        case (a, (st, i)) => when(acc.getField("stage") === i, lit(st)).otherwise(a)
+      }
+      when(acc.getField("stage") < stages.size &&
+          e.getField("event_type") === nextType &&
+          e.getField("__t") > acc.getField("ts"),
+        struct((acc.getField("stage") + 1).as("stage"),
+          e.getField("__t").as("ts")))
+        .otherwise(acc)
+    })
+    sorted.select(col("user_id"),
+      folded.getField("stage").cast("long").as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cohorts: users bucketed by their first-activity day;
+    * per (cohort_day, day_offset) the count of distinct users active
+    * that day. Two wordcount-shaped aggregations + one join on user —
+    * the standard shape at any scale.
+    */
+  def retentionCohorts(events: DataFrame, dayCol: Column): DataFrame = {
+    val days = events.select(col("user_id"), dayCol.as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** I5 / L1 — deterministic keyed dedup: keep the first event per key by
     * (ts, event_id). Unlike `dropDuplicates` (which keeps an arbitrary
     * row), row_number with a total order is reproducible across runs and

@@ -90,6 +90,34 @@ class OperatorsSpec extends SparkSpec {
       (2L, 1L, 1L, 7L, 7L)))
   }
 
+  test("funnelStages advances only on the next stage with strictly later ts") {
+    val ev = Seq(
+      // user 1 completes view(10) → click(20) → purchase(30)
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"), (1L, 30L, 102L, "purchase"),
+      // user 2: click before view — view(20) alone, stage 1
+      (2L, 10L, 200L, "click"), (2L, 20L, 201L, "view"),
+      // user 3: click at the SAME ts as view — strict > rejects it, stage 1
+      (3L, 10L, 300L, "view"), (3L, 10L, 301L, "click"),
+      // user 4: nothing relevant
+      (4L, 10L, 400L, "error")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = graft.operators.EventOps
+      .funnelStages(ev, col("ts_us"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("retentionCohorts counts distinct users per cohort and offset") {
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 2L),   // user 1: cohort 0, active days 0 and 2
+      (2L, 0L), (2L, 1L),             // user 2: cohort 0, days 0 and 1
+      (3L, 2L)                        // user 3: cohort 2, day 2 only
+    ).toDF("user_id", "day")
+    val got = graft.operators.EventOps.retentionCohorts(ev, col("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
+
   test("firstEventPerKey keeps earliest (ts, event_id) row") {
     val df = Seq((1L, "c", 30L, 9L), (1L, "c", 10L, 5L), (1L, "c", 10L, 3L))
       .toDF("user_id", "event_type", "ts", "event_id")
