@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{DedupOps, EventOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests pinning the distributed graph/funnel operators to
+  * trivially-correct driver-side reference implementations on random
+  * inputs — the algorithms (min-label propagation, greedy state-machine
+  * fold) must agree with brute force on every generated case.
+  */
+class GraphFunnelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(15)
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Reference union-find over the pair list. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents equals union-find on random graphs") {
+    val pairGen = for {
+      n <- Gen.choose(1, 12)
+      pairs <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L)
+        b <- Gen.choose(0L, 15L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield pairs
+    check(Prop.forAll(pairGen) { pairs =>
+      pairs.isEmpty || {
+        val got = DedupOps.connectedComponents(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        got == bruteComponents(pairs)
+      }
+    })
+  }
+
+  /** Reference greedy funnel scan over time-sorted events. */
+  private def bruteFunnel(evs: Seq[(Long, String)], stages: Seq[String]): Long = {
+    var stage = 0
+    var lastTs = Long.MinValue
+    evs.sortBy(_._1).foreach { case (t, tpe) =>
+      if (stage < stages.size && tpe == stages(stage) && t > lastTs) {
+        stage += 1; lastTs = t
+      }
+    }
+    stage.toLong
+  }
+
+  test("funnelStages equals the reference greedy scan on random event streams") {
+    val stages = Seq("view", "click", "purchase")
+    val evGen = Gen.listOfN(10, for {
+      t <- Gen.choose(0L, 6L)   // small range forces ts collisions
+      tpe <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (t, tpe))
+    check(Prop.forAll(evGen) { evs =>
+      evs.isEmpty || {
+        val df = evs.zipWithIndex
+          .map { case ((t, tpe), i) => (1L, t, i.toLong, tpe) }
+          .toDF("user_id", "ts_us", "event_id", "event_type")
+        val got = EventOps.funnelStages(df, col("ts_us"), stages)
+          .collect()(0).getLong(1)
+        got == bruteFunnel(evs, stages)
+      }
+    })
+  }
+
+  test("stratifiedSample membership is exactly bucket < rate") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val rates = Map("a" -> 300000, "b" -> 700000)
+    val got = graft.operators.Relational
+      .stratifiedSample(df, "s", "id", rates).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    got.foreach { case (_, s, bucket) => assert(bucket < rates(s)) }
+    // complement check: everything NOT selected is at/above its rate
+    val selected = got.map(_._1).toSet
+    val all = graft.operators.Relational
+      .stratifiedSample(df, "s", "id", Map("a" -> 1000000, "b" -> 1000000))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    all.filterNot(t => selected.contains(t._1)).foreach {
+      case (_, s, bucket) => assert(bucket >= rates(s))
+    }
+  }
+}
