@@ -608,6 +608,46 @@ object Queries {
         CROSS JOIN (SELECT unnest(range(4)) AS j) j
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Data-quality constraint validation (the dbt/deequ staple): one row
+    // per check with its violation count — PK uniqueness, FK integrity,
+    // accepted ranges, accepted values — all computable as plain
+    // aggregates, so the whole audit is a handful of scans at any scale.
+    Declared("q_quality_checks",
+      (s, d) => {
+        val o = orders(s, d)
+        val l = lineitem(s, d)
+        def row(name: String, n: org.apache.spark.sql.Column) =
+          (df: DataFrame) => df.agg(n.as("n"))
+            .select(lit(name).as("check_name"), col("n").cast(LongType).as("n_violations"))
+        val pkDup = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+          .select(lit("orders_pk_duplicate_rows").as("check_name"),
+            col("n").cast(LongType).as("n_violations"))
+        val fkOrphan = row("lineitem_fk_orphans", count(lit(1)))(
+          l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"))
+        val qtyRange = row("lineitem_qty_out_of_range", count(lit(1)))(
+          l.filter(col("l_quantity") < 0 || col("l_quantity") > 100))
+        val statusVals = row("orders_status_unexpected", count(lit(1)))(
+          o.filter(!col("o_orderstatus").isin("O", "F", "P")))
+        pkDup.unionByName(fkOrphan).unionByName(qtyRange).unionByName(statusVals)
+          .orderBy("check_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'orders_pk_duplicate_rows' AS check_name,
+                 COALESCE(SUM(c), 0)::BIGINT AS n_violations
+          FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+          UNION ALL
+          SELECT 'lineitem_fk_orphans', COUNT(*)::BIGINT FROM lineitem
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+          UNION ALL
+          SELECT 'lineitem_qty_out_of_range', COUNT(*)::BIGINT FROM lineitem
+          WHERE l_quantity < 0 OR l_quantity > 100
+          UNION ALL
+          SELECT 'orders_status_unexpected', COUNT(*)::BIGINT FROM orders
+          WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        ORDER BY check_name""")),
+
     // pandas fillna(method='ffill') parity: carry the last non-null
     // value forward per user in event-time order. Values pass through
     // untouched (no arithmetic), so the hash compare is exact.

@@ -60,6 +60,30 @@ class SinkSpec extends SparkSpec {
     assert(afterAppend == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
   }
 
+  test("ORC, CSV and JSON-lines sinks round-trip the documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("multi_sink").toString
+    val n = docs.count()
+
+    docs.write.mode("overwrite").orc(s"$out/docs_orc")
+    val orcBack = spark.read.orc(s"$out/docs_orc")
+    assert(orcBack.count() == n && orcBack.schema == docs.schema)
+    // ORC scans support predicate pushdown like parquet
+    val plan = orcBack.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"))
+
+    docs.write.mode("overwrite").option("header", true).csv(s"$out/docs_csv")
+    val csvBack = spark.read.option("header", true)
+      .schema(docs.schema).csv(s"$out/docs_csv")
+    assert(csvBack.count() == n)
+
+    docs.write.mode("overwrite").json(s"$out/docs_json")
+    val jsonBack = spark.read.schema(docs.schema).json(s"$out/docs_json")
+    assert(jsonBack.count() == n)
+  }
+
   test("PERMISSIVE CSV keeps malformed rows as nulls (pandas-like tolerance)") {
     val dir = java.nio.file.Files.createTempDirectory("csv_in").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
