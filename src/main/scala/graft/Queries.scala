@@ -608,6 +608,22 @@ object Queries {
         CROSS JOIN (SELECT unnest(range(4)) AS j) j
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Row-level upsert (SCD type-1): updated rows replace same-key
+    // current rows. The doubled price is exact (×2 is a power of two),
+    // so the merged values hash-match.
+    Declared("q_upsert",
+      (s, d) => {
+        val o = orders(s, d).select("o_orderkey", "o_totalprice")
+        val updates = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        Relational.upsert(o, updates, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders ORDER BY o_orderkey""")),
+
     // Data-quality constraint validation (the dbt/deequ staple): one row
     // per check with its violation count — PK uniqueness, FK integrity,
     // accepted ranges, accepted values — all computable as plain

@@ -69,6 +69,16 @@ object Relational {
           .when(col("bucket_ppm") < trainPpm + valPpm, "val")
           .otherwise("test"))
 
+  /** Row-level upsert (SCD type-1 merge): rows from `updates` replace
+    * current rows with the same key; everything else passes through.
+    * Anti-join + union — two scans, one shuffle on the key, no MERGE
+    * engine needed; at lake scale this is the rewrite-partition pattern
+    * (pair with partitioned writes to touch only affected partitions).
+    */
+  def upsert(current: DataFrame, updates: DataFrame, key: String): DataFrame =
+    current.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** Pandas-`describe()` analog (the reference notebook's E2 inspection
     * op) in long form: one row per numeric column with count / min /
     * max / sum / mean. ONE aggregate pass over the data, then a

@@ -125,6 +125,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("upsert replaces same-key rows and passes the rest through") {
+    val current = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val got = graft.operators.Relational.upsert(current, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+  }
+
   test("assignSplit: deterministic, complete, roughly proportioned") {
     val df = (0L until 1000L).toDF("id")
     val s1 = Relational.assignSplit(df, "id", 800000, 100000)
