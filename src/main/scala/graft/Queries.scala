@@ -557,6 +557,26 @@ object Queries {
                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
         FROM orders ORDER BY o_orderkey""")),
 
+    Declared("q_window_lead_cume",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val byPrice = Window.partitionBy("o_orderstatus")
+          .orderBy("o_totalprice", "o_orderkey")
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          lead(col("o_orderkey"), 2).over(w).as("next2_key"),
+          cume_dist().over(byPrice).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS next_price,
+          LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next2_key,
+          cume_dist() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS cume
+        FROM orders ORDER BY o_orderkey""")),
+
     Declared("q_window_rank",
       (s, d) => Relational.topNPerGroup(orders(s, d),
         Seq(col("o_custkey")), Seq(desc("o_totalprice"), asc("o_orderkey")), 3)
@@ -780,6 +800,28 @@ object Queries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS event_date,
           (epoch_us(ts) // 3600000000) % 24 AS hour_utc
         FROM events ORDER BY event_id""")),
+
+    // calendar-function surface: trunc-to-month, month arithmetic,
+    // end-of-month, day-of-week (Spark is 1-based Sunday=1, DuckDB
+    // 0-based Sunday=0 — normalized to the DuckDB convention)
+    Declared("q_date_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+          add_months(col("o_orderdate").cast(DateType), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+          CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        FROM orders ORDER BY o_orderkey""")),
 
     Declared("q_cast",
       (s, d) => orders(s, d)
