@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle_sql.json writer is a single point of failure for the whole
+  * correctness round: if any oracle string breaks the driver's
+  * json.load, every query's verdict zeroes. Pin the escape rules and
+  * round-trip the REAL oracle map through a strict JSON parser.
+  */
+class VerifyJsonSpec extends AnyFunSuite {
+
+  private def parseJson(s: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+
+  test("jsonQuote escapes quotes, backslashes and control chars") {
+    val nasty = "a\"b\\c\nd\re\tfg"
+    val parsed = parseJson(s"{${Verify.jsonQuote("k")}: ${Verify.jsonQuote(nasty)}}")
+    assert(parsed.get("k").asText() == nasty)
+  }
+
+  test("the actual oracle map round-trips through strict JSON") {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+    val parsed = parseJson(json)
+    assert(parsed.size() == SparkEntry.oracleSql.size)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      assert(parsed.get(k).asText() == v, s"round-trip mismatch for $k")
+    }
+  }
+}
