@@ -26,20 +26,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Compact times (ms resolution) keep the JSON line short enough to
-    // survive stdout-tail capture; the full line is also written to a
-    // well-known file so a truncated capture can never lose the round's
-    // bench signal again (round-1 BENCH had parsed:null from truncation).
-    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = renderJson(results, sfDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
     spark.stop()
     // printed AFTER spark.stop() so no executor/shutdown log line can
     // interleave: the JSON is the final stdout line of the run
     println(line)
+  }
+
+  /** The driver-parsed result line. Compact times (ms resolution) keep it
+    * short enough to survive stdout-tail capture; it is ALSO written to
+    * target/bench.json so truncation can never lose the round's bench
+    * signal (round-1 BENCH had parsed:null from exactly that). Public so
+    * BenchJsonSpec can round-trip it through a strict parser.
+    */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+    def f(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -18,6 +18,17 @@ class VerifyJsonSpec extends AnyFunSuite {
     assert(parsed.get("k").asText() == nasty)
   }
 
+  test("Bench result line parses strictly with every declared query present") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.1234567)
+    val parsed = parseJson(Bench.renderJson(results, "/root/testdata/sf0.1"))
+    assert(parsed.get("metric").asText() == "total")
+    assert(parsed.get("unit").asText() == "sec")
+    assert(parsed.get("queries").size() == SparkEntry.queries.size)
+    assert(math.abs(parsed.get("queries").get("q_topk").asDouble() - 0.123) < 1e-9)
+    assert(math.abs(parsed.get("value").asDouble() -
+      0.1234567 * SparkEntry.queries.size) < 0.001 * SparkEntry.queries.size)
+  }
+
   test("the actual oracle map round-trips through strict JSON") {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
