@@ -80,6 +80,39 @@ class GraphFunnelPropertySpec extends SparkSpec {
     })
   }
 
+  /** Reference decontamination: brute-force shingle-set intersection. */
+  private def bruteDecon(corpus: Seq[(Long, String)], bench: Seq[(Long, String)],
+                         n: Int, minShared: Int): Set[(Long, Long, Long)] = {
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < n) Set.empty
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    (for {
+      (cid, ct) <- corpus
+      (bid, bt) <- bench
+      shared = (sh(ct) & sh(bt)).size
+      if shared >= minShared
+    } yield (cid, bid, shared.toLong)).toSet
+  }
+
+  test("decontaminate equals brute-force shingle intersection on random docs") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(3, 8).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val gen = for {
+      corpus <- Gen.listOfN(4, doc)
+      bench <- Gen.listOfN(2, doc)
+    } yield (corpus, bench)
+    check(Prop.forAll(gen) { case (corpus, bench) =>
+      val cdf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val bdf = bench.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val got = DedupOps.decontaminate(
+        cdf.toDF("doc_id", "text"), bdf.toDF("doc_id", "text"), 2, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == bruteDecon(cdf, bdf, 2, 2)
+    })
+  }
+
   test("stratifiedSample membership is exactly bucket < rate") {
     val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
     val rates = Map("a" -> 300000, "b" -> 700000)
