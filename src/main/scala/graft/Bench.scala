@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Queries whose timings ride on the printed result line. The driver
+    * captures only the TAIL of stdout (~2 KB observed: both round-1 and
+    * round-2 BENCH artifacts came back `parsed: null` because the full
+    * 89-query line was ~2.3 KB and lost its opening brace to truncation,
+    * with sbt's `[success] Total time …` trailer eating further bytes).
+    * So the printed line carries a fixed representative subset — one per
+    * operator family — and stays well under 1.5 KB no matter how many
+    * queries the full suite grows to. The complete per-query map is
+    * always written to target/bench.json.
+    */
+  val headline: Seq[String] = Seq(
+    "q_scan_limit", "q_filter_conj", "q_topk",
+    "q_agg_multi", "q_agg_count2key", "q_grouping_sets", "q_median",
+    "q_join_inner", "q_join_3way", "q_join_asof", "q_join_range",
+    "q_window_rank", "q_window_running", "q_window_session",
+    "q_pivot", "q_string_agg", "q_explode_words",
+    "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard",
+    "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
+    "q_simsearch_fast", "q_simsearch_ivf",
+    "q_tfidf_topterms", "q_lang_id", "q_repetition",
+    "q_window_tumbling", "q_upsert")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,27 +50,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val line = renderJson(results, sfDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
+      renderJson(results, sfDir, results.map(_._1)) + "\n")
     spark.stop()
     // printed AFTER spark.stop() so no executor/shutdown log line can
     // interleave: the JSON is the final stdout line of the run
-    println(line)
+    println(renderJson(results, sfDir, headline))
   }
 
-  /** The driver-parsed result line. Compact times (ms resolution) keep it
-    * short enough to survive stdout-tail capture; it is ALSO written to
-    * target/bench.json so truncation can never lose the round's bench
-    * signal (round-1 BENCH had parsed:null from exactly that). Public so
-    * BenchJsonSpec can round-trip it through a strict parser.
+  /** The driver-parsed result line. `value` totals ALL measured queries;
+    * the `queries` map carries only `keep` (the headline subset on
+    * stdout, everything in target/bench.json) so the printed line
+    * survives stdout-tail capture. Public so BenchJsonSpec can
+    * round-trip it through a strict parser and bound its length.
     */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+                 keep: Seq[String]): String = {
     def f(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val keepSet = keep.toSet
+    val qs = results.filter(r => keepSet(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -39,6 +39,16 @@ object Queries {
     * outputs hash-match. Oracle SQL mirrors with a final CAST(.. AS
     * DOUBLE). No declared query may output DECIMAL/ARRAY/MAP/STRUCT —
     * enforced by QueriesContractSpec.
+    *
+    * BOUND: the "identical nearest double" argument needs the UNSCALED
+    * integer to fit in 2^53 — above that, DuckDB's int128→double-then-
+    * divide (two roundings) can differ from BigDecimal.doubleValue
+    * (correctly rounded) by 1 ulp. Scale-2 sums stay safe to ~9e12 in
+    * magnitude (well past sf100 for these tables); scale-4/6 products
+    * (e.g. sum_charge-shaped columns) approach the bound much sooner, so
+    * those are emitted as scaled BIGINT (`_s3`/`_s7` columns), never
+    * through outD. When adding a query: any sum whose unscaled value
+    * could exceed 2^53 at the target SF must use a scaled-BIGINT output.
     */
   private def outD(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
 

@@ -234,8 +234,15 @@ object MoviesEtl {
                                     ratingsPath: String): ResilientRun = {
     val completed = Seq.newBuilder[String]
     val failed = Seq.newBuilder[(String, String)]
-    def stage[A](name: String)(thunk: => A): Option[A] =
-      scala.util.Try(thunk) match {
+    // DataFrames are lazy: without a probe, a stage would "complete" at
+    // analysis time and its runtime data error would surface LATER,
+    // outside any Try, making the audit trail lie. limit(1).count()
+    // forces resolution + execution of at least one row inside the Try
+    // (cheap: one file split). A fault in rows the probe never touches
+    // can still surface at final action time — full-materialization
+    // semantics would mean running every stage to completion here.
+    def stage(name: String)(thunk: => DataFrame): Option[DataFrame] =
+      scala.util.Try { val df = thunk; df.limit(1).count(); df } match {
         case scala.util.Success(a) => completed += name; Some(a)
         case scala.util.Failure(e) =>
           failed += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"

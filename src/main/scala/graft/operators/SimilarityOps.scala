@@ -206,12 +206,19 @@ object SimilarityOps {
     * dir is rewritten mid-session.
     */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int), IvfIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Int), IvfIndex]()
 
   def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
                      iterations: Int, trainSampleMod: Int = 1): IvfIndex = {
     val planKey = embeddings.queryExecution.analyzed.semanticHash()
-    ivfCache.computeIfAbsent((cacheKey, planKey, k, iterations, trainSampleMod),
+    // sessionUUID in the key: the memo is JVM-wide, and a cached index
+    // holds DataFrames bound to a session — after spark.stop() an
+    // identical (dir, plan, k) key from a NEW session must rebuild, not
+    // return a dead index (multi-session JVMs, e.g. sequential suites)
+    val sessionKey =
+      System.identityHashCode(embeddings.sparkSession).toHexString
+    ivfCache.computeIfAbsent(
+      (cacheKey, sessionKey, planKey, k, iterations, trainSampleMod),
       _ => ivfIndex(embeddings, k, iterations, trainSampleMod))
   }
 

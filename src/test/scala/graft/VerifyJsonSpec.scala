@@ -20,13 +20,32 @@ class VerifyJsonSpec extends AnyFunSuite {
 
   test("Bench result line parses strictly with every declared query present") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.1234567)
-    val parsed = parseJson(Bench.renderJson(results, "/root/testdata/sf0.1"))
+    val full = Bench.renderJson(results, "/root/testdata/sf0.1", results.map(_._1))
+    val parsed = parseJson(full)
     assert(parsed.get("metric").asText() == "total")
     assert(parsed.get("unit").asText() == "sec")
+    assert(parsed.get("n").asInt() == SparkEntry.queries.size)
     assert(parsed.get("queries").size() == SparkEntry.queries.size)
     assert(math.abs(parsed.get("queries").get("q_topk").asDouble() - 0.123) < 1e-9)
     assert(math.abs(parsed.get("value").asDouble() -
       0.1234567 * SparkEntry.queries.size) < 0.001 * SparkEntry.queries.size)
+  }
+
+  test("printed headline line stays under the driver tail-capture budget") {
+    // Rounds 1 and 2 both lost their bench signal: the full per-query
+    // line (~2.3 KB) overflowed the ~2 KB stdout-tail capture window,
+    // truncating the opening brace. The PRINTED line uses the headline
+    // subset and must stay far below that window even after sbt's
+    // "[success] Total time …" trailer (~80 bytes) is appended.
+    Bench.headline.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"headline query $q not declared")
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.4567891)
+    val line = Bench.renderJson(results, "/root/testdata/sf0.1", Bench.headline)
+    assert(line.length < 1500, s"printed bench line too long: ${line.length}")
+    val parsed = parseJson(line)
+    assert(parsed.get("queries").size() == Bench.headline.size)
+    assert(parsed.get("n").asInt() == SparkEntry.queries.size)
   }
 
   test("the actual oracle map round-trips through strict JSON") {
