@@ -106,7 +106,15 @@ object DedupOps {
     * generation is a single groupBy on band hash (the LSH bucket join),
     * never a cross join. Returns distinct candidate pairs.
     */
-  def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
+    minHashCandidatesUnsorted(documents, numHashes, rowsPerBand)
+      .orderBy("a_id", "b_id")
+
+  /** [[minHashCandidates]] without the declared-contract total-order sort
+    * (the verify join downstream re-shuffles on doc id anyway).
+    */
+  def minHashCandidatesUnsorted(documents: DataFrame, numHashes: Int,
+                                rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(documents, numHashes)
     val numBands = numHashes / rowsPerBand
     // all band hashes from ONE projection + posexplode — a per-band
@@ -125,7 +133,6 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-      .orderBy("a_id", "b_id")
   }
 
   /** L2 — the composition you actually run at 100 TB: MinHash+LSH
@@ -138,8 +145,18 @@ object DedupOps {
     * linear. Same integer-exact output contract as [[jaccardPairs]].
     */
   def lshVerifiedJaccardPairs(documents: DataFrame, numHashes: Int,
-                              rowsPerBand: Int, minJaccardPct: Int): DataFrame = {
-    val cands = minHashCandidates(documents, numHashes, rowsPerBand)
+                              rowsPerBand: Int, minJaccardPct: Int): DataFrame =
+    lshVerifiedJaccardPairsUnsorted(documents, numHashes, rowsPerBand,
+      minJaccardPct).orderBy("a_id", "b_id")
+
+  /** [[lshVerifiedJaccardPairs]] without the final total-order sort — the
+    * declared-query contract needs the sort, but internal consumers
+    * (connected components) immediately re-shuffle on node id, so feeding
+    * them the sorted frame would pay one extra full-exchange for nothing.
+    */
+  def lshVerifiedJaccardPairsUnsorted(documents: DataFrame, numHashes: Int,
+                                      rowsPerBand: Int, minJaccardPct: Int): DataFrame = {
+    val cands = minHashCandidatesUnsorted(documents, numHashes, rowsPerBand)
     val sets = documents.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("ws"))
     cands
@@ -151,7 +168,6 @@ object DedupOps {
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
       .select(col("a_id"), col("b_id"), col("common"), col("union_size"),
         expr("common * 1000000L div union_size").as("jaccard_ppm"))
-      .orderBy("a_id", "b_id")
   }
 
   /** L2 — SimHash: 64-bit signature where bit j is the sign of the sum
@@ -278,7 +294,7 @@ object DedupOps {
     */
   def nearDupKeepers(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
                      minJaccardPct: Int): DataFrame = {
-    val pairs = lshVerifiedJaccardPairs(documents, numHashes, rowsPerBand,
+    val pairs = lshVerifiedJaccardPairsUnsorted(documents, numHashes, rowsPerBand,
       minJaccardPct).select("a_id", "b_id")
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"),
