@@ -1328,9 +1328,27 @@ object Queries {
         WHERE cm.common * 100 >= (sa.set_size + sb.set_size - cm.common) * 4
         ORDER BY cm.a_id, cm.b_id""")),
 
+    // the production brute-force plan (broadcast queries + one-pass
+    // zip_with fold, no explode) in its fixed-point form — same scores
+    // as q_simsearch_topk, so the two formulations cross-check through
+    // one oracle while this one carries the 100 TB plan shape
     Declared("q_simsearch_fast",
-      (s, d) => SimilarityOps.topKDotFast(embeddings(s, d), (0L until 8L), 5),
-      None),
+      (s, d) => SimilarityOps.topKDotFastExact(embeddings(s, d), (0L until 8L), 5),
+      Some("""WITH q AS (SELECT vec_id AS q_id, unnest(embedding) AS qv,
+                     unnest(range(64)) AS pos
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS n_id, unnest(embedding) AS cv, unnest(range(64)) AS pos
+              FROM embeddings),
+        s AS (SELECT q.q_id, c.n_id,
+                SUM(CAST(round(CAST(q.qv AS DOUBLE) * 10000000) AS BIGINT)
+                    * CAST(round(CAST(c.cv AS DOUBLE) * 10000000) AS BIGINT)) AS score_s14
+              FROM q JOIN c ON q.pos = c.pos GROUP BY q.q_id, c.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, CAST(score_s14 AS BIGINT) AS score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
 
     Declared("q_simsearch_lsh",
       (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5),
@@ -1377,6 +1395,9 @@ object Queries {
         .orderBy("l_returnflag"),
       None),
 
+    // oracle emulates the custom Catalyst expression byte-for-byte: the
+    // corpus is pure ASCII (verified), so ord(char) == utf-8 byte and a
+    // list_reduce over per-char codes replays h = (h*31 + b) mod 1e9+7
     Declared("q_fingerprint_rolling",
       (s, d) => {
         graft.plans.GraftFunctions.register(s)
@@ -1384,8 +1405,16 @@ object Queries {
           .select(col("doc_id"), call_function("rolling_hash", col("text")).as("rh"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT,
+              [ord(text[i])::BIGINT for i in range(1, len(text) + 1)]),
+            (h, c) -> (h * 31 + c) % 1000000007) AS rh
+        FROM documents ORDER BY doc_id""")),
 
+    // oracle replays the ascending-language fold: branch k of the CASE
+    // fires iff lang k's score >= every LATER language (strict > required
+    // to displace an earlier one), which selects the lexicographically
+    // first language attaining the max — exactly the Spark fold
     Declared("q_lang_id",
       (s, d) => TextOps.languageId(documents(s, d), Map(
         "de" -> Seq("hash", "merge", "batch"),
@@ -1393,7 +1422,80 @@ object Queries {
         "es" -> Seq("row", "column", "table"),
         "fr" -> Seq("key", "value", "index"),
         "zh" -> Seq("stream", "vector", "data"))),
-      None)
+      Some("""WITH s AS (SELECT doc_id, lang AS lang_actual,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('hash','merge','batch'))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('scan','join','filter'))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('row','column','table'))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('key','value','index'))) AS BIGINT) AS s_fr,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('stream','vector','data'))) AS BIGINT) AS s_zh
+        FROM documents)
+        SELECT doc_id, lang_actual,
+          CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS lang_guess,
+          greatest(s_de, s_en, s_es, s_fr, s_zh) AS marker_hits
+        FROM s ORDER BY doc_id""")),
+
+    // ============ 2.K L4 extensions (round 3): chunking, edit =========
+    // ============ distance, distribution bucketing ====================
+
+    // LLM training-sequence chunking: 40-token windows, stride 30 (10-
+    // token overlap); single map pass, no shuffle before the output sort
+    Declared("q_chunk_windows",
+      (s, d) => TextOps.chunkWindows(documents(s, d), 40, 30),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id, CAST(i // 30 AS BIGINT) AS chunk_idx,
+                array_to_string(w[i+1:i+40], ' ') AS chunk
+              FROM (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS i FROM d))
+        SELECT doc_id, chunk_idx,
+               CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+               md5(chunk) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // character-level edit distance on a bounded pair set (prefix-capped:
+    // levenshtein is O(len²) per pair — at scale this runs behind a
+    // candidate generator like LSH, never all-pairs)
+    Declared("q_levenshtein",
+      (s, d) => {
+        val sample = documents(s, d)
+          .filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id"), substring(col("text"), 1, 300).as("t"))
+        sample.select(col("doc_id").as("a_id"), col("t").as("ta"))
+          .join(sample.select(col("doc_id").as("b_id"), col("t").as("tb")),
+            col("b_id") === col("a_id") + 100)
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("ta"), col("tb")).cast(LongType).as("lev"))
+          .orderBy("a_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, substr(text, 1, 300) AS t
+              FROM documents WHERE doc_id % 100 = 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 100
+        ORDER BY a_id""")),
+
+    // distribution bucketing: ntile PARTITIONED by priority (a global
+    // un-partitioned ntile would funnel every row through one task — the
+    // partitioned form is the scale-safe shape, and the SQL-standard
+    // floor-division distribution matches across engines)
+    Declared("q_ntile",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey")))
+            .cast(LongType).as("quartile"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority,
+          CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        FROM orders ORDER BY o_orderkey"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -136,6 +136,32 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** The production brute-force plan made oracle-exact: same shape as
+    * [[topKDotFast]] (broadcast query side, single-pass `zip_with` dot —
+    * no explode, corpus streams map-side, shuffle bounded by queries×k)
+    * but the dot product folds FIXED-POINT int64 products, so the score
+    * is order-free and bit-identical across engines. This is both the
+    * 100 TB plan AND an oracle-checkable one — the position-exploded
+    * [[topKDotExact]] stays as the independent cross-check formulation.
+    */
+  def topKDotFastExact(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val toInts = transform(col("embedding"), v => fixedPoint(v))
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), toInts.as("qi"))
+    val scores = embeddings
+      .select(col("vec_id").as("n_id"), toInts.as("ci"))
+      .crossJoin(broadcast(queries))
+      .withColumn("score_s14",
+        aggregate(zip_with(col("qi"), col("ci"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    scores.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer over the
     * corpus; queries probe only the `nProbe` nearest centroid cells.
     *

@@ -161,6 +161,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L4 — fixed-size token-window chunking with overlap: the standard
+    * "split long documents into training sequences" step of an LLM data
+    * pipeline. Chunk i covers tokens [i·stride, i·stride + window); the
+    * final chunk may be short; every token position is covered. Pure
+    * projection + posexplode — no shuffle before the output sort, so the
+    * plan is a single map pass at any corpus size. Output rows carry the
+    * chunk's md5 (not the text) so the declared result stays scalar and
+    * compact.
+    */
+  def chunkWindows(documents: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need stride > 0 and window >= stride (full coverage)")
+    val ws = words(col("text"))
+    val chunks = transform(
+      // start offsets 0, stride, 2·stride, … while start < n_tokens
+      sequence(lit(0L), floor((size(ws) - 1) / lit(stride)).cast("long"), lit(1L)),
+      i => concat_ws(" ", slice(ws, (i * stride + 1).cast("int"), lit(window))))
+    documents
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(words(col("chunk"))).cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** L4 — n-gram language-ID heuristic: score each candidate language by
     * how many of its marker words appear in the text; pick the best
     * (ties broken lexicographically). Marker lists are tiny and inlined

@@ -85,6 +85,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L))
   }
 
+  test("topKDotFastExact reproduces topKDotExact rows exactly") {
+    val exact = SimilarityOps.topKDotExact(vecs, Seq(0L, 1L), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fast = SimilarityOps.topKDotFastExact(vecs, Seq(0L, 1L), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(fast == exact)
+  }
+
   test("dot and l2Norm") {
     val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
     val r = df.select(

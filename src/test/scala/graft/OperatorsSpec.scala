@@ -146,6 +146,29 @@ class OperatorsSpec extends SparkSpec {
     assert(c1("val") > 50 && c1("test") > 50)
   }
 
+  test("chunkWindows covers every token, overlaps by window-stride, final chunk short") {
+    // 7 tokens, window 3, stride 2 → starts 0,2,4,6 → sizes 3,3,3,1
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.chunkWindows(docs, 3, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 1L)))
+  }
+
+  test("chunkWindows exact-multiple length emits no empty trailing chunk") {
+    // 4 tokens, window 2, stride 2 → starts 0,2 only (never start 4)
+    val docs = Seq((1L, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.chunkWindows(docs, 2, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("chunkWindows single short doc yields one whole-doc chunk") {
+    val docs = Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.chunkWindows(docs, 40, 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L)))
+  }
+
   test("wordCounts and termFrequencies") {
     val docs = Seq((1L, "a b a", "en"), (2L, "b c", "en")).toDF("doc_id", "text", "lang")
     val wc = TextOps.wordCounts(docs).collect()
