@@ -1495,7 +1495,82 @@ object Queries {
       Some("""SELECT o_orderkey, o_orderpriority,
           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
-        FROM orders ORDER BY o_orderkey"""))
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ========= 2.x SQL front door (round 3): the full surface is =======
+    // ========= drivable as ANSI SQL over the registered views ==========
+
+    // TPC-H Q3 shape through spark.sql — 3-way join + filter + agg +
+    // top-k as raw SQL; Catalyst broadcasts the filtered customer dim
+    // and the agg carries fixed-point BIGINT revenue (price cents ×
+    // (1e6 - discount ppm) → scale 1e8; the round(x·scale) grid is the
+    // engine-portable money convention used throughout)
+    Declared("q_sql_q3",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+            o_orderpriority,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS revenue_s8
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+          ORDER BY revenue_s8 DESC, l_orderkey
+          LIMIT 10""")
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+            o_orderpriority,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS BIGINT) AS revenue_s8
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue_s8 DESC, l_orderkey
+        LIMIT 10""")),
+
+    // correlated EXISTS subquery through spark.sql — Catalyst rewrites
+    // it to a left-semi hash join (the decorrelation path, distinct from
+    // the explicit leftsemi declaration in q_join_semi)
+    Declared("q_sql_exists",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 300000)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")),
+
+    // explicit skew-salted join: row-identical to the plain equi-join
+    // (which is exactly what the oracle runs) — only the physical
+    // distribution differs, so the oracle equality PROVES the rewrite
+    Declared("q_skew_join_salted",
+      (s, d) => Relational.saltedEquiJoin(
+          lineitem(s, d), part(s, d), "l_partkey", "p_partkey",
+          saltCols = Seq("l_orderkey", "l_linenumber"), saltBuckets = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_s2"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_s2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

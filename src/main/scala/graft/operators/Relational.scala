@@ -139,6 +139,31 @@ object Relational {
       .agg(sum(col("__cnt")).as("cnt"), decSum(col("__sum")).as("sum_value"))
       .orderBy(key)
 
+  /** Skew-mitigated equi-join: replicate the (small) build side once per
+    * salt bucket and scatter each probe row to a deterministic bucket, so
+    * one hot join key fans out over `saltBuckets` parallel reducers
+    * instead of one giant one. The salt derives from `saltCols` (row-
+    * identifying columns, NOT the join key — all rows of a hot key must
+    * spread, and not via rand(), which breaks retry reproducibility).
+    * Result set is row-identical to the plain equi-join; only the
+    * physical distribution changes. AQE's skew-join split is the
+    * runtime-automatic alternative; this is the explicit form for when
+    * the skew is known ahead of time (e.g. a head-heavy key histogram at
+    * 100 TB) or AQE is off.
+    */
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                     buildKey: String, saltCols: Seq[String],
+                     saltBuckets: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    salted.join(replicated,
+        salted(probeKey) === replicated(buildKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** E1 — top-N rows per group with a total-order tie-break. */
   def topNPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
                    n: Int, rankName: String = "rn"): DataFrame = {
