@@ -1570,7 +1570,57 @@ object Queries {
       Some("""SELECT p_brand, COUNT(*)::BIGINT AS cnt,
           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_s2
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // fixed-width histogram: bucket = min(floor(x / width), nb-1) — one
+    // IEEE double division + floor, identical in both engines; a single
+    // map-side-combined groupBy (the profile pass you run before picking
+    // salting/partitioning strategies at scale)
+    Declared("q_histogram",
+      (s, d) => orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000), lit(11))
+          .cast(LongType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some("""SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+          COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // exact second-moment statistics: covar_pop/corr on raw doubles is
+    // summation-order-dependent (never hash-reproducible); instead the
+    // moments accumulate as fixed-point int64 sums (exact, order-free)
+    // and the covariance derives from them through a FIXED double
+    // expression tree — int64→double conversion and each IEEE op are
+    // correctly rounded, so both engines produce the identical double.
+    // Internal sums stay under int64 through ~sf1; beyond that the
+    // accumulators move to DECIMAL(38,0) (documented bound, not silent).
+    Declared("q_stats_exact",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx_s2"), sum("y").as("sy_s2"),
+          sum(expr("x * y")).as("sxy_s4"))
+        .withColumn("cov_pop_s4",
+          col("sxy_s4").cast(DoubleType) / col("n") -
+            (col("sx_s2").cast(DoubleType) / col("n")) *
+              (col("sy_s2").cast(DoubleType) / col("n")))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, n, sx_s2, sy_s2, sxy_s4,
+          CAST(sxy_s4 AS DOUBLE) / n
+            - (CAST(sx_s2 AS DOUBLE) / n) * (CAST(sy_s2 AS DOUBLE) / n)
+            AS cov_pop_s4
+        FROM (SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+                CAST(SUM(x) AS BIGINT) AS sx_s2, CAST(SUM(y) AS BIGINT) AS sy_s2,
+                CAST(SUM(x * y) AS BIGINT) AS sxy_s4
+              FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                    FROM lineitem)
+              GROUP BY l_returnflag)
+        ORDER BY l_returnflag"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

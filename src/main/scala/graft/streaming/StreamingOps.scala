@@ -132,6 +132,59 @@ object StreamingOps {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Custom sessionization via `flatMapGroupsWithState` — the full-power
+    * state API (multi-row emission + event-time timeout), for semantics
+    * `session_window` can't express (e.g. emitting a CLOSED session
+    * exactly once, with its event count and duration, only after the
+    * watermark passes its gap horizon).
+    *
+    * Per user: events within `gapMinutes` of the running session extend
+    * it; a later event closes it and emits the closed session; a
+    * watermark timeout closes and emits the last session. State is one
+    * small record per live key, partitioned by user across executors and
+    * evicted on timeout — bounded regardless of stream length.
+    */
+  def sessionizeWithState(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val typed = events
+      .withWatermark("ts_ts", s"$gapMinutes minutes")
+      .selectExpr("user_id", "ts_ts").as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed start-of-gap: the session can never grow —
+            // emit exactly once and drop the state
+            val acc = state.get
+            state.remove()
+            Iterator((userId, new java.sql.Timestamp(acc.startMs),
+              new java.sql.Timestamp(acc.endMs), acc.n))
+          } else {
+            // micro-batch rows arrive unordered — sort before folding
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+            ts.foreach { t =>
+              if (acc == null) acc = SessionAcc(t, t, 1L)
+              else if (t - acc.endMs <= gapMs) acc = SessionAcc(acc.startMs, t, acc.n + 1)
+              else {
+                closed += ((userId, new java.sql.Timestamp(acc.startMs),
+                  new java.sql.Timestamp(acc.endMs), acc.n))
+                acc = SessionAcc(t, t, 1L)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.endMs + gapMs)
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
   /** Convenience: start a memory-sink query for tests/inspection. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
@@ -139,3 +192,6 @@ object StreamingOps {
 
 /** State record for [[StreamingOps.runningUserStats]]. */
 final case class UserStat(n: Long, sum: Double)
+
+/** Live-session state for [[StreamingOps.sessionizeWithState]]. */
+final case class SessionAcc(startMs: Long, endMs: Long, n: Long)

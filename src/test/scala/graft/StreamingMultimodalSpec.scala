@@ -91,6 +91,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by gap and emits once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionizeWithState(events, gapMinutes = 10),
+      "fmgws_test", "append")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L),   // extends session 1
+        (ts("2024-01-01 12:00:00"), "click", 1.0, 2L))   // other user
+      q.processAllAvailable()
+      // user 1's next event is >10 min after 10:05 → closes session 1
+      // in-stream (gap-break path); it also advances the watermark to
+      // 12:50, past user 2's 12:10 timeout → session 2 emits via timeout
+      input.addData((ts("2024-01-01 13:00:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_test")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L),
+        (2L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)))
+      // advancing the watermark far past every open session fires the
+      // event-time timeouts → the remaining sessions emit exactly once
+      input.addData((ts("2024-01-02 09:00:00"), "click", 1.0, 3L))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("fmgws_test")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterTimeout == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches right rows within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, String, Double, Long)]
