@@ -1296,6 +1296,50 @@ object Queries {
                (LEAST(src, MIN(dst)) = src) AS is_keeper
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // Fixed-point PageRank over the verified near-dup graph (3 unrolled
+    // iterations; integer ppm arithmetic end-to-end, so the oracle can
+    // replay the exact trajectory as chained CTEs — a double PageRank
+    // could never hash-match across engines). Same corpus-pinned pair
+    // set as q_neardup_clusters.
+    Declared("q_pagerank",
+      (s, d) => DedupOps.pageRankFixedPoint(
+        DedupOps.lshVerifiedJaccardPairsUnsorted(
+          documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+          numHashes = 24, rowsPerBand = 2, minJaccardPct = 80)
+          .select("a_id", "b_id"),
+        iterations = 3)
+        .select(col("id").as("doc_id"), col("rank_ppm")),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        r1 AS (SELECT d.src AS id, 150000 + 850000 * COALESCE(s.sc, 0) // 1000000 AS r
+               FROM deg d LEFT JOIN (
+                 SELECT e.dst, CAST(SUM(r.r // dg.outdeg) AS BIGINT) AS sc
+                 FROM e JOIN deg dg ON e.src = dg.src JOIN r0 r ON e.src = r.id
+                 GROUP BY e.dst) s ON d.src = s.dst),
+        r2 AS (SELECT d.src AS id, 150000 + 850000 * COALESCE(s.sc, 0) // 1000000 AS r
+               FROM deg d LEFT JOIN (
+                 SELECT e.dst, CAST(SUM(r.r // dg.outdeg) AS BIGINT) AS sc
+                 FROM e JOIN deg dg ON e.src = dg.src JOIN r1 r ON e.src = r.id
+                 GROUP BY e.dst) s ON d.src = s.dst),
+        r3 AS (SELECT d.src AS id, 150000 + 850000 * COALESCE(s.sc, 0) // 1000000 AS r
+               FROM deg d LEFT JOIN (
+                 SELECT e.dst, CAST(SUM(r.r // dg.outdeg) AS BIGINT) AS sc
+                 FROM e JOIN deg dg ON e.src = dg.src JOIN r2 r ON e.src = r.id
+                 GROUP BY e.dst) s ON d.src = s.dst)
+        SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm FROM r3
+        ORDER BY doc_id""")),
+
     Declared("q_simhash",
       (s, d) => DedupOps.simHash(documents(s, d)),
       None),

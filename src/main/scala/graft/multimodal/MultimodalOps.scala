@@ -113,4 +113,25 @@ object MultimodalOps {
     spark.createDataFrame(
       spark.sparkContext.parallelize(data), MediaSchema)
   }
+
+  /** The real at-scale ingest path: Spark's built-in `binaryFile`
+    * datasource reads a directory tree of media files as (path, length,
+    * content) rows — distributed, no driver materialization, partition
+    * sizing via `spark.sql.files.maxPartitionBytes` like any other scan.
+    * media_id is the xxhash64 of the file path (deterministic across
+    * runs and cluster sizes; carry `path` alongside for joining back to
+    * a manifest). The file extension becomes `meta.format`.
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String, mediaType: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("path"),
+        col("content").as("payload"),
+        struct(
+          lit(mediaType).as("media_type"),
+          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
 }

@@ -287,6 +287,46 @@ object DedupOps {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Fixed-point PageRank over an undirected pair graph (near-dup
+    * centrality: which document anchors its duplicate cluster). All
+    * arithmetic is integer ppm with truncating division, so every
+    * iteration is bit-reproducible in any engine / partitioning — a
+    * floating-point PageRank can never hash-match across engines.
+    *
+    * rank₀ = 1e6; rankₖ₊₁ = 150000 + 850000·(Σ_in floor(rankₖ/outdeg))/1e6
+    * (damping 0.85 in ppm). Fixed iteration count (the caller picks it —
+    * near-dup graphs are near-cliques, so ranks settle in a few rounds;
+    * this is a demonstration of the ITERATIVE JOIN shape: each round is
+    * one equi-join + one groupBy, both keyed on node id, no driver
+    * state beyond the loop counter). The undirected graph has no
+    * dangling nodes (every node has degree ≥ 1), so no dangling-mass
+    * term is needed.
+    */
+  def pageRankFixedPoint(pairs: DataFrame, iterations: Int): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .localCheckpoint()  // truncate lineage once; the loop reuses edges
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank_ppm")), "src")
+        .select(col("dst"), expr("rank_ppm div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      ranks = deg.select(col("src").as("id"))
+        .join(contrib.select(col("dst").as("id"), col("sc")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("850000L * coalesce(sc, 0L) div 1000000L"))
+            .as("rank_ppm"))
+    }
+    ranks.orderBy("id")
+  }
+
   /** The end-to-end near-dup DEDUP decision at 100 TB: LSH candidates →
     * exact verify → connected components → keep the minimum doc id per
     * cluster. Output: one row per document that appears in any verified

@@ -145,6 +145,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("pageRankFixedPoint reproduces the hand-computed trajectory on a path graph") {
+    // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2; after 2 ppm iterations
+    // r(1)=r(3)=936250, r(2)=1127500 (mass conserved: sums to 3e6)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = DedupOps.pageRankFixedPoint(pairs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 936250L), (2L, 1127500L), (3L, 936250L)))
+  }
+
   test("connectedComponents labels chains and keeps singleton pairs apart") {
     // components: {1,2,3,4} (a chain — needs propagation), {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

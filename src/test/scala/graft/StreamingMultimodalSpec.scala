@@ -208,6 +208,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(2).isNullAt(1) && feats(2).isNullAt(2))    // null passthrough
   }
 
+  test("multimodal: binaryFile datasource ingests a media directory end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath,
+        Array[Byte](1, 2, 3, 4))
+      java.nio.file.Files.write(new java.io.File(dir, "b.PNG").toPath,
+        Array[Byte](5, 6))
+      val media = MultimodalOps.fromBinaryFiles(spark, dir.getAbsolutePath, "image")
+      val rows = media.orderBy("path").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getStruct(3).getString(0) == "image"))
+      assert(rows.map(_.getStruct(3).getString(1)).toSeq == Seq("png", "png"))
+      // ids are deterministic path hashes and unique
+      assert(rows.map(_.getLong(0)).distinct.length == 2)
+      // the ingested frame feeds the standard feature pipeline unchanged
+      val feats = MultimodalOps.extractFeatures(media)
+        .orderBy("n_bytes").collect()
+      assert(feats.map(_.getLong(1)).toSeq == Seq(2L, 4L))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("multimodal: resize stub updates metadata and payload in lockstep") {
     val media = MultimodalOps.fromBytes(spark,
       Seq((1L, Array.fill[Byte](100)(7), "image", "png")))
