@@ -54,6 +54,46 @@ object Queries {
 
   import Tables._
 
+  /** Shared CTE chain replaying [[DedupOps.simHash]] with the portable
+    * 60-bit md5 hash in DuckDB: per-word hash decode, per-bit ±1 sums
+    * over the word multiset, sign-packed signature. Generated in code so
+    * the 60 bit positions stay literal (and provably in sync between the
+    * two oracles below).
+    */
+  private def simHashSigCtes(src: String): String = {
+    val bitSums = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (hw >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+    val pack = (0 until 60).map(j =>
+      s"CASE WHEN b_$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM $src),
+       h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hw FROM t),
+       b AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       sig AS (SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM b)"""
+  }
+
+  private def simHashOracle(src: String): String =
+    s"WITH ${simHashSigCtes(src)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** (maxHamming+1)-band banding + bit_count(xor) verify — the DuckDB
+    * replay of [[DedupOps.simHashPairs]] (portable hash, 60 bits).
+    */
+  private def simHashPairsOracle(src: String, maxHamming: Int): String = {
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    s"""WITH ${simHashSigCtes(src)},
+      bands AS (SELECT doc_id, simhash, t.b AS band_idx,
+                  (simhash >> (CAST(t.b AS INTEGER) * $width)) & $mask AS band_key
+                FROM sig CROSS JOIN range($bands) t(b)),
+      p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      FROM p WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY a_id, b_id"""
+  }
+
   val all: Seq[Declared] = Seq(
 
     // ================= 2.A / 2.F — scans, sorts, limits =================
@@ -1238,10 +1278,30 @@ object Queries {
     // ---- implemented, declared rows-only (no SQL-expressible oracle:
     // engine-specific hash seeds / approximate results / double scores) --
 
+    // MinHash+LSH banding in the engine-portable-hash form: the oracle
+    // recomputes the exact 12 signature minima per doc (seeded md5),
+    // bands them 4×3, and pairs docs sharing a band. Oracle-band
+    // equality compares the sig TUPLE where Spark compares its xxhash64
+    // — identical pair sets barring a 2⁻⁶⁴ band-hash collision
+    // (corpus-pinned, like the LSH recall margin documented in SURVEY).
     Declared("q_minhash_lsh",
       (s, d) => DedupOps.minHashCandidates(
-        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3),
-      None),
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3,
+        seedHash = DedupOps.md5SeedHash60),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        hx AS (SELECT doc_id, s.i AS seed,
+                 MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) AS mh
+               FROM w CROSS JOIN range(12) s(i)
+               GROUP BY doc_id, s.i),
+        bands AS (SELECT doc_id, seed // 3 AS band_idx,
+                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+                  FROM hx GROUP BY doc_id, seed // 3),
+        p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id FROM p ORDER BY a_id, b_id""")),
 
     // The scale-safe near-dup DECLARATION: LSH band candidates → dense
     // verify on candidates only. Oracle = the brute-force Jaccard on the
@@ -1340,17 +1400,24 @@ object Queries {
         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppm FROM r3
         ORDER BY doc_id""")),
 
+    // SimHash in its engine-portable form (md5-derived 60-bit word hash,
+    // DedupOps.md5Hash60) so the oracle can replay the EXACT signature:
+    // per-bit ±1 sums over the word multiset, sign-packed. The xxhash64
+    // production variant keeps the same pipeline with a faster hash.
     Declared("q_simhash",
-      (s, d) => DedupOps.simHash(documents(s, d)),
-      None),
+      (s, d) => DedupOps.simHash(documents(s, d), DedupOps.md5Hash60, 60),
+      Some(simHashOracle("documents"))),
 
-    // banded SimHash candidate→verify pairs (rows-only: signatures are
-    // xxhash64-seeded, no SQL oracle; recall property unit-tested)
+    // banded SimHash candidate→verify: 10 bands × 6 bits (pigeonhole-
+    // complete recall at hamming ≤ 9 — the corpus's near-dup pairs sit
+    // at distance 6-12 over 60 bits), verified with bit_count(xor) —
+    // fully oracle-replayable in the portable-hash form
     Declared("q_simhash_pairs",
       (s, d) => DedupOps.simHashPairs(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
-        maxHamming = 3),
-      None),
+        maxHamming = 9, hashFn = DedupOps.md5Hash60, numBits = 60),
+      Some(simHashPairsOracle(
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", maxHamming = 9))),
 
     Declared("q_ngram_jaccard",
       (s, d) => DedupOps.ngramJaccardPairs(

@@ -92,13 +92,23 @@ object DedupOps {
     * `transform` over a seed array — no shuffle at all for the signature
     * stage.
     */
-  def minHashSignatures(documents: DataFrame, numHashes: Int): DataFrame = {
+  def minHashSignatures(documents: DataFrame, numHashes: Int,
+                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                          (i, w) => xxhash64(lit(i), w)): DataFrame = {
     val ws = array_distinct(split(col("text"), " "))
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(ws, w => xxhash64(lit(i), w))).as(s"mh_$i")
+      array_min(transform(ws, w => seedHash(i, w))).as(s"mh_$i")
     }
     documents.select((col("doc_id") +: sigCols): _*)
   }
+
+  /** Engine-portable seeded word hash for MinHash (see [[md5Hash60]]):
+    * md5 over `"<seed>:<word>"`, top 15 hex chars as a long. Lets a SQL
+    * oracle replay the exact signatures (`('0x' || substr(md5(seed ||
+    * ':' || word), 1, 15))::BIGINT`).
+    */
+  def md5SeedHash60(i: Int, w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5Hash60(concat(lit(s"$i:"), w))
 
   /** L2 — MinHash + LSH banding: split the signature into bands of
     * `rowsPerBand`, hash each band, group docs by (band_idx, band_hash).
@@ -106,16 +116,20 @@ object DedupOps {
     * generation is a single groupBy on band hash (the LSH bucket join),
     * never a cross join. Returns distinct candidate pairs.
     */
-  def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
-    minHashCandidatesUnsorted(documents, numHashes, rowsPerBand)
+  def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                          (i, w) => xxhash64(lit(i), w)): DataFrame =
+    minHashCandidatesUnsorted(documents, numHashes, rowsPerBand, seedHash)
       .orderBy("a_id", "b_id")
 
   /** [[minHashCandidates]] without the declared-contract total-order sort
     * (the verify join downstream re-shuffles on doc id anyway).
     */
   def minHashCandidatesUnsorted(documents: DataFrame, numHashes: Int,
-                                rowsPerBand: Int): DataFrame = {
-    val sigs = minHashSignatures(documents, numHashes)
+                                rowsPerBand: Int,
+                                seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                                  (i, w) => xxhash64(lit(i), w)): DataFrame = {
+    val sigs = minHashSignatures(documents, numHashes, seedHash)
     val numBands = numHashes / rowsPerBand
     // all band hashes from ONE projection + posexplode — a per-band
     // select unioned numBands times would scan the signature frame
@@ -170,21 +184,37 @@ object DedupOps {
         expr("common * 1000000L div union_size").as("jaccard_ppm"))
   }
 
-  /** L2 — SimHash: 64-bit signature where bit j is the sign of the sum
-    * over words of ±1 according to bit j of xxhash64(word). Near-dups
-    * have small Hamming distance. Pure expression pipeline (explode +
-    * bit ops + groupBy).
+  /** Engine-portable 60-bit word hash: the top 15 hex chars of md5,
+    * decoded to a long. Slower than xxhash64 but reproducible in ANY
+    * engine with md5 (DuckDB: `('0x' || substr(md5(w), 1, 15))::BIGINT`),
+    * which makes hash-seeded sketches oracle-checkable. 2^60 < 2^63, so
+    * the decode never overflows a signed long.
     */
-  def simHash(documents: DataFrame): DataFrame = {
-    val bitCols = (0 until 64).map { j =>
+  def md5Hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** L2 — SimHash: signature where bit j is the sign of the sum over
+    * words of ±1 according to bit j of hash(word). Near-dups have small
+    * Hamming distance. Pure expression pipeline (explode + bit ops +
+    * groupBy).
+    *
+    * `hashFn`/`numBits` select the hash: xxhash64/64 is the fast
+    * production default; [[md5Hash60]]/60 is the engine-portable variant
+    * the declared queries use so a DuckDB oracle can replay the exact
+    * signature.
+    */
+  def simHash(documents: DataFrame,
+              hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+              numBits: Int = 64): DataFrame = {
+    val bitCols = (0 until numBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b_$j")
     }
     val perBit = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", hashFn(col("word")))
       .groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until numBits).map { j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     perBit.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
@@ -351,10 +381,13 @@ object DedupOps {
     * widen/add bands (smaller slices collide more): band width is the
     * recall/cost dial, not correctness — the verify step is exact.
     */
-  def simHashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simHash(documents)
+  def simHashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxhash64(_),
+                   numBits: Int = 64): DataFrame = {
+    val sigs = simHash(documents, hashFn, numBits)
     val numBands = maxHamming + 1
-    val width = 64 / numBands
+    require(numBits % numBands == 0, s"numBits=$numBits must divide into ${numBands} bands")
+    val width = numBits / numBands
     val mask = (1L << width) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until numBands).map(b =>
