@@ -72,8 +72,14 @@ object DedupOps {
     * bucket) and Spark picks BNLJ vs cartesian from actual sizes.
     */
   def jaccardPairsDense(documents: DataFrame, minJaccardPct: Int): DataFrame = {
+    // intersect HASHED words: xxhash64 per distinct word once map-side,
+    // then array_intersect compares/hashes fixed-width longs instead of
+    // strings — ~2× per-pair cost, and the per-row payload shrinks.
+    // |A∩B| over hashes equals |A∩B| over words unless two distinct
+    // words in one pair's union collide in 64 bits (≤ |A∪B|²/2⁶⁴ ≈
+    // 1e-14 per pair — corpus-pinned negligible, like the LSH margin).
     val sets = documents.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ws"))
+      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("ws"))
     val a = sets.select(col("doc_id").as("a_id"), col("ws").as("aws"))
     val b = sets.select(col("doc_id").as("b_id"), col("ws").as("bws"))
     a.join(b, col("a_id") < col("b_id"))
@@ -171,8 +177,9 @@ object DedupOps {
   def lshVerifiedJaccardPairsUnsorted(documents: DataFrame, numHashes: Int,
                                       rowsPerBand: Int, minJaccardPct: Int): DataFrame = {
     val cands = minHashCandidatesUnsorted(documents, numHashes, rowsPerBand)
+    // hashed-word intersect, same rationale/bound as [[jaccardPairsDense]]
     val sets = documents.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("ws"))
+      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("ws"))
     cands
       .join(sets.select(col("doc_id").as("a_id"), col("ws").as("aws")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("ws").as("bws")), "b_id")
@@ -422,7 +429,12 @@ object DedupOps {
       val ws = split(col("text"), " ")
       df.filter(size(ws) >= n)
         .select(col("doc_id").as(idAs),
-          explode(array_distinct(TextOps.wordNgrams(ws, n))).as("sh"))
+          // join on the shingle's xxhash64, not the n-word string: 8-byte
+          // keys shrink the broadcast and the probe-side hashing; a false
+          // share needs a cross-side 64-bit collision (~|corpus shingles|
+          // × |bench shingles| / 2⁶⁴ ≈ 1e-9 — corpus-pinned negligible)
+          explode(array_distinct(transform(TextOps.wordNgrams(ws, n),
+            sh => xxhash64(sh)))).as("sh"))
     }
     shingles(corpus, "doc_id")
       .join(broadcast(shingles(benchmark, "bench_id")), "sh")
