@@ -52,4 +52,37 @@ class PushdownSpec extends SparkSpec {
     assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
       pushed.contains("LessThan(l_shipdate"), s"pushed: $pushed")
   }
+
+  test("q_sql_q3 broadcasts the filtered customer dim and pushes the segment filter") {
+    val plan = executedPlan("q_sql_q3")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"expected segment filter pushed to the customer scan:\n$plan")
+  }
+
+  test("q_chunk_windows plans no exchange before the output sort") {
+    // chunking must be a pure map pass: posexplode over a projection;
+    // the ONLY exchange allowed is the final total-order sort's range
+    // partitioning
+    val plan = executedPlan("q_chunk_windows")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a map-only plan:\n${exchanges.mkString("\n")}")
+  }
+
+  test("saltedEquiJoin spreads a key over saltBuckets partitions of the shuffle") {
+    // the physical join key must include the salt: grep the plan for the
+    // composite condition (salt column on both sides)
+    val plan = Queries.queries("q_skew_join_salted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+  }
+
+  test("q_simsearch_fast streams the corpus map-side (broadcast query side, no explode)") {
+    val plan = executedPlan("q_simsearch_fast")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast query side:\n$plan")
+    assert(!plan.contains("Generate"), // posexplode would appear as Generate
+      s"fast path must not explode embedding positions:\n$plan")
+  }
 }
