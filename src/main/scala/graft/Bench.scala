@@ -23,7 +23,11 @@ object Bench {
     "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
     "q_tfidf_topterms", "q_lang_id", "q_repetition",
-    "q_window_tumbling", "q_upsert")
+    "q_window_tumbling", "q_upsert",
+    // round-3 families
+    "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
+    "q_chunk_windows", "q_stats_exact", "q_histogram", "q_ntile",
+    "q_levenshtein")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

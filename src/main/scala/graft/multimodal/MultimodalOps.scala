@@ -130,7 +130,10 @@ object MultimodalOps {
         col("content").as("payload"),
         struct(
           lit(mediaType).as("media_type"),
-          lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"),
+          // nullif: regexp_extract yields '' on no match, but absent
+          // metadata is NULL by convention (like width/height/duration)
+          nullif(lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)),
+            lit("")).as("format"),
           lit(null).cast(IntegerType).as("width"),
           lit(null).cast(IntegerType).as("height"),
           lit(null).cast(LongType).as("duration_ms")).as("meta"))

@@ -98,9 +98,17 @@ object DedupOps {
     * `transform` over a seed array — no shuffle at all for the signature
     * stage.
     */
+  /** Production default seed hash for MinHash: xxhash64 over (seed,
+    * word). ONE definition shared by every signature in this file — a
+    * drifted default in one overload would silently band on signatures
+    * computed with a different hash.
+    */
+  val XxSeedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    (i, w) => xxhash64(lit(i), w)
+
   def minHashSignatures(documents: DataFrame, numHashes: Int,
                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                          (i, w) => xxhash64(lit(i), w)): DataFrame = {
+                          XxSeedHash): DataFrame = {
     val ws = array_distinct(split(col("text"), " "))
     val sigCols = (0 until numHashes).map { i =>
       array_min(transform(ws, w => seedHash(i, w))).as(s"mh_$i")
@@ -124,7 +132,7 @@ object DedupOps {
     */
   def minHashCandidates(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                          (i, w) => xxhash64(lit(i), w)): DataFrame =
+                          XxSeedHash): DataFrame =
     minHashCandidatesUnsorted(documents, numHashes, rowsPerBand, seedHash)
       .orderBy("a_id", "b_id")
 
@@ -134,7 +142,7 @@ object DedupOps {
   def minHashCandidatesUnsorted(documents: DataFrame, numHashes: Int,
                                 rowsPerBand: Int,
                                 seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                                  (i, w) => xxhash64(lit(i), w)): DataFrame = {
+                                  XxSeedHash): DataFrame = {
     val sigs = minHashSignatures(documents, numHashes, seedHash)
     val numBands = numHashes / rowsPerBand
     // all band hashes from ONE projection + posexplode — a per-band

@@ -231,25 +231,33 @@ object SimilarityOps {
     * not watch the files under the plan — rebuild (clear) if the data
     * dir is rewritten mid-session.
     */
+  // Weak-keyed on the OWNING SESSION OBJECT: a cached index holds
+  // DataFrames bound to a session, so (a) a new session after
+  // spark.stop() can never receive a dead index (identity keying — no
+  // hash-collision hazard), and (b) stopped sessions are not pinned:
+  // once a session is unreachable its whole entry (and the IvfIndex
+  // DataFrames it references) becomes collectable, so sequential
+  // multi-session JVMs don't leak one index per session.
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int, Int), IvfIndex]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Int, Int, Int, Int), IvfIndex]]()
 
   def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
                      iterations: Int, trainSampleMod: Int = 1): IvfIndex = {
     val planKey = embeddings.queryExecution.analyzed.semanticHash()
-    // sessionUUID in the key: the memo is JVM-wide, and a cached index
-    // holds DataFrames bound to a session — after spark.stop() an
-    // identical (dir, plan, k) key from a NEW session must rebuild, not
-    // return a dead index (multi-session JVMs, e.g. sequential suites)
-    val sessionKey =
-      System.identityHashCode(embeddings.sparkSession).toHexString
-    ivfCache.computeIfAbsent(
-      (cacheKey, sessionKey, planKey, k, iterations, trainSampleMod),
-      _ => ivfIndex(embeddings, k, iterations, trainSampleMod))
+    ivfCache.synchronized {
+      var perSession = ivfCache.get(embeddings.sparkSession)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty
+        ivfCache.put(embeddings.sparkSession, perSession)
+      }
+      perSession.getOrElseUpdate((cacheKey, planKey, k, iterations, trainSampleMod),
+        ivfIndex(embeddings, k, iterations, trainSampleMod))
+    }
   }
 
-  def clearIvfCache(): Unit = {
-    ivfCache.values.forEach(_.release())
+  def clearIvfCache(): Unit = ivfCache.synchronized {
+    ivfCache.values.forEach(_.values.foreach(_.release()))
     ivfCache.clear()
   }
 

@@ -170,7 +170,13 @@ object StreamingOps {
             val closed = Seq.newBuilder[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
             ts.foreach { t =>
               if (acc == null) acc = SessionAcc(t, t, 1L)
-              else if (t - acc.endMs <= gapMs) acc = SessionAcc(acc.startMs, t, acc.n + 1)
+              else if (t - acc.endMs <= gapMs)
+                // min/max, not assignment: an allowed-late (within-
+                // watermark) event from an earlier batch may precede the
+                // session bounds — writing endMs = t would shrink the
+                // session (or emit start > end) and pull the timeout in
+                acc = SessionAcc(math.min(acc.startMs, t),
+                  math.max(acc.endMs, t), acc.n + 1)
               else {
                 closed += ((userId, new java.sql.Timestamp(acc.startMs),
                   new java.sql.Timestamp(acc.endMs), acc.n))

@@ -127,6 +127,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState session absorbs an allowed-late event without shrinking") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = input.toDF().toDF("ts_ts", "event_type", "value", "user_id")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.sessionizeWithState(events, gapMinutes = 10),
+      "fmgws_late_test", "append")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        (ts("2024-01-01 10:05:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      // watermark is 09:55 — a 10:02 event is late but allowed; it must
+      // JOIN the session without regressing its end bound (the bug was
+      // endMs := t, which shrank the session and pulled the timeout in)
+      input.addData((ts("2024-01-01 10:02:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      // close the session in-stream via gap break
+      input.addData((ts("2024-01-01 11:00:00"), "click", 1.0, 1L))
+      q.processAllAvailable()
+      val got = spark.table("fmgws_late_test")
+        .select("user_id", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches right rows within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, String, Double, Long)]
