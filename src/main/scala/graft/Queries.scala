@@ -1683,6 +1683,49 @@ object Queries {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand""")),
 
+    // SCD2 dimension versioning: each event opens a per-user validity
+    // interval, closed by the next event (NULL while current) — one lead
+    // window pass keyed on user
+    Declared("q_scd2",
+      (s, d) => EventOps.scd2Intervals(events(s, d), "user_id",
+        expr("ts div 1000"), "event_id"),
+      Some("""SELECT user_id, event_id, ts_us AS valid_from_us,
+          lead(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS valid_to_us
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        ORDER BY user_id, valid_from_us, event_id""")),
+
+    // gap-filled (day × type) grid with explicit zero rows — the grid is
+    // calendar × type-vocabulary bounded, never event-volume bounded
+    Declared("q_gap_fill",
+      (s, d) => EventOps.gapFillDaily(events(s, d),
+        expr("ts div 86400000000000")),
+      Some("""WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                COUNT(*)::BIGINT AS cnt
+              FROM events GROUP BY 1, 2),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM byday),
+        days AS (SELECT unnest(range(lo, hi + 1)) AS day FROM span),
+        types AS (SELECT DISTINCT event_type FROM byday)
+        SELECT d.day, t.event_type, COALESCE(b.cnt, 0) AS cnt
+        FROM days d CROSS JOIN types t
+        LEFT JOIN byday b ON b.day = d.day AND b.event_type = t.event_type
+        ORDER BY d.day, t.event_type""")),
+
+    // cumulative distinct users per day without a windowed
+    // count-distinct: first-seen collapse → calendar-bounded running sum
+    Declared("q_running_distinct",
+      (s, d) => EventOps.cumulativeDistinctUsers(events(s, d),
+        expr("ts div 86400000000000")),
+      Some("""SELECT first_day, new_users,
+          CAST(SUM(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_users
+        FROM (SELECT first_day, COUNT(*)::BIGINT AS new_users
+              FROM (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS first_day
+                    FROM events GROUP BY user_id)
+              GROUP BY first_day)
+        ORDER BY first_day""")),
+
     // fixed-width histogram: bucket = min(floor(x / width), nb-1) — one
     // IEEE double division + floor, identical in both engines; a single
     // map-side-combined groupBy (the profile pass you run before picking

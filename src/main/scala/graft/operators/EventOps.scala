@@ -110,6 +110,59 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** SCD2-style interval versioning: each event opens a validity
+    * interval per key that the NEXT event closes (`valid_to` = next
+    * `valid_from`, NULL while current) — the standard
+    * slowly-changing-dimension build, one `lead` window pass per key.
+    */
+  def scd2Intervals(events: DataFrame, key: String, tsCol: Column,
+                    tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("valid_from_us"), col(tieBreak))
+    events.select(col(key), col(tieBreak), tsCol.as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .orderBy(key, "valid_from_us", tieBreak)
+  }
+
+  /** Gap-filled daily series: (day × event_type) counts over the FULL
+    * min..max day span with explicit zero rows for silent days — the
+    * grid a forecasting/monitoring pipeline consumes. The grid is
+    * generated from one 2-row aggregate (span) crossed with the distinct
+    * type dim — both bounded by the calendar and the type vocabulary,
+    * never by event volume — then left-joined against the aggregated
+    * counts. `dayCol` must be an integer day (e.g. epoch days).
+    */
+  def gapFillDaily(events: DataFrame, dayCol: Column): DataFrame = {
+    val byDay = events.select(dayCol.as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    val span = byDay.agg(min("day").as("lo"), max("day").as("hi"))
+    val allDays = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = byDay.select("event_type").distinct()
+    allDays.crossJoin(types)
+      .join(byDay, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Cumulative distinct users by day WITHOUT a windowed count-distinct
+    * (which Spark windows don't support and which would hold per-window
+    * user sets at scale): each user collapses to their first-seen day
+    * (one groupBy), days aggregate new-user counts (second groupBy —
+    * calendar-bounded), and a running sum over the tiny day series
+    * yields the cumulative distinct total. The only unpartitioned
+    * window runs over day-count rows, never event rows.
+    */
+  def cumulativeDistinctUsers(events: DataFrame, dayCol: Column): DataFrame = {
+    val firstSeen = events.select(col("user_id"), dayCol.as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+    val perDay = firstSeen.groupBy("first_day").agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("first_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("first_day")
+  }
+
   /** I5 / L1 — deterministic keyed dedup: keep the first event per key by
     * (ts, event_id). Unlike `dropDuplicates` (which keeps an arbitrary
     * row), row_number with a total order is reproducible across runs and
