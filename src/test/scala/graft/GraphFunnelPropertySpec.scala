@@ -129,4 +129,58 @@ class GraphFunnelPropertySpec extends SparkSpec {
       case (_, s, bucket) => assert(bucket >= rates(s))
     }
   }
+
+  /** Reference fixed-point PageRank: same integer-ppm trajectory as
+    * [[DedupOps.pageRankFixedPoint]], computed naively on the driver.
+    */
+  private def brutePageRank(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var ranks = outdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => contrib(dst) += ranks(src) / outdeg(src) }
+      ranks = ranks.keys.map(k => k -> (150000L + 850000L * contrib(k) / 1000000L)).toMap
+    }
+    ranks
+  }
+
+  test("pageRankFixedPoint equals the driver-side reference on random graphs") {
+    val pairGen = for {
+      n <- Gen.choose(1, 10)
+      iters <- Gen.choose(1, 4)
+      pairs <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 12L)
+        b <- Gen.choose(0L, 12L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (pairs.distinct, iters)
+    check(Prop.forAll(pairGen) { case (pairs, iters) =>
+      val df = pairs.toDF("a_id", "b_id")
+      val got = DedupOps.pageRankFixedPoint(df, iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      got == brutePageRank(pairs, iters)
+    })
+  }
+
+  /** Reference chunker mirroring [[graft.operators.TextOps.chunkWindows]]. */
+  test("chunkWindows sizes/counts match the reference slicing on random docs") {
+    val gen = for {
+      nTok <- Gen.choose(1, 120)
+      window <- Gen.choose(1, 50)
+      stride <- Gen.choose(1, window)  // contract: stride <= window
+    } yield (nTok, window, stride)
+    check(Prop.forAll(gen) { case (nTok, window, stride) =>
+      val text = (0 until nTok).map(i => s"t$i").mkString(" ")
+      val got = graft.operators.TextOps
+        .chunkWindows(Seq((1L, text, "en")).toDF("doc_id", "text", "lang"), window, stride)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val expected = (0 until nTok by stride).zipWithIndex.map {
+        case (start, idx) => (idx.toLong, math.min(window, nTok - start).toLong)
+      }
+      // every token covered: chunk i spans [i*stride, i*stride + size)
+      val covered = got.flatMap { case (i, sz) =>
+        (i * stride) until (i * stride + sz) }.toSet
+      got == expected && covered == (0L until nTok.toLong).toSet
+    })
+  }
 }
