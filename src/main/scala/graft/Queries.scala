@@ -1305,15 +1305,15 @@ object Queries {
 
     // The scale-safe near-dup DECLARATION: LSH band candidates → dense
     // verify on candidates only. Oracle = the brute-force Jaccard on the
-    // same sample: with 12 bands of 2 rows the per-pair miss probability
-    // at j≥0.8 is (1-0.8²)¹² ≈ 5e-6, and the xxhash64 seeds are fixed,
+    // same sample: with 16 bands of 2 rows the per-pair miss probability
+    // at j≥0.8 is (1-0.8²)¹⁶ ≈ 8e-8, and the xxhash64 seeds are fixed,
     // so on the test corpora the verified candidate set equals the
     // brute-force answer exactly (checked at sf0.001/0.01/0.1) while the
     // plan contains no all-pairs join.
     Declared("q_neardup_lsh_verified",
       (s, d) => DedupOps.lshVerifiedJaccardPairs(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
-        numHashes = 24, rowsPerBand = 2, minJaccardPct = 80),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80),
       Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
         sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
@@ -1335,7 +1335,7 @@ object Queries {
     Declared("q_neardup_clusters",
       (s, d) => DedupOps.nearDupKeepers(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
-        numHashes = 24, rowsPerBand = 2, minJaccardPct = 80),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80),
       Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
         sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
@@ -1365,7 +1365,7 @@ object Queries {
       (s, d) => DedupOps.pageRankFixedPoint(
         DedupOps.lshVerifiedJaccardPairsUnsorted(
           documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
-          numHashes = 24, rowsPerBand = 2, minJaccardPct = 80)
+          numHashes = 32, rowsPerBand = 2, minJaccardPct = 80)
           .select("a_id", "b_id"),
         iterations = 3)
         .select(col("id").as("doc_id"), col("rank_ppm")),
