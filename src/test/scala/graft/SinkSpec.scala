@@ -84,6 +84,26 @@ class SinkSpec extends SparkSpec {
     assert(jsonBack.count() == n)
   }
 
+  test("text source/sink round-trips raw lines (the corpus-file ingest format)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("text_sink").toString
+    val n = docs.count()
+    // one-string-column contract: text sinks exactly one value column
+    docs.select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .text(s"$out/docs_txt")
+    val back = spark.read.text(s"$out/docs_txt")
+    assert(back.count() == n)
+    // lines re-split into the original columns losslessly (no tabs in text)
+    val restored = back.select(
+      split(col("value"), "\t").getItem(0).cast("long").as("doc_id"),
+      split(col("value"), "\t").getItem(1).as("text"))
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = restored.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == orig)
+  }
+
   test("PERMISSIVE CSV keeps malformed rows as nulls (pandas-like tolerance)") {
     val dir = java.nio.file.Files.createTempDirectory("csv_in").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"),
