@@ -1699,7 +1699,7 @@ object Queries {
     // calendar × type-vocabulary bounded, never event-volume bounded
     Declared("q_gap_fill",
       (s, d) => EventOps.gapFillDaily(events(s, d),
-        expr("ts div 86400000000000")),
+        expr(s"ts div ${Nanos.PerDay}")),
       Some("""WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
                 COUNT(*)::BIGINT AS cnt
               FROM events GROUP BY 1, 2),
@@ -1715,7 +1715,7 @@ object Queries {
     // count-distinct: first-seen collapse → calendar-bounded running sum
     Declared("q_running_distinct",
       (s, d) => EventOps.cumulativeDistinctUsers(events(s, d),
-        expr("ts div 86400000000000")),
+        expr(s"ts div ${Nanos.PerDay}")),
       Some("""SELECT first_day, new_users,
           CAST(SUM(new_users) OVER (ORDER BY first_day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

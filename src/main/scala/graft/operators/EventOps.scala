@@ -132,8 +132,13 @@ object EventOps {
     * counts. `dayCol` must be an integer day (e.g. epoch days).
     */
   def gapFillDaily(events: DataFrame, dayCol: Column): DataFrame = {
+    // localCheckpoint: three plan branches (span, type dim, left join)
+    // consume byDay — without it each branch re-scans and re-aggregates
+    // the raw events (different shuffle keys, so exchange reuse can't
+    // help). The checkpointed frame is calendar × type-vocabulary rows.
     val byDay = events.select(dayCol.as("day"), col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val span = byDay.agg(min("day").as("lo"), max("day").as("hi"))
     val allDays = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = byDay.select("event_type").distinct()

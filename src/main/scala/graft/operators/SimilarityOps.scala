@@ -231,33 +231,45 @@ object SimilarityOps {
     * not watch the files under the plan — rebuild (clear) if the data
     * dir is rewritten mid-session.
     */
-  // Weak-keyed on the OWNING SESSION OBJECT: a cached index holds
-  // DataFrames bound to a session, so (a) a new session after
-  // spark.stop() can never receive a dead index (identity keying — no
-  // hash-collision hazard), and (b) stopped sessions are not pinned:
-  // once a session is unreachable its whole entry (and the IvfIndex
-  // DataFrames it references) becomes collectable, so sequential
-  // multi-session JVMs don't leak one index per session.
-  private val ivfCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[(String, Int, Int, Int, Int), IvfIndex]]()
-
-  def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
-                     iterations: Int, trainSampleMod: Int = 1): IvfIndex = {
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
-    ivfCache.synchronized {
-      var perSession = ivfCache.get(embeddings.sparkSession)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty
-        ivfCache.put(embeddings.sparkSession, perSession)
-      }
-      perSession.getOrElseUpdate((cacheKey, planKey, k, iterations, trainSampleMod),
-        ivfIndex(embeddings, k, iterations, trainSampleMod))
+  /** Cache-key component comparing the owning session BY IDENTITY —
+    * immune to the 32-bit identityHashCode collision a string key would
+    * have (equals distinguishes colliding sessions), and usable in a
+    * plain ConcurrentHashMap. NB a weak-keyed map cannot work here: the
+    * cached IvfIndex's DataFrames strongly reference their session, so
+    * a WeakHashMap entry's value would pin its own key forever.
+    */
+  private final class SessionRef(val s: org.apache.spark.sql.SparkSession) {
+    override def hashCode(): Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case r: SessionRef => r.s eq s
+      case _ => false
     }
   }
 
-  def clearIvfCache(): Unit = ivfCache.synchronized {
-    ivfCache.values.forEach(_.values.foreach(_.release()))
+  // Strong identity-keyed memo + eager eviction: every lookup first
+  // sweeps entries whose session has been STOPPED (releasing their
+  // cached assignments), so sequential multi-session JVMs hold at most
+  // the live sessions' indexes plus the final stopped one until the
+  // next call. computeIfAbsent keeps trainings for DIFFERENT keys
+  // concurrent (per-bin locking), unlike a global synchronized block.
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SessionRef, String, Int, Int, Int, Int), IvfIndex]()
+
+  def ivfIndexCached(embeddings: DataFrame, cacheKey: String, k: Int,
+                     iterations: Int, trainSampleMod: Int = 1): IvfIndex = {
+    ivfCache.forEach { (key, idx) =>
+      if (key._1.s.sparkContext.isStopped && ivfCache.remove(key, idx))
+        scala.util.Try(idx.release())  // unpersist on a stopped context may throw
+    }
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    ivfCache.computeIfAbsent(
+      (new SessionRef(embeddings.sparkSession), cacheKey, planKey, k,
+        iterations, trainSampleMod),
+      _ => ivfIndex(embeddings, k, iterations, trainSampleMod))
+  }
+
+  def clearIvfCache(): Unit = {
+    ivfCache.values.forEach(_.release())
     ivfCache.clear()
   }
 
