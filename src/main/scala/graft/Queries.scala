@@ -1774,7 +1774,160 @@ object Queries {
                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
                     FROM lineitem)
               GROUP BY l_returnflag)
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ============ round-3b — SQL-surface aggregate breadth ==============
+
+    // min_by/max_by (argmin/argmax). The ordering key is o_orderkey —
+    // UNIQUE, so the selected row is deterministic (argmax over a
+    // non-unique key is engine-defined on ties and can't be oracle'd).
+    Declared("q_minmax_by",
+      (s, d) => orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("last_pri"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("first_pri"),
+          max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+          arg_max(o_orderpriority, o_orderkey) AS last_pri,
+          arg_min(o_orderpriority, o_orderkey) AS first_pri,
+          arg_max(o_custkey, o_orderkey) AS last_cust,
+          COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Bitwise aggregates — AND/OR/XOR folds are commutative+associative,
+    // so they partial-aggregate map-side like any sum (one shuffle of
+    // 3 longs per group at any scale).
+    Declared("q_bit_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_orderkey")).as("key_and"),
+          bit_or(col("l_orderkey")).as("key_or"),
+          bit_xor(col("l_orderkey")).as("key_xor"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+          CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+          CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+          COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Boolean aggregates (bool_and/bool_or/count_if). Booleans are cast
+    // to BIGINT at the output boundary — same rationale as outD: don't
+    // hand the comparator a type it hasn't proven round-trip-stable.
+    Declared("q_bool_agg",
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(bool_and(col("value") > 0).cast(LongType).as("all_pos"),
+          bool_or(col("value") > 100).cast(LongType).as("any_big"),
+          count_if(col("value") > 50).as("n_over50"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          CAST(bool_and(value > 0) AS BIGINT) AS all_pos,
+          CAST(bool_or(value > 100) AS BIGINT) AS any_big,
+          CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_over50,
+          COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Deterministic mode: built-in `mode()` is engine-defined on ties,
+    // so the declared plan derives it — value-counts then rank by
+    // (count DESC, value ASC). Two shuffles of (group, value) pairs;
+    // the second is on already-aggregated rows (tiny at any scale).
+    Declared("q_mode",
+      (s, d) => {
+        val counted = lineitem(s, d)
+          .select(col("l_returnflag"),
+            round(col("l_quantity") * 100).cast(LongType).as("qi"))
+          .groupBy("l_returnflag", "qi").agg(count(lit(1)).as("cnt"))
+        counted
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("l_returnflag")
+              .orderBy(col("cnt").desc, col("qi"))))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("qi").as("mode_qty_s2"),
+            col("cnt").as("mode_cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+                COUNT(*)::BIGINT AS cnt
+              FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                ORDER BY cnt DESC, qi) AS rn FROM c)
+        SELECT l_returnflag, qi AS mode_qty_s2, cnt AS mode_cnt
+        FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // ANSI percentile_disc WITHIN GROUP (the discrete quantile — returns
+    // an ACTUAL data value, so it's deterministic where interpolating
+    // percentile_cont is double-rounding-hazardous; q_median covers the
+    // interpolating variant in fixed point). Values sit on the ×100
+    // integer grid; the oracle replays the ANSI definition (smallest
+    // value with cume_dist >= p) via a window, because DuckDB's
+    // quantile_disc uses a different rank rule.
+    Declared("q_percentile_disc",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT l_returnflag,
+            CAST(percentile_disc(0.25) WITHIN GROUP
+              (ORDER BY CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS p25_s2,
+            CAST(percentile_disc(0.5) WITHIN GROUP
+              (ORDER BY CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS p50_s2,
+            CAST(percentile_disc(0.75) WITHIN GROUP
+              (ORDER BY CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS p75_s2
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qi FROM lineitem),
+        c AS (SELECT l_returnflag, qi,
+                cume_dist() OVER (PARTITION BY l_returnflag ORDER BY qi) AS cd
+              FROM b)
+        SELECT l_returnflag,
+          MIN(CASE WHEN cd >= 0.25 THEN qi END) AS p25_s2,
+          MIN(CASE WHEN cd >= 0.5 THEN qi END) AS p50_s2,
+          MIN(CASE WHEN cd >= 0.75 THEN qi END) AS p75_s2
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // L4 — OOV quality signal (TextOps.oovRate): vocab = top-20 words
+    // (the synthetic corpus has ~31 distinct words, so a 20-word vocab
+    // yields a non-vacuous oov distribution).
+    Declared("q_oov_rate",
+      (s, d) => TextOps.oovRate(documents(s, d), 20),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        v AS (SELECT word FROM (
+                SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+                FROM tok GROUP BY word) WHERE rk <= 20)
+        SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+          CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+          CAST(COUNT(*) FILTER (WHERE v.word IS NULL) * 1000000 // COUNT(*)
+            AS BIGINT) AS oov_ppm
+        FROM tok t LEFT JOIN v ON t.word = v.word
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // L4 — sequence packing (TextOps.packSequences): budget 128 tokens,
+    // 100-doc shards.
+    Declared("q_pack_sequences",
+      (s, d) => TextOps.packSequences(documents(s, d), 128L, 100L),
+      Some("""WITH t AS (SELECT source, doc_id // 100 AS shard, doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n
+              FROM documents),
+        c AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t)
+        SELECT source, shard, cb // 128 AS bin, COUNT(*)::BIGINT AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS bin_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -212,4 +212,65 @@ object TextOps {
       best.getField("score").cast("long").as("marker_hits"))
       .orderBy("doc_id")
   }
+
+  /** L4 — out-of-vocabulary rate: the share of each document's tokens
+    * falling outside the corpus's top-`vocabSize` words — a standard
+    * LLM-curation quality signal (high OOV ⇒ boilerplate/noise/wrong
+    * language). Integer ppm output, fully oracle-checkable.
+    *
+    * Scale shape: the vocabulary rank runs on the DISTINCT-WORD frame
+    * (vocabulary-bounded — Heaps' law keeps it millions of rows at
+    * 100 TB, not trillions), and the single-partition rank window only
+    * ever sees those aggregated rows; the chosen vocab (≤ vocabSize
+    * rows) then broadcast-joins back, so the corpus-sized side never
+    * shuffles on `word`— it shuffles once on `doc_id` for the final
+    * per-doc rollup. Ties at the frequency cut are broken
+    * lexicographically (deterministic vocab).
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val tokens = documents.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val vocab = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rk") <= vocabSize)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    tokens.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("in_vocab").isNull).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 — sequence packing for training-batch assembly: concatenate
+    * documents in deterministic `doc_id` order and cut fixed
+    * `budgetTokens` bins, attributing each document to the bin its FIRST
+    * token lands in (concat-then-chunk with start-aligned attribution —
+    * a long document may spill past its bin's end rather than being
+    * split).
+    *
+    * Scale shape: the prefix sum runs per (source, shard) where
+    * shard = doc_id div `shardDocs`, so no window partition ever exceeds
+    * `shardDocs` rows — a single global ORDER BY prefix sum would
+    * collapse to ONE partition at 100 TB. Shard boundaries waste at most
+    * one partial bin each, the price of parallel packing.
+    */
+  def packSequences(documents: DataFrame, budgetTokens: Long,
+                    shardDocs: Long): DataFrame = {
+    val toks = documents.select(col("source"),
+      expr(s"doc_id div $shardDocs").as("shard"), col("doc_id"),
+      size(expr(
+        "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .cast("long").as("n_tokens"))
+    val before = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(before), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budgetTokens"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard", "bin")
+  }
 }

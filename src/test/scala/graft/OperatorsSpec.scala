@@ -266,4 +266,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(5) == 2L)
     assert(r.getLong(6) == 666666L)
   }
+
+  test("packSequences matches a driver-side sequential-packing replay") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 128L
+    val shardDocs = 100L
+    val got = TextOps.packSequences(docs, budget, shardDocs)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // reference: per (source, shard) in doc_id order, running-total bins
+    val toks = TextOps.tokenCounts(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "doc_id", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(toks.nonEmpty)
+    val expected = toks.groupBy(t => (t._1, t._2 / shardDocs)).flatMap {
+      case ((src, shard), rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, docId, n) =>
+          val bin = cum / budget; cum += n
+          ((src, shard, bin), (docId, n))
+        }.groupBy(_._1).map { case (k, vs) =>
+          k -> (vs.length.toLong, vs.map(_._2._2).sum,
+            vs.map(_._2._1).min, vs.map(_._2._1).max)
+        }
+    }.toMap
+    assert(got == expected)
+    // conservation: every token lands in exactly one bin
+    assert(got.values.map(_._2).sum == toks.map(_._3).sum)
+  }
 }
