@@ -1356,6 +1356,40 @@ object Queries {
                (LEAST(src, MIN(dst)) = src) AS is_keeper
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // Quality-weighted canonical keeper per cluster. Wider sample than
+    // q_neardup_clusters (%4 vs %10: the %10 slice collapses to ONE
+    // cluster — a multi-cluster rollup needs a denser slice); same
+    // corpus-pinned LSH recall note applies.
+    Declared("q_dedup_canonical",
+      (s, d) => DedupOps.canonicalKeepers(
+        documents(s, d).filter(pmod(col("doc_id"), lit(4)) === 0),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80),
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        m AS (SELECT src AS doc_id, LEAST(src, MIN(dst))::BIGINT AS cluster_id
+              FROM reach GROUP BY src),
+        t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM docs)
+        SELECT m.cluster_id, COUNT(*)::BIGINT AS n_members,
+          CAST(SUM(t.n) AS BIGINT) AS total_tokens,
+          CAST(MAX(t.n) AS BIGINT) AS keeper_tokens,
+          arg_max(m.doc_id, t.n * 10000000000 - m.doc_id) AS keeper_doc
+        FROM m JOIN t ON m.doc_id = t.doc_id
+        GROUP BY m.cluster_id ORDER BY m.cluster_id""")),
+
     // Fixed-point PageRank over the verified near-dup graph (3 unrolled
     // iterations; integer ppm arithmetic end-to-end, so the oracle can
     // replay the exact trajectory as chained CTEs — a double PageRank
@@ -1892,6 +1926,66 @@ object Queries {
           MIN(CASE WHEN cd >= 0.5 THEN qi END) AS p50_s2,
           MIN(CASE WHEN cd >= 0.75 THEN qi END) AS p75_s2
         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Explicit cartesian product (crossJoin API — Catalyst plans
+    // BroadcastNestedLoopJoin with the 5-row side broadcast; the only
+    // sane cross-join shape at scale is exactly this tiny×huge form).
+    Declared("q_cross_join",
+      (s, d) => region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).cast(LongType)
+            .as("is_home"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+          CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+        FROM region CROSS JOIN nation ORDER BY r_name, n_name""")),
+
+    // Simple linear regression (price ~ quantity) from exact integer
+    // moment sums — the q_stats_exact recipe extended to slope/intercept.
+    // The int64 sums are converted to DOUBLE before multiplying (n·Σxy
+    // overflows int64), with IDENTICAL expression shape in the oracle so
+    // both engines execute the same IEEE op sequence.
+    Declared("q_regr",
+      (s, d) => {
+        val moments = lineitem(s, d)
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        val nD = col("n").cast(DoubleType)
+        val sxD = col("sx").cast(DoubleType)
+        val syD = col("sy").cast(DoubleType)
+        val slope = (nD * col("sxy").cast(DoubleType) - sxD * syD) /
+          (nD * col("sxx").cast(DoubleType) - sxD * sxD)
+        moments
+          .withColumn("regr_slope", slope)
+          .withColumn("regr_intercept",
+            (col("sy").cast(DoubleType) - col("regr_slope") * sxD) / nD)
+          .select(col("l_returnflag"), col("n"), col("regr_slope"),
+            col("regr_intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM (SELECT l_returnflag,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                    FROM lineitem)
+              GROUP BY l_returnflag),
+        s AS (SELECT *,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS regr_slope
+              FROM m)
+        SELECT l_returnflag, n, regr_slope,
+          (CAST(sy AS DOUBLE) - regr_slope * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) AS regr_intercept
+        FROM s ORDER BY l_returnflag""")),
 
     // L4 — OOV quality signal (TextOps.oovRate): vocab = top-20 words
     // (the synthetic corpus has ~31 distinct words, so a 20-word vocab

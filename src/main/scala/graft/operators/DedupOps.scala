@@ -387,6 +387,35 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** L2 — quality-weighted canonical selection: per near-dup cluster,
+    * keep the member with the MOST tokens (tie → smallest doc_id) —
+    * the curation policy that keeps the richest variant of a duplicated
+    * page, where [[nearDupKeepers]]'s min-label keeper is arbitrary.
+    *
+    * The argmax rides the cluster rollup as `max_by` over the integer
+    * key `n_tokens·10^10 − doc_id` (single aggregation, no extra join
+    * back); the multiplier caps doc_id at 10^10 — documented bound, not
+    * a practical one. One groupBy on cluster_id after components — the
+    * same two-bounded-shuffles-per-round shape as the clustering itself.
+    */
+  def canonicalKeepers(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                       minJaccardPct: Int): DataFrame = {
+    val pairs = lshVerifiedJaccardPairsUnsorted(documents, numHashes, rowsPerBand,
+      minJaccardPct).select("a_id", "b_id")
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    connectedComponents(pairs)
+      .join(toks, col("id") === col("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("n_tokens").as("total_tokens"),
+        max("n_tokens").as("keeper_tokens"),
+        max_by(col("doc_id"),
+          col("n_tokens") * lit(10000000000L) - col("doc_id"))
+          .as("keeper_doc"))
+      .orderBy("cluster_id")
+  }
+
   /** L2 — SimHash near-dup pairs at scale: band the 64-bit signature
     * into `maxHamming + 1` equal bit-slices — by pigeonhole, any pair
     * within `maxHamming` differing bits collides exactly in ≥ 1 band —

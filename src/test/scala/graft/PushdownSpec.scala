@@ -85,4 +85,34 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("Generate"), // posexplode would appear as Generate
       s"fast path must not explode embedding positions:\n$plan")
   }
+
+  test("q_oov_rate broadcasts the vocabulary back to the token stream") {
+    // the corpus-sized token frame must never shuffle on `word`: the
+    // ≤vocabSize vocab side broadcasts into the left join
+    val plan = executedPlan("q_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q_pack_sequences reuses the window shuffle for the bin rollup") {
+    // one hash exchange for the (source, shard) prefix-sum window; the
+    // groupBy(source, shard, bin) is satisfied by that partitioning
+    // (subset-key clustering), so the only OTHER exchange is the final
+    // sort's range partitioning
+    val plan = executedPlan("q_pack_sequences")
+    val hashEx = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly one hash exchange (window), got:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_cross_join broadcasts the 5-row side of the cartesian product") {
+    val plan = executedPlan("q_cross_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("q_regr partial-aggregates the moment sums map-side") {
+    val plan = executedPlan("q_regr")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
 }
