@@ -297,4 +297,58 @@ class OperatorsSpec extends SparkSpec {
     // conservation: every token lands in exactly one bin
     assert(got.values.map(_._2).sum == toks.map(_._3).sum)
   }
+
+  test("oovRate matches a driver-side vocab + count replay") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocabSize = 10
+    val tokens = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val vocab = tokens.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(vocabSize).map(_._1).toSet
+    val expected = tokens.map { case (id, ws) =>
+      val oov = ws.count(!vocab.contains(_)).toLong
+      (id, ws.size.toLong, oov, oov * 1000000L / ws.size)
+    }.toSet
+    val got = TextOps.oovRate(docs, vocabSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("canonicalKeepers picks the most-token-rich member per component") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(pmod(col("doc_id"), lit(4)) === 0)
+    val got = DedupOps.canonicalKeepers(docs, 32, 2, 80).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reference: exact all-pairs jaccard -> union-find -> per-component argmax
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val sets = texts.map { case (id, ws) => id -> ws.toSet }.toMap
+    val nToks = texts.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      common = (sets(a) & sets(b)).size
+      if common * 100 >= (sets(a).size + sets(b).size - common) * 80
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find)
+    val expected = members.map { case (_, ms) =>
+      val clusterId = ms.min
+      val keeper = ms.maxBy(id => (nToks(id), -id))
+      (clusterId, (ms.size.toLong, ms.map(nToks).sum, ms.map(nToks).max, keeper))
+    }
+    assert(got == expected)
+  }
 }
