@@ -289,6 +289,32 @@ object Queries {
         SELECT user_id, day, event_id, o_orderkey, o_totalprice
         FROM j WHERE rn = 1 ORDER BY event_id""")),
 
+    // Forward as-of: next order at-or-after each event (mirror image of
+    // q_join_asof — same union-window plan, frame reversed).
+    Declared("q_join_asof_fwd",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"),
+          expr(s"ts div ${Nanos.PerDay}").as("day"), col("event_id"))
+        val ord = orders(s, d).select(col("o_custkey").as("user_id"),
+          datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
+            .cast(LongType).as("day"),
+          col("o_orderkey"), col("o_totalprice"))
+        Relational.asOfJoinForward(ev, ord, "user_id", "day", "event_id",
+          "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
+        od AS (SELECT o_custkey AS user_id,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                o_orderkey, o_totalprice FROM orders),
+        j AS (SELECT ev.user_id, ev.event_id, ev.day, od.o_orderkey, od.o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY ev.event_id
+                                   ORDER BY od.day ASC, od.o_orderkey ASC) AS rn
+              FROM ev LEFT JOIN od ON ev.user_id = od.user_id AND od.day >= ev.day)
+        SELECT user_id, day, event_id, o_orderkey, o_totalprice
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // Range (band) join: fact side against broadcast price bands.
     Declared("q_join_range",
       (s, d) => {
@@ -1893,6 +1919,35 @@ object Queries {
                 ORDER BY cnt DESC, qi) AS rn FROM c)
         SELECT l_returnflag, qi AS mode_qty_s2, cnt AS mode_cnt
         FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // Map-typed intermediates (map_from_arrays / map_concat / element_at
+    // / map_keys) with the usual scalar-only output boundary; the oracle
+    // replays the extracted values directly. (l_orderkey, l_linenumber)
+    // is NOT unique in the synthetic lineitem — order by ALL columns.
+    Declared("q_map_funcs",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          map_from_arrays(
+            array(lit("qty"), lit("price")),
+            array(round(col("l_quantity") * 100).cast(LongType),
+              round(col("l_extendedprice") * 100).cast(LongType))).as("m"),
+          round(col("l_discount") * 100).cast(LongType).as("disc"))
+        .withColumn("m2",
+          map_concat(col("m"), map(lit("disc"), col("disc"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_s2"),
+          element_at(col("m2"), "disc").as("disc_s2"),
+          size(col("m2")).cast(LongType).as("m_size"),
+          concat_ws(",", map_keys(col("m"))).as("keys"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_s2", "disc_s2"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(round(l_quantity * 100) AS BIGINT) AS qty_s2,
+          CAST(round(l_discount * 100) AS BIGINT) AS disc_s2,
+          CAST(3 AS BIGINT) AS m_size,
+          'qty,price' AS keys
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, qty_s2, disc_s2""")),
 
     // ANSI percentile_disc WITHIN GROUP (the discrete quantile — returns
     // an ACTUAL data value, so it's deterministic where interpolating

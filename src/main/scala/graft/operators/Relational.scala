@@ -184,7 +184,25 @@ object Relational {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftId: String, rightTieBreak: String,
-               rightVals: Seq[String]): DataFrame = {
+               rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, leftId, rightTieBreak, rightVals,
+      forward = false)
+
+  /** Forward as-of: each left row matches the EARLIEST right row with
+    * `ts` at-or-after its own (next-delivery / next-quote semantics),
+    * smallest tie-break on equal timestamps. Same union-window plan as
+    * the backward [[asOfJoin]] — one shuffle on the key, never a range
+    * join explosion.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, leftId: String, rightTieBreak: String,
+                      rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, leftId, rightTieBreak, rightVals,
+      forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, leftId: String, rightTieBreak: String,
+                       rightVals: Seq[String], forward: Boolean): DataFrame = {
     // The right payload travels as ONE struct so the whole matched row
     // propagates atomically — per-column last(ignoreNulls) would stitch
     // together values from different right rows when a payload field is
@@ -199,11 +217,24 @@ object Relational {
       col(rightTieBreak).cast(LongType).as("__tb"),
       lit(null).cast(left.schema(leftId).dataType).as(leftId),
       struct(rightVals.map(col): _*).as("__payload"))
-    val w = Window.partitionBy(key)
-      .orderBy(col("__ts"), col("__is_left"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: latest right ≤ left — left rows sort AFTER same-ts right
+    // rows, frame reaches back, `last` match. Forward mirrors it: left
+    // rows sort BEFORE same-ts right rows (so ties are eligible), the
+    // frame reaches forward, `first` match, earliest tie-break.
+    val w =
+      if (forward)
+        Window.partitionBy(key)
+          .orderBy(col("__ts"), col("__is_left").desc, col("__tb"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(key)
+          .orderBy(col("__ts"), col("__is_left"), col("__tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchCol =
+      if (forward) first(col("__payload"), ignoreNulls = true).over(w)
+      else last(col("__payload"), ignoreNulls = true).over(w)
     lSide.unionByName(rSide)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match", matchCol)
       .filter(col("__is_left") === 1)
       .select((col(key) +: col("__ts").as(ts) +: col(leftId) +:
         rightVals.map(v => col(s"__match.$v").as(v))): _*)

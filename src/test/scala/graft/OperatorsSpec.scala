@@ -298,6 +298,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == toks.map(_._3).sum)
   }
 
+  test("asOfJoinForward matches earliest at-or-after with tie-break") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 10L, 7L, 70L),  // equal-ts match for lid=100 (>= includes ties)
+      (1L, 10L, 9L, 90L),  // same ts, larger tie-break — must lose
+      (1L, 30L, 3L, 30L),  // match for lid=101
+      (2L, 4L, 5L, 50L))   // before left ts=5 — lid=102 gets NO match
+      .toDF("k", "t", "rid", "v")
+    val got = Relational.asOfJoinForward(left, right, "k", "t", "lid", "rid",
+      Seq("rid", "v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(got == Seq((100L, 7L, 70L), (101L, 3L, 30L), (102L, -1L, -1L)))
+  }
+
   test("oovRate matches a driver-side vocab + count replay") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val vocabSize = 10
