@@ -83,17 +83,14 @@ object SimilarityOps {
     val withInts = embeddings.select(
       col("vec_id"),
       transform(col("embedding"), v => fixedPoint(v)).as("vi"))
-      .withColumn("norm_s",
-        aggregate(col("vi"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
     val a = withInts.select(col("vec_id").as("a_id"), col("vi").as("avi"),
       col("norm_s").as("a_norm_s"))
     val b = withInts.select(col("vec_id").as("b_id"), col("vi").as("bvi"),
       col("norm_s").as("b_norm_s"))
     val tauSq = (minCosPct.toLong * minCosPct).toDouble
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("dot_s",
-        aggregate(zip_with(col("avi"), col("bvi"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("dot_s", graft.plans.VecDot.dotLong(col("avi"), col("bvi")))
       .filter(col("dot_s") > 0 &&
         col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
           col("a_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) * lit(tauSq))
@@ -110,9 +107,15 @@ object SimilarityOps {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** L2 norm of an array column. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+  /** [[dot]] for two ARRAY<FLOAT> columns: the codegen'd
+    * [[graft.plans.FloatVecDot]] loop — same left-to-right op sequence,
+    * zero per-pair allocation. The generic [[dot]] stays for mixed-type
+    * folds (float embedding × double centroid/plane literals).
+    */
+  def dotF(a: Column, b: Column): Column = graft.plans.VecDot.dotFloat(a, b)
+
+  /** L2 norm of a float-array column. */
+  def l2Norm(a: Column): Column = sqrt(dotF(a, a))
 
   /** Brute-force top-k by cosine: broadcast-joined query set, single-pass
     * dot/norm expressions, per-query top-k window.
@@ -126,8 +129,8 @@ object SimilarityOps {
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       .crossJoin(broadcast(queries))
     val score =
-      if (cosine) dot(col("q_emb"), col("n_emb")) / (l2Norm(col("q_emb")) * l2Norm(col("n_emb")))
-      else dot(col("q_emb"), col("n_emb"))
+      if (cosine) dotF(col("q_emb"), col("n_emb")) / (l2Norm(col("q_emb")) * l2Norm(col("n_emb")))
+      else dotF(col("q_emb"), col("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
     joined.withColumn("score", score)
       .withColumn("rn", row_number().over(w))
@@ -152,9 +155,7 @@ object SimilarityOps {
     val scores = embeddings
       .select(col("vec_id").as("n_id"), toInts.as("ci"))
       .crossJoin(broadcast(queries))
-      .withColumn("score_s14",
-        aggregate(zip_with(col("qi"), col("ci"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("score_s14", graft.plans.VecDot.dotLong(col("qi"), col("ci")))
     val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
     scores.withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
@@ -321,7 +322,7 @@ object SimilarityOps {
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
       .join(broadcast(probeCells.join(queries, "q_id")), Seq("cell"))
     val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
-    cands.withColumn("score", dot(col("q_emb"), col("n_emb")))
+    cands.withColumn("score", dotF(col("q_emb"), col("n_emb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select("q_id", "rn", "n_id", "score")
@@ -361,7 +362,7 @@ object SimilarityOps {
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("score"), asc("n_id"))
-    cands.withColumn("score", dot(col("q_emb"), col("n_emb")))
+    cands.withColumn("score", dotF(col("q_emb"), col("n_emb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "score")

@@ -71,8 +71,11 @@ object RollingHash {
   * at runtime (the driver builds its own session).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
+    ext.injectFunction(VecDot.longDescriptor)
+    ext.injectFunction(VecDot.floatDescriptor)
+  }
 }
 
 object GraftFunctions {
