@@ -289,6 +289,40 @@ object Queries {
         SELECT user_id, day, event_id, o_orderkey, o_totalprice
         FROM j WHERE rn = 1 ORDER BY event_id""")),
 
+    // Full outer join — unmatched rows survive from BOTH sides (the one
+    // join type the inner/left/semi/anti family doesn't cover). The
+    // >400k price filter leaves BOTH directions non-vacuous (36
+    // cust-only / 1032 orders-only / 266 matched at sf0.01). Both sides
+    // are unique on the key, so the output key is unique and the ORDER
+    // BY is total.
+    Declared("q_join_full",
+      (s, d) => {
+        val custSeg = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"))
+        val ordCnt = orders(s, d)
+          .filter(col("o_totalprice") > 400000)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        custSeg.join(ordCnt, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.cast(LongType).as("has_cust"),
+            col("o_custkey").isNotNull.cast(LongType).as("has_orders"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""WITH cs AS (SELECT c_custkey, c_name FROM customer
+                WHERE c_mktsegment = 'BUILDING'),
+        oc AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_orders
+               FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+          CAST(c_custkey IS NOT NULL AS BIGINT) AS has_cust,
+          CAST(o_custkey IS NOT NULL AS BIGINT) AS has_orders,
+          COALESCE(n_orders, 0) AS n_orders
+        FROM cs FULL OUTER JOIN oc ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
     // Forward as-of: next order at-or-after each event (mirror image of
     // q_join_asof — same union-window plan, frame reversed).
     Declared("q_join_asof_fwd",
@@ -2041,6 +2075,23 @@ object Queries {
           (CAST(sy AS DOUBLE) - regr_slope * CAST(sx AS DOUBLE))
             / CAST(n AS DOUBLE) AS regr_intercept
         FROM s ORDER BY l_returnflag""")),
+
+    // L4 — corpus-boilerplate share (TextOps.boilerplateShare): trigrams
+    // in ≥4 docs are boilerplate (p99 of the df distribution here).
+    Declared("q_boilerplate",
+      (s, d) => TextOps.boilerplateShare(documents(s, d), 3, 4),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT DISTINCT doc_id, sh
+              FROM (SELECT doc_id,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                    FROM d WHERE len(w) >= 3)),
+        hot AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(*) >= 4)
+        SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+          CAST(COUNT(*) FILTER (WHERE hot.sh IS NOT NULL) AS BIGINT) AS n_boiler,
+          CAST(COUNT(*) FILTER (WHERE hot.sh IS NOT NULL) * 1000000 // COUNT(*)
+            AS BIGINT) AS boiler_ppm
+        FROM g LEFT JOIN hot ON g.sh = hot.sh
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
     // L4 — OOV quality signal (TextOps.oovRate): vocab = top-20 words
     // (the synthetic corpus has ~31 distinct words, so a 20-word vocab

@@ -213,6 +213,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L4 — corpus-boilerplate share (the cross-document cousin of the
+    * within-document [[repetitionStats]]): an n-gram is "boilerplate"
+    * when it appears in ≥ `minDf` distinct documents; each document is
+    * scored by the ppm of its distinct n-grams that are boilerplate —
+    * the CCNet-style signal for navigation chrome / legal footers
+    * duplicated across a crawl.
+    *
+    * Scale shape: the n-gram df rollup is an inverted-index build (one
+    * shuffle on the gram, map-side combined). The surviving boilerplate
+    * set is df-filtered — a tiny fraction of the gram vocabulary by
+    * construction — so it broadcast-joins back and the corpus-sized
+    * side shuffles only on doc_id for the final rollup.
+    */
+  def boilerplateShare(documents: DataFrame, n: Int, minDf: Int): DataFrame = {
+    val ws = words(col("text"))
+    val grams = documents.filter(size(ws) >= n)
+      .select(col("doc_id"), explode(array_distinct(wordNgrams(ws, n))).as("g"))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"), lit(1L).as("hot"))
+    grams.join(broadcast(hot), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("hot").isNotNull).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("n_boiler * 1000000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
   /** L4 — out-of-vocabulary rate: the share of each document's tokens
     * falling outside the corpus's top-`vocabSize` words — a standard
     * LLM-curation quality signal (high OOV ⇒ boilerplate/noise/wrong
