@@ -73,17 +73,21 @@ object DedupOps {
     */
   def jaccardPairsDense(documents: DataFrame, minJaccardPct: Int): DataFrame = {
     // intersect HASHED words: xxhash64 per distinct word once map-side,
-    // then array_intersect compares/hashes fixed-width longs instead of
-    // strings — ~2× per-pair cost, and the per-row payload shrinks.
-    // |A∩B| over hashes equals |A∩B| over words unless two distinct
-    // words in one pair's union collide in 64 bits (≤ |A∪B|²/2⁶⁴ ≈
-    // 1e-14 per pair — corpus-pinned negligible, like the LSH margin).
+    // sorted once per DOC, then the per-pair intersection count is one
+    // allocation-free merge walk (plans.SortedIntersectCount) over
+    // fixed-width longs — `size(array_intersect(...))` would build a
+    // hash set per PAIR. |A∩B| over hashes equals |A∩B| over words
+    // unless two distinct words in one pair's union collide in 64 bits
+    // (≤ |A∪B|²/2⁶⁴ ≈ 1e-14 per pair — corpus-pinned negligible, like
+    // the LSH margin).
     val sets = documents.select(col("doc_id"),
-      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("ws"))
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), w => xxhash64(w)))).as("ws"))
     val a = sets.select(col("doc_id").as("a_id"), col("ws").as("aws"))
     val b = sets.select(col("doc_id").as("b_id"), col("ws").as("bws"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("common", size(array_intersect(col("aws"), col("bws"))).cast("long"))
+      .withColumn("common",
+        graft.plans.VecDot.sortedIntersectCount(col("aws"), col("bws")))
       .withColumn("union_size",
         size(col("aws")).cast("long") + size(col("bws")).cast("long") - col("common"))
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
@@ -185,13 +189,16 @@ object DedupOps {
   def lshVerifiedJaccardPairsUnsorted(documents: DataFrame, numHashes: Int,
                                       rowsPerBand: Int, minJaccardPct: Int): DataFrame = {
     val cands = minHashCandidatesUnsorted(documents, numHashes, rowsPerBand)
-    // hashed-word intersect, same rationale/bound as [[jaccardPairsDense]]
+    // sorted-hashed-word merge-count, same rationale/bound as
+    // [[jaccardPairsDense]]
     val sets = documents.select(col("doc_id"),
-      array_distinct(transform(split(col("text"), " "), w => xxhash64(w))).as("ws"))
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), w => xxhash64(w)))).as("ws"))
     cands
       .join(sets.select(col("doc_id").as("a_id"), col("ws").as("aws")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("ws").as("bws")), "b_id")
-      .withColumn("common", size(array_intersect(col("aws"), col("bws"))).cast("long"))
+      .withColumn("common",
+        graft.plans.VecDot.sortedIntersectCount(col("aws"), col("bws")))
       .withColumn("union_size",
         size(col("aws")).cast("long") + size(col("bws")).cast("long") - col("common"))
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)

@@ -75,6 +75,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.rollingHashDescriptor)
     ext.injectFunction(VecDot.longDescriptor)
     ext.injectFunction(VecDot.floatDescriptor)
+    ext.injectFunction(VecDot.intersectDescriptor)
   }
 }
 

@@ -128,6 +128,70 @@ case class FloatVecDot(left: Expression, right: Expression) extends VecDotBase {
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two SORTED-ascending distinct
+  * ARRAY<BIGINT> columns as one merge walk — the LSH verify primitive.
+  * `size(array_intersect(a, b))` builds a hash set per evaluated PAIR;
+  * the merge walk is allocation-free and the COUNT is
+  * algorithm-independent, so swapping it in cannot move any
+  * oracle-checked value. Null elements are skipped (sort_array places
+  * them first; the corpus arrays are null-free).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends VecDotBase {
+  override protected def elemType: DataType = LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && x.isNullAt(i)) i += 1
+    while (j < m && y.isNullAt(j)) j += 1
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $a.isNullAt($i)) $i++;
+         |while ($j < $m && $b.isNullAt($j)) $j++;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecDot {
   val longDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vec_dot_long"),
@@ -139,11 +203,17 @@ object VecDot {
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot_float"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
 
+  val intersectDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(longDescriptor, floatDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(longDescriptor, floatDescriptor, intersectDescriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
 
   /** Column-API entries. The active SparkSession must exist (any
     * DataFrame pipeline has one).
@@ -156,5 +226,10 @@ object VecDot {
   def dotFloat(a: Column, b: Column): Column = {
     register(SparkSession.active)
     org.apache.spark.sql.functions.call_function("vec_dot_float", a, b)
+  }
+
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
   }
 }

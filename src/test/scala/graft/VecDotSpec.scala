@@ -49,6 +49,21 @@ class VecDotSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),  // common {3, 9}
+      (Seq(1L, 2L), Seq(3L, 4L)),                    // disjoint
+      (Seq.empty[Long], Seq(1L)),                    // empty side
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L)))          // identical
+      .toDF("a", "b")
+    val out = df.select(
+      VecDot.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fast=${r.getLong(0)} ref=${r.getLong(1)}"))
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L, 3L))
+  }
+
   test("interpreted eval agrees with codegen on the corpus embeddings") {
     // force the interpreted path by evaluating the expression directly
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
