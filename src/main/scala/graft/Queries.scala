@@ -1761,6 +1761,43 @@ object Queries {
                         AND o.o_totalprice > 300000)
         ORDER BY c_custkey""")),
 
+    // NOT IN subquery — Catalyst decorrelates to a null-aware anti join
+    // (the third decorrelation shape after EXISTS→semi and IN→semi; the
+    // nationkey filter keeps the subquery non-nullable, so null-aware
+    // semantics don't go vacuous-empty).
+    Declared("q_sql_in",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                    WHERE n_regionkey = 0)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                  WHERE n_regionkey = 0)
+        ORDER BY c_custkey""")),
+
+    // Scalar subquery (above-average filter) in EXACT integer form: the
+    // mean comparison price*n > sum is cross-multiplied so no division
+    // ever happens — AVG on doubles would be order-dependent.
+    Declared("q_sql_scalar",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_orderkey, o_custkey FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                  * (SELECT COUNT(*) FROM orders)
+                > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                   FROM orders)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                * (SELECT COUNT(*) FROM orders)
+              > (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) FROM orders)
+        ORDER BY o_orderkey""")),
+
     // explicit skew-salted join: row-identical to the plain equi-join
     // (which is exactly what the oracle runs) — only the physical
     // distribution differs, so the oracle equality PROVES the rewrite

@@ -86,6 +86,11 @@ class PushdownSpec extends SparkSpec {
       s"fast path must not explode embedding positions:\n$plan")
   }
 
+  test("q_sql_in decorrelates NOT IN to an anti join (no nested-loop per row)") {
+    val plan = executedPlan("q_sql_in")
+    assert(plan.contains("LeftAnti"), s"expected anti-join decorrelation:\n$plan")
+  }
+
   test("q_oov_rate broadcasts the vocabulary back to the token stream") {
     // the corpus-sized token frame must never shuffle on `word`: the
     // ≤vocabSize vocab side broadcasts into the left join
