@@ -323,30 +323,39 @@ object Queries {
         FROM cs FULL OUTER JOIN oc ON c_custkey = o_custkey
         ORDER BY custkey""")),
 
-    // Forward as-of: next order at-or-after each event (mirror image of
-    // q_join_asof — same union-window plan, frame reversed).
+    // Forward as-of: for each click, the user's next purchase at-or-after
+    // it (time-to-conversion) — clicks and purchases interleave within
+    // every user's stream, so matches AND no-match tails are both
+    // exercised (the reviewed-away first formulation pointed events at
+    // the orders table, whose date range ends decades earlier — every
+    // row was a vacuous NULL).
     Declared("q_join_asof_fwd",
       (s, d) => {
-        val ev = events(s, d).select(col("user_id"),
-          expr(s"ts div ${Nanos.PerDay}").as("day"), col("event_id"))
-        val ord = orders(s, d).select(col("o_custkey").as("user_id"),
-          datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
-            .cast(LongType).as("day"),
-          col("o_orderkey"), col("o_totalprice"))
-        Relational.asOfJoinForward(ev, ord, "user_id", "day", "event_id",
-          "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("buy_id"),
+            round(col("value") * 100).cast(LongType).as("buy_cents"))
+        Relational.asOfJoinForward(clicks, buys, "user_id", "ts", "event_id",
+          "buy_id", Seq("buy_id", "buy_cents"))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("buy_id"), col("buy_cents"))
           .orderBy("event_id")
       },
-      Some("""WITH ev AS (SELECT user_id, event_id,
-                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
-        od AS (SELECT o_custkey AS user_id,
-                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-                o_orderkey, o_totalprice FROM orders),
-        j AS (SELECT ev.user_id, ev.event_id, ev.day, od.o_orderkey, od.o_totalprice,
-                ROW_NUMBER() OVER (PARTITION BY ev.event_id
-                                   ORDER BY od.day ASC, od.o_orderkey ASC) AS rn
-              FROM ev LEFT JOIN od ON ev.user_id = od.user_id AND od.day >= ev.day)
-        SELECT user_id, day, event_id, o_orderkey, o_totalprice
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                FROM events WHERE event_type = 'click'),
+        b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                event_id AS buy_id,
+                CAST(round(value * 100) AS BIGINT) AS buy_cents
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT c.user_id, c.ts_us, c.event_id, b.buy_id, b.buy_cents,
+                ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                   ORDER BY b.ts_us ASC, b.buy_id ASC) AS rn
+              FROM c LEFT JOIN b ON c.user_id = b.user_id
+                                AND b.ts_us >= c.ts_us)
+        SELECT user_id, ts_us, event_id, buy_id, buy_cents
         FROM j WHERE rn = 1 ORDER BY event_id""")),
 
     // Range (band) join: fact side against broadcast price bands.

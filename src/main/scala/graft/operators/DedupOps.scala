@@ -61,7 +61,8 @@ object DedupOps {
   }
 
   /** L2 — exact pairwise Jaccard for BOUNDED candidate sets: broadcast
-    * non-equi self-join + `array_intersect` per pair. Complements
+    * non-equi self-join + a codegen'd sorted merge walk per pair
+    * ([[graft.plans.SortedIntersectCount]]). Complements
     * [[jaccardPairs]]: the inverted index wins when candidates are
     * sparse relative to n²; with a tiny shared vocabulary (or LSH-
     * prefiltered candidates) the token join degenerates to vocab-many
@@ -170,7 +171,8 @@ object DedupOps {
   /** L2 — the composition you actually run at 100 TB: MinHash+LSH
     * banding generates candidate pairs (linear in corpus size — a
     * band-hash equi-join, never all-pairs), then exact set Jaccard
-    * verifies ONLY those candidates via per-pair `array_intersect`.
+    * verifies ONLY those candidates via a per-pair sorted merge-walk
+    * intersection count ([[graft.plans.SortedIntersectCount]]).
     * With enough bands the candidate set provably contains every pair
     * above the threshold w.h.p. (p_miss = (1-j^r)^b per pair), so the
     * verified output equals the brute-force answer while the plan stays

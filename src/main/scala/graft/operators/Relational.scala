@@ -218,23 +218,26 @@ object Relational {
       lit(null).cast(left.schema(leftId).dataType).as(leftId),
       struct(rightVals.map(col): _*).as("__payload"))
     // Backward: latest right ≤ left — left rows sort AFTER same-ts right
-    // rows, frame reaches back, `last` match. Forward mirrors it: left
-    // rows sort BEFORE same-ts right rows (so ties are eligible), the
-    // frame reaches forward, `first` match, earliest tie-break.
+    // rows, the (unboundedPreceding, currentRow) frame reaches back,
+    // `last` match. Forward mirrors it by REVERSING the sort instead of
+    // the frame: a (currentRow, unboundedFollowing) frame would make
+    // Spark rebuild the aggregate from the moving lower bound for every
+    // row (O(m²) per key); with __ts descending the same incremental
+    // O(m) backward frame sees exactly the rows at-or-after each left
+    // row. Same-ts right rows sort before left (eligible), and __tb
+    // DESCENDS so `last` — the row closest to the current one — is the
+    // earliest-timestamp, smallest-tie-break match.
     val w =
       if (forward)
         Window.partitionBy(key)
-          .orderBy(col("__ts"), col("__is_left").desc, col("__tb"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .orderBy(col("__ts").desc, col("__is_left"), col("__tb").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(key)
           .orderBy(col("__ts"), col("__is_left"), col("__tb"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchCol =
-      if (forward) first(col("__payload"), ignoreNulls = true).over(w)
-      else last(col("__payload"), ignoreNulls = true).over(w)
     lSide.unionByName(rSide)
-      .withColumn("__match", matchCol)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .select((col(key) +: col("__ts").as(ts) +: col(leftId) +:
         rightVals.map(v => col(s"__match.$v").as(v))): _*)

@@ -228,8 +228,12 @@ object TextOps {
     */
   def boilerplateShare(documents: DataFrame, n: Int, minDf: Int): DataFrame = {
     val ws = words(col("text"))
+    // grams feeds TWO consumers (df rollup + join-back) — cache so the
+    // corpus scan + shingle construction runs once (at 100 TB this
+    // becomes a checkpoint, same as jaccardPairs' inverted index)
     val grams = documents.filter(size(ws) >= n)
       .select(col("doc_id"), explode(array_distinct(wordNgrams(ws, n))).as("g"))
+      .cache()
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("g"), lit(1L).as("hot"))
