@@ -86,6 +86,15 @@ class PushdownSpec extends SparkSpec {
       s"fast path must not explode embedding positions:\n$plan")
   }
 
+  test("q_join_asof_fwd never plans an unbounded-following frame (O(m^2)/key)") {
+    // the forward as-of mirrors the backward plan by reversing the SORT;
+    // a (currentRow, unboundedFollowing) frame makes Spark rebuild the
+    // aggregate from the moving lower bound for every row
+    val plan = executedPlan("q_join_asof_fwd").toLowerCase
+    assert(!plan.contains("unboundedfollowing"), "unbounded-following frame crept back in")
+    assert(plan.contains("unboundedpreceding"), "expected the incremental backward frame")
+  }
+
   test("q_sql_in decorrelates NOT IN to an anti join (no nested-loop per row)") {
     val plan = executedPlan("q_sql_in")
     assert(plan.contains("LeftAnti"), s"expected anti-join decorrelation:\n$plan")
