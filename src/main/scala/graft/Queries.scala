@@ -785,7 +785,13 @@ object Queries {
           l.filter(col("l_quantity") < 0 || col("l_quantity") > 100))
         val statusVals = row("orders_status_unexpected", count(lit(1)))(
           o.filter(!col("o_orderstatus").isin("O", "F", "P")))
-        pkDup.unionByName(fkOrphan).unionByName(qtyRange).unionByName(statusVals)
+        // an outlier rule that FIRES on the clean corpus (2978 rows at
+        // sf0.01) — without it every check returns 0 and the counting
+        // path is never exercised (audit finding)
+        val priceOutlier = row("orders_totalprice_above_400k", count(lit(1)))(
+          o.filter(col("o_totalprice") > 400000))
+        pkDup.unionByName(fkOrphan).unionByName(qtyRange)
+          .unionByName(statusVals).unionByName(priceOutlier)
           .orderBy("check_name")
       },
       Some("""SELECT * FROM (
@@ -800,7 +806,10 @@ object Queries {
           WHERE l_quantity < 0 OR l_quantity > 100
           UNION ALL
           SELECT 'orders_status_unexpected', COUNT(*)::BIGINT FROM orders
-          WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+          WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+          UNION ALL
+          SELECT 'orders_totalprice_above_400k', COUNT(*)::BIGINT FROM orders
+          WHERE o_totalprice > 400000)
         ORDER BY check_name""")),
 
     // pandas fillna(method='ffill') parity: carry the last non-null
@@ -1104,10 +1113,15 @@ object Queries {
     // Funnel: furthest view→click→purchase stage per user, strictly
     // increasing µs timestamps. Oracle = the nested-min formulation
     // (equivalent to the greedy state-machine fold).
+    // The %5 event slice spreads users across ALL four funnel stages
+    // (7/32/38/73 at sf0.01) — on the full stream every user converts
+    // and the stage logic is vacuously constant-3.
     Declared("q_funnel",
-      (s, d) => EventOps.funnelStages(events(s, d), expr("ts div 1000"),
-        Seq("view", "click", "purchase")),
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+      (s, d) => EventOps.funnelStages(
+        events(s, d).filter(pmod(col("event_id"), lit(5)) === 0),
+        expr("ts div 1000"), Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+                FROM events WHERE event_id % 5 = 0),
         s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
         s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
                WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
@@ -1137,10 +1151,22 @@ object Queries {
 
     // ================= 2.K — LLM-data-pipeline operators ================
 
+    // The raw corpus has NO exact duplicates (every md5 group is a
+    // singleton — audit-verified), so the declared query re-inserts the
+    // %50 slice under shifted ids: the merge path and min-id keeper are
+    // actually exercised (dup_cnt=2 groups), deterministically.
     Declared("q_dedup_exact",
-      (s, d) => DedupOps.exactDedup(documents(s, d)),
-      Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*)::BIGINT AS dup_cnt
-        FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""")),
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "text")
+        val dupes = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        DedupOps.exactDedup(base.unionByName(dupes))
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0)
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*)::BIGINT AS dup_cnt
+        FROM docs GROUP BY md5(text) ORDER BY keep_doc_id""")),
 
     Declared("q_dedup_first",
       (s, d) => DedupOps.keepFirstPerKey(
@@ -1255,15 +1281,33 @@ object Queries {
           n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // The raw corpus contains ZERO urls/emails (audit: both counts were
+    // constant 0 — the masking regexes never fired in the declared
+    // query; only the fixture test exercised them). Deterministic
+    // augmentation from real columns makes the counts vary 0/1 by
+    // doc_id residue, so the regex path is genuinely oracle-checked.
     Declared("q_scrub_pii",
-      (s, d) => TextOps.scrubPii(documents(s, d)),
-      Some("""SELECT doc_id,
+      (s, d) => TextOps.scrubPii(documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" see https://"), col("source"), lit(".example.org/p")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail "), col("source"), lit("@example.com")))
+            .otherwise(lit(""))))),
+      Some("""WITH aug AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 2 = 0
+                  THEN ' see https://' || source || '.example.org/p' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                  THEN ' mail ' || source || '@example.com' ELSE '' END AS text
+              FROM documents)
+        SELECT doc_id,
           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
           substr(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  1, 60) AS scrubbed_prefix
-        FROM documents ORDER BY doc_id""")),
+        FROM aug ORDER BY doc_id""")),
 
     Declared("q_repetition",
       (s, d) => TextOps.repetitionStats(documents(s, d)),
@@ -1957,17 +2001,19 @@ object Queries {
     // Boolean aggregates (bool_and/bool_or/count_if). Booleans are cast
     // to BIGINT at the output boundary — same rationale as outD: don't
     // hand the comparator a type it hasn't proven round-trip-stable.
+    // Thresholds chosen to DIFFERENTIATE groups (audit: >0 / >100 were
+    // constant across all five event types — a vacuous green).
     Declared("q_bool_agg",
       (s, d) => events(s, d)
         .groupBy("event_type")
-        .agg(bool_and(col("value") > 0).cast(LongType).as("all_pos"),
-          bool_or(col("value") > 100).cast(LongType).as("any_big"),
+        .agg(bool_and(col("value") > 0.02).cast(LongType).as("all_over_2c"),
+          bool_or(col("value") > 400).cast(LongType).as("any_over_400"),
           count_if(col("value") > 50).as("n_over50"),
           count(lit(1)).as("cnt"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
-          CAST(bool_and(value > 0) AS BIGINT) AS all_pos,
-          CAST(bool_or(value > 100) AS BIGINT) AS any_big,
+          CAST(bool_and(value > 0.02) AS BIGINT) AS all_over_2c,
+          CAST(bool_or(value > 400) AS BIGINT) AS any_over_400,
           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_over50,
           COUNT(*)::BIGINT AS cnt
         FROM events GROUP BY event_type ORDER BY event_type""")),
