@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Non-vacuity audit over a Verify output directory.
+
+An oracle hash-match on DEGENERATE output proves nothing: a join whose
+date ranges never overlap is all-NULL in both engines and still green
+(this exact trap shipped as q_join_asof_fwd's first formulation, and
+four more vacuous greens hid in round-3's suite). After `graft.Verify`
+writes its parquet, run:
+
+    python3 scripts/vacuity_audit.py /tmp/verify_out
+
+and eyeball every flag. A flag is NOT automatically a bug — constants
+can be structural (array dims, literal keys, a filter echoing its own
+predicate) — but each one deserves a reason. Known-benign flags are
+listed below and suppressed.
+"""
+import os
+import sys
+
+import pandas as pd
+
+# reviewed constants: structural, not vacuous (see SURVEY.md audit note)
+KNOWN_BENIGN = {
+    ("q_agg_approx_distinct", "approx_nd_part"),  # single-group HLL estimate
+    ("q_agg_distinct", "nd_part"), ("q_agg_distinct", "nd_supp"),
+    ("q_agg_multi", "min_qty"),            # TPC-H grid min is 1 everywhere
+    ("q_approx_percentile", "p90_approx"),  # uniform quantity grid
+    ("q_array_funcs", "dim"),               # embedding dim is fixed 64
+    ("q_bit_agg", "key_and"), ("q_bit_agg", "key_or"),  # saturated folds
+    ("q_describe", "n_rows"), ("q_null_ratio", "n_rows"),
+    ("q_filter_eq", "l_returnflag"),        # the filter's own predicate
+    ("q_join_range", "band_id"),            # sf0.01 prices sit in one band
+    ("q_map_funcs", "m_size"), ("q_map_funcs", "keys"),  # literal structure
+    ("q_median", "p90_qty_s3"),             # uniform quantity grid
+    ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
+    ("q_percentile_disc", "p25_s2"), ("q_percentile_disc", "p75_s2"),
+    ("q_string_agg", "priorities"),         # every status sees all 5 values
+    ("q_dedup_exact", "dup_cnt"),           # post-fix: 2s exist; sf-dependent
+    ("q_quality_checks", "n_violations"),   # post-fix: outlier rule fires
+}
+
+
+def audit(base: str) -> int:
+    flags = []
+    for d in sorted(os.listdir(base)):
+        p = os.path.join(base, d)
+        if not os.path.isdir(p):
+            continue
+        try:
+            df = pd.read_parquet(p)
+        except Exception as e:  # noqa: BLE001
+            flags.append((d, "READ ERROR", str(e)[:60]))
+            continue
+        if len(df) == 0:
+            flags.append((d, "ZERO ROWS", ""))
+            continue
+        for c in df.columns:
+            col = df[c]
+            if col.isna().all():
+                flags.append((d, f"col {c}", "ALL NULL"))
+            elif col.nunique(dropna=True) == 1 and len(df) > 2 \
+                    and (d, c) not in KNOWN_BENIGN:
+                flags.append((d, f"col {c}", f"constant={col.dropna().iloc[0]}"))
+    for f in flags:
+        print("FLAG", *f)
+    print(f"{len(flags)} unexplained flags" if flags else "CLEAN")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit(sys.argv[1]))
