@@ -119,6 +119,18 @@ class PushdownSpec extends SparkSpec {
       s"expected exactly one hash exchange (window), got:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_boilerplate broadcasts the df-filtered hot-gram set") {
+    val plan = executedPlan("q_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q_map_funcs stays map-only until the output sort") {
+    val plan = executedPlan("q_map_funcs")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a pure projection:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_cross_join broadcasts the 5-row side of the cartesian product") {
     val plan = executedPlan("q_cross_join")
     assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
