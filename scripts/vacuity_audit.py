@@ -13,6 +13,11 @@ and eyeball every flag. A flag is NOT automatically a bug — constants
 can be structural (array dims, literal keys, a filter echoing its own
 predicate) — but each one deserves a reason. Known-benign flags are
 listed below and suppressed.
+
+The KNOWN_BENIGN list is tuned to sf0.01 (the driver's correctness
+gate). Smaller SFs saturate additional columns (e.g. one retention
+cohort, uniform bool_agg groups at sf0.001) — expected small-sample
+effects, not query defects.
 """
 import os
 import sys
