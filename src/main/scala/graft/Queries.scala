@@ -532,6 +532,25 @@ object Queries {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // grouping()/grouping_id() disambiguate "NULL because subtotal" from
+    // "NULL in the data" on rollup rows — DuckDB's multi-arg GROUPING is
+    // the same bitmask as Spark's grouping_id().
+    Declared("q_grouping_id",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"),
+          grouping_id().cast(LongType).as("gid"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     Declared("q_cube",
       (s, d) => lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
@@ -2045,6 +2064,26 @@ object Queries {
                 ORDER BY cnt DESC, qi) AS rn FROM c)
         SELECT l_returnflag, qi AS mode_qty_s2, cnt AS mode_cnt
         FROM r WHERE rn = 1 ORDER BY l_returnflag""")),
+
+    // ANSI-safe arithmetic: Spark 4 runs ANSI mode by default, where
+    // plain division by zero THROWS mid-pipeline; try_divide returns
+    // NULL — the form a 100 TB batch job survives. The division itself
+    // is exact-int-to-double (correctly rounded identically in both
+    // engines); the oracle replays the null-guard as CASE.
+    Declared("q_try_arith",
+      (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qi"))
+        .withColumn("per_prev_line",
+          expr("try_divide(qi, l_linenumber - 1)"))
+        .orderBy("l_orderkey", "l_linenumber", "qi"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+          CASE WHEN l_linenumber = 1 THEN NULL
+               ELSE CAST(round(l_quantity * 100) AS BIGINT) / (l_linenumber - 1)
+          END AS per_prev_line
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, qi""")),
 
     // Map-typed intermediates (map_from_arrays / map_concat / element_at
     // / map_keys) with the usual scalar-only output boundary; the oracle
