@@ -40,8 +40,6 @@ KNOWN_BENIGN = {
     ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
     ("q_percentile_disc", "p25_s2"), ("q_percentile_disc", "p75_s2"),
     ("q_string_agg", "priorities"),         # every status sees all 5 values
-    ("q_dedup_exact", "dup_cnt"),           # post-fix: 2s exist; sf-dependent
-    ("q_quality_checks", "n_violations"),   # post-fix: outlier rule fires
 }
 
 
@@ -73,4 +71,7 @@ def audit(base: str) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 2 or not os.path.isdir(sys.argv[1]):
+        print("usage: vacuity_audit.py <verify_output_dir>")
+        sys.exit(2)
     sys.exit(audit(sys.argv[1]))

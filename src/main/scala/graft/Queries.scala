@@ -331,17 +331,21 @@ object Queries {
     // row was a vacuous NULL).
     Declared("q_join_asof_fwd",
       (s, d) => {
-        val ev = events(s, d)
+        // ts truncates to µs BEFORE the join (not just at the output
+        // boundary): the oracle matches on epoch_us, so matching on raw
+        // nanos would be a latent cross-engine divergence masked only by
+        // the corpus having no same-µs click/purchase collisions
+        val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("ts_us"), col("event_id"))
         val buys = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"),
+          .select(col("user_id"), col("ts_us"),
             col("event_id").as("buy_id"),
             round(col("value") * 100).cast(LongType).as("buy_cents"))
-        Relational.asOfJoinForward(clicks, buys, "user_id", "ts", "event_id",
-          "buy_id", Seq("buy_id", "buy_cents"))
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-            col("event_id"), col("buy_id"), col("buy_cents"))
+        Relational.asOfJoinForward(clicks, buys, "user_id", "ts_us",
+          "event_id", "buy_id", Seq("buy_id", "buy_cents"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("buy_id"), col("buy_cents"))
           .orderBy("event_id")
       },
       Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id

@@ -228,12 +228,14 @@ object TextOps {
     */
   def boilerplateShare(documents: DataFrame, n: Int, minDf: Int): DataFrame = {
     val ws = words(col("text"))
-    // grams feeds TWO consumers (df rollup + join-back) — cache so the
-    // corpus scan + shingle construction runs once (at 100 TB this
-    // becomes a checkpoint, same as jaccardPairs' inverted index)
+    // grams feeds TWO consumers (df rollup + join-back). Deliberately
+    // NOT .cache()'d: a builder can't unpersist after its action, and a
+    // session-pinned corpus-sized cache starves every later query in a
+    // long session (the IVF cache needed an explicit release() for the
+    // same reason). The double map pass is the lesser cost; at 100 TB
+    // materialize grams to an explicit checkpoint table instead.
     val grams = documents.filter(size(ws) >= n)
       .select(col("doc_id"), explode(array_distinct(wordNgrams(ws, n))).as("g"))
-      .cache()
     val hot = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("g"), lit(1L).as("hot"))
