@@ -1204,12 +1204,15 @@ object Queries {
               FROM events) WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
-    // dense variant: the 31-word shared vocabulary makes the inverted-
-    // index join skew-bound (31 shuffle keys), so the bounded-candidate
-    // array-intersect plan is used here; jaccardPairs stays the
-    // sparse-vocabulary path (see DedupOps scaladoc + unit tests)
+    // Declared plan = the inverted-index path (equi-join on word): the
+    // %10 slice is a fixed FRACTION of the corpus, so its pair set grows
+    // with the data — an all-pairs non-equi self-join over it would be
+    // O(n²) at 100× (round-3 verdict). The inverted index stays linear
+    // in index size (AQE handles this corpus's 31-key word skew); the
+    // dense kernel (jaccardPairsDense) remains the verify stage behind
+    // BOUNDED candidate sets only (LSH buckets / fixed-size samples).
     Declared("q_neardup_jaccard",
-      (s, d) => DedupOps.jaccardPairsDense(
+      (s, d) => DedupOps.jaccardPairs(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80),
       Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),

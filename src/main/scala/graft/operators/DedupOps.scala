@@ -39,9 +39,14 @@ object DedupOps {
     * integer arithmetic, so the result is hash-exact reproducible.
     */
   def jaccardPairs(documents: DataFrame, minJaccardPct: Int): DataFrame = {
-    // cache: the inverted index feeds three consumers (sizes + both join
-    // sides); at petabyte scale this becomes a checkpoint to storage
-    val words = docWords(documents).cache()
+    // localCheckpoint (NOT .cache()): the inverted index feeds three
+    // consumers (sizes + both join sides). A .cache() registers in the
+    // CacheManager, which holds the blocks by strong reference until an
+    // explicit unpersist() that a lazy operator can never issue;
+    // checkpoint blocks are released by the ContextCleaner as soon as
+    // the result frame is dropped. At petabyte scale this becomes a
+    // checkpoint to storage.
+    val words = docWords(documents).localCheckpoint()
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = words.as("a")
       .join(words.as("b"),
@@ -284,10 +289,13 @@ object DedupOps {
     *
     * Returns (id, cluster_id) where cluster_id = min doc id of the
     * component — deterministic under any partitioning. The returned
-    * frame is persisted (it was the last propagation round); callers
-    * holding it long-term should `unpersist()` when done. Throws if the
-    * iteration cap is hit before the fixpoint — a capped exit would
-    * silently emit wrong clusters.
+    * frame is an eager localCheckpoint: every per-round cache and the
+    * edges checkpoint are released on exit (nothing stays registered in
+    * the CacheManager), and the checkpoint blocks themselves are freed
+    * by the ContextCleaner once the caller drops the result
+    * (StorageReleaseSpec asserts this). Throws if the iteration cap is
+    * hit before the fixpoint — a capped exit would silently emit wrong
+    * clusters.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Undirected doubling PLUS self-loops via ONE explode projection (a
@@ -338,7 +346,16 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds the cap); raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // Eagerly materialize the converged labels into their own checkpoint,
+    // then release the final round's cache: the returned frame no longer
+    // references the per-round persist OR the edges checkpoint, so the
+    // session accumulates no dead blocks across invocations (round-3
+    // finding: a long-lived session leaked one cached round + the edges
+    // blocks per call).
+    val out = labels.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    prev.foreach(_.unpersist())
+    out
   }
 
   /** Fixed-point PageRank over an undirected pair graph (near-dup
@@ -355,7 +372,17 @@ object DedupOps {
     * state beyond the loop counter). The undirected graph has no
     * dangling nodes (every node has degree ≥ 1), so no dangling-mass
     * term is needed.
+    *
+    * Lineage/storage discipline: `ranks` is re-checkpointed every
+    * [[PageRankCheckpointEvery]] rounds — without it the plan tree (and
+    * optimizer time) grows linearly in the iteration count, re-deriving
+    * the whole chained join tree per action. The edges/deg checkpoints
+    * and the returned frame hold executor blocks only while the caller
+    * holds the result: nothing registers in the CacheManager, so the
+    * ContextCleaner frees all of it on drop (StorageReleaseSpec).
     */
+  val PageRankCheckpointEvery = 8
+
   def pageRankFixedPoint(pairs: DataFrame, iterations: Int): DataFrame = {
     val edges = pairs.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
@@ -366,7 +393,7 @@ object DedupOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edges
         .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("rank_ppm")), "src")
@@ -377,6 +404,8 @@ object DedupOps {
         .select(col("id"),
           (lit(150000L) + expr("850000L * coalesce(sc, 0L) div 1000000L"))
             .as("rank_ppm"))
+      if (i % PageRankCheckpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.orderBy("id")
   }
@@ -401,11 +430,13 @@ object DedupOps {
     * the curation policy that keeps the richest variant of a duplicated
     * page, where [[nearDupKeepers]]'s min-label keeper is arbitrary.
     *
-    * The argmax rides the cluster rollup as `max_by` over the integer
-    * key `n_tokens·10^10 − doc_id` (single aggregation, no extra join
-    * back); the multiplier caps doc_id at 10^10 — documented bound, not
-    * a practical one. One groupBy on cluster_id after components — the
-    * same two-bounded-shuffles-per-round shape as the clustering itself.
+    * The argmax rides the cluster rollup as `max_by` over the composite
+    * ordering key `struct(n_tokens, −doc_id)` (lexicographic struct
+    * comparison — single aggregation, no extra join back, and no
+    * overflow cliff: the earlier arithmetic packing `n_tokens·10^10 −
+    * doc_id` silently inverted the ordering past ~9.2e8 tokens or 10^10
+    * doc ids). One groupBy on cluster_id after components — the same
+    * two-bounded-shuffles-per-round shape as the clustering itself.
     */
   def canonicalKeepers(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
                        minJaccardPct: Int): DataFrame = {
@@ -420,7 +451,7 @@ object DedupOps {
         sum("n_tokens").as("total_tokens"),
         max("n_tokens").as("keeper_tokens"),
         max_by(col("doc_id"),
-          col("n_tokens") * lit(10000000000L) - col("doc_id"))
+          struct(col("n_tokens"), -col("doc_id")))
           .as("keeper_doc"))
       .orderBy("cluster_id")
   }

@@ -65,34 +65,51 @@ object EventOps {
 
   /** Funnel analysis (the product-analytics staple): per user, the
     * furthest stage reached following `stages` in order with strictly
-    * increasing event times. ONE shuffle (groupBy user) + an
-    * expression-level state-machine fold over the time-sorted event
-    * array — no iterative joins, no window cascade; the greedy
-    * first-match scan is provably equivalent to the nested
-    * min-timestamp formulation (each stage's match is the minimal
-    * timestamp strictly after the previous stage's match).
+    * increasing event times. Computed as a cascade of bounded
+    * min-aggregations: stage i's reach time is `min(t)` over that
+    * stage's events strictly after stage i−1's reach time. Per-user
+    * state is ONE timestamp per stage — never a per-user event array
+    * (the previous `collect_list` fold held every event of a user in a
+    * single row, so one bot user with 10⁸ events became an executor
+    * OOM at 100 TB). `stages.size` is a small constant, so the cascade
+    * is a fixed number of user-keyed joins over stage-filtered events.
+    * The greedy first-match scan this replaces is provably equivalent:
+    * each stage's match IS the minimal timestamp strictly after the
+    * previous stage's match (regression-pinned by
+    * GraphFunnelPropertySpec against the driver-side greedy reference).
     */
   def funnelStages(events: DataFrame, tsCol: Column,
                    stages: Seq[String]): DataFrame = {
-    val sorted = events
-      .select(col("user_id"), tsCol.as("__t"), col("event_id"), col("event_type"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(
-        struct(col("__t"), col("event_id"), col("event_type")))).as("evs"))
-    val init = struct(lit(0).as("stage"), lit(Long.MinValue).as("ts"))
-    val folded = aggregate(col("evs"), init, (acc, e) => {
-      val nextType = stages.zipWithIndex.foldLeft(lit("")) {
-        case (a, (st, i)) => when(acc.getField("stage") === i, lit(st)).otherwise(a)
-      }
-      when(acc.getField("stage") < stages.size &&
-          e.getField("event_type") === nextType &&
-          e.getField("__t") > acc.getField("ts"),
-        struct((acc.getField("stage") + 1).as("stage"),
-          e.getField("__t").as("ts")))
-        .otherwise(acc)
-    })
-    sorted.select(col("user_id"),
-      folded.getField("stage").cast("long").as("funnel_stage"))
+    require(stages.nonEmpty, "need at least one funnel stage")
+    // pre-filter to the stage vocabulary: non-stage events can never
+    // advance the funnel, so they never leave the scan
+    val e = events
+      .select(col("user_id"), tsCol.as("__t"), col("event_type"))
+      .filter(col("event_type").isin(stages.map(_.asInstanceOf[Any]): _*))
+    // stage 0 counts every user that emitted ANY event (funnel_stage=0
+    // for users who never reached stage 1)
+    val users = events.select("user_id").distinct()
+    val reachTimes: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(List.empty[DataFrame]) { case (acc, (st, _)) =>
+        val stageEvents = e.filter(col("event_type") === st)
+        val eligible = acc match {
+          case Nil => stageEvents
+          case prev :: _ =>
+            stageEvents
+              .join(prev.select(col("user_id"), col("__rt").as("__pt")), "user_id")
+              .filter(col("__t") > col("__pt"))
+        }
+        eligible.groupBy("user_id").agg(min("__t").as("__rt")) :: acc
+      }.reverse
+    val joined = reachTimes.zipWithIndex.foldLeft(users) { case (df, (m, i)) =>
+      df.join(m.select(col("user_id"), col("__rt").as(s"__rt$i")),
+        Seq("user_id"), "left")
+    }
+    // later stages imply earlier ones, so the furthest non-null wins
+    val furthest = stages.indices.foldLeft(lit(0L)) { case (acc, i) =>
+      when(col(s"__rt$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    joined.select(col("user_id"), furthest.as("funnel_stage"))
       .orderBy("user_id")
   }
 
@@ -136,6 +153,10 @@ object EventOps {
     // consume byDay — without it each branch re-scans and re-aggregates
     // the raw events (different shuffle keys, so exchange reuse can't
     // help). The checkpointed frame is calendar × type-vocabulary rows.
+    // Storage lifetime: checkpoint blocks (unlike a .cache(), which the
+    // CacheManager pins until an explicit unpersist) are freed by the
+    // ContextCleaner once the returned frame is dropped —
+    // StorageReleaseSpec asserts the release.
     val byDay = events.select(dayCol.as("day"), col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

@@ -136,6 +136,18 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
 
+  test("q_neardup_jaccard declares no non-equi self-join on an unbounded side") {
+    // the declared plan must be the inverted-index shape: candidate
+    // pairs come from an EQUI-join on the word (a_id < b_id is only a
+    // post-join filter). An all-pairs plan over the %10 corpus slice
+    // would surface as a cartesian / nested-loop join and is O(n²) at
+    // scale; the dense kernel is reserved for bounded candidate sets.
+    val plan = executedPlan("q_neardup_jaccard")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi self-join in the declared jaccard plan:\n$plan")
+  }
+
   test("q_regr partial-aggregates the moment sums map-side") {
     val plan = executedPlan("q_regr")
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
