@@ -1525,7 +1525,7 @@ object Queries {
         SELECT m.cluster_id, COUNT(*)::BIGINT AS n_members,
           CAST(SUM(t.n) AS BIGINT) AS total_tokens,
           CAST(MAX(t.n) AS BIGINT) AS keeper_tokens,
-          arg_max(m.doc_id, t.n * 10000000000 - m.doc_id) AS keeper_doc
+          arg_max(m.doc_id, CAST(t.n AS HUGEINT) * 18446744073709551616::HUGEINT - m.doc_id) AS keeper_doc
         FROM m JOIN t ON m.doc_id = t.doc_id
         GROUP BY m.cluster_id ORDER BY m.cluster_id""")),
 

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL pure-JVM image codec (round 5): PNG (and any other format the
+  * JRE's `javax.imageio` SPI registry ships readers for — PNG, GIF, BMP)
+  * decodes to true pixels; formats the JVM can't decode return None and
+  * callers fall back to [[MultimodalOps.decodeStub]]. This retires the
+  * decode stub for PNG while keeping the codec BOUNDARY identical — the
+  * Spark-side plumbing (schema, per-partition batching, null
+  * passthrough) never changes when more codecs appear behind it.
+  *
+  * Everything here is executor-side, driver-free, and allocation-bounded
+  * per image; determinism holds because PNG decoding is lossless and the
+  * luminance math is integer.
+  */
+object ImageCodec {
+
+  /** Decoded image + the deterministic pixel-level feature used by
+    * [[MultimodalOps.extractFeatures]].
+    */
+  final case class Decoded(width: Int, height: Int, lumaHistogram: Array[Double])
+
+  /** Once-per-partition codec init: disable ImageIO's disk-backed stream
+    * cache (a tmp-file write per image would thrash executor-local disk
+    * at scale; in-memory streams are strictly faster for byte-array
+    * payloads).
+    */
+  def initPartition(): Unit = ImageIO.setUseCache(false)
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  /** Cheap signature sniff so non-image payloads skip reader probing. */
+  def looksDecodable(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 8 &&
+      (payload.startsWith(PngMagic) ||
+        // GIF87a/GIF89a and BMP, the other stock-JRE readers
+        (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
+        (payload(0) == 'B' && payload(1) == 'M'))
+
+  /** Decode to true dimensions + a 16-bin integer-luminance histogram
+    * (Rec.601 weights, normalized by pixel count). None if the payload
+    * is not a JVM-decodable image.
+    */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    if (!looksDecodable(payload)) None
+    else
+      try {
+        Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Double](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              hist(lum / 16) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var i = 0
+          while (i < 16) { hist(i) /= n; i += 1 }
+          Decoded(w, h, hist)
+        }
+      } catch { case _: Exception => None }   // corrupt payload ⇒ stub path
+
+  /** Real resize: decode → nearest-neighbor rescale → re-encode as PNG.
+    * Nearest-neighbor (not bilinear) keeps the output bit-deterministic
+    * across JVMs — interpolation kernels may differ by platform, integer
+    * pixel picking cannot. None if the payload isn't decodable.
+    */
+  def resizePng(payload: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    if (!looksDecodable(payload)) None
+    else
+      try {
+        Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              // integer source-pixel pick: floor(x * srcW / dstW)
+              out.setRGB(x, y, img.getRGB(
+                (x.toLong * img.getWidth / width).toInt,
+                (y.toLong * img.getHeight / height).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", baos)
+          baos.toByteArray
+        }
+      } catch { case _: Exception => None }
+
+  /** In-memory PNG encoder for fixtures/tests: row-major RGB ints. */
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+}

@@ -30,17 +30,24 @@ object MultimodalOps {
     StructField("payload", BinaryType),
     StructField("meta", MetadataSchema)))
 
-  /** Feature schema produced by [[extractFeatures]]. */
+  /** Feature schema produced by [[extractFeatures]]: width/height are the
+    * REAL decoded dimensions for payloads [[ImageCodec]] can decode, null
+    * for opaque formats (which fall back to the byte-histogram stub).
+    */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
-    StructField("feature", ArrayType(DoubleType))))
+    StructField("feature", ArrayType(DoubleType)),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * codec (not installed in this container). Produces a 16-bin byte
-    * histogram normalized to [0,1] — stable across runs/partitions, so
-    * tests can assert on it. A production build swaps ONLY this function
-    * for a real decoder; the Spark plumbing around it is unchanged.
+  /** STUB decoder — deterministic fake standing in for codecs NOT in this
+    * container (jpeg/wav/mp4/…). Produces a 16-bin byte histogram
+    * normalized to [0,1] — stable across runs/partitions, so tests can
+    * assert on it. PNG does NOT take this path anymore: [[ImageCodec]]
+    * really decodes it (round-5; the codec boundary is unchanged — a
+    * production build adds real codecs alongside, the Spark plumbing
+    * never changes).
     */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
@@ -53,34 +60,45 @@ object MultimodalOps {
   }
 
   /** Per-partition feature extraction: one iterator pass per task, codec
-    * state initialized once per partition (here trivially; a real codec
-    * would allocate its context in the `mapPartitions` head). Null
-    * payloads yield null features, mirroring how a decode failure is
-    * represented without poisoning the batch.
+    * state initialized once per partition (the `ImageIO.setUseCache`
+    * call in the partition head — a real JNI codec would allocate its
+    * context there the same way). Null payloads yield null features,
+    * mirroring how a decode failure is represented without poisoning the
+    * batch. Decodable images (PNG magic + a successful [[ImageCodec]]
+    * decode) emit their TRUE dimensions and a pixel-luminance histogram;
+    * everything else keeps the byte-histogram stub with null dims.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      // real impl: val codec = Codec.open(); it.map { ... codec.decode ... }
+      ImageCodec.initPartition()   // once per task, not per row
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (payload == null) Row(id, null, null)
-        else Row(id, payload.length.toLong, decodeStub(payload).toSeq)
+        if (payload == null) Row(id, null, null, null, null)
+        else ImageCodec.decode(payload) match {
+          case Some(img) =>
+            Row(id, payload.length.toLong, img.lumaHistogram.toSeq,
+              img.width, img.height)
+          case None =>
+            Row(id, payload.length.toLong, decodeStub(payload).toSeq, null, null)
+        }
       }
     }
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
-  /** "Resize" stub for images: records the target dims in metadata and
-    * (deterministically) truncates the payload — the plumbing for a real
-    * transcode: payload in, payload out, metadata updated in lockstep.
+  /** "Resize" stub for OPAQUE formats: records the target dims in
+    * metadata and (deterministically) truncates the payload — the
+    * plumbing for a transcode whose codec isn't in the JVM: payload in,
+    * payload out, metadata updated in lockstep. PNG payloads should use
+    * [[resizeImages]], which really rescales pixels.
     */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =
     media.select(
       col("media_id"),
-      // ??? real resize goes here; deterministic truncation keeps the
-      // bytes→bytes contract testable without a codec
+      // deterministic truncation keeps the bytes→bytes contract testable
+      // for formats with no JVM codec; see resizeImages for the real path
       expr(s"substring(payload, 1, ${width * height})").as("payload"),
       struct(
         col("meta.media_type").as("media_type"),
@@ -88,6 +106,33 @@ object MultimodalOps {
         lit(width).as("width"),
         lit(height).as("height"),
         col("meta.duration_ms").as("duration_ms")).as("meta"))
+
+  /** REAL image resize (round 5): decode → nearest-neighbor rescale →
+    * re-encode, per partition, via [[ImageCodec.resizePng]]. Payloads the
+    * JVM cannot decode pass through with their ORIGINAL bytes and their
+    * metadata dims left null — a mixed-format corpus keeps flowing, and
+    * the caller can filter on `meta.width IS NULL` to find skips. Same
+    * executor-side batching contract as [[extractFeatures]].
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { it =>
+      ImageCodec.initPartition()
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+        def metaRow(w: java.lang.Integer, h: java.lang.Integer): Row =
+          if (meta == null) Row(null, null, w, h, null)
+          else Row(meta.get(0), meta.get(1), w, h, meta.get(4))
+        ImageCodec.resizePng(payload, width, height) match {
+          case Some(resized) => Row(id, resized, metaRow(width, height))
+          case None          => Row(id, payload, metaRow(null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
 
   /** Frame-sampling stub for video: emit one row per sampled frame index
     * (`explode` over a bounded sequence — the real pattern for

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  // Convergence probes go through the logging backend at DEBUG — NOT
+  // stderr: bench/driver runs capture the process tail, and raw stderr
+  // lines render as alarming `[error] …` noise in the binding artifact
+  // (round-4 finding). The loud convergence-cap failure below stays a
+  // thrown exception, unaffected by log level.
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** L1 — exact dedup by content: keep the smallest doc_id per identical
     * text (deterministic, unlike dropDuplicates), with the duplicate
     * count. Uses md5 of the text as the grouping key so the shuffle rows
@@ -254,13 +261,22 @@ object DedupOps {
     * standard near-dup unit for LLM corpus cleaning.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, minJaccardPct: Int): DataFrame = {
-    val ws = split(col("text"), " ")
+    // Tokenize-once (round 5): split lives in its own projection (the
+    // optimizer won't inline a non-cheap multi-referenced alias), and the
+    // `size < n` guard (sequence(0, size-n) turns DESCENDING when
+    // size < n) is a null-producing `when` instead of a Filter — explode
+    // drops null arrays, so short docs vanish WITHOUT predicate pushdown
+    // re-deriving `size(split(…))` at the scan. One split per row, one
+    // pass. The shingle index then feeds three consumers (sizes + both
+    // join sides) — localCheckpoint it like [[jaccardPairs]] so the scan
+    // + shingling runs once, and the blocks free on result drop.
     val shingled = documents
-      // guard: sequence(0, size-n) turns DESCENDING when size < n
-      .filter(size(ws) >= n)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(
         col("doc_id"),
-        explode(array_distinct(TextOps.wordNgrams(ws, n))).as("word"))
+        explode(array_distinct(when(size(col("__ws")) >= n,
+          TextOps.wordNgrams(col("__ws"), n)))).as("word"))
+      .localCheckpoint()
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = shingled.as("a")
       .join(shingled.as("b"),
@@ -338,7 +354,7 @@ object DedupOps {
       prev = Some(next)
       labels = next
       iter += 1
-      System.err.println(s"[connectedComponents] round $iter checksum=$nextSum")
+      log.debug(s"[connectedComponents] round $iter checksum=$nextSum")
     }
     // exiting on the iteration cap with unpropagated labels would emit
     // silently WRONG clusters — fail loudly instead
@@ -502,17 +518,20 @@ object DedupOps {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
                     minShared: Int): DataFrame = {
-    def shingles(df: DataFrame, idAs: String): DataFrame = {
-      val ws = split(col("text"), " ")
-      df.filter(size(ws) >= n)
-        .select(col("doc_id").as(idAs),
+    def shingles(df: DataFrame, idAs: String): DataFrame =
+      // tokenize-once: split is its own projection; the `size < n` guard
+      // is a null-producing `when` (explode drops nulls), so no Filter
+      // pushes a second `size(split(…))` evaluation into the scan —
+      // PushdownSpec pins one split per side in the executed plan
+      df.select(col("doc_id").as(idAs), split(col("text"), " ").as("__ws"))
+        .select(col(idAs),
           // join on the shingle's xxhash64, not the n-word string: 8-byte
           // keys shrink the broadcast and the probe-side hashing; a false
           // share needs a cross-side 64-bit collision (~|corpus shingles|
           // × |bench shingles| / 2⁶⁴ ≈ 1e-9 — corpus-pinned negligible)
-          explode(array_distinct(transform(TextOps.wordNgrams(ws, n),
+          explode(array_distinct(transform(
+            when(size(col("__ws")) >= n, TextOps.wordNgrams(col("__ws"), n)),
             sh => xxhash64(sh)))).as("sh"))
-    }
     shingles(corpus, "doc_id")
       .join(broadcast(shingles(benchmark, "bench_id")), "sh")
       .groupBy("doc_id", "bench_id")

@@ -131,35 +131,70 @@ object TextOps {
           EmailRegex, "<EMAIL>"), 1, 60).as("scrubbed_prefix"))
       .orderBy("doc_id")
 
+  /** Max multiplicity of any element in a SORTED array, as the longest
+    * run of equal neighbors — one `aggregate` fold, no shuffle. This is
+    * the per-row replacement for the wordcount-shaped
+    * `explode → groupBy(doc, word) → max(tf)` pipeline: the statistic is
+    * per-document, so it belongs in a row-local expression, not in a
+    * corpus-wide shuffle that moves every token to a reducer.
+    */
+  def maxMultiplicity(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        // run starts at 0, so a first element equal to the "" sentinel
+        // still opens its run at 1 — no special case for empty tokens
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** L4 — repetition profile (Gopher-style quality rules): duplicate-word
     * ratio, most-frequent-word count, and most-frequent-bigram share —
     * the standard signals for detecting degenerate/boilerplate text.
-    * Integer ppm arithmetic throughout; two wordcount-shaped shuffles
-    * (unigram + bigram term frequencies), both map-side combined.
+    * Integer ppm arithmetic throughout.
+    *
+    * Single narrow MAP pass (round-5 rewrite; was two explode+groupBy
+    * wordcount jobs = 2 scans, 3 tokenizations, 4 shuffle stages): every
+    * statistic is per-document, so it is computed from the token array
+    * in place — `array_distinct` for the distinct count,
+    * [[maxMultiplicity]] over the sorted unigram/bigram arrays for the
+    * top-term counts. At 100 TB this is the difference between shuffling
+    * every token of the corpus and shuffling NOTHING (the only exchange
+    * is the output sort's range partitioning).
+    *
+    * Tokenize-once discipline: the `≥2 tokens` row filter (the old
+    * shape's inner-join semantics — single-token docs have no bigram) is
+    * expressed as `text CONTAINS ' '`, which is equivalent under
+    * single-space tokenization and CHEAP, so predicate pushdown sends a
+    * plain string predicate to the scan instead of re-deriving
+    * `size(split(…))` a second time; the split itself lives in its own
+    * projection that the optimizer cannot inline (non-cheap, multi-ref).
+    * PushdownSpec pins one `split(` in the executed plan and the absence
+    * of any hash aggregation/exchange.
     */
-  def repetitionStats(documents: DataFrame): DataFrame = {
-    val toks = words(col("text"))
-    val uni = documents
-      .select(col("doc_id"), explode(toks).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id").agg(
-        sum("tf").as("n_words"),
-        count(lit(1)).as("distinct_words"),
-        max("tf").as("top_word_cnt"))
-    val bi = documents
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(wordNgrams(toks, 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        max("cnt").as("top_bigram_cnt"),
-        sum("cnt").as("n_bigrams"))
-    uni.join(bi, "doc_id")
+  def repetitionStats(documents: DataFrame): DataFrame =
+    documents
+      // text contains a space ⟺ split(text,' ') has ≥ 2 elements (split
+      // on "" yields [""], size 1) — Contains translates to a pushable
+      // StringContains source filter, unlike instr(…) > 0 arithmetic
+      .filter(col("text").contains(" "))
+      .select(col("doc_id"), words(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        size(array_distinct(col("__toks"))).cast("long").as("distinct_words"),
+        maxMultiplicity(array_sort(col("__toks"))).as("top_word_cnt"),
+        maxMultiplicity(array_sort(wordNgrams(col("__toks"), 2)))
+          .as("top_bigram_cnt"),
+        (size(col("__toks")) - 1).cast("long").as("n_bigrams"))
       .select(col("doc_id"), col("n_words"), col("distinct_words"),
         expr("(n_words - distinct_words) * 1000000L div n_words").as("dup_word_ppm"),
         col("top_word_cnt"), col("top_bigram_cnt"),
         expr("top_bigram_cnt * 1000000L div n_bigrams").as("top_bigram_ppm"))
       .orderBy("doc_id")
-  }
 
   /** L4 — fixed-size token-window chunking with overlap: the standard
     * "split long documents into training sequences" step of an LLM data

@@ -62,22 +62,45 @@ class GraphFunnelPropertySpec extends SparkSpec {
     stage.toLong
   }
 
-  test("funnelStages equals the reference greedy scan on random event streams") {
+  test("funnelStages equals the reference greedy scan per user on random event streams") {
+    // MULTI-user streams (round-5: the r4 test ran one user only): pins
+    // per-user isolation of the stage-cascade — the unfiltered-events
+    // left-join base (users with only non-stage events land at stage 0),
+    // and cross-user independence of the per-stage min-joins.
     val stages = Seq("view", "click", "purchase")
-    val evGen = Gen.listOfN(10, for {
+    val evGen = Gen.listOfN(14, for {
+      u <- Gen.choose(1L, 3L)   // ts collisions ACROSS users are common
       t <- Gen.choose(0L, 6L)   // small range forces ts collisions
       tpe <- Gen.oneOf("view", "click", "purchase", "error")
-    } yield (t, tpe))
+    } yield (u, t, tpe))
     check(Prop.forAll(evGen) { evs =>
       evs.isEmpty || {
         val df = evs.zipWithIndex
-          .map { case ((t, tpe), i) => (1L, t, i.toLong, tpe) }
+          .map { case ((u, t, tpe), i) => (u, t, i.toLong, tpe) }
           .toDF("user_id", "ts_us", "event_id", "event_type")
         val got = EventOps.funnelStages(df, col("ts_us"), stages)
-          .collect()(0).getLong(1)
-        got == bruteFunnel(evs, stages)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val expected = evs.groupBy(_._1).map { case (u, es) =>
+          u -> bruteFunnel(es.map(e => (e._2, e._3)), stages) }
+        got == expected
       }
     })
+  }
+
+  test("funnelStages per-user state stays bounded on a degenerate hot user") {
+    // r4 rewrite's reason to exist: the old collect_list fold held EVERY
+    // event of a user in one executor row. 20k stage-vocabulary events
+    // for one user must run through the min-join cascade (per-user state
+    // = one timestamp per stage) and still agree with the greedy scan.
+    val evs = (0 until 20000).map { i =>
+      (1L, i.toLong % 997L, i.toLong,
+        Seq("view", "click", "purchase")(i % 3))
+    }
+    val df = evs.toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = EventOps.funnelStages(df, col("ts_us"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> bruteFunnel(evs.map(e => (e._2, e._4)), Seq("view", "click", "purchase")))
+    assert(got == expected)
   }
 
   /** Reference decontamination: brute-force shingle-set intersection. */

@@ -153,4 +153,29 @@ class PushdownSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"expected partial+final aggregation:\n$plan")
   }
+
+  test("q_repetition is one tokenization in one map pass (no shuffle aggregation)") {
+    // Round-5 rewrite: every repetition statistic is per-document, so the
+    // whole query is array expressions over ONE split — no explode, no
+    // wordcount shuffle. A reappearing HashAggregate or a second split(
+    // means the scan-heavy two-pass shape regressed.
+    val plan = executedPlan("q_repetition")
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits == 1, s"expected exactly one tokenization, got $splits:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"per-document stats must not shuffle-aggregate:\n$plan")
+    // the ≥2-token row filter reaches the scan as a CHEAP string
+    // predicate, not a re-derived size(split(…))
+    assert(plan.contains("PushedFilters") && plan.contains("StringContains(text, )"),
+      s"expected the instr-form filter pushed to the scan:\n$plan")
+  }
+
+  test("q_decontaminate tokenizes each side exactly once") {
+    // the size<n guard is a null-producing `when` (explode drops nulls),
+    // so predicate pushdown has no Filter to re-inline split( into — one
+    // tokenization for the corpus side, one for the broadcast benchmark
+    val plan = executedPlan("q_decontaminate")
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits == 2, s"expected one split per side, got $splits:\n$plan")
+  }
 }

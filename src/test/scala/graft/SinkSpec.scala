@@ -60,6 +60,60 @@ class SinkSpec extends SparkSpec {
     assert(afterAppend == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
   }
 
+  test("JDBC overwrite(truncate) reuses the existing table; batchsize honored") {
+    // Env constraint: the zero-egress sandbox has no PostgreSQL, so the
+    // reference's postgres://…/movie_data target is exercised on embedded
+    // Derby — the Spark sink code paths are dialect-generic (truncate
+    // query, createTableColumnTypes, batchsize); only the JDBC URL and
+    // dialect differ against a real Postgres.
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("derbydb_t").toString
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    def titleType(): String = {
+      // query the system catalog directly, case-insensitively — whether
+      // Spark's DDL quotes identifiers (lowercase names) or not
+      // (Derby upcases) varies by dialect version
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.createStatement().executeQuery(
+          "SELECT CAST(c.COLUMNDATATYPE AS VARCHAR(64)) FROM SYS.SYSCOLUMNS c " +
+            "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID " +
+            "WHERE UPPER(t.TABLENAME) = 'MOVIES_T' AND UPPER(c.COLUMNNAME) = 'TITLE'")
+        assert(rs.next(), "movies_t.title column not found in catalog")
+        rs.getString(1).toUpperCase
+      } finally conn.close()
+    }
+
+    // seed with an EXPLICIT column type the Spark default mapping would
+    // never produce (Derby's default for StringType is CLOB)
+    Seq((1L, "alpha")).toDF("id", "title")
+      .write.option("createTableColumnTypes", "title VARCHAR(100)")
+      .mode("overwrite").jdbc(url, "movies_t", props)
+    assert(titleType() == "VARCHAR(100)")
+
+    // overwrite + truncate: rows replaced, but the TABLE survives — the
+    // hand-declared VARCHAR(100) is the witness that Spark issued
+    // TRUNCATE, not DROP+CREATE (which would re-map title to CLOB).
+    // batchsize=1 drives the insert loop through one-row executeBatch
+    // flushes — the sizing knob a real Postgres load would tune.
+    Seq((2L, "beta"), (3L, "gamma")).toDF("id", "title")
+      .write.option("truncate", "true").option("batchsize", "1")
+      .mode("overwrite").jdbc(url, "movies_t", props)
+    assert(spark.read.jdbc(url, "movies_t", props)
+      .as[(Long, String)].collect().toSet == Set((2L, "beta"), (3L, "gamma")))
+    assert(titleType() == "VARCHAR(100)", "truncate path must not recreate the table")
+
+    // contrast pin: plain overwrite DROPs and recreates → Spark's Derby
+    // default CLOB mapping replaces the hand-declared type
+    Seq((4L, "delta")).toDF("id", "title")
+      .write.mode("overwrite").jdbc(url, "movies_t", props)
+    assert(titleType().startsWith("CLOB"), "plain overwrite should recreate with default types")
+  }
+
   test("ORC, CSV and JSON-lines sinks round-trip the documents table") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")

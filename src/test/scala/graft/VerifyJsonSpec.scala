@@ -56,6 +56,19 @@ class VerifyJsonSpec extends AnyFunSuite {
     assert(v == 1.8 && i == 2)
   }
 
+  test("bestOf never lets a fast failure shadow a slow success") {
+    // A query that succeeds slowly on run 1 but throws instantly on run 2
+    // must record the slow SUCCESS, not the near-zero time-to-throw.
+    var i = 0
+    val v = Bench.bestOf(2) { i += 1; if (i == 1) 34.1 else Bench.FailedSample }
+    assert(v == 34.1 && i == 2)
+    // Only when EVERY sample fails does the query report -1.
+    assert(Bench.bestOf(3)(Bench.FailedSample) == -1.0)
+    // timeOnce is the sample producer: throw ⇒ FailedSample, not elapsed.
+    assert(Bench.timeOnce(throw new RuntimeException("boom")) == Bench.FailedSample)
+    assert(Bench.timeOnce(()) >= 0.0)
+  }
+
   test("the actual oracle map round-trips through strict JSON") {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }
