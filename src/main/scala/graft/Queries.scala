@@ -2265,7 +2265,107 @@ object Queries {
         SELECT source, shard, cb // 128 AS bin, COUNT(*)::BIGINT AS n_docs,
           CAST(SUM(n) AS BIGINT) AS bin_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+        FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ================= round-5 additions ================================
+
+    // Runtime bloom-filter join pruning (Relational
+    // .bloomPrefilteredSemiJoin): lineitem semi-joined against high-value
+    // orders with a Bloom pre-filter ahead of the shuffle. The oracle is
+    // the PLAIN semi-join — bloom filters have no false negatives, and
+    // the exact verify join removes false positives, so prune+verify must
+    // be row-identical to it (which is precisely what the hash compare
+    // proves; the xxhash64 bloom internals never need replaying).
+    Declared("q_bloom_join",
+      (s, d) => Relational.bloomPrefilteredSemiJoin(
+          lineitem(s, d),
+          orders(s, d).filter(col("o_totalprice") > 450000),
+          "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          outD(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS cnt,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Exact-integer z-score anomaly filter (EventOps.zscoreOutliers,
+    // k = 3): |x−μ| > 3σ rewritten as (n·x−S)² > 9(n·Q−S²) — integers
+    // end to end (Decimal(38,0) ↔ HUGEINT), so no float μ/σ ulp can
+    // diverge between engines. ~190 outlier events at sf0.01
+    // (non-vacuous, differentiating across event types).
+    Declared("q_zscore_outliers",
+      // the engine keeps full ns resolution; the declared output is µs
+      // (`ts div 1000` ≡ DuckDB epoch_us — this DuckDB build truncates
+      // the ns parquet column to µs TIMESTAMP, so raw nanos can't match)
+      (s, d) => EventOps.zscoreOutliers(events(s, d), 3)
+        .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
+          col("value_c"), col("group_n"))
+        .orderBy("event_type", "ts_us", "value_c"),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        g AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                SUM(CAST(value_c AS HUGEINT)) AS s,
+                SUM(CAST(value_c AS HUGEINT) * value_c) AS q
+              FROM e GROUP BY event_type)
+        SELECT e.event_type, ts_us, value_c, n AS group_n
+        FROM e JOIN g USING (event_type)
+        WHERE (n * CAST(value_c AS HUGEINT) - s)
+                * (n * CAST(value_c AS HUGEINT) - s) > 9 * (n * q - s * s)
+        ORDER BY event_type, ts_us, value_c""")),
+
+    // Word co-occurrence within a 4-token forward window (TextOps
+    // .cooccurrence), top 100 pairs — the PMI/embedding-training count
+    // matrix. Oracle builds the same forward pairs by list slicing.
+    Declared("q_cooccur",
+      (s, d) => TextOps.cooccurrence(documents(s, d), 4, 100),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        p AS (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM t),
+        pr AS (SELECT ws[i] AS w1, unnest(ws[i+1:i+4]) AS w2 FROM p)
+        SELECT w1, w2, COUNT(*)::BIGINT AS cnt FROM pr GROUP BY w1, w2
+        ORDER BY cnt DESC, w1, w2 LIMIT 100""")),
+
+    // CCNet-style passage-level dedup (DedupOps.passageDedup, 10-token
+    // passages): per-doc total/dup/kept passage counts, first occurrence
+    // by (doc_id, passage_idx) kept. 278 of 2949 passages are corpus-wide
+    // dups at sf0.01 (non-vacuous). Oracle replays the chunking and plays
+    // the keeper rule as a row_number window — identical semantics to the
+    // engine's min(struct) argmin.
+    Declared("q_passage_dedup",
+      (s, d) => DedupOps.passageDedup(documents(s, d), 10),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+        c AS (SELECT doc_id, unnest(range(0, (len(ws)-1)//10 + 1)) AS ci, ws
+              FROM t),
+        k AS (SELECT doc_id, ci,
+                md5(array_to_string(ws[ci*10+1:ci*10+10], ' ')) AS h FROM c),
+        r AS (SELECT doc_id, ci, CASE WHEN ROW_NUMBER() OVER
+                (PARTITION BY h ORDER BY doc_id, ci) > 1 THEN 1 ELSE 0 END
+                AS is_dup FROM k)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_passages,
+          CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+          CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Temperature-sampled language weights, α = 1/2 (TextOps
+    // .languageSamplingWeights): multilingual rebalancing. sqrt is the
+    // one power function IEEE 754 requires correctly rounded, so
+    // floor(sqrt(n)·10⁶) is bit-identical across engines (unlike
+    // pow/ln-based temperatures, which are libm-specific).
+    Declared("q_lang_weights",
+      (s, d) => TextOps.languageSamplingWeights(documents(s, d)),
+      Some("""WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs
+                FROM documents GROUP BY lang),
+        sc AS (SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS sqrt_s6 FROM c)
+        SELECT lang, n_docs, sqrt_s6,
+          CAST(sqrt_s6 * 1000000 // SUM(sqrt_s6) OVER () AS BIGINT)
+            AS weight_ppm
+        FROM sc ORDER BY lang"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

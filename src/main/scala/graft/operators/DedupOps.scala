@@ -547,4 +547,45 @@ object DedupOps {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** L2/L4 — corpus-wide passage-level dedup (the CCNet/C4 line-dedup
+    * shape, on `passageWords`-token passages since this corpus has no
+    * newlines): cut each document into consecutive non-overlapping
+    * passages, hash each, and mark every occurrence after the corpus-wide
+    * FIRST (ordered by (doc_id, passage_idx) — deterministic, not
+    * arrival order) as a duplicate. Output is the per-document retention
+    * profile: total / duplicate / kept passage counts.
+    *
+    * Scale shape: exactly two shuffles — a wordcount-shaped groupBy on
+    * the 32-hex-char passage hash (map-side combined; the min(struct) is
+    * a 16-byte-keyed argmin, never a collect_list), and the final
+    * per-doc rollup. The keeper is `min(struct(doc_id, passage_idx))` —
+    * lexicographic, cliff-free at any id magnitude (same rationale as
+    * [[canonicalKeepers]]' max_by struct).
+    */
+  def passageDedup(documents: DataFrame, passageWords: Int): DataFrame = {
+    require(passageWords >= 1)
+    val keyed = documents
+      .select(col("doc_id"), TextOps.words(col("text")).as("__ws"))
+      .select(col("doc_id"), posexplode(transform(
+        // passage i covers tokens [i·p, i·p + p); (size−1) div p is the
+        // last passage index for any non-empty token array
+        sequence(lit(0L),
+          floor((size(col("__ws")) - 1) / lit(passageWords)).cast("long")),
+        i => concat_ws(" ", slice(col("__ws"),
+          (i * passageWords + 1).cast("int"),
+          lit(passageWords))))).as(Seq("passage_idx", "passage")))
+      .select(col("doc_id"), col("passage_idx").cast("long").as("passage_idx"),
+        md5(col("passage")).as("h"))
+    val firstSeen = keyed.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("passage_idx"))).as("first"))
+    keyed.join(firstSeen, Seq("h"))
+      .withColumn("__is_dup",
+        (col("first.doc_id") =!= col("doc_id") ||
+          col("first.passage_idx") =!= col("passage_idx")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"), sum("__is_dup").as("n_dup"))
+      .withColumn("n_kept", col("n_passages") - col("n_dup"))
+      .orderBy("doc_id")
+  }
 }

@@ -196,4 +196,40 @@ object EventOps {
     */
   def firstEventPerKey(events: DataFrame, keys: Seq[String]): DataFrame =
     DedupOps.keepFirstPerKey(events, keys, Seq("ts", "event_id"))
+
+  /** Per-group z-score anomaly filter in EXACT integer arithmetic — the
+    * data-quality "drop metric outliers" step, made hash-oracle-safe.
+    *
+    * |x − μ| > k·σ is algebraically identical to
+    * (n·x − S)² > k² · (n·Q − S²) with S = Σx, Q = Σx² over the group —
+    * every quantity an integer once values are centi-scaled, so there is
+    * no float μ/σ whose last-ulp could differ between engines. The
+    * quadratic terms run in Decimal(38,0) (the oracle mirrors with
+    * HUGEINT): at 10⁸ rows/group with 5-digit cents, n·Q ≈ 10¹⁹·10⁸
+    * still fits 38 digits with room to spare.
+    *
+    * Scale shape: one map-side-combined aggregation produces a
+    * GROUP-CARDINALITY-sized moments frame (here: #event_types rows)
+    * that broadcast-joins back; the events side is a single scan with a
+    * codegen'd filter — no window, no per-row state, no second shuffle.
+    */
+  def zscoreOutliers(events: DataFrame, k: Int): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = events.select(col("event_type"), col("ts"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    val moments = cents.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      // linear sum in decimal too: a LONG sum would overflow (and, under
+      // Spark 4's default ANSI mode, throw) around 10^14 centi-scaled rows
+      sum(col("value_c").cast(d38)).as("s"),
+      sum(col("value_c").cast(d38) * col("value_c").cast(d38)).as("q"))
+    val dev = col("n").cast(d38) * col("value_c") - col("s")
+    cents.join(broadcast(moments), Seq("event_type"))
+      .filter(dev * dev >
+        lit(k.toLong * k) * (col("n").cast(d38) * col("q") -
+          col("s").cast(d38) * col("s").cast(d38)))
+      .select(col("event_type"), col("ts").as("ts_ns"), col("value_c"),
+        col("n").as("group_n"))
+      .orderBy("event_type", "ts_ns", "value_c")
+  }
 }

@@ -164,6 +164,72 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Bloom-prefiltered semi-join — the explicit form of Spark's runtime
+    * bloom filter (`InjectRuntimeFilter`): build a Bloom filter over the
+    * build side's join keys, prune the probe side with a scan-adjacent
+    * codegen'd membership predicate, then exact-verify the survivors with
+    * a regular left-semi join. Because a Bloom filter has NO false
+    * negatives, prune + exact-verify is row-identical to the plain
+    * semi-join — only the physical cost changes: at 100 TB the probe
+    * side drops (1 − fpp) of its non-matching rows BEFORE the shuffle,
+    * which is the difference between shuffling the full fact table and
+    * shuffling roughly the result.
+    *
+    * The filter itself is `mBits` bits as `mBits/64` longs, built with
+    * one map-side-combined aggregation over the build keys and collected
+    * to the driver — a BOUNDED collect (8 KiB at the default 2^16 bits,
+    * independent of build-side row count) that then ships to executors
+    * as an array literal inside the codegen'd predicate, exactly like a
+    * broadcast variable but visible in the plan. `numHashes` positions
+    * per key come from seeded xxhash64 — engine-internal only (never
+    * oracle-replayed: correctness is via the exact verify join, so the
+    * hash needs no cross-engine portability).
+    */
+  def bloomPrefilteredSemiJoin(probe: DataFrame, build: DataFrame,
+                               probeKey: String, buildKey: String,
+                               mBits: Int = 1 << 16,
+                               numHashes: Int = 3): DataFrame =
+    // no .distinct() on the build side — a semi-join already has
+    // at-most-once match semantics, and the distinct would be one more
+    // full shuffle of the build keys
+    bloomPrunedProbe(probe, build, probeKey, buildKey, mBits, numHashes)
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+
+  /** The prune stage of [[bloomPrefilteredSemiJoin]], exposed separately:
+    * probe rows surviving the Bloom membership predicate — a SUPERSET of
+    * the true matches (all matches survive; a small fpp of non-matches
+    * leaks through). Useful on its own when a downstream exact join
+    * happens anyway and only the shuffle volume needs cutting.
+    */
+  def bloomPrunedProbe(probe: DataFrame, build: DataFrame,
+                       probeKey: String, buildKey: String,
+                       mBits: Int = 1 << 16,
+                       numHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two and at least one 64-bit word")
+    require(numHashes >= 1)
+    def positions(key: Column): Seq[Column] =
+      (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(mBits.toLong)))
+    val bitRows = build
+      .select(explode(array(positions(col(buildKey)): _*)).as("pos"))
+      .select(expr("CAST(pos DIV 64 AS INT)").as("w"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("bits"))
+      .collect() // bounded: ≤ mBits/64 rows regardless of build size
+    val mask = Array.fill(mBits / 64)(0L)
+    bitRows.foreach(r => mask(r.getInt(0)) = r.getLong(1))
+    val posCols = positions(col(probeKey)).zipWithIndex
+      .map { case (p, i) => p.as(s"__bp$i") }
+    val pass = (0 until numHashes).map { i =>
+      expr(s"(element_at(__blut, CAST(__bp$i DIV 64 AS INT) + 1) & " +
+        s"shiftleft(1L, CAST(__bp$i % 64 AS INT))) != 0L")
+    }.reduce(_ && _)
+    probe
+      .select(col("*") +: typedLit(mask.toSeq).as("__blut") +: posCols: _*)
+      .filter(pass)
+      .drop("__blut" +: (0 until numHashes).map(i => s"__bp$i"): _*)
+  }
+
   /** E1 — top-N rows per group with a total-order tie-break. */
   def topNPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
                    n: Int, rankName: String = "rn"): DataFrame = {

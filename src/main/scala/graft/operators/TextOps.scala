@@ -312,6 +312,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L4 — word co-occurrence counts within a forward window of `window`
+    * tokens: for each position i, emit (wᵢ, wⱼ) for j ∈ (i, i+window] —
+    * the raw counts behind PMI/embedding-training co-occurrence matrices.
+    * Top-`topN` pairs by (count desc, w1, w2) — a total order, since the
+    * grouped (w1, w2) key is unique.
+    *
+    * Scale shape: ONE narrow map pass builds the pair list per row
+    * (array-slice fan-out — linear in tokens × window, no self-join on
+    * position, which would shuffle the corpus once per token), then a
+    * single map-side-combined groupBy on the pair; the final top-N is
+    * `TakeOrderedAndProject` over the vocabulary²-bounded count frame.
+    * Tokenize-once: the token array is projected before the fan-out, so
+    * `split` runs once per document even though the expression references
+    * the array twice.
+    */
+  def cooccurrence(documents: DataFrame, window: Int, topN: Int): DataFrame = {
+    require(window >= 1)
+    documents
+      .select(words(col("text")).as("__ws"))
+      .select(explode(flatten(transform(col("__ws"), (w, i) =>
+        transform(slice(col("__ws"), i + lit(2), lit(window)),
+          v => struct(w.as("w1"), v.as("w2")))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
+  /** L4 — temperature-sampled language weights (α = 1/2): the standard
+    * multilingual-corpus rebalancing step — sampling probability
+    * ∝ (docs per language)^α flattens the head so low-resource languages
+    * are upsampled relative to their raw share.
+    *
+    * α = 1/2 is deliberately the exponent whose power function (sqrt) is
+    * CORRECTLY ROUNDED under IEEE 754 in every conforming engine — unlike
+    * pow/ln/exp, whose last ulp is libm-specific — so
+    * `floor(sqrt(n) · 10⁶)` is bit-identical across engines and the ppm
+    * weights oracle-check exactly. Weights are integer-normalized:
+    * wᵢ = sᵢ·10⁶ div Σs.
+    *
+    * Scale shape: one map-side-combined count per language, then a
+    * single-partition window over the LANGUAGE-CARDINALITY-sized frame
+    * (dozens of rows at any corpus size) for the normalizing sum.
+    */
+  def languageSamplingWeights(documents: DataFrame): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    documents.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_s6",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      // integer `div`, NOT Column./ — the latter is double division, and
+      // truncating a last-ulp-low quotient like 41.999…9 would floor to
+      // the wrong integer
+      .withColumn("__total", sum("sqrt_s6").over(all))
+      .withColumn("weight_ppm", expr("sqrt_s6 * 1000000L div __total"))
+      .drop("__total")
+      .orderBy("lang")
+  }
+
   /** L4 — sequence packing for training-batch assembly: concatenate
     * documents in deterministic `doc_id` order and cut fixed
     * `budgetTokens` bins, attributing each document to the bin its FIRST
