@@ -31,15 +31,18 @@ object MultimodalOps {
     StructField("meta", MetadataSchema)))
 
   /** Feature schema produced by [[extractFeatures]]: width/height are the
-    * REAL decoded dimensions for payloads [[ImageCodec]] can decode, null
-    * for opaque formats (which fall back to the byte-histogram stub).
+    * REAL decoded dimensions for payloads [[ImageCodec]] can decode;
+    * duration_ms is the REAL decoded duration for payloads [[AudioCodec]]
+    * can decode; all null for opaque formats (which fall back to the
+    * byte-histogram stub).
     */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(DoubleType)),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
 
   /** STUB decoder — deterministic fake standing in for codecs NOT in this
     * container (jpeg/wav/mp4/…). Produces a 16-bin byte histogram
@@ -66,7 +69,9 @@ object MultimodalOps {
     * mirroring how a decode failure is represented without poisoning the
     * batch. Decodable images (PNG magic + a successful [[ImageCodec]]
     * decode) emit their TRUE dimensions and a pixel-luminance histogram;
-    * everything else keeps the byte-histogram stub with null dims.
+    * decodable audio (RIFF/WAVE PCM via [[AudioCodec]]) emits its TRUE
+    * duration and an amplitude histogram; everything else keeps the
+    * byte-histogram stub with null dims/duration.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -75,13 +80,19 @@ object MultimodalOps {
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (payload == null) Row(id, null, null, null, null)
+        if (payload == null) Row(id, null, null, null, null, null)
         else ImageCodec.decode(payload) match {
           case Some(img) =>
             Row(id, payload.length.toLong, img.lumaHistogram.toSeq,
-              img.width, img.height)
-          case None =>
-            Row(id, payload.length.toLong, decodeStub(payload).toSeq, null, null)
+              img.width, img.height, null)
+          case None => AudioCodec.decode(payload) match {
+            case Some(a) =>
+              Row(id, payload.length.toLong, a.amplitudeHistogram.toSeq,
+                null, null, a.durationMs)
+            case None =>
+              Row(id, payload.length.toLong, decodeStub(payload).toSeq,
+                null, null, null)
+          }
         }
       }
     }

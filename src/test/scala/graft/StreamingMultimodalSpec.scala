@@ -307,6 +307,68 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out(1).getStruct(2).isNullAt(2) && out(1).getStruct(2).isNullAt(3))
   }
 
+  test("multimodal: a REAL PCM WAV decodes to true rate/duration and amplitude features") {
+    import graft.multimodal.AudioCodec
+    // 8 kHz mono, 2000 frames = 250 ms: half the samples at −16384
+    // (bin (−16384+32768)>>12 = 4), half at +16384 (bin 12)
+    val samples = Array.tabulate[Short](2000)(i =>
+      if (i % 2 == 0) (-16384).toShort else 16384.toShort)
+    val wav = AudioCodec.encodeWavPcm16(8000, 1, samples)
+    val decoded = AudioCodec.decode(wav).get
+    assert(decoded.sampleRate == 8000 && decoded.channels == 1 &&
+      decoded.bitsPerSample == 16 && decoded.nFrames == 2000L &&
+      decoded.durationMs == 250L)
+    assert(math.abs(decoded.amplitudeHistogram(4) - 0.5) < 1e-12 &&
+      math.abs(decoded.amplitudeHistogram(12) - 0.5) < 1e-12)
+
+    // through the standard feature pipeline: true duration, null dims
+    val media = MultimodalOps.fromBytes(spark, Seq(
+      (1L, wav, "audio", "wav"),
+      (2L, Array[Byte](9, 9, 9, 9), "audio", "mp3")))  // no JVM path → stub
+    val feats = MultimodalOps.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getLong(5) == 250L)
+    assert(feats(0).isNullAt(3) && feats(0).isNullAt(4))
+    assert(math.abs(feats(0).getSeq[Double](2)(4) - 0.5) < 1e-12)
+    assert(feats(1).isNullAt(5))                    // opaque: stub, no duration
+    assert(feats(1).getSeq[Double](2)(0) == 1.0)    // bytes 9,9,9,9 → bin 0
+  }
+
+  test("multimodal: stereo and 8-bit WAVs decode; corrupt WAVs fall back to the stub") {
+    import graft.multimodal.AudioCodec
+    // stereo: 1000 interleaved L/R frames at 44100 Hz → 22 ms (integer div)
+    val stereo = AudioCodec.encodeWavPcm16(44100, 2,
+      Array.fill[Short](2000)(0))
+    val d = AudioCodec.decode(stereo).get
+    assert(d.channels == 2 && d.nFrames == 1000L && d.durationMs == 22L)
+    assert(d.amplitudeHistogram(8) == 1.0)   // silence → bin (0+32768)>>12 = 8
+
+    // 8-bit unsigned path, hand-built: 4 samples 0x00,0x10,0xF0,0xFF
+    val hdr = AudioCodec.encodeWavPcm16(8000, 1, Array[Short](0, 0))
+    val eightBit = hdr.clone()
+    eightBit(34) = 8                          // bits per sample
+    eightBit(32) = 1; eightBit(33) = 0        // block align = 1
+    eightBit(40) = 4                          // data size = 4 bytes
+    eightBit(44) = 0x00; eightBit(45) = 0x10
+    eightBit(46) = 0xF0.toByte; eightBit(47) = 0xFF.toByte
+    val d8 = AudioCodec.decode(eightBit).get
+    assert(d8.bitsPerSample == 8 && d8.nFrames == 4L)
+    assert(d8.amplitudeHistogram(0) == 0.25 && d8.amplitudeHistogram(1) == 0.25 &&
+      d8.amplitudeHistogram(15) == 0.5)
+
+    // corrupt: data chunk declares more bytes than the payload carries
+    val truncated = AudioCodec.encodeWavPcm16(8000, 1, Array.fill[Short](100)(1))
+      .dropRight(50)
+    assert(AudioCodec.decode(truncated).isEmpty)
+    // non-PCM format code rejects
+    val alaw = AudioCodec.encodeWavPcm16(8000, 1, Array[Short](0, 0)).clone()
+    alaw(20) = 6
+    assert(AudioCodec.decode(alaw).isEmpty)
+    // and the feature pipeline keeps flowing on the stub path
+    val media = MultimodalOps.fromBytes(spark, Seq((1L, truncated, "audio", "wav")))
+    val feats = MultimodalOps.extractFeatures(media).collect()
+    assert(feats(0).isNullAt(5) && !feats(0).isNullAt(2))
+  }
+
   test("multimodal: frame sampling explodes video rows only") {
     val media = MultimodalOps.fromBytes(spark, Seq(
       (1L, Array[Byte](1), "video", "mp4"),
