@@ -60,7 +60,8 @@ object Bench {
     * printed line.
     */
   def runSuite(spark: SparkSession, sfDir: String,
-               queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): String = {
+               queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+               jsonPath: String = "target/bench.json"): String = {
     // Warm up the session (codegen, shuffle machinery, parquet reader)
     // so first-query timings measure the query, not JVM init.
     try {
@@ -77,8 +78,10 @@ object Bench {
     val results = queries.sortBy(_._1).map { case (name, fn) =>
       name -> bestOf(2)(timeOnce(fn(spark, sfDir).count()))
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"),
+    val out = java.nio.file.Paths.get(jsonPath)
+    if (out.getParent != null)
+      java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out,
       renderJson(results, sfDir, results.map(_._1)) + "\n")
     renderJson(results, sfDir, headline)
   }
