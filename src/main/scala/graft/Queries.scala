@@ -2365,7 +2365,159 @@ object Queries {
         SELECT lang, n_docs, sqrt_s6,
           CAST(sqrt_s6 * 1000000 // SUM(sqrt_s6) OVER () AS BIGINT)
             AS weight_ppm
-        FROM sc ORDER BY lang"""))
+        FROM sc ORDER BY lang""")),
+
+    // First-order Markov transition matrix of the event stream
+    // (EventOps.transitionCounts): per-user lead window on the
+    // (ts_us, event_id) total order, then a |types|²-key count.
+    Declared("q_transitions",
+      (s, d) => EventOps.transitionCounts(events(s, d)),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                event_type FROM events),
+        t AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS to_type FROM e)
+        SELECT from_type, to_type, COUNT(*)::BIGINT AS cnt FROM t
+        WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type ORDER BY from_type, to_type""")),
+
+    // Per-user TIME-weighted mean value (EventOps.timeWeightedValue):
+    // centi-scaled values × µs interval lengths, Decimal(38,0) ↔ HUGEINT
+    // weighted sums, integral-division quotient — no float anywhere.
+    Declared("q_time_weighted",
+      (s, d) => EventOps.timeWeightedValue(events(s, d)),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        iv AS (SELECT user_id, value_c,
+                 LEAD(ts_us) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id) - ts_us AS dt_us FROM e),
+        a AS (SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+                SUM(dt_us)::BIGINT AS sum_dt_us,
+                SUM(CAST(value_c AS HUGEINT) * dt_us) AS num
+              FROM iv WHERE dt_us IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_intervals, sum_dt_us,
+          CAST(num // sum_dt_us AS BIGINT) AS twavg_c
+        FROM a WHERE sum_dt_us > 0 ORDER BY user_id""")),
+
+    // 2-D Pareto frontier / skyline (Relational.paretoFrontier) over the
+    // per-day max order price: the days not dominated by any earlier day
+    // with an equal-or-higher price. Sorted running-max pass in the
+    // engine; the oracle states dominance declaratively (NOT EXISTS) —
+    // two independent formulations that must agree row-for-row.
+    Declared("q_pareto_frontier",
+      (s, d) => {
+        val daily = orders(s, d)
+          .groupBy(col("o_orderdate").cast(DateType).as("order_date"))
+          .agg(max(round(col("o_totalprice") * 100).cast("long"))
+            .as("max_price_c"))
+        Relational.paretoFrontier(daily, "order_date", "max_price_c")
+          .orderBy("order_date")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS order_date,
+                MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_price_c
+              FROM orders GROUP BY 1)
+        SELECT order_date, max_price_c FROM daily d
+        WHERE NOT EXISTS (SELECT 1 FROM daily e
+          WHERE e.order_date < d.order_date
+            AND e.max_price_c >= d.max_price_c)
+        ORDER BY order_date""")),
+
+    // Vocabulary coverage curve (TextOps.vocabCoverage): ranks needed to
+    // cover 50% / 90% / 99% of token occurrences. The global sort is a
+    // TakeOrderedAndProject over the aggregated vocab (plan-asserted),
+    // bounded by maxRank; cumulative products in Decimal(38,0) ↔ HUGEINT.
+    Declared("q_vocab_coverage",
+      (s, d) => TextOps.vocabCoverage(documents(s, d),
+        Seq(500000L, 900000L, 990000L), 100000),
+      Some("""WITH wc AS (SELECT word, COUNT(*)::BIGINT AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS word
+                      FROM documents) GROUP BY word),
+        tot AS (SELECT SUM(cnt)::BIGINT AS total_tokens FROM wc),
+        top_w AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word
+                  LIMIT 100000),
+        r AS (SELECT CAST(ROW_NUMBER() OVER
+                       (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+                SUM(cnt) OVER (ORDER BY cnt DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_cnt
+              FROM top_w),
+        th AS (SELECT unnest([500000, 900000, 990000]::BIGINT[])
+                 AS threshold_ppm)
+        SELECT th.threshold_ppm, MIN(r.rank) AS rank_needed,
+          arg_min(r.cum_cnt, r.rank) AS cum_cnt,
+          MIN(tot.total_tokens) AS total_tokens
+        FROM th, r, tot
+        WHERE CAST(r.cum_cnt AS HUGEINT) * 1000000 >=
+              CAST(th.threshold_ppm AS HUGEINT) * tot.total_tokens
+        GROUP BY th.threshold_ppm ORDER BY th.threshold_ppm""")),
+
+    // Directed word-set containment ≥90% (DedupOps.containmentPairs) on
+    // the %10 slice — the asymmetric quote/subset relation Jaccard
+    // misses. One inverted-index pair count, both directions derived.
+    Declared("q_containment",
+      (s, d) => DedupOps.containmentPairs(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 90),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        cs AS (SELECT c.a_id, c.b_id, c.common,
+                 sa.set_size AS n_a, sb.set_size AS n_b
+               FROM c JOIN sz sa ON c.a_id = sa.doc_id
+                      JOIN sz sb ON c.b_id = sb.doc_id),
+        dir AS (SELECT a_id AS src_id, b_id AS dst_id, common,
+                  n_a AS n_src, n_b AS n_dst FROM cs
+                UNION ALL
+                SELECT b_id, a_id, common, n_b, n_a FROM cs)
+        SELECT src_id, dst_id, common, n_src, n_dst,
+          common * 1000000 // n_src AS cont_ppm
+        FROM dir WHERE common * 100 >= n_src * 90
+        ORDER BY src_id, dst_id""")),
+
+    // Incremental dedup (DedupOps.dedupAgainstCorpus): flag batch docs
+    // (%10 slice) sharing any MinHash/LSH band with the remaining 90%
+    // corpus — the new-crawl-vs-kept-corpus shape. Portable md5 seeds so
+    // the oracle replays the exact signature minima; band equality via
+    // the sig tuple where the engine compares xxhash64 (same 2⁻⁶⁴
+    // collision caveat as q_minhash_lsh).
+    Declared("q_dedup_incremental",
+      (s, d) => DedupOps.dedupAgainstCorpus(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        12, 3, seedHash = DedupOps.md5SeedHash60),
+      Some("""WITH batch AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        corpus AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 10 <> 0),
+        bw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                 AS word FROM batch),
+        cw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                 AS word FROM corpus),
+        bh AS (SELECT doc_id, s.i AS seed,
+                 MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) AS mh
+               FROM bw CROSS JOIN range(12) s(i) GROUP BY doc_id, s.i),
+        ch AS (SELECT doc_id, s.i AS seed,
+                 MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) AS mh
+               FROM cw CROSS JOIN range(12) s(i) GROUP BY doc_id, s.i),
+        bb AS (SELECT doc_id, seed // 3 AS band_idx,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+               FROM bh GROUP BY doc_id, seed // 3),
+        cb AS (SELECT DISTINCT seed // 3 AS band_idx,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+               FROM ch GROUP BY doc_id, seed // 3),
+        m AS (SELECT DISTINCT bb.doc_id FROM bb
+              JOIN cb ON bb.band_idx = cb.band_idx
+                     AND bb.band_sig = cb.band_sig)
+        SELECT batch.doc_id,
+          CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END::BIGINT
+            AS matched_corpus
+        FROM batch LEFT JOIN m USING (doc_id) ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -72,6 +72,38 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L2 — DIRECTED containment near-dup: emit (src, dst) when src's word
+    * set is ≥ `minContPct`% inside dst's — the asymmetric relation
+    * Jaccard misses (a paragraph quoted verbatim inside a much longer
+    * page has low Jaccard but containment ≈ 100%; quote/subset/
+    * boilerplate detection wants exactly this).
+    *
+    * Same inverted-index equi-join shape as [[jaccardPairs]] (one shared
+    * pair-count pass; both directions are derived from it, so the
+    * expensive join runs ONCE), same pure-integer output contract:
+    * `cont_ppm = common·10⁶ div n_src`.
+    */
+  def containmentPairs(documents: DataFrame, minContPct: Int): DataFrame = {
+    val words = docWords(documents).localCheckpoint()
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val common = words.as("a")
+      .join(words.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("set_size").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("set_size").as("n_b")), "b_id")
+      .localCheckpoint() // feeds both direction scans below, computed once
+    val aInB = common.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+      col("common"), col("n_a").as("n_src"), col("n_b").as("n_dst"))
+    val bInA = common.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+      col("common"), col("n_b").as("n_src"), col("n_a").as("n_dst"))
+    aInB.union(bInA)
+      .filter(col("common") * 100 >= col("n_src") * minContPct)
+      .withColumn("cont_ppm", expr("common * 1000000L div n_src"))
+      .orderBy("src_id", "dst_id")
+  }
+
   /** L2 — exact pairwise Jaccard for BOUNDED candidate sets: broadcast
     * non-equi self-join + a codegen'd sorted merge walk per pair
     * ([[graft.plans.SortedIntersectCount]]). Complements
@@ -160,17 +192,7 @@ object DedupOps {
                                 rowsPerBand: Int,
                                 seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
                                   XxSeedHash): DataFrame = {
-    val sigs = minHashSignatures(documents, numHashes, seedHash)
-    val numBands = numHashes / rowsPerBand
-    // all band hashes from ONE projection + posexplode — a per-band
-    // select unioned numBands times would scan the signature frame
-    // numBands times (round-1 bench finding)
-    val bandHashes = array((0 until numBands).map { b =>
-      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      xxhash64(bandCols: _*)
-    }: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    val bands = bandFrame(documents, numHashes, rowsPerBand, seedHash)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -178,6 +200,55 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** The exploded (doc_id, band_idx, band_hash) LSH relation every
+    * banding consumer joins on. All band hashes come from ONE projection
+    * + posexplode — a per-band select unioned numBands times would scan
+    * the signature frame numBands times (round-1 bench finding).
+    */
+  private def bandFrame(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val sigs = minHashSignatures(documents, numHashes, seedHash)
+    val numBands = numHashes / rowsPerBand
+    val bandHashes = array((0 until numBands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      xxhash64(bandCols: _*)
+    }: _*)
+    sigs.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental dedup — flag which BATCH docs near-duplicate anything
+    * already in the CORPUS (the shape a continuously-ingesting pipeline
+    * runs: new crawl vs. everything kept so far). Both sides are banded
+    * with the same MinHash/LSH parameters; a batch doc is `matched_corpus
+    * = 1` iff it shares at least one (band_idx, band_hash) bucket with
+    * any corpus doc.
+    *
+    * Scale shape: candidate detection is a LEFT SEMI equi-join of batch
+    * bands against corpus bands — linear in index size, never enumerates
+    * (batch × corpus) pairs, and the semi-join short-circuits per
+    * band-bucket (no pair blowup inside hot buckets). The corpus side is
+    * typically orders of magnitude larger; only its banded projection
+    * (doc_id × numBands rows of two longs) is shuffled, never its text.
+    */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                         numHashes: Int, rowsPerBand: Int,
+                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                           XxSeedHash): DataFrame = {
+    val batchBands = bandFrame(batch, numHashes, rowsPerBand, seedHash)
+    val corpusBands = bandFrame(corpus, numHashes, rowsPerBand, seedHash)
+      .select("band_idx", "band_hash")
+    val matched = batchBands
+      .join(corpusBands, Seq("band_idx", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("matched_corpus", lit(1L))
+    batch.select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched_corpus"), lit(0L)).as("matched_corpus"))
+      .orderBy("doc_id")
   }
 
   /** L2 — the composition you actually run at 100 TB: MinHash+LSH

@@ -232,4 +232,66 @@ object EventOps {
         col("n").as("group_n"))
       .orderBy("event_type", "ts_ns", "value_c")
   }
+
+  /** First-order Markov transition counts of the event stream: order each
+    * user's events by (µs time, event_id — the total-order tiebreak used
+    * throughout), pair each event with its successor via `lead`, count
+    * (from_type, to_type) occurrences corpus-wide. The path-analysis /
+    * "what do users do next" matrix.
+    *
+    * Scale shape: one shuffle on user_id for the per-user window (hash
+    * partitioning — users are independent, no skew beyond the hottest
+    * user's event count), then a map-side-combined groupBy whose key
+    * space is |event_type|² — the second exchange carries rows
+    * proportional to partitions × type-pairs, not to the input.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Per-user TIME-weighted mean of `value` — each reading weighted by
+    * how long it was the current one (piecewise-constant signal, the
+    * sensor/metrics aggregation a row-weighted mean gets wrong when
+    * sampling is irregular).
+    *
+    * Exactness contract: values are centi-scaled to integers, intervals
+    * are µs longs, and the weighted sums run in Decimal(38,0) (oracle:
+    * HUGEINT) — at 10⁸ events/user with 5-digit cents and month-long
+    * spans, Σ(value_c·dt_us) ≈ 10⁷·10¹³ = 10²⁰ still fits 38 digits. The
+    * output is the integral-division quotient Σ(v·dt) div Σ(dt) — an
+    * exact BIGINT of avg cents, never a float. Users whose events all
+    * share one timestamp have zero total weight and are dropped (no 0/0).
+    *
+    * Scale shape: one shuffle on user_id for the lead window, then a
+    * map-side-combined per-user aggregation on the SAME partitioning
+    * (Catalyst reuses the exchange — no second shuffle).
+    */
+  def timeWeightedValue(events: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("sum_dt_us"),
+        sum(col("value_c").cast(d38) * col("dt_us").cast(d38)).as("num"))
+      .filter(col("sum_dt_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("sum_dt_us"),
+        expr("num div sum_dt_us").as("twavg_c"))
+      .orderBy("user_id")
+  }
 }

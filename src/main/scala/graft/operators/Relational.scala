@@ -325,4 +325,26 @@ object Relational {
                   values: Seq[String]): DataFrame =
     df.groupBy(rowKey).pivot(pivotCol, values).agg(count(lit(1)))
       .na.fill(0L, values)
+
+  /** 2-D Pareto frontier (skyline): the rows not dominated under
+    * (minimize `xCol`, maximize `yCol`) — a point survives iff no row
+    * with a strictly smaller x has y ≥ its y. One sorted pass instead of
+    * the textbook O(n²) NOT EXISTS: after sorting by x ascending, a row
+    * is on the frontier exactly when its y strictly exceeds the running
+    * max of all previous rows.
+    *
+    * CONTRACT: `xCol` values must be unique — pre-aggregate to the
+    * frontier's grain first (e.g. per-day max) so ties in x collapse
+    * before the scan. That pre-aggregation is also what makes the shape
+    * scale-safe: the single global window sorts only the GROUP-cardinality
+    * frame (days, price bands, …), never the raw fact table.
+    */
+  def paretoFrontier(points: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val prev = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    points
+      .withColumn("_prev_max", max(col(yCol)).over(prev))
+      .filter(col("_prev_max").isNull || col(yCol) > col("_prev_max"))
+      .drop("_prev_max")
+  }
 }

@@ -402,4 +402,53 @@ object TextOps {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("source", "shard", "bin")
   }
+
+  /** Vocabulary coverage curve: for each coverage threshold (in ppm of
+    * all token occurrences), the number of most-frequent word types
+    * needed to reach it — the "how big must the vocab be to cover 99%?"
+    * question every tokenizer-training pipeline asks. Rank words by
+    * (count desc, word asc — total order), prefix-sum the counts, and
+    * report the first rank whose cumulative share meets each threshold.
+    *
+    * Scale shape: the corpus-wide scans are a map-side-combined word
+    * count plus one scalar token total; the only global sort is
+    * `orderBy.limit(maxRank)` — a TakeOrderedAndProject over the
+    * ALREADY-AGGREGATED vocab, so the single-partition window that
+    * follows touches at most `maxRank` rows regardless of corpus size.
+    * The cumulative products run in Decimal(38,0) (oracle: HUGEINT):
+    * cum_cnt·10⁶ overflows a long past ~9·10¹² tokens.
+    *
+    * A threshold unreachable within `maxRank` ranks yields no output row
+    * (inner-join semantics) — size `maxRank` to the vocab you're willing
+    * to keep.
+    */
+  def vocabCoverage(documents: DataFrame, thresholdsPpm: Seq[Long],
+                    maxRank: Int): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wc = documents
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("total_tokens"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("word"))
+    val ranked = wc.orderBy(col("cnt").desc, col("word")).limit(maxRank)
+      .select(col("cnt"),
+        row_number().over(byFreq).cast("long").as("rank"),
+        sum(col("cnt")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_cnt"))
+    val thresholds = documents.sparkSession
+      .createDataFrame(thresholdsPpm.map(Tuple1(_)))
+      .toDF("threshold_ppm")
+    ranked
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(thresholds))
+      .filter(col("cum_cnt").cast(d38) * lit(1000000L) >=
+        col("threshold_ppm").cast(d38) * col("total_tokens").cast(d38))
+      .groupBy("threshold_ppm")
+      .agg(min(col("rank")).as("rank_needed"),
+        min_by(col("cum_cnt"), col("rank")).as("cum_cnt"),
+        min(col("total_tokens")).as("total_tokens"))
+      .orderBy("threshold_ppm")
+  }
 }
