@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Mechanical pre-snapshot gate (VERDICT r5 "Next round" #2).
+#
+# Round 5 shipped exactly one red row — q_vocab_coverage, an oracle
+# typing bug selfcheck.py catches perfectly — because running selfcheck
+# on late additions was a CONVENTION, and the convention failed once.
+# This script makes it mechanical: run `graft.Verify` at the driver's
+# correctness SF, then the driver-strict selfcheck + the non-vacuity
+# audit over the FULL declared set, and tee everything into
+# SELFCHECK.log (committed with the snapshot as the all-green evidence).
+#
+# Usage: scripts/presnapshot.sh [sfDir] [verifyOut]
+# Exit 0 ⟺ every declared query PASSes selfcheck AND the vacuity audit
+# is clean. Any other exit means DO NOT SNAPSHOT.
+set -u
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+LOG=SELFCHECK.log
+
+rm -rf "$OUT"
+if ! sbt -batch "runMain graft.Verify $SF $OUT" >/tmp/presnapshot_verify.log 2>&1; then
+  echo "presnapshot: Verify FAILED — see /tmp/presnapshot_verify.log"
+  exit 1
+fi
+# Verify prints per-query failures to stderr without failing the JVM;
+# surface them here so a broken builder can't slide through as a
+# missing-parquet selfcheck FAIL with a confusing message
+grep '\[verify\]' /tmp/presnapshot_verify.log || true
+
+{
+  echo "# presnapshot gate  sf=$SF  $(date -u +%FT%TZ)  HEAD=$(git rev-parse --short HEAD)"
+  python3 scripts/selfcheck.py "$SF" "$OUT"; sc=$?
+  echo "--- vacuity audit ---"
+  python3 scripts/vacuity_audit.py "$OUT"; va=$?
+  echo "RESULT selfcheck_exit=$sc vacuity_exit=$va"
+  [ "$sc" -eq 0 ] && [ "$va" -eq 0 ]
+} 2>&1 | tee "$LOG"
+status=${PIPESTATUS[0]}
+if [ "$status" -eq 0 ]; then
+  echo "presnapshot gate GREEN — safe to snapshot (log: $LOG)"
+else
+  echo "presnapshot gate RED — fix before snapshotting (log: $LOG)"
+fi
+exit "$status"

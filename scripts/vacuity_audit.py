@@ -40,6 +40,9 @@ KNOWN_BENIGN = {
     ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
     ("q_percentile_disc", "p25_s2"), ("q_percentile_disc", "p75_s2"),
     ("q_string_agg", "priorities"),         # every status sees all 5 values
+    # the corpus-wide token total is ONE scalar repeated per threshold
+    # row by construction (the curve's denominator) — structural
+    ("q_vocab_coverage", "total_tokens"),
 }
 
 

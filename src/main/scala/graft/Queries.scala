@@ -1634,8 +1634,12 @@ object Queries {
           FROM s) WHERE rn <= 5
         ORDER BY q_id, rn""")),
 
+    // multi-probe (hamming ≤ 1) since round 6: probes 9 of 256 buckets
+    // per query — fan-in still corpus·9/256, recall floor pinned
+    // executably in AnnRecallSpec against the oracle-checked exact top-k
     Declared("q_simsearch_lsh",
-      (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5),
+      (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5,
+        numPlanes = 8, dim = 64, maxFlip = 1),
       None),
 
     // probe-only declared query: the index trains once per data dir and
@@ -2437,14 +2441,14 @@ object Queries {
                   LIMIT 100000),
         r AS (SELECT CAST(ROW_NUMBER() OVER
                        (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
-                SUM(cnt) OVER (ORDER BY cnt DESC, word
+                CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS cum_cnt
+                  AS BIGINT) AS cum_cnt
               FROM top_w),
         th AS (SELECT unnest([500000, 900000, 990000]::BIGINT[])
                  AS threshold_ppm)
         SELECT th.threshold_ppm, MIN(r.rank) AS rank_needed,
-          arg_min(r.cum_cnt, r.rank) AS cum_cnt,
+          CAST(arg_min(r.cum_cnt, r.rank) AS BIGINT) AS cum_cnt,
           MIN(tot.total_tokens) AS total_tokens
         FROM th, r, tot
         WHERE CAST(r.cum_cnt AS HUGEINT) * 1000000 >=
@@ -2480,17 +2484,54 @@ object Queries {
         FROM dir WHERE common * 100 >= n_src * 90
         ORDER BY src_id, dst_id""")),
 
+    // The SAME containment relation through the bounded 100 TB plan
+    // (DedupOps.containmentPairsPrefix): PPJoin prefix filtering —
+    // candidates from each doc's (1−t)·n+1 globally-RAREST tokens
+    // (pigeonhole-exact recall), codegen'd merge-walk verify. Shares
+    // q_containment's oracle verbatim: two independent engine plans and
+    // one declarative DuckDB formulation must agree row-for-row.
+    Declared("q_containment_prefix",
+      (s, d) => DedupOps.containmentPairsPrefix(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 90),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        cs AS (SELECT c.a_id, c.b_id, c.common,
+                 sa.set_size AS n_a, sb.set_size AS n_b
+               FROM c JOIN sz sa ON c.a_id = sa.doc_id
+                      JOIN sz sb ON c.b_id = sb.doc_id),
+        dir AS (SELECT a_id AS src_id, b_id AS dst_id, common,
+                  n_a AS n_src, n_b AS n_dst FROM cs
+                UNION ALL
+                SELECT b_id, a_id, common, n_b, n_a FROM cs)
+        SELECT src_id, dst_id, common, n_src, n_dst,
+          common * 1000000 // n_src AS cont_ppm
+        FROM dir WHERE common * 100 >= n_src * 90
+        ORDER BY src_id, dst_id""")),
+
     // Incremental dedup (DedupOps.dedupAgainstCorpus): flag batch docs
     // (%10 slice) sharing any MinHash/LSH band with the remaining 90%
     // corpus — the new-crawl-vs-kept-corpus shape. Portable md5 seeds so
     // the oracle replays the exact signature minima; band equality via
     // the sig tuple where the engine compares xxhash64 (same 2⁻⁶⁴
     // collision caveat as q_minhash_lsh).
+    // 12 hashes × 6-row bands (r6; was 4 × 3-row bands): at sf0.01 the
+    // loose bands matched EVERY batch doc — a constant matched_corpus=1
+    // column the vacuity audit rightly flagged (the unmatched branch was
+    // never oracle-exercised). Two strict bands yield 47 matched / 3
+    // novel on the pinned corpus — both branches live.
     Declared("q_dedup_incremental",
       (s, d) => DedupOps.dedupAgainstCorpus(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        12, 3, seedHash = DedupOps.md5SeedHash60),
+        12, 6, seedHash = DedupOps.md5SeedHash60),
       Some("""WITH batch AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),
         corpus AS (SELECT doc_id, text FROM documents
@@ -2505,12 +2546,12 @@ object Queries {
         ch AS (SELECT doc_id, s.i AS seed,
                  MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) AS mh
                FROM cw CROSS JOIN range(12) s(i) GROUP BY doc_id, s.i),
-        bb AS (SELECT doc_id, seed // 3 AS band_idx,
+        bb AS (SELECT doc_id, seed // 6 AS band_idx,
                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
-               FROM bh GROUP BY doc_id, seed // 3),
-        cb AS (SELECT DISTINCT seed // 3 AS band_idx,
+               FROM bh GROUP BY doc_id, seed // 6),
+        cb AS (SELECT DISTINCT seed // 6 AS band_idx,
                  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
-               FROM ch GROUP BY doc_id, seed // 3),
+               FROM ch GROUP BY doc_id, seed // 6),
         m AS (SELECT DISTINCT bb.doc_id FROM bb
               JOIN cb ON bb.band_idx = cb.band_idx
                      AND bb.band_sig = cb.band_sig)

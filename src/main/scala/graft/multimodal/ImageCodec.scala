@@ -4,17 +4,18 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-/** REAL pure-JVM image codec (round 5): PNG (and any other format the
-  * JRE's `javax.imageio` SPI registry ships readers for — PNG, GIF, BMP)
-  * decodes to true pixels; formats the JVM can't decode return None and
+/** REAL pure-JVM image codec (rounds 5–6): PNG, JPEG, GIF, BMP — the
+  * formats the JRE's `javax.imageio` SPI registry ships readers for —
+  * decode to true pixels; formats the JVM can't decode return None and
   * callers fall back to [[MultimodalOps.decodeStub]]. This retires the
-  * decode stub for PNG while keeping the codec BOUNDARY identical — the
-  * Spark-side plumbing (schema, per-partition batching, null
-  * passthrough) never changes when more codecs appear behind it.
+  * decode stub for the decodable set while keeping the codec BOUNDARY
+  * identical — the Spark-side plumbing (schema, per-partition batching,
+  * null passthrough) never changes when more codecs appear behind it.
   *
   * Everything here is executor-side, driver-free, and allocation-bounded
-  * per image; determinism holds because PNG decoding is lossless and the
-  * luminance math is integer.
+  * per image; determinism holds because PNG/GIF/BMP decoding is lossless,
+  * JPEG inverse-DCT is fixed for a given JRE, and the luminance math is
+  * integer.
   */
 object ImageCodec {
 
@@ -36,6 +37,11 @@ object ImageCodec {
   def looksDecodable(payload: Array[Byte]): Boolean =
     payload != null && payload.length >= 8 &&
       (payload.startsWith(PngMagic) ||
+        // JPEG (SOI + marker prefix) — the dominant format of any real
+        // multimodal crawl; the stock JRE ships a full baseline+progressive
+        // reader (round 6, retiring the stub for the third real format)
+        (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte &&
+          payload(2) == 0xFF.toByte) ||
         // GIF87a/GIF89a and BMP, the other stock-JRE readers
         (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
         (payload(0) == 'B' && payload(1) == 'M'))
@@ -100,7 +106,18 @@ object ImageCodec {
       } catch { case _: Exception => None }
 
   /** In-memory PNG encoder for fixtures/tests: row-major RGB ints. */
-  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    encode(width, height, rgb, "png")
+
+  /** In-memory JPEG encoder for fixtures/tests. Lossy — tests assert on
+    * decoded DIMENSIONS (exact) and histogram mass (sums to 1), never on
+    * exact pixel values.
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] =
+    encode(width, height, rgb, "jpg")
+
+  private def encode(width: Int, height: Int, rgb: (Int, Int) => Int,
+                     format: String): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
@@ -109,7 +126,7 @@ object ImageCodec {
       y += 1
     }
     val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
+    ImageIO.write(img, format, baos)
     baos.toByteArray
   }
 }

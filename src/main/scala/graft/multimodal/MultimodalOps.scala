@@ -45,12 +45,12 @@ object MultimodalOps {
     StructField("duration_ms", LongType)))
 
   /** STUB decoder — deterministic fake standing in for codecs NOT in this
-    * container (jpeg/wav/mp4/…). Produces a 16-bin byte histogram
+    * container (mp4/webp/…). Produces a 16-bin byte histogram
     * normalized to [0,1] — stable across runs/partitions, so tests can
-    * assert on it. PNG does NOT take this path anymore: [[ImageCodec]]
-    * really decodes it (round-5; the codec boundary is unchanged — a
-    * production build adds real codecs alongside, the Spark plumbing
-    * never changes).
+    * assert on it. PNG/JPEG/GIF/BMP and WAV do NOT take this path
+    * anymore: [[ImageCodec]] (rounds 5–6) and [[AudioCodec]] really
+    * decode them (the codec boundary is unchanged — a production build
+    * adds real codecs alongside, the Spark plumbing never changes).
     */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)

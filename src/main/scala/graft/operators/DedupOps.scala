@@ -81,7 +81,11 @@ object DedupOps {
     * Same inverted-index equi-join shape as [[jaccardPairs]] (one shared
     * pair-count pass; both directions are derived from it, so the
     * expensive join runs ONCE), same pure-integer output contract:
-    * `cont_ppm = common·10⁶ div n_src`.
+    * `cont_ppm = common·10⁶ div n_src`. The full-index self-join is
+    * quadratic in per-token document frequency — on skewed real-text
+    * vocabularies use [[containmentPairsPrefix]], the prefix-filtered
+    * sibling with the same output and exact recall but df-bounded
+    * candidate generation.
     */
   def containmentPairs(documents: DataFrame, minContPct: Int): DataFrame = {
     val words = docWords(documents).localCheckpoint()
@@ -101,6 +105,64 @@ object DedupOps {
     aInB.union(bInA)
       .filter(col("common") * 100 >= col("n_src") * minContPct)
       .withColumn("cont_ppm", expr("common * 1000000L div n_src"))
+      .orderBy("src_id", "dst_id")
+  }
+
+  /** L2 — [[containmentPairs]]'s 100 TB sibling: PPJoin-style PREFIX
+    * FILTERING bounds candidate generation instead of joining the full
+    * inverted index against itself. Pigeonhole guarantee (exact recall,
+    * not probabilistic): containment ≥ t% of an n-word src set needs
+    * overlap o = ⌈t·n/100⌉, so if dst misses ALL of any chosen
+    * L = n − o + 1 src tokens the overlap is ≤ n − L = o − 1 < o. Choose
+    * those L tokens GLOBALLY RAREST-FIRST (order by document frequency,
+    * then word) and the join keys are, by construction, the least-skewed
+    * tokens each document owns — the hot-token df² blowup the full
+    * self-join suffers (see [[jaccardPairsDense]]'s scaladoc) never
+    * materializes, because a token enters the probe side only while it is
+    * among a document's ~(1−t)·n rarest.
+    *
+    * Verification is the same codegen'd sorted merge-walk as
+    * [[lshVerifiedJaccardPairs]] (per-candidate, zero shuffle beyond the
+    * candidate join) with the identical 2⁻⁶⁴ hash-collision margin.
+    * Output contract is bit-identical to [[containmentPairs]] — the
+    * declared query pair shares one oracle.
+    */
+  def containmentPairsPrefix(documents: DataFrame, minContPct: Int): DataFrame = {
+    require(minContPct >= 1 && minContPct <= 100,
+      s"minContPct must be in [1,100], got $minContPct")
+    // inverted index feeds the df rollup, the prefix build, and the
+    // candidate probe — checkpoint so the tokenize+distinct runs once
+    val words = docWords(documents).localCheckpoint()
+    val df = words.groupBy("word").agg(count(lit(1)).as("df"))
+    // per-doc tokens in canonical (df asc, word asc) order; collect_list
+    // is doc-size-bounded (same bound as every sorted-array kernel here)
+    val perDoc = words.join(df, "word")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      // o = ceil(n·t/100) in pure integer math; L = n − o + 1 ≥ 1
+      .withColumn("prefix_len",
+        (col("n") - expr(s"(n * $minContPct + 99) div 100") + 1).cast("int"))
+    val prefixes = perDoc.select(col("doc_id").as("src_id"),
+      explode(transform(slice(col("ws"), lit(1), col("prefix_len")),
+        s => s.getField("word"))).as("word"))
+    val cands = prefixes
+      .join(words.select(col("doc_id").as("dst_id"), col("word")), "word")
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id").distinct()
+    val sets = documents.select(col("doc_id"),
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), w => xxhash64(w)))).as("hs"))
+    cands
+      .join(sets.select(col("doc_id").as("src_id"), col("hs").as("shs")), "src_id")
+      .join(sets.select(col("doc_id").as("dst_id"), col("hs").as("dhs")), "dst_id")
+      .withColumn("common",
+        graft.plans.VecDot.sortedIntersectCount(col("shs"), col("dhs")))
+      .withColumn("n_src", size(col("shs")).cast("long"))
+      .withColumn("n_dst", size(col("dhs")).cast("long"))
+      .filter(col("common") * 100 >= col("n_src") * minContPct)
+      .select(col("src_id"), col("dst_id"), col("common"), col("n_src"),
+        col("n_dst"), expr("common * 1000000L div n_src").as("cont_ppm"))
       .orderBy("src_id", "dst_id")
   }
 

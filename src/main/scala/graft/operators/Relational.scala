@@ -333,16 +333,22 @@ object Relational {
     * is on the frontier exactly when its y strictly exceeds the running
     * max of all previous rows.
     *
-    * CONTRACT: `xCol` values must be unique — pre-aggregate to the
-    * frontier's grain first (e.g. per-day max) so ties in x collapse
-    * before the scan. That pre-aggregation is also what makes the shape
-    * scale-safe: the single global window sorts only the GROUP-cardinality
-    * frame (days, price bands, …), never the raw fact table.
+    * Ties in `xCol` are collapsed INTERNALLY to `max(yCol)` before the
+    * scan (round 6; previously a scaladoc-only uniqueness contract — a
+    * duplicate-x caller got a running max over an arbitrary tie order and
+    * a plausible-but-wrong skyline). The output is therefore always at
+    * `xCol` grain with columns (xCol, yCol); callers needing other
+    * columns join back on the frontier keys. The pre-aggregation is also
+    * what makes the shape scale-safe: the single global window sorts only
+    * the GROUP-cardinality frame (days, price bands, …), never the raw
+    * fact table.
     */
   def paretoFrontier(points: DataFrame, xCol: String, yCol: String): DataFrame = {
     val prev = Window.orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     points
+      .groupBy(col(xCol))
+      .agg(max(col(yCol)).as(yCol))
       .withColumn("_prev_max", max(col(yCol)).over(prev))
       .filter(col("_prev_max").isNull || col(yCol) > col("_prev_max"))
       .drop("_prev_max")

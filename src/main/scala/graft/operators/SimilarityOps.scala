@@ -353,11 +353,36 @@ object SimilarityOps {
     * fan-in is corpus/2^planes per query on average.
     */
   def lshBucketTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-                    numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                    numPlanes: Int = 8, dim: Int = 64): DataFrame =
+    lshBucketTopK(embeddings, queryIds, k, numPlanes, dim, maxFlip = 0)
+
+  /** Multi-probe sign-LSH top-k (round 6): additionally probe every
+    * bucket within Hamming distance `maxFlip` of the query's own bucket —
+    * the standard multi-probe LSH trick (a true near neighbor that
+    * disagrees with the query on ONE hyperplane sign is the dominant
+    * recall loss of single-bucket probing, and flipping each bit probes
+    * exactly those buckets). `maxFlip = 1` probes `1 + numPlanes` of the
+    * `2^numPlanes` buckets, so candidate fan-in stays
+    * ≈ corpus · (1+numPlanes)/2^numPlanes per query — still linear, never
+    * all-pairs — while recall roughly doubles on the committed corpus
+    * (AnnRecallSpec pins the floor).
+    *
+    * The probe fan-out rides the tiny broadcast QUERY side (queries ×
+    * (1+planes) rows); each corpus vector still has exactly one bucket,
+    * so a (q_id, n_id) candidate appears at most once — no dedup needed.
+    */
+  def lshBucketTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    numPlanes: Int, dim: Int, maxFlip: Int): DataFrame = {
+    require(maxFlip >= 0 && maxFlip <= 1, "maxFlip ∈ {0, 1} supported")
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), numPlanes, dim))
+    val probeBuckets =
+      if (maxFlip == 0) array(col("bucket"))
+      else array((col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val queries = bucketed
       .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeBuckets).as("bucket"))
     val cands = bucketed
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))

@@ -206,6 +206,22 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q_containment_prefix probes the sliced rarity prefix, not a full self-join") {
+    // the bounded containment plan: candidate generation joins the
+    // PREFIX relation (a slice of each doc's rarest tokens) against the
+    // inverted index — a full index-vs-index join (q_containment's
+    // declared oracle-parity shape) is quadratic in hot-token df and must
+    // not appear here; verification is the codegen'd merge walk
+    val plan = executedPlan("q_containment_prefix")
+    assert(plan.contains("slice("),
+      s"prefix slice missing — candidate side is unbounded:\n$plan")
+    assert(plan.contains("sorted_intersect_count"),
+      s"expected the codegen'd merge-walk verify:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join crept into the prefix plan:\n$plan")
+  }
+
   test("q_zscore_outliers broadcasts the moments frame and plans no window") {
     // group-cardinality moments (≤ #event_types rows) must broadcast back;
     // a Window here would mean per-row state sorted per group — the shape
