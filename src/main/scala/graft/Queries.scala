@@ -2558,7 +2558,108 @@ object Queries {
         SELECT batch.doc_id,
           CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END::BIGINT
             AS matched_corpus
-        FROM batch LEFT JOIN m USING (doc_id) ORDER BY doc_id"""))
+        FROM batch LEFT JOIN m USING (doc_id) ORDER BY doc_id""")),
+
+    // Count-min sketch (SketchOps): depth-2 × width-16 counter table over
+    // all word occurrences, point-queried for every distinct word and
+    // joined to the exact counts. Portable md5Hash60 cells, so the oracle
+    // replays the EXACT counter table — a fully hash-checked sketch
+    // (unlike HLL/t-digest, whose internals are engine-specific). The
+    // tiny width is deliberate: 22 of the 31 vocab words over-estimate at
+    // sf0.01, so the est ≥ true sketch regime is genuinely exercised, not
+    // a collision-free echo of the truth.
+    Declared("q_cms_counts",
+      (s, d) => {
+        val tok = documents(s, d)
+          .select(explode(TextOps.words(col("text"))).as("word"))
+        val truth = tok.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+        SketchOps.cmsLookup(SketchOps.cmsBuild(tok, "word", 2, 16),
+            truth, "word", 2, 16)
+          .select(col("word"), col("est_cnt"), col("true_cnt"))
+          .orderBy("word")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS true_cnt FROM tok
+               GROUP BY word),
+        slots AS (SELECT d.i AS d,
+                    ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT % 16 AS slot,
+                    COUNT(*)::BIGINT AS cnt
+                  FROM tok CROSS JOIN range(2) d(i) GROUP BY 1, 2),
+        est AS (SELECT w.word, MIN(s.cnt)::BIGINT AS est_cnt
+                FROM wc w CROSS JOIN range(2) d(i)
+                JOIN slots s ON s.d = d.i
+                 AND s.slot = ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || w.word), 1, 15))::BIGINT % 16
+                GROUP BY w.word)
+        SELECT w.word, e.est_cnt, w.true_cnt
+        FROM wc w JOIN est e USING (word) ORDER BY word""")),
+
+    // Per-node triangle counts (DedupOps.triangleCounts) over the exact
+    // 80%-Jaccard near-dup graph on the %10 slice — near-dup clique
+    // density. Engine: degree-oriented wedge closure (three bounded
+    // shuffles, hub-safe); oracle: the naive id-ordered three-way join —
+    // two independent counting strategies that must agree per node.
+    Declared("q_triangles",
+      (s, d) => DedupOps.triangleCounts(
+        DedupOps.jaccardPairs(
+          documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80)
+          .select("a_id", "b_id")),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id FROM c
+              JOIN sz sa ON c.a_id = sa.doc_id
+              JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >=
+                    (sa.set_size + sb.set_size - c.common) * 80),
+        tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+                FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
+                JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_triangles
+        FROM (SELECT x AS doc_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Sparse TF-IDF cosine near-dup pairs (DedupOps.tfidfCosinePairs) on
+    // the %10 slice at cos ≥ 80% — 41 of 1225 sharing-a-word candidate
+    // pairs qualify at sf0.01 (both branches live). Integer tf·(10⁶ div
+    // df) weights; threshold replayed with identical IEEE double products
+    // per the q_neardup_cosine precedent.
+    Declared("q_tfidf_cosine",
+      (s, d) => DedupOps.tfidfCosinePairs(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                       AS word FROM docs)
+               GROUP BY doc_id, word),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        wt AS (SELECT tf.doc_id, tf.word, tf.tf * (1000000 // dfq.df) AS w
+               FROM tf JOIN dfq USING (word)),
+        n AS (SELECT doc_id, SUM(w * w)::BIGINT AS norm_s FROM wt
+              GROUP BY doc_id),
+        d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                SUM(a.w * b.w)::BIGINT AS dot_s
+              FROM wt a JOIN wt b ON a.word = b.word
+                                 AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT d.a_id, d.b_id, d.dot_s,
+               na.norm_s AS a_norm_s, nb.norm_s AS b_norm_s
+        FROM d JOIN n na ON d.a_id = na.doc_id
+               JOIN n nb ON d.b_id = nb.doc_id
+        WHERE d.dot_s > 0
+          AND CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE) * 10000.0 >=
+              CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE) * 6400.0
+        ORDER BY d.a_id, d.b_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -559,6 +559,98 @@ object DedupOps {
     ranks.orderBy("id")
   }
 
+  /** L2/graph — per-node triangle counts over an undirected pair graph
+    * (near-dup graph density: a node in many triangles sits in a tight
+    * duplicate clique; a triangle-free node is a chain artifact worth a
+    * second look). Exact counting via DEGREE-ORIENTED wedge closure —
+    * the standard distributed-triangle trick: orient every edge toward
+    * its (degree, id)-larger endpoint, build wedges only from each
+    * node's OUT-edges, and close them with an equi-join. Orientation
+    * bounds every node's out-degree by O(√|E|) (arboricity), so the
+    * wedge fan-out never explodes on a hub node the way a naive
+    * id-ordered join does — the difference between √|E| and max-degree
+    * wedge cost at 100 TB.
+    *
+    * Three bounded shuffles: degree rollup, wedge equi-join on the wedge
+    * apex, closure equi-join on the (y, z) edge key.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val raw = pairs.select(col("a_id"), col("b_id"))
+    val deg = raw.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = raw
+      .join(deg.select(col("id").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("id").as("b_id"), col("deg").as("db")), "b_id")
+    // total order k(v) = (deg, id): strict for distinct nodes, so each
+    // edge gets exactly one orientation and each triangle {u<v<w by k}
+    // decomposes uniquely into out-edges u→v, u→w, v→w
+    val aFirst = struct(col("da"), col("a_id")) < struct(col("db"), col("b_id"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(aFirst, col("b_id")).otherwise(col("a_id")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("deg_dst"))
+      .localCheckpoint()  // feeds the wedge self-join AND the closure probe
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.deg_dst"), col("e1.dst")) <
+            struct(col("e2.deg_dst"), col("e2.dst")))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // k(y) < k(z) by construction, so the closing edge — if it exists —
+    // is oriented y→z: one EQUI-join, no OR-of-orientations non-equi probe
+    val closed = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+    closed.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** L2/L4 — sparse TF-IDF cosine near-dup pairs: the weighted cousin of
+    * [[jaccardPairs]] — two documents are near-dups when their tf-idf
+    * vectors point the same way, which (unlike raw word-set Jaccard)
+    * discounts ubiquitous words and up-weights rare shared terms.
+    *
+    * Exactness contract: weights are integers w = tf · (10⁶ div df)
+    * (same ln-free integer-idf rationale as [[TextOps.tfIdfTopTerms]]);
+    * dot products and norms are int64 sums of integer products (order-
+    * free); the cosine threshold `cos ≥ τ` is tested square-free as
+    * `dot²·10⁴ ≥ τ²·10⁴·|a|²·|b|²` with both engines computing identical
+    * IEEE double products from identical int64 inputs — the
+    * [[SimilarityOps.cosinePairsExact]] precedent. Bounds: tf ≤ doc len,
+    * idf ≤ 10⁶ ⇒ w ≤ 5·10⁷ for 50-token docs; Σ w·w over a shared vocab
+    * of thousands stays ≪ 2⁶³.
+    *
+    * Scale shape: df is vocabulary-bounded → broadcast; pair generation
+    * is the inverted-index equi-join on word (AQE-skew-handled, never
+    * all-pairs); the weighted relation feeds norms + both join sides →
+    * localCheckpoint, computed once.
+    */
+  def tfidfCosinePairs(documents: DataFrame, minCosPct: Int): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val wt = tf.join(broadcast(dfq), Seq("word"))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * expr("1000000L div df")).as("w"))
+      .localCheckpoint()
+    val norms = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm_s"))
+    val dots = wt.as("a")
+      .join(wt.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot_s"))
+    val tauSq = (minCosPct.toLong * minCosPct).toDouble
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("norm_s").as("a_norm_s")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("norm_s").as("b_norm_s")), "b_id")
+      .filter(col("dot_s") > 0 &&
+        col("dot_s").cast("double") * col("dot_s").cast("double") * lit(10000.0) >=
+          col("a_norm_s").cast("double") * col("b_norm_s").cast("double") * lit(tauSq))
+      .select(col("a_id"), col("b_id"), col("dot_s"), col("a_norm_s"), col("b_norm_s"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** The end-to-end near-dup DEDUP decision at 100 TB: LSH candidates →
     * exact verify → connected components → keep the minimum doc id per
     * cluster. Output: one row per document that appears in any verified

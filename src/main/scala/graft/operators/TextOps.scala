@@ -267,7 +267,10 @@ object TextOps {
     // NOT .cache()'d: a builder can't unpersist after its action, and a
     // session-pinned corpus-sized cache starves every later query in a
     // long session (the IVF cache needed an explicit release() for the
-    // same reason). The double map pass is the lesser cost; at 100 TB
+    // same reason). A localCheckpoint (the jaccardPairs discipline) was
+    // A/B-measured in r6 and LOST — 1.90 s uncheckpointed vs 2.00 s
+    // checkpointed at sf0.1 (the double tokenize+shingle pass is cheaper
+    // than materializing the exploded gram relation). At 100 TB
     // materialize grams to an explicit checkpoint table instead.
     val grams = documents.filter(size(ws) >= n)
       .select(col("doc_id"), explode(array_distinct(wordNgrams(ws, n))).as("g"))

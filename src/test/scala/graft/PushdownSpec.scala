@@ -222,6 +222,26 @@ class PushdownSpec extends SparkSpec {
       s"non-equi join crept into the prefix plan:\n$plan")
   }
 
+  test("q_cms_counts broadcasts the depth×width counter table") {
+    // the sketch's point is that the counter table is BOUNDED (2×16
+    // cells): lookups must broadcast it, never shuffle the probe side
+    // on (d, slot)
+    val plan = executedPlan("q_cms_counts")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q_tfidf_cosine pairs via the word equi-join, df broadcast back") {
+    // pair generation must be the inverted-index shape (equi-join on
+    // word) and the vocabulary-bounded df table must broadcast — a
+    // cartesian/BNLJ pairing is the O(n²) shape this operator exists to
+    // avoid
+    val plan = executedPlan("q_tfidf_cosine")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in the tfidf-cosine plan:\n$plan")
+  }
+
   test("q_zscore_outliers broadcasts the moments frame and plans no window") {
     // group-cardinality moments (≤ #event_types rows) must broadcast back;
     // a Window here would mean per-row state sorted per group — the shape

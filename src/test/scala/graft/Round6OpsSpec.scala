@@ -156,6 +156,91 @@ class Round6OpsSpec extends SparkSpec {
     assert(got(101L) == 0L)
   }
 
+  // ---------------- count-min sketch ----------------
+
+  test("cmsBuild/cmsLookup: estimates upper-bound true counts, exact when wide") {
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).map(Tuple1(_))
+      .toDF("word")
+    val truth = rows.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+    // wide sketch (1024 slots, 3 keys): no collisions → estimates exact
+    // cmsLookup output schema: (keys' columns…, est_cnt) — here
+    // (word, true_cnt, est_cnt)
+    val wide = SketchOps.cmsLookup(
+        SketchOps.cmsBuild(rows, "word", 2, 1024), truth, "word", 2, 1024)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+    assert(wide("a") == ((5L, 5L)) && wide("b") == ((3L, 3L)) &&
+      wide("c") == ((1L, 1L)))
+    // degenerate 1-slot sketch: every key maps to the same counter, so
+    // every estimate is the TOTAL row count — the upper-bound invariant
+    // at its worst
+    val tiny = SketchOps.cmsLookup(
+        SketchOps.cmsBuild(rows, "word", 2, 1), truth, "word", 2, 1)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(tiny.forall { case (est, t) => est == 9L && est >= t })
+  }
+
+  test("cmsLookup: a never-seen key estimates the colliding mass, zero when wide") {
+    val rows = Seq("a", "a", "b").map(Tuple1(_)).toDF("word")
+    val cms = SketchOps.cmsBuild(rows, "word", 2, 4096)
+    val unseen = Seq("zzz").map(Tuple1(_)).toDF("word")
+    val est = SketchOps.cmsLookup(cms, unseen, "word", 2, 4096)
+      .collect().head.getLong(1)
+    assert(est == 0L)
+  }
+
+  // ---------------- triangleCounts ----------------
+
+  test("triangleCounts: 4-clique yields 3 per node; pendant chain yields none") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + chain edge 4-5 and
+    // isolated edge 6-7 (no triangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("a_id", "b_id")
+    val got = DedupOps.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches the naive id-ordered count on the sf0.001 jaccard graph") {
+    val pairs = DedupOps.jaccardPairs(
+        Tables.documents(spark, "/root/testdata/sf0.001")
+          .filter(pmod(col("doc_id"), lit(10)) === 0), 80)
+      .select("a_id", "b_id")
+    val naive = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .join(pairs.as("e3"),
+        col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
+      .select(explode(array(col("e1.a_id"), col("e1.b_id"), col("e2.b_id")))
+        .as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = DedupOps.triangleCounts(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(naive.nonEmpty, "vacuous: no triangles in the slice graph")
+    assert(got == naive)
+  }
+
+  // ---------------- tfidfCosinePairs ----------------
+
+  test("tfidfCosinePairs discounts ubiquitous words that fool raw Jaccard") {
+    // docs 1 & 2: identical rare content + one shared stopword-ish term;
+    // doc 3 shares ONLY the ubiquitous word with them
+    val docs = Seq(
+      (1L, "the quantum chromodynamics lattice"),
+      (2L, "the quantum chromodynamics lattice"),
+      (3L, "the the the the")).toDF("doc_id", "text")
+    val got = DedupOps.tfidfCosinePairs(docs, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))  // 3 never pairs at cos >= 80%
+  }
+
+  test("tfidfCosinePairs: identical docs score exactly cos = 1 (dot^2 = na*nb)") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = DedupOps.tfidfCosinePairs(docs, 100).collect().head
+    val (dot, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(dot * dot == na * nb)
+  }
+
   // ---------------- JPEG codec ----------------
 
   test("multimodal: a REAL JPEG decodes to true dimensions; corrupt JPEG falls back") {
