@@ -2659,7 +2659,39 @@ object Queries {
         WHERE d.dot_s > 0
           AND CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE) * 10000.0 >=
               CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE) * 6400.0
-        ORDER BY d.a_id, d.b_id"""))
+        ORDER BY d.a_id, d.b_id""")),
+
+    // Temperature-rebalanced corpus sampling: the α=½ language weights
+    // (q_lang_weights) drive a COMPUTED-rate deterministic sample
+    // (Relational.stratifiedSampleByRates) — the end-to-end multilingual
+    // rebalancing step, where the per-stratum rates are data produced by
+    // an upstream aggregation, not constants. Membership stays the pure
+    // md5(doc_id) bucket function (partition/retry invariant).
+    Declared("q_temperature_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+        Relational.stratifiedSampleByRates(docs, "lang", "doc_id",
+            TextOps.languageSamplingWeights(docs)
+              .select(col("lang"), col("weight_ppm")), "weight_ppm")
+          .select(col("doc_id"), col("lang"), col("bucket_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs
+                FROM documents GROUP BY lang),
+        sc AS (SELECT lang,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS sqrt_s6 FROM c),
+        rates AS (SELECT lang,
+                    CAST(sqrt_s6 * 1000000 // SUM(sqrt_s6) OVER () AS BIGINT)
+                      AS weight_ppm FROM sc)
+        SELECT d.doc_id, d.lang, d.b AS bucket_ppm
+        FROM (SELECT doc_id, lang,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 AS b
+              FROM documents) d
+        JOIN rates USING (lang)
+        WHERE d.b < rates.weight_ppm
+        ORDER BY d.doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

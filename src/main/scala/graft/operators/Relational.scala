@@ -123,6 +123,24 @@ object Relational {
       .filter(col("bucket_ppm") < rate)
   }
 
+  /** [[stratifiedSample]] with COMPUTED per-stratum rates: the rate
+    * frame (stratumCol, ratePpmCol) comes from an upstream aggregation —
+    * e.g. the temperature language weights — instead of a hand-written
+    * constant map, which is how a real rebalancing pipeline runs (the
+    * rates are data, not code). The rate frame is stratum-cardinality
+    * sized → broadcast; membership stays a pure function of the key
+    * (partition/retry/cluster-size invariant). Strata absent from the
+    * rate frame drop (null rate never satisfies `<`).
+    */
+  def stratifiedSampleByRates(df: DataFrame, stratumCol: String,
+                              keyCol: String, rates: DataFrame,
+                              ratePpmCol: String): DataFrame =
+    df.withColumn("bucket_ppm", hashBucketPpm(col(keyCol)))
+      .join(broadcast(rates.select(col(stratumCol),
+        col(ratePpmCol).as("__rate_ppm"))), Seq(stratumCol), "left")
+      .filter(col("bucket_ppm") < col("__rate_ppm"))
+      .drop("__rate_ppm")
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `saltBuckets` sub-keys (deterministic hash of a distinguishing
     * column, not rand() — reproducible across retries), partially

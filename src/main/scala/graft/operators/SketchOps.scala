@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
 object SketchOps {
 
   /** (depth, slot) cell coordinates for a key column — one struct per
-    * hash row, shared by build and lookup so they can never drift.
+    * hash row, shared by build, lookup, AND the streaming maintenance
+    * path ([[graft.streaming.StreamingOps.streamingCmsCounts]]) so the
+    * three can never drift onto different hash cells.
     */
-  private def cells(keyCol: String, depth: Int, width: Int) =
+  private[graft] def cells(keyCol: String, depth: Int, width: Int) =
     array((0 until depth).map { d =>
       struct(lit(d).as("d"),
         pmod(DedupOps.md5Hash60(concat(lit(s"$d:"), col(keyCol))),

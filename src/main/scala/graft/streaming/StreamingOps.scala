@@ -191,6 +191,24 @@ object StreamingOps {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Streaming count-min maintenance: the SAME depth×width counter table
+    * as [[graft.operators.SketchOps.cmsBuild]] (shared cell definition —
+    * the hashes can never drift), maintained incrementally over an
+    * unbounded stream. This is why one sketches a stream at all: the
+    * aggregation state is bounded by depth·width counters REGARDLESS of
+    * stream volume or key cardinality, so complete-mode output is safe
+    * forever and a 100 TB/day key stream costs the same state as a toy
+    * one. Batch [[graft.operators.SketchOps.cmsLookup]] point-queries
+    * the emitted table unchanged.
+    */
+  def streamingCmsCounts(stream: DataFrame, keyCol: String,
+                         depth: Int, width: Int): DataFrame =
+    stream
+      .select(explode(graft.operators.SketchOps.cells(keyCol, depth, width))
+        .as("ds"))
+      .groupBy(col("ds.d").as("d"), col("ds.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Convenience: start a memory-sink query for tests/inspection. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()

@@ -242,6 +242,14 @@ class PushdownSpec extends SparkSpec {
       s"non-equi pairing in the tfidf-cosine plan:\n$plan")
   }
 
+  test("q_temperature_sample broadcasts the computed rate frame") {
+    // the language-cardinality rate frame must broadcast into the
+    // membership filter — shuffling the corpus on lang to meet a
+    // dozen-row rates table would be the wrong plan at any scale
+    val plan = executedPlan("q_temperature_sample")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("q_zscore_outliers broadcasts the moments frame and plans no window") {
     // group-cardinality moments (≤ #event_types rows) must broadcast back;
     // a Window here would mean per-row state sorted per group — the shape

@@ -241,6 +241,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(dot * dot == na * nb)
   }
 
+  // ---------------- stratifiedSampleByRates ----------------
+
+  test("stratifiedSampleByRates: computed rates drive membership; absent strata drop") {
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, "xx"))
+      .toDF("doc_id", "lang")
+    val rates = Seq(("en", 1000000L), ("fr", 0L)).toDF("lang", "weight_ppm")
+    val got = Relational
+      .stratifiedSampleByRates(docs, "lang", "doc_id", rates, "weight_ppm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en at 100% keeps every bucket; fr at 0 ppm keeps none; xx has no
+    // rate row → null rate → dropped
+    assert(got == Set(1L, 2L))
+  }
+
   // ---------------- JPEG codec ----------------
 
   test("multimodal: a REAL JPEG decodes to true dimensions; corrupt JPEG falls back") {

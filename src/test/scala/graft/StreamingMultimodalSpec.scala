@@ -51,6 +51,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counter table equals the batch sketch over all arrivals") {
+    import graft.operators.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val words = input.toDF().toDF("word")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.streamingCmsCounts(words, "word", 2, 16),
+      "cms_test", "complete")
+    try {
+      input.addData("alpha", "alpha", "beta")
+      q.processAllAvailable()
+      input.addData("alpha", "gamma", "beta", "beta")   // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("cms_test")
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = SketchOps.cmsBuild(
+          Seq("alpha", "alpha", "beta", "alpha", "gamma", "beta", "beta")
+            .map(Tuple1(_)).toDF("word"), "word", 2, 16)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch)
+      // and the batch lookup over the STREAMED table upper-bounds truth
+      val est = SketchOps.cmsLookup(spark.table("cms_test"),
+          Seq("alpha").map(Tuple1(_)).toDF("word"), "word", 2, 16)
+        .collect().head.getLong(1)
+      assert(est >= 3L)
+    } finally q.stop()
+  }
+
   test("streaming sliding window counts events in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
