@@ -27,7 +27,9 @@ object Bench {
     // round-3 families
     "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
     "q_chunk_windows", "q_stats_exact", "q_histogram", "q_ntile",
-    "q_levenshtein")
+    "q_levenshtein",
+    // round-6 families (line stays < 1500 B — VerifyJsonSpec bounds it)
+    "q_cms_counts", "q_triangles", "q_containment_prefix")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

@@ -2691,7 +2691,34 @@ object Queries {
               FROM documents) d
         JOIN rates USING (lang)
         WHERE d.b < rates.weight_ppm
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // Snapshot-to-snapshot distribution drift (Relational
+    // .distributionDrift): language mix of the even-doc_id half vs the
+    // odd half — the corpus-monitoring diff a continuous-ingest pipeline
+    // runs between days. Integer ppm shares + absolute deltas (TVD
+    // metric needs no logarithms, unlike χ²/KL — cross-engine exact).
+    Declared("q_dist_drift",
+      (s, d) => Relational.distributionDrift(
+        documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 0),
+        documents(s, d).filter(pmod(col("doc_id"), lit(2)) === 1),
+        "lang"),
+      Some("""WITH a AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT lang FROM documents WHERE doc_id % 2 = 1),
+        ca AS (SELECT lang, COUNT(*)::BIGINT AS n_a FROM a GROUP BY lang),
+        cb AS (SELECT lang, COUNT(*)::BIGINT AS n_b FROM b GROUP BY lang),
+        ta AS (SELECT COUNT(*)::BIGINT AS t FROM a),
+        tb AS (SELECT COUNT(*)::BIGINT AS t FROM b),
+        j AS (SELECT COALESCE(ca.lang, cb.lang) AS lang,
+                COALESCE(n_a, 0)::BIGINT AS n_a,
+                COALESCE(n_b, 0)::BIGINT AS n_b
+              FROM ca FULL OUTER JOIN cb ON ca.lang = cb.lang)
+        SELECT j.lang, j.n_a, j.n_b,
+          CAST(j.n_a * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
+          CAST(j.n_b * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
+          CAST(abs(j.n_a * 1000000 // ta.t - j.n_b * 1000000 // tb.t)
+            AS BIGINT) AS delta_ppm
+        FROM j, ta, tb ORDER BY j.lang"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

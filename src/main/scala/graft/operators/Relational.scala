@@ -141,6 +141,42 @@ object Relational {
       .filter(col("bucket_ppm") < col("__rate_ppm"))
       .drop("__rate_ppm")
 
+  /** Categorical distribution drift between two snapshots — the
+    * data-quality monitor a continuously-ingesting pipeline runs between
+    * yesterday's corpus and today's (did the language / source / topic
+    * mix shift?). Per category: counts on both sides, each side's share
+    * in ppm, and the absolute share delta; Σ delta_ppm / 2·10⁶ is the
+    * total-variation distance if a scalar summary is wanted.
+    *
+    * All integer arithmetic (share = cnt·10⁶ div total) — no χ²/KL
+    * logarithms, whose libm drift would break cross-engine hashing; TVD
+    * is the standard metric that needs none. Categories absent from one
+    * side count 0 there (full outer join). Two map-side-combined
+    * groupBys on the category + one scalar total each — shuffle traffic
+    * is |categories|, never |rows|. An EMPTY side fails loudly (ANSI
+    * divide-by-zero) — the drift of a vanished snapshot is an upstream
+    * incident, not a zero.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def shares(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(catCol).agg(count(lit(1)).as(cnt))
+    val ca = shares(a, "n_a")
+    val cb = shares(b, "n_b")
+    // the totals are 1-row frames: broadcast cross joins, no shuffle
+    val ta = a.agg(count(lit(1)).as("__ta"))
+    val tb = b.agg(count(lit(1)).as("__tb"))
+    ca.join(cb, Seq(catCol), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col(catCol),
+        col("n_a"), col("n_b"),
+        expr("n_a * 1000000L div __ta").as("share_a_ppm"),
+        expr("n_b * 1000000L div __tb").as("share_b_ppm"))
+      .withColumn("delta_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .orderBy(catCol)
+  }
+
   /** Skew-resistant two-phase aggregation: salt the hot key space into
     * `saltBuckets` sub-keys (deterministic hash of a distinguishing
     * column, not rand() — reproducible across retries), partially

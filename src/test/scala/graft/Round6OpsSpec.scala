@@ -255,6 +255,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  // ---------------- distributionDrift ----------------
+
+  test("distributionDrift: ppm shares and deltas, one-sided categories count 0") {
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "cat")
+    val b = Seq((4L, "x"), (5L, "z")).toDF("id", "cat")
+    val got = Relational.distributionDrift(a, b, "cat")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("x", 2L, 1L, 666666L, 500000L, 166666L),
+      ("y", 1L, 0L, 333333L, 0L, 333333L),
+      ("z", 0L, 1L, 0L, 500000L, 500000L)))
+  }
+
+  test("distributionDrift: identical snapshots show zero delta everywhere") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "cat")
+    val deltas = Relational.distributionDrift(a, a, "cat")
+      .collect().map(_.getLong(5)).toSet
+    assert(deltas == Set(0L))
+  }
+
   // ---------------- JPEG codec ----------------
 
   test("multimodal: a REAL JPEG decodes to true dimensions; corrupt JPEG falls back") {
