@@ -2718,7 +2718,53 @@ object Queries {
           CAST(j.n_b * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
           CAST(abs(j.n_a * 1000000 // ta.t - j.n_b * 1000000 // tb.t)
             AS BIGINT) AS delta_ppm
-        FROM j, ta, tb ORDER BY j.lang"""))
+        FROM j, ta, tb ORDER BY j.lang""")),
+
+    // TPC-H Q18 shape (large-volume customers) via spark.sql: the
+    // IN-(aggregated subquery WITH HAVING) form — Catalyst decorrelates
+    // it to a semi-join against the grouped frame, the one SQL-front-door
+    // shape (q3/exists/not-in/scalar) not yet covered. Quantities ride
+    // the round(x·100) integer-cents grid (quantity sums in BIGINT are
+    // order-free; a DOUBLE→BIGINT cast would round differently across
+    // engines). LIMIT with a unique (price_c DESC, o_orderkey) total
+    // order → TakeOrderedAndProject.
+    Declared("q_sql_q18",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_name, o_custkey, o_orderkey,
+            CAST(o_orderdate AS DATE) AS o_date,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+            SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+          GROUP BY c_name, o_custkey, o_orderkey,
+            CAST(o_orderdate AS DATE),
+            CAST(round(o_totalprice * 100) AS BIGINT)
+          ORDER BY price_c DESC, o_orderkey
+          LIMIT 100""")
+      },
+      Some("""SELECT c_name, o_custkey, o_orderkey,
+            CAST(o_orderdate AS DATE) AS o_date,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+            CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+              AS sum_qty_c
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+        GROUP BY c_name, o_custkey, o_orderkey,
+          CAST(o_orderdate AS DATE),
+          CAST(round(o_totalprice * 100) AS BIGINT)
+        ORDER BY price_c DESC, o_orderkey
+        LIMIT 100"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

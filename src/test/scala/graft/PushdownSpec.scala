@@ -242,6 +242,16 @@ class PushdownSpec extends SparkSpec {
       s"non-equi pairing in the tfidf-cosine plan:\n$plan")
   }
 
+  test("q_sql_q18 decorrelates the HAVING subquery to a semi-join and top-Ks the limit") {
+    // IN (SELECT … GROUP BY … HAVING …) must become a semi-join against
+    // the aggregated frame — a per-row subquery re-execution would be
+    // O(rows × groups); the LIMIT 100 with a unique total order must be
+    // TakeOrderedAndProject, never a full sort
+    val plan = executedPlan("q_sql_q18")
+    assert(plan.contains("LeftSemi"), s"expected semi-join decorrelation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("q_temperature_sample broadcasts the computed rate frame") {
     // the language-cardinality rate frame must broadcast into the
     // membership filter — shuffling the corpus on lang to meet a
