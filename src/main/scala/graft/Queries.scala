@@ -2720,6 +2720,41 @@ object Queries {
             AS BIGINT) AS delta_ppm
         FROM j, ta, tb ORDER BY j.lang""")),
 
+    // The SAME tf-idf cosine relation through the bounded 100 TB plan
+    // (DedupOps.tfidfCosinePairsPrefix): AllPairs cosine prefix
+    // filtering — every qualifying pair must share a feature in the
+    // smaller-id side's rarest-first prefix (suffix-norm bound, exact
+    // recall) — verified by the codegen'd sorted_kw_dot merge walk.
+    // Shares q_tfidf_cosine's oracle verbatim: two independent engine
+    // plans, one declarative formulation.
+    Declared("q_tfidf_cosine_prefix",
+      (s, d) => DedupOps.tfidfCosinePairsPrefix(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' '))
+                       AS word FROM docs)
+               GROUP BY doc_id, word),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        wt AS (SELECT tf.doc_id, tf.word, tf.tf * (1000000 // dfq.df) AS w
+               FROM tf JOIN dfq USING (word)),
+        n AS (SELECT doc_id, SUM(w * w)::BIGINT AS norm_s FROM wt
+              GROUP BY doc_id),
+        d AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                SUM(a.w * b.w)::BIGINT AS dot_s
+              FROM wt a JOIN wt b ON a.word = b.word
+                                 AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+        SELECT d.a_id, d.b_id, d.dot_s,
+               na.norm_s AS a_norm_s, nb.norm_s AS b_norm_s
+        FROM d JOIN n na ON d.a_id = na.doc_id
+               JOIN n nb ON d.b_id = nb.doc_id
+        WHERE d.dot_s > 0
+          AND CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE) * 10000.0 >=
+              CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE) * 6400.0
+        ORDER BY d.a_id, d.b_id""")),
+
     // TPC-H Q18 shape (large-volume customers) via spark.sql: the
     // IN-(aggregated subquery WITH HAVING) form — Catalyst decorrelates
     // it to a semi-join against the grouped frame, the one SQL-front-door

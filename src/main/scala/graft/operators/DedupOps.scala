@@ -623,7 +623,10 @@ object DedupOps {
     * Scale shape: df is vocabulary-bounded → broadcast; pair generation
     * is the inverted-index equi-join on word (AQE-skew-handled, never
     * all-pairs); the weighted relation feeds norms + both join sides →
-    * localCheckpoint, computed once.
+    * localCheckpoint, computed once. Like [[containmentPairs]], the full
+    * index self-join is quadratic in hot-word df — on skewed real-text
+    * vocabularies use [[tfidfCosinePairsPrefix]], the AllPairs
+    * prefix-filtered sibling with the same output and exact recall.
     */
   def tfidfCosinePairs(documents: DataFrame, minCosPct: Int): DataFrame = {
     val tf = documents
@@ -648,6 +651,81 @@ object DedupOps {
         col("dot_s").cast("double") * col("dot_s").cast("double") * lit(10000.0) >=
           col("a_norm_s").cast("double") * col("b_norm_s").cast("double") * lit(tauSq))
       .select(col("a_id"), col("b_id"), col("dot_s"), col("a_norm_s"), col("b_norm_s"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** [[tfidfCosinePairs]]'s 100 TB sibling: AllPairs-style COSINE PREFIX
+    * FILTERING. The exact-recall bound: split doc a's weight vector
+    * (features ordered globally rarest-first) at position L; if the
+    * suffix's norm satisfies |suffix| < τ·|a| then ANY pair matching a
+    * only in the suffix has cos(a,b) ≤ |suffix|·|b| / (|a|·|b|) < τ — so
+    * every qualifying pair must share a feature in a's PREFIX, and
+    * probing prefixes against the full index is exact (checked with
+    * strict integer/decimal arithmetic so a rounding error can never
+    * shorten a prefix). Rarest-first ordering doubles as the skew guard:
+    * probe keys are each doc's least-common (highest-idf = heaviest)
+    * features, so prefixes are short AND the join keys are cold.
+    *
+    * Verification is the codegen'd [[graft.plans.SortedKeyWeightDot]]
+    * merge walk over (xxhash64(word), weight) arrays — O(nₐ+n_b) per
+    * candidate, zero shuffle beyond the candidate join; same 2⁻⁶⁴
+    * hash-collision margin as every hashed-set kernel here. Output
+    * contract is bit-identical to [[tfidfCosinePairs]] — the declared
+    * query pair shares one oracle.
+    */
+  def tfidfCosinePairsPrefix(documents: DataFrame, minCosPct: Int): DataFrame = {
+    require(minCosPct >= 1 && minCosPct <= 100,
+      s"minCosPct must be in [1,100], got $minCosPct")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tauSqL = minCosPct.toLong * minCosPct
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val wt = tf.join(broadcast(dfq), Seq("word"))
+      .select(col("doc_id"), col("word"), col("df"),
+        (col("tf") * expr("1000000L div df")).as("w"))
+      .localCheckpoint()  // feeds perDoc, the probe index, and nothing else twice
+    val perDoc = wt.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("df"), col("word"), col("w"))))
+        .as("by_rarity"),
+      sort_array(collect_list(struct(xxhash64(col("word")).as("k"),
+        col("w").as("w")))).as("kw"),
+      sum(col("w") * col("w")).as("norm_s"))
+      .localCheckpoint()  // feeds the prefix fan-out AND both verify sides
+    // position i belongs to the prefix iff sufSq(i)·10⁴ ≥ τ²·normSq,
+    // where sufSq(i) = normSq − preSq(i−1); the window partition is ONE
+    // document's distinct words — bounded by doc length, never corpus
+    val wPre = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = perDoc
+      .select(col("doc_id"), col("norm_s"),
+        posexplode(col("by_rarity")).as(Seq("pos", "f")))
+      .withColumn("pre_sq",
+        coalesce(sum(col("f.w") * col("f.w")).over(wPre), lit(0L)))
+      .filter((col("norm_s") - col("pre_sq")).cast(d38) * lit(10000L) >=
+        lit(tauSqL).cast(d38) * col("norm_s").cast(d38))
+      .select(col("doc_id").as("a_id"), col("f.word").as("word"))
+    // every qualifying (a < b) pair shares a feature in a's prefix —
+    // probing the smaller-id side's prefix alone is complete
+    val cands = prefixes
+      .join(wt.select(col("doc_id").as("b_id"), col("word")), "word")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sides = perDoc.select(col("doc_id"), col("kw"), col("norm_s"))
+    val tauSqD = tauSqL.toDouble
+    cands
+      .join(sides.select(col("doc_id").as("a_id"), col("kw").as("akw"),
+        col("norm_s").as("a_norm_s")), "a_id")
+      .join(sides.select(col("doc_id").as("b_id"), col("kw").as("bkw"),
+        col("norm_s").as("b_norm_s")), "b_id")
+      .withColumn("dot_s",
+        graft.plans.VecDot.sortedKeyWeightDot(col("akw"), col("bkw")))
+      .filter(col("dot_s") > 0 &&
+        col("dot_s").cast("double") * col("dot_s").cast("double") * lit(10000.0) >=
+          col("a_norm_s").cast("double") * col("b_norm_s").cast("double") * lit(tauSqD))
+      .select(col("a_id"), col("b_id"), col("dot_s"), col("a_norm_s"),
+        col("b_norm_s"))
       .orderBy("a_id", "b_id")
   }
 

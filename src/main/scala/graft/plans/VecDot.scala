@@ -192,6 +192,91 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sparse weighted dot product over two ARRAY<STRUCT<k: BIGINT,
+  * w: BIGINT>> columns, both sorted ascending by `k`: Σ wₐ·w_b over
+  * matching keys, as one allocation-free merge walk — the verify
+  * primitive for sparse-vector cosine joins (tf-idf near-dup). The
+  * map-type alternative (`element_at` per key) is a linear scan per
+  * LOOKUP in Spark's MapData — O(nₐ·n_b) per pair; the merge walk is
+  * O(nₐ+n_b). Null elements are skipped; duplicate keys within one
+  * array (only possible via a 64-bit hash collision between two words
+  * of the SAME document) pair off positionally — the corpus-pinned
+  * 2⁻⁶⁴ margin documented at every hashed-set kernel.
+  */
+case class SortedKeyWeightDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_kw_dot"
+
+  private def isKwArray(t: DataType): Boolean = t match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _) =>
+      s.fields.length == 2 && s.fields.forall(_.dataType == LongType)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isKwArray(left.dataType) && isKwArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRUCT<BIGINT, BIGINT>> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < n && x.isNullAt(i)) i += 1
+    while (j < m && y.isNullAt(j)) j += 1
+    while (i < n && j < m) {
+      val xr = x.getStruct(i, 2)
+      val yr = y.getStruct(j, 2)
+      val xk = xr.getLong(0)
+      val yk = yr.getLong(0)
+      if (xk < yk) i += 1
+      else if (xk > yk) j += 1
+      else { s += xr.getLong(1) * yr.getLong(1); i += 1; j += 1 }
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val xr = ctx.freshName("xr")
+      val yr = ctx.freshName("yr")
+      val xk = ctx.freshName("xk")
+      val yk = ctx.freshName("yk")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $n && $a.isNullAt($i)) $i++;
+         |while ($j < $m && $b.isNullAt($j)) $j++;
+         |while ($i < $n && $j < $m) {
+         |  org.apache.spark.sql.catalyst.InternalRow $xr = $a.getStruct($i, 2);
+         |  org.apache.spark.sql.catalyst.InternalRow $yr = $b.getStruct($j, 2);
+         |  long $xk = $xr.getLong(0);
+         |  long $yk = $yr.getLong(0);
+         |  if ($xk < $yk) { $i++; }
+         |  else if ($xk > $yk) { $j++; }
+         |  else { $s += $xr.getLong(1) * $yr.getLong(1); $i++; $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecDot {
   val longDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vec_dot_long"),
@@ -208,9 +293,14 @@ object VecDot {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)))
 
+  val kwDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sorted_kw_dot"),
+      new ExpressionInfo(classOf[SortedKeyWeightDot].getName, "sorted_kw_dot"),
+      (children: Seq[Expression]) => SortedKeyWeightDot(children(0), children(1)))
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(longDescriptor, floatDescriptor, intersectDescriptor)
+    Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -231,5 +321,10 @@ object VecDot {
   def sortedIntersectCount(a: Column, b: Column): Column = {
     register(SparkSession.active)
     org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
+  }
+
+  def sortedKeyWeightDot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("sorted_kw_dot", a, b)
   }
 }

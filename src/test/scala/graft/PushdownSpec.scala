@@ -252,6 +252,18 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("q_tfidf_cosine_prefix verifies with the codegen'd merge walk, no cartesian") {
+    // candidate generation joins the suffix-norm-bounded prefix relation
+    // against the index; verification must be the sorted_kw_dot kernel —
+    // a reappearing full pairwise groupBy-sum or a cartesian means the
+    // bounded plan regressed to the oracle-parity shape
+    val plan = executedPlan("q_tfidf_cosine_prefix")
+    assert(plan.contains("sorted_kw_dot"), s"merge-walk verify missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in the prefix plan:\n$plan")
+  }
+
   test("q_temperature_sample broadcasts the computed rate frame") {
     // the language-cardinality rate frame must broadcast into the
     // membership filter — shuffling the corpus on lang to meet a

@@ -41,6 +41,27 @@ class Round6PropertySpec extends SparkSpec {
     })
   }
 
+  test("tfidfCosinePairsPrefix equals tfidfCosinePairs on random corpora") {
+    // tiny vocab → heavy sharing; a prefix-bound bug (rounding that
+    // shortens a prefix) would drop qualifying pairs here
+    val docGen = for {
+      nDocs <- Gen.choose(2, 7)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 8)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      } yield ws.mkString(" "))
+      pct <- Gen.oneOf(50, 80, 95, 100)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, pct)
+    check(Prop.forAll(docGen) { case (docs, pct) =>
+      val df = docs.toDF("doc_id", "text")
+      val full = DedupOps.tfidfCosinePairs(df, pct)
+        .collect().map(_.toSeq).toSeq
+      val pref = DedupOps.tfidfCosinePairsPrefix(df, pct)
+        .collect().map(_.toSeq).toSeq
+      pref == full
+    })
+  }
+
   /** Brute-force per-node triangle counts over an edge list. */
   private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }

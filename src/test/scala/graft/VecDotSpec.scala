@@ -64,6 +64,23 @@ class VecDotSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L, 3L))
   }
 
+  test("sorted_kw_dot equals the map-based weighted dot on sorted key-weight arrays") {
+    def kw(pairs: (Long, Long)*): Seq[(Long, Long)] = pairs.sortBy(_._1)
+    val df = Seq(
+      (kw(1L -> 10L, 3L -> 5L, 9L -> 2L), kw(3L -> 4L, 9L -> 7L, 12L -> 1L)),
+      (kw(1L -> 3L), kw(2L -> 4L)),                 // disjoint → 0
+      (Seq.empty[(Long, Long)], kw(1L -> 5L)),      // empty side → 0
+      (kw(2L -> -3L, 5L -> 6L), kw(2L -> 7L, 5L -> 6L)))  // negative weights
+      .toDF("a", "b")
+      .select(
+        col("a").cast("array<struct<k:bigint,w:bigint>>").as("a"),
+        col("b").cast("array<struct<k:bigint,w:bigint>>").as("b"))
+    val got = df.select(VecDot.sortedKeyWeightDot(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    // row 1: 5·4 + 2·7 = 34; row 4: −3·7 + 6·6 = 15
+    assert(got == Seq(34L, 0L, 0L, 15L))
+  }
+
   test("interpreted eval agrees with codegen on the corpus embeddings") {
     // force the interpreted path by evaluating the expression directly
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
