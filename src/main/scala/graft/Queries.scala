@@ -2594,6 +2594,27 @@ object Queries {
         SELECT w.word, e.est_cnt, w.true_cnt
         FROM wc w JOIN est e USING (word) ORDER BY word""")),
 
+    // HyperLogLog register table (SketchOps.hllRegisters) over all word
+    // occurrences, m = 64: the verifiable portable twin of
+    // approx_count_distinct's rows-only sketch — the oracle replays the
+    // exact registers via the shared bin()/ltrim rho formula (both
+    // engines render BIGINT binary without leading zeros). No distinct
+    // pass: max-rho is duplicate-idempotent, so the plan is one map pass
+    // + a 64-key rollup.
+    Declared("q_hll_registers",
+      (s, d) => SketchOps.hllRegisters(
+        documents(s, d).select(explode(TextOps.words(col("text"))).as("word")),
+        "word", 64),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        h AS (SELECT ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+              FROM tok),
+        r AS (SELECT h % 64 AS register,
+                55 - length(ltrim(bin(h // 64), '0')) AS rho FROM h)
+        SELECT CAST(register AS BIGINT) AS register,
+               CAST(MAX(rho) AS BIGINT) AS max_rho
+        FROM r GROUP BY register ORDER BY register""")),
+
     // Per-node triangle counts (DedupOps.triangleCounts) over the exact
     // 80%-Jaccard near-dup graph on the %10 slice — near-dup clique
     // density. Engine: degree-oriented wedge closure (three bounded

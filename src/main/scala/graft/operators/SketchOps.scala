@@ -41,6 +41,37 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** HyperLogLog REGISTER TABLE on the engine-portable hash: register
+    * index = h mod m, rho = leading-zero count of the remaining hash
+    * bits + 1, table = max rho per register — the exact sketch state a
+    * cardinality estimator consumes. Built WITHOUT a distinct() pass:
+    * max-rho is idempotent under duplicate keys (every occurrence of a
+    * key lands the same (register, rho)), so the plan is one map pass +
+    * an m-key map-side-combined groupBy — no vocabulary shuffle, which
+    * is exactly why HLL state (unlike a distinct count) merges across
+    * streams/partitions for free.
+    *
+    * The cross-engine rho trick: both Spark and DuckDB `bin()` render a
+    * BIGINT without leading zeros, so rho = (width+1) − length(ltrim
+    * (bin(bits), '0')) — pure string/integer ops, no log2/clz, and
+    * ltrim makes the bits=0 edge (bin = "0" → length 0 → maximal rho)
+    * fall out of the same formula. This gives the repo's second fully
+    * hash-checked sketch state (after the CMS counter table); the
+    * built-in `approx_count_distinct` stays the production estimator,
+    * this is its verifiable portable twin.
+    */
+  def hllRegisters(rows: DataFrame, keyCol: String, m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val logm = Integer.numberOfTrailingZeros(m)
+    val h = DedupOps.md5Hash60(col(keyCol))
+    rows
+      .select(pmod(h, lit(m.toLong)).as("register"),
+        (lit((60 - logm + 1).toLong) -
+          length(ltrim(bin(shiftright(h, logm)), "0"))).as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("max_rho"))
+      .orderBy("register")
+  }
+
   /** Point-query the sketch for every row of `keys` (which must carry
     * `keyCol`; other columns ride along): est_cnt = min over the depth
     * rows of the key's counter, the classic CMS estimate — an upper

@@ -188,6 +188,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  // ---------------- hllRegisters ----------------
+
+  test("hllRegisters: matches driver-side rho math and is duplicate-idempotent") {
+    def md5h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def expected(keys: Seq[String]): Map[Long, Long] =
+      keys.map { k =>
+        val h = md5h60(k)
+        val bits = h >> 6
+        val rho = if (bits == 0L) 55L
+          else 55L - java.lang.Long.toBinaryString(bits).length
+        (h % 64, rho)
+      }.groupBy(_._1).map { case (r, v) => r -> v.map(_._2).max }
+    val keys = Seq("alpha", "beta", "gamma", "delta")
+    val once = SketchOps.hllRegisters(
+        keys.map(Tuple1(_)).toDF("word"), "word", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(once == expected(keys))
+    // duplicates cannot move any register — the idempotence that lets
+    // the sketch skip the distinct pass entirely
+    val dup = SketchOps.hllRegisters(
+        (keys ++ keys ++ Seq("alpha")).map(Tuple1(_)).toDF("word"), "word", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dup == once)
+  }
+
   // ---------------- triangleCounts ----------------
 
   test("triangleCounts: 4-clique yields 3 per node; pendant chain yields none") {
