@@ -72,6 +72,25 @@ object SketchOps {
       .orderBy("register")
   }
 
+  /** Merge CMS counter tables built with the SAME (depth, width): cell
+    * counters add. This is the property that makes sketching worth it at
+    * 100 TB — per-shard / per-day partial sketches combine into the
+    * corpus sketch without touching the raw data again (tested
+    * merge(A,B) ≡ build(A ∪ B)).
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("d", "slot").agg(sum(col("cnt")).as("cnt"))
+
+  /** Merge HLL register tables built with the SAME m: registers take the
+    * max. Same shard-merge contract as [[cmsMerge]] (tested
+    * merge(A,B) ≡ build(A ∪ B)).
+    */
+  def hllMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
+      .orderBy("register")
+
   /** Point-query the sketch for every row of `keys` (which must carry
     * `keyCol`; other columns ride along): est_cnt = min over the depth
     * rows of the key's counter, the classic CMS estimate — an upper

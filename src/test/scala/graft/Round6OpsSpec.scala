@@ -215,6 +215,30 @@ class Round6OpsSpec extends SparkSpec {
     assert(dup == once)
   }
 
+  test("sketch mergeability: merge of shard sketches equals the whole-corpus build") {
+    // the 100 TB contract: per-shard partial sketches combine into the
+    // corpus sketch without revisiting raw data
+    val shardA = Seq("a", "a", "b").map(Tuple1(_)).toDF("word")
+    val shardB = Seq("b", "c", "c", "d").map(Tuple1(_)).toDF("word")
+    val union = shardA.unionByName(shardB)
+
+    val cmsMerged = SketchOps.cmsMerge(
+        SketchOps.cmsBuild(shardA, "word", 2, 16),
+        SketchOps.cmsBuild(shardB, "word", 2, 16))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val cmsWhole = SketchOps.cmsBuild(union, "word", 2, 16)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(cmsMerged == cmsWhole)
+
+    val hllMerged = SketchOps.hllMerge(
+        SketchOps.hllRegisters(shardA, "word", 64),
+        SketchOps.hllRegisters(shardB, "word", 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hllWhole = SketchOps.hllRegisters(union, "word", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hllMerged == hllWhole)
+  }
+
   // ---------------- triangleCounts ----------------
 
   test("triangleCounts: 4-clique yields 3 per node; pendant chain yields none") {
