@@ -23,10 +23,14 @@ if ! sbt -batch "runMain graft.Verify $SF $OUT" >/tmp/presnapshot_verify.log 2>&
   echo "presnapshot: Verify FAILED — see /tmp/presnapshot_verify.log"
   exit 1
 fi
-# Verify prints per-query failures to stderr without failing the JVM;
-# surface them here so a broken builder can't slide through as a
-# missing-parquet selfcheck FAIL with a confusing message
-grep '\[verify\]' /tmp/presnapshot_verify.log || true
+# Verify prints per-query failures to stderr without failing the JVM.
+# FAIL the gate on any (ADVICE r6): a query that throws in Verify but
+# leaves a previous run's parquet in a user-supplied $OUT would
+# otherwise be selfchecked against STALE output and could pass.
+if grep '\[verify\]' /tmp/presnapshot_verify.log; then
+  echo "presnapshot: per-query Verify failures above — gate RED"
+  exit 1
+fi
 
 {
   echo "# presnapshot gate  sf=$SF  $(date -u +%FT%TZ)  HEAD=$(git rev-parse --short HEAD)"

@@ -17,8 +17,8 @@ object Bench {
     "q_scan_limit", "q_filter_conj", "q_topk",
     "q_agg_multi", "q_agg_count2key", "q_grouping_sets", "q_median",
     "q_join_inner", "q_join_3way", "q_join_asof", "q_join_range",
-    "q_window_rank", "q_window_running", "q_window_session",
-    "q_pivot", "q_string_agg", "q_explode_words",
+    "q_window_rank", "q_window_session",
+    "q_pivot", "q_explode_words",
     "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard",
     "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
@@ -26,10 +26,18 @@ object Bench {
     "q_window_tumbling", "q_upsert",
     // round-3 families
     "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
-    "q_chunk_windows", "q_stats_exact", "q_histogram", "q_ntile",
+    "q_chunk_windows", "q_stats_exact", "q_histogram",
     "q_levenshtein",
-    // round-6 families (line stays < 1500 B — VerifyJsonSpec bounds it)
-    "q_cms_counts", "q_triangles", "q_containment_prefix")
+    // round-6 families
+    "q_cms_counts", "q_triangles", "q_containment_prefix",
+    // round-7 (VERDICT r6 #1): the true worst-cost queries belong on
+    // the driver's binding artifact so a regression in the #1/#2/#4
+    // most expensive plans is visible round-over-round, not hidden in
+    // the total. Dropped to compensate: q_ntile / q_string_agg /
+    // q_window_running (cheap near-duplicates of kept family keys).
+    // Line stays < 1500 B — VerifyJsonSpec bounds it.
+    "q_dedup_canonical", "q_hll_registers", "q_boilerplate",
+    "q_containment", "q_sql_q18")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

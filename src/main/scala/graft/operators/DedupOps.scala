@@ -572,10 +572,24 @@ object DedupOps {
     * wedge cost at 100 TB.
     *
     * Three bounded shuffles: degree rollup, wedge equi-join on the wedge
-    * apex, closure equi-join on the (y, z) edge key.
+    * apex, closure equi-join on the (y, z) edge key (plus one |E|-keyed
+    * normalization shuffle, below).
+    *
+    * Input contract (ADVICE r6): the math needs each undirected edge
+    * exactly ONCE — duplicate edges or both (a,b)/(b,a) orientations
+    * would double degrees and replicate wedges. Rather than trust the
+    * caller, the edge list is normalized internally
+    * (least/greatest + distinct, self-loops dropped); for compliant
+    * inputs (e.g. [[jaccardPairs]] output, already distinct a<b) the
+    * distinct is a cheap |E|-bounded rollup, and for anything else it
+    * is the difference between a correct and a silently-wrong count.
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val raw = pairs.select(col("a_id"), col("b_id"))
+    val raw = pairs
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
     val deg = raw.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = raw
@@ -619,6 +633,20 @@ object DedupOps {
     * [[SimilarityOps.cosinePairsExact]] precedent. Bounds: tf ≤ doc len,
     * idf ≤ 10⁶ ⇒ w ≤ 5·10⁷ for 50-token docs; Σ w·w over a shared vocab
     * of thousands stays ≪ 2⁶³.
+    *
+    * CALLER CONTRACT (ADVICE r6): that no-overflow argument is a
+    * precondition, not an enforced check — int64 dot_s/norm_s are safe
+    * only while max(tf·idf)² · distinct-terms-per-doc < 2⁶³, i.e.
+    * documents up to ~10⁴ distinct tokens with df ≥ 1 weights. Beyond
+    * that (book-length docs with many df=1 terms) the sums can wrap
+    * silently under ANSI-off and corrupt both the threshold test and
+    * the oracle compare. Callers with such corpora must pre-bound doc
+    * length (the chunking ops here emit ≤ 10³-token chunks) — the
+    * declared output columns are BIGINT by contract, so a Decimal
+    * accumulator cannot be swapped in without changing the public
+    * schema. The same precondition applies to
+    * [[tfidfCosinePairsPrefix]]'s int64 dot/norm sums (only its
+    * prefix-BOUND arithmetic is Decimal-exact).
     *
     * Scale shape: df is vocabulary-bounded → broadcast; pair generation
     * is the inverted-index equi-join on word (AQE-skew-handled, never

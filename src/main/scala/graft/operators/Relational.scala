@@ -156,10 +156,24 @@ object Relational {
     * is |categories|, never |rows|. An EMPTY side fails loudly (ANSI
     * divide-by-zero) — the drift of a vanished snapshot is an upstream
     * incident, not a zero.
+    *
+    * PRECONDITION (ADVICE r6): `catCol` must be NON-NULL. A null
+    * category is cross-engine poison twice over — Spark's ORDER BY
+    * sorts nulls first where DuckDB defaults to nulls last, and the
+    * full-outer join null-key semantics would split one null category
+    * into two rows on the oracle side. Enforced here: a null category
+    * fails loudly (same stance as the empty-side ANSI note) rather
+    * than producing engine-dependent output.
     */
   def distributionDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    // the null check lives INSIDE the groupBy key (not a dropped helper
+    // column, which ColumnPruning would silently optimize away)
     def shares(df: DataFrame, cnt: String): DataFrame =
-      df.groupBy(catCol).agg(count(lit(1)).as(cnt))
+      df.groupBy(when(col(catCol).isNotNull, col(catCol))
+          .otherwise(raise_error(lit(
+            s"distributionDrift: null $catCol — categorize or filter upstream")))
+          .as(catCol))
+        .agg(count(lit(1)).as(cnt))
     val ca = shares(a, "n_a")
     val cb = shares(b, "n_b")
     // the totals are 1-row frames: broadcast cross joins, no shuffle

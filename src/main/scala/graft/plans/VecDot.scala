@@ -198,10 +198,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * primitive for sparse-vector cosine joins (tf-idf near-dup). The
   * map-type alternative (`element_at` per key) is a linear scan per
   * LOOKUP in Spark's MapData — O(nₐ·n_b) per pair; the merge walk is
-  * O(nₐ+n_b). Null elements are skipped; duplicate keys within one
-  * array (only possible via a 64-bit hash collision between two words
-  * of the SAME document) pair off positionally — the corpus-pinned
-  * 2⁻⁶⁴ margin documented at every hashed-set kernel.
+  * O(nₐ+n_b). Null elements are skipped wherever they appear (guarded
+  * per iteration in both eval paths, so a mid-array null can never NPE
+  * interpreted eval or read garbage in codegen); duplicate keys within
+  * one array (only possible via a 64-bit hash collision between two
+  * words of the SAME document) pair off positionally — the
+  * corpus-pinned 2⁻⁶⁴ margin documented at every hashed-set kernel.
   */
 case class SortedKeyWeightDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -228,16 +230,18 @@ case class SortedKeyWeightDot(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var s = 0L
-    while (i < n && x.isNullAt(i)) i += 1
-    while (j < m && y.isNullAt(j)) j += 1
     while (i < n && j < m) {
-      val xr = x.getStruct(i, 2)
-      val yr = y.getStruct(j, 2)
-      val xk = xr.getLong(0)
-      val yk = yr.getLong(0)
-      if (xk < yk) i += 1
-      else if (xk > yk) j += 1
-      else { s += xr.getLong(1) * yr.getLong(1); i += 1; j += 1 }
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xr = x.getStruct(i, 2)
+        val yr = y.getStruct(j, 2)
+        val xk = xr.getLong(0)
+        val yk = yr.getLong(0)
+        if (xk < yk) i += 1
+        else if (xk > yk) j += 1
+        else { s += xr.getLong(1) * yr.getLong(1); i += 1; j += 1 }
+      }
     }
     s
   }
@@ -257,16 +261,18 @@ case class SortedKeyWeightDot(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $s = 0L;
-         |while ($i < $n && $a.isNullAt($i)) $i++;
-         |while ($j < $m && $b.isNullAt($j)) $j++;
          |while ($i < $n && $j < $m) {
-         |  org.apache.spark.sql.catalyst.InternalRow $xr = $a.getStruct($i, 2);
-         |  org.apache.spark.sql.catalyst.InternalRow $yr = $b.getStruct($j, 2);
-         |  long $xk = $xr.getLong(0);
-         |  long $yk = $yr.getLong(0);
-         |  if ($xk < $yk) { $i++; }
-         |  else if ($xk > $yk) { $j++; }
-         |  else { $s += $xr.getLong(1) * $yr.getLong(1); $i++; $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    org.apache.spark.sql.catalyst.InternalRow $xr = $a.getStruct($i, 2);
+         |    org.apache.spark.sql.catalyst.InternalRow $yr = $b.getStruct($j, 2);
+         |    long $xk = $xr.getLong(0);
+         |    long $yk = $yr.getLong(0);
+         |    if ($xk < $yk) { $i++; }
+         |    else if ($xk > $yk) { $j++; }
+         |    else { $s += $xr.getLong(1) * $yr.getLong(1); $i++; $j++; }
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
