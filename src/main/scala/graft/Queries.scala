@@ -74,6 +74,45 @@ object Queries {
   private def simHashOracle(src: String): String =
     s"WITH ${simHashSigCtes(src)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
+  /** DuckDB replay of [[SketchOps.hllEstimate]] at m = 64 over the
+    * documents word stream. Every double constant is emitted via
+    * `Double.toString` from the SAME Scala values the engine uses
+    * (`hllAlpha`/`hllLinearCountLut`), wrapped in CAST(.. AS DOUBLE)
+    * (a bare decimal literal is DECIMAL in DuckDB; string→double
+    * parsing is correctly rounded, so the round-trip is bit-exact).
+    * The harmonic sum is the integer Σ 2^(55−rho) with absent
+    * registers contributing 2^55 — exact int64 both engines.
+    */
+  private def hllEstimateOracle: String = {
+    val m = 64
+    val p = 55
+    def d(x: Double) = s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)"
+    val num = SketchOps.hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
+    val lutCase = SketchOps.hllLinearCountLut(m).zipWithIndex
+      .map { case (x, i) => s"WHEN ${i + 1} THEN ${d(x)}" }
+      .mkString(" ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        h AS (SELECT ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+              FROM tok),
+        r AS (SELECT h % $m AS register,
+                $p - length(ltrim(bin(h // $m), '0')) AS rho FROM h),
+        regs AS (SELECT register, MAX(rho) AS max_rho FROM r
+                 GROUP BY register),
+        a AS (SELECT COALESCE(CAST(SUM(1::BIGINT << ($p - max_rho))
+                       AS BIGINT), 0) AS s_obs,
+                     COUNT(*)::BIGINT AS n_obs FROM regs),
+        s AS (SELECT s_obs + ($m - n_obs) * (1::BIGINT << $p) AS s_scaled,
+                     $m - n_obs AS v FROM a),
+        e AS (SELECT s_scaled, v,
+                ${d(num)} / CAST(s_scaled AS DOUBLE) AS est_raw FROM s)
+        SELECT s_scaled, v, est_raw,
+          CASE WHEN est_raw <= ${d(2.5 * m)} AND v > 0
+               THEN CASE v $lutCase END
+               ELSE est_raw END AS est
+        FROM e"""
+  }
+
   /** (maxHamming+1)-band banding + bit_count(xor) verify — the DuckDB
     * replay of [[DedupOps.simHashPairs]] (portable hash, 60 bits).
     */
@@ -2614,6 +2653,25 @@ object Queries {
         SELECT CAST(register AS BIGINT) AS register,
                CAST(MAX(rho) AS BIGINT) AS max_rho
         FROM r GROUP BY register ORDER BY register""")),
+
+    // HLL cardinality ESTIMATE (SketchOps.hllEstimate) computed from the
+    // oracle-verified register table above — closes the last sketch
+    // whose OUTPUT (not just state) was unverified (VERDICT r6 #3).
+    // Bit-determinism: integer-scaled harmonic sum (exact int64),
+    // exact-double numerator (alpha scaled by powers of two only), one
+    // correctly-rounded division, and a PRECOMPUTED ln lookup table for
+    // the linear-counting branch — the oracle embeds the identical
+    // double literals via Double.toString round-trip, so est hash-
+    // matches bit-for-bit. Production estimator remains
+    // approx_count_distinct; Round7OpsSpec cross-checks est against the
+    // exact distinct within documented HLL error (1.04/√m).
+    Declared("q_hll_estimate",
+      (s, d) => SketchOps.hllEstimate(
+        SketchOps.hllRegisters(
+          documents(s, d).select(explode(TextOps.words(col("text"))).as("word")),
+          "word", 64),
+        64),
+      Some(hllEstimateOracle)),
 
     // Per-node triangle counts (DedupOps.triangleCounts) over the exact
     // 80%-Jaccard near-dup graph on the %10 slice — near-dup clique

@@ -76,6 +76,71 @@ object ImageCodec {
         }
       } catch { case _: Exception => None }   // corrupt payload ⇒ stub path
 
+  /** Perceptual difference hash (dHash, round 7): decode, box-average
+    * luminance onto a 9×8 grid, emit bit (y·8+x) = 1 iff cell (x,y) is
+    * brighter than its right neighbor (x+1,y) — 64 bits of horizontal
+    * luminance GRADIENT signs. Near-identical images (re-encodes,
+    * mild crops/rescales, format conversions) agree on almost every
+    * gradient sign, so hamming distance over dHash is the standard
+    * image near-dup metric; [[MultimodalOps.imageNearDupPairs]] feeds
+    * it through the same hamming-band machinery as text SimHash.
+    *
+    * Determinism: box bounds are integer floor(g·dim/grid) picks, the
+    * per-cell average is an integer Rec.601 luma sum over an integer
+    * pixel count — no float anywhere, so the hash is bit-stable across
+    * JVMs/platforms (same argument as [[resizePng]]'s nearest-neighbor
+    * pick). Box AVERAGING (not point sampling) is what buys JPEG-noise
+    * robustness: block artifacts cancel within a cell. None for
+    * payloads the JVM can't decode — callers filter those out.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    if (!looksDecodable(payload)) None
+    else
+      try {
+        Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          // 9 columns × 8 rows of box-averaged integer luma
+          val cells = Array.ofDim[Long](8, 9)
+          var gy = 0
+          while (gy < 8) {
+            val y0 = (gy.toLong * h / 8).toInt
+            val y1 = math.min(h, math.max(((gy + 1).toLong * h / 8).toInt, y0 + 1))
+            var gx = 0
+            while (gx < 9) {
+              val x0 = (gx.toLong * w / 9).toInt
+              val x1 = math.min(w, math.max(((gx + 1).toLong * w / 9).toInt, x0 + 1))
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                    114 * (rgb & 0xFF)) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              cells(gy)(gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+              gx += 1
+            }
+            gy += 1
+          }
+          var bits = 0L
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              if (cells(by)(bx) > cells(by)(bx + 1))
+                bits |= 1L << (by * 8 + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          bits
+        }
+      } catch { case _: Exception => None }
+
   /** Real resize: decode → nearest-neighbor rescale → re-encode as PNG.
     * Nearest-neighbor (not bilinear) keeps the output bit-deterministic
     * across JVMs — interpolation kernels may differ by platform, integer

@@ -60,17 +60,87 @@ object SketchOps {
     * built-in `approx_count_distinct` stays the production estimator,
     * this is its verifiable portable twin.
     */
-  def hllRegisters(rows: DataFrame, keyCol: String, m: Int): DataFrame = {
+  def hllRegisters(rows: DataFrame, keyCol: String, m: Int): DataFrame =
+    rows.select(hllRegRho(keyCol, m): _*)
+      .groupBy("register").agg(max(col("rho")).as("max_rho"))
+      .orderBy("register")
+
+  /** The (register, rho) projection of one key — shared by
+    * [[hllRegisters]] AND the streaming maintenance path
+    * ([[graft.streaming.StreamingOps.streamingHllRegisters]]), same
+    * can-never-drift contract as [[cells]] for the CMS.
+    */
+  private[graft] def hllRegRho(keyCol: String, m: Int): Seq[org.apache.spark.sql.Column] = {
     require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val logm = Integer.numberOfTrailingZeros(m)
     val h = DedupOps.md5Hash60(col(keyCol))
-    rows
-      .select(pmod(h, lit(m.toLong)).as("register"),
-        (lit((60 - logm + 1).toLong) -
-          length(ltrim(bin(shiftright(h, logm)), "0"))).as("rho"))
-      .groupBy("register").agg(max(col("rho")).as("max_rho"))
-      .orderBy("register")
+    Seq(pmod(h, lit(m.toLong)).as("register"),
+      (lit((60 - logm + 1).toLong) -
+        length(ltrim(bin(shiftright(h, logm)), "0"))).as("rho"))
   }
+
+  /** HLL CARDINALITY ESTIMATE from a [[hllRegisters]] table — the
+    * classic Flajolet–Martin harmonic-mean estimator plus the
+    * linear-counting small-range correction, computed so that BOTH
+    * engines (this and a DuckDB oracle) produce bit-identical float64:
+    *
+    *  - The harmonic sum Σ 2^−rho is scaled to the INTEGER
+    *    S = Σ 2^(P−rho) with P = 61−log2(m) (= max rho, so every term
+    *    is an exact int64 power of two); absent registers contribute
+    *    2^P each (rho = 0). S ≤ m·2^P = 2^61 < 2^63 — no overflow.
+    *  - est_raw = α_m·m²·2^P / S: the numerator is EXACT in double
+    *    (α_m's nearest-double scaled by powers of two only), S→double
+    *    is one correctly-rounded conversion, the division one
+    *    correctly-rounded op — both engines land on the same bits.
+    *  - Small range (est_raw ≤ 2.5m, V = zero registers > 0): linear
+    *    counting m·ln(m/V). ln is libm — 1-ulp engine drift — so the
+    *    m possible values are a PRECOMPUTED double lookup table, and
+    *    the oracle embeds the same literals (Double.toString
+    *    round-trips exactly). No arithmetic happens on the ln output.
+    *  - The paper's large-range correction handles 32-bit hash
+    *    saturation; this sketch hashes into 60 bits, where collision
+    *    mass at any feasible cardinality is negligible — skipped.
+    *
+    * α constants per the original paper: 0.673 (m=16), 0.697 (32),
+    * 0.709 (64), 0.7213/(1+1.079/m) beyond. `approx_count_distinct`
+    * remains the production estimator; this is its end-to-end
+    * verifiable portable twin (VERDICT r6 #3).
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val logm = Integer.numberOfTrailingZeros(m)
+    val p = 61 - logm
+    val num = hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
+    val lut = hllLinearCountLut(m)
+    registers
+      .agg(
+        coalesce(sum(expr(s"shiftleft(1L, cast($p - max_rho as int))")),
+          lit(0L)).as("s_obs"),
+        count(lit(1)).as("n_obs"))
+      .select(
+        (col("s_obs") + (lit(m.toLong) - col("n_obs")) * lit(1L << p)).as("s_scaled"),
+        (lit(m.toLong) - col("n_obs")).as("v"))
+      .withColumn("est_raw", lit(num) / col("s_scaled").cast("double"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("v") > 0,
+          element_at(array(lut.map(lit): _*), col("v").cast("int")))
+          .otherwise(col("est_raw")))
+  }
+
+  /** α_m of the original HLL paper (shared with the oracle generator). */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Linear-counting values m·ln(m/V), V = 1..m — the small-range
+    * estimates, 1-indexed by zero-register count (shared with the
+    * oracle generator so engine and oracle embed the SAME doubles).
+    */
+  private[graft] def hllLinearCountLut(m: Int): Seq[Double] =
+    (1 to m).map(v => m.toDouble * math.log(m.toDouble / v))
 
   /** Merge CMS counter tables built with the SAME (depth, width): cell
     * counters add. This is the property that makes sketching worth it at

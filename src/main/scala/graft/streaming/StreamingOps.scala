@@ -209,6 +209,23 @@ object StreamingOps {
       .groupBy(col("ds.d").as("d"), col("ds.slot").as("slot"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming HyperLogLog maintenance: the SAME (register, rho)
+    * projection as [[graft.operators.SketchOps.hllRegisters]] (shared
+    * cell definition — the hashes can never drift), with max-rho
+    * maintained incrementally per register. Max is the canonical
+    * streaming-cardinality state shape: order- and duplicate-
+    * insensitive, so aggregation state is bounded by m registers
+    * REGARDLESS of stream volume or key cardinality — complete-mode
+    * output is safe forever, and the emitted table feeds batch
+    * [[graft.operators.SketchOps.hllEstimate]] / [[graft.operators.
+    * SketchOps.hllMerge]] unchanged (a live stream's register table
+    * merges with per-shard batch sketches for free).
+    */
+  def streamingHllRegisters(stream: DataFrame, keyCol: String, m: Int): DataFrame =
+    stream
+      .select(graft.operators.SketchOps.hllRegRho(keyCol, m): _*)
+      .groupBy("register").agg(max(col("rho")).as("max_rho"))
+
   /** Convenience: start a memory-sink query for tests/inspection. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()

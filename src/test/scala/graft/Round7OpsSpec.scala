@@ -67,6 +67,136 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ---------------- hllEstimate ----------------
+
+  test("hllEstimate tracks exact distinct within documented HLL error (and acd agrees)") {
+    import graft.operators.{SketchOps, TextOps}
+    val words = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(TextOps.words(col("text"))).as("word"))
+    val exact = words.select(countDistinct(col("word"))).collect()(0).getLong(0)
+    val est = SketchOps.hllEstimate(SketchOps.hllRegisters(words, "word", 64), 64)
+      .collect()(0).getDouble(3)
+    // m = 64 → standard error 1.04/√64 = 13%; accept 3σ ≈ 40%
+    assert(math.abs(est - exact) <= 0.40 * exact,
+      s"est=$est exact=$exact off by ${math.abs(est - exact) / exact}")
+    // the production estimator agrees with the exact count too (its own
+    // documented rsd), tying the portable twin and the builtin together
+    val acd = words.select(approx_count_distinct(col("word"), 0.05))
+      .collect()(0).getLong(0)
+    assert(math.abs(acd.toDouble - exact) <= 0.15 * exact, s"acd=$acd exact=$exact")
+  }
+
+  test("hllEstimate small-range branch: tiny cardinalities hit linear counting") {
+    import graft.operators.SketchOps
+    val words = Seq("a", "b", "c", "a", "b", "a").toDF("word")  // 3 distinct
+    val r = SketchOps.hllEstimate(SketchOps.hllRegisters(words, "word", 64), 64)
+      .collect()(0)
+    val v = r.getLong(1)
+    val est = r.getDouble(3)
+    assert(v == 61L, s"3 distinct keys must hit 3 registers, v=$v")
+    // linear counting 64·ln(64/61) ≈ 3.07 — and it must be EXACTLY the
+    // precomputed LUT double (no arithmetic after the table lookup)
+    assert(est == SketchOps.hllLinearCountLut(64)(60), s"est=$est")
+    assert(math.abs(est - 3.0) < 0.5)
+  }
+
+  test("hllEstimate on an empty register table estimates zero") {
+    import graft.operators.SketchOps
+    val empty = Seq.empty[String].toDF("word")
+    val r = SketchOps.hllEstimate(SketchOps.hllRegisters(empty, "word", 64), 64)
+      .collect()(0)
+    assert(r.getLong(1) == 64L)          // all 64 registers are zero
+    assert(r.getDouble(3) == 0.0)        // lut(64) = 64·ln(1) = 0
+  }
+
+  // ---------------- bit-packed SimHash aggregate ----------------
+
+  test("packed simHash is row-identical to the 64-column form (ties included)") {
+    import graft.operators.DedupOps
+    // doc 4 has every word an EVEN number of times → per-bit sums hit 0,
+    // exercising the tie → bit 0 convention in both forms
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa lambda"),
+      (4L, "mu mu nu nu"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val wide = DedupOps.simHashWide(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val packed = DedupOps.simHash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(packed == wide)
+    assert(wide.length == 5)
+  }
+
+  test("packed simHash matches the wide form on sf0.001, portable 60-bit hash included") {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val wide = DedupOps.simHashWide(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val packed = DedupOps.simHash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(packed == wide)
+    assert(wide.nonEmpty)
+    // the declared queries run the 60-bit md5 variant through the same
+    // aggregate — pin that width too
+    val wide60 = DedupOps.simHashWide(docs, DedupOps.md5Hash60(_), 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val packed60 = DedupOps.simHash(docs, DedupOps.md5Hash60(_), 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(packed60 == wide60)
+  }
+
+  // ---------------- perceptual image near-dup ----------------
+
+  // 64×64 block pattern: luma constant within each 8×8 cell, cell values
+  // driven by (a·col + b·row) mod 256 — varied enough that two different
+  // (a, b) seeds give far-apart dHashes, blocky enough that JPEG
+  // re-encoding barely moves the per-cell averages.
+  private def blockImage(a: Int, b: Int): (Int, Int) => Int = { (x, y) =>
+    val v = (a * (x / 8) + b * (y / 8)) % 256
+    (v << 16) | (v << 8) | v
+  }
+
+  test("dHash: JPEG re-encode of a PNG lands within a few bits; distinct images far") {
+    import graft.multimodal.ImageCodec
+    val png = ImageCodec.encodePng(64, 64, blockImage(37, 11))
+    val jpg = ImageCodec.encodeJpeg(64, 64, blockImage(37, 11))
+    val other = ImageCodec.encodePng(64, 64, blockImage(113, 71))
+    val (hp, hj, ho) = (ImageCodec.dHash(png).get, ImageCodec.dHash(jpg).get,
+      ImageCodec.dHash(other).get)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hp, hj) <= 7, s"near-dup pair too far: ${hamming(hp, hj)}")
+    assert(hamming(hp, ho) > 7, s"distinct pair too close: ${hamming(hp, ho)}")
+    assert(ImageCodec.dHash(Array[Byte](1, 2, 3)).isEmpty)   // undecodable
+  }
+
+  test("dHash survives a real rescale (scale invariance of the gradient grid)") {
+    import graft.multimodal.ImageCodec
+    val png = ImageCodec.encodePng(64, 64, blockImage(37, 11))
+    val resized = ImageCodec.resizePng(png, 48, 48).get
+    val d = java.lang.Long.bitCount(
+      ImageCodec.dHash(png).get ^ ImageCodec.dHash(resized).get)
+    assert(d <= 7, s"rescaled twin drifted $d bits")
+  }
+
+  test("imageNearDupPairs finds the planted cross-format twin, rejects the stranger") {
+    import graft.multimodal.{ImageCodec, MultimodalOps}
+    val media = MultimodalOps.fromBytes(spark, Seq(
+      (1L, ImageCodec.encodePng(64, 64, blockImage(37, 11)), "image", "png"),
+      (2L, ImageCodec.encodeJpeg(64, 64, blockImage(37, 11)), "image", "jpg"),
+      (3L, ImageCodec.encodePng(64, 64, blockImage(113, 71)), "image", "png"),
+      (4L, Array[Byte](9, 9, 9), "image", "bin"),          // undecodable
+      (5L, null, "image", "png")))                         // null payload
+    val pairs = MultimodalOps.imageNearDupPairs(media, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("hammingBandPairs at width 64 (maxHamming = 0) is exact-signature dedup") {
+    import graft.operators.DedupOps
+    val sigs = Seq((1L, 42L), (2L, 42L), (3L, 43L)).toDF("doc_id", "simhash")
+    val got = DedupOps.hammingBandPairs(sigs, 0, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 0L)))
+  }
+
   // ---------------- distributionDrift null-category guard ----------------
 
   test("distributionDrift fails loudly on a null category") {

@@ -79,6 +79,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL register table equals the batch sketch over all arrivals") {
+    import graft.operators.SketchOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val words = input.toDF().toDF("word")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.streamingHllRegisters(words, "word", 64),
+      "hll_test", "complete")
+    try {
+      input.addData("alpha", "alpha", "beta")
+      q.processAllAvailable()
+      input.addData("alpha", "gamma", "beta", "delta")  // second micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("hll_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = SketchOps.hllRegisters(
+          Seq("alpha", "alpha", "beta", "alpha", "gamma", "beta", "delta")
+            .map(Tuple1(_)).toDF("word"), "word", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // and the batch estimator consumes the STREAMED table unchanged
+      val est = SketchOps.hllEstimate(spark.table("hll_test"), 64)
+        .collect().head.getDouble(3)
+      assert(est > 0.0)
+    } finally q.stop()
+  }
+
   test("streaming sliding window counts events in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
