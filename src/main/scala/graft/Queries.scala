@@ -74,6 +74,45 @@ object Queries {
   private def simHashOracle(src: String): String =
     s"WITH ${simHashSigCtes(src)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
+  /** DuckDB replay of [[DedupOps.kCoreFixedRounds]] over the %10-slice
+    * jaccard-80 graph (the q_triangles base CTEs): each peel round is
+    * one generated CTE pair (degree rollup + surviving-edge filter), so
+    * the SQL has the same statically-known round count as the engine
+    * plan. Generated in code so round CTEs provably match `rounds`.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT id, COUNT(*) AS deg
+              FROM (SELECT a_id AS id FROM e${r - 1}
+                    UNION ALL SELECT b_id FROM e${r - 1})
+              GROUP BY id),
+        e$r AS (SELECT e.a_id, e.b_id FROM e${r - 1} e
+              JOIN d$r da ON e.a_id = da.id
+              JOIN d$r db ON e.b_id = db.id
+              WHERE da.deg >= $k AND db.deg >= $k)"""
+    }.mkString(",\n        ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        e0 AS (SELECT c.a_id, c.b_id FROM c
+              JOIN sz sa ON c.a_id = sa.doc_id
+              JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >=
+                    (sa.set_size + sb.set_size - c.common) * 80),
+        $roundCtes
+        SELECT id AS doc_id, COUNT(*)::BIGINT AS deg
+        FROM (SELECT a_id AS id FROM e$rounds
+              UNION ALL SELECT b_id FROM e$rounds)
+        GROUP BY id ORDER BY doc_id"""
+  }
+
   /** DuckDB replay of [[SketchOps.hllEstimate]] at m = 64 over the
     * documents word stream. Every double constant is emitted via
     * `Double.toString` from the SAME Scala values the engine uses
@@ -2878,7 +2917,231 @@ object Queries {
           CAST(o_orderdate AS DATE),
           CAST(round(o_totalprice * 100) AS BIGINT)
         ORDER BY price_c DESC, o_orderkey
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    // SCALAR subquery — per-part "quantity below 0.2× that part's
+    // average" — which Catalyst decorrelates into a per-part aggregate
+    // joined back (never a per-row re-scan). Quantities ride the
+    // integer-cents grid; the per-part average is the ONE scalar
+    // `CAST(sum AS DOUBLE)/count` — exact int64 inputs < 2^53 and a
+    // single correctly-rounded IEEE division, so both engines compare
+    // against the bit-identical threshold.
+    Declared("q_sql_q17",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT p_brand,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS revenue_c,
+            COUNT(*) AS n_lines
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_size <= 5
+            AND CAST(CAST(round(l_quantity * 100) AS BIGINT) * 5
+                  AS DOUBLE) < (
+              SELECT CAST(SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                       AS DOUBLE) / COUNT(*)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          GROUP BY p_brand
+          ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+          COUNT(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 5
+          AND CAST(CAST(round(l_quantity * 100) AS BIGINT) * 5
+                AS DOUBLE) < (
+            SELECT CAST(SUM(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                     AS DOUBLE) / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    // this schema's columns: returnflag 'R' plays the late-delivery
+    // marker. The decorrelation double-header — a correlated EXISTS
+    // (another supplier touched the order) AND a correlated NOT EXISTS
+    // (no OTHER supplier was late) over the same relation — planned as
+    // a semi-join plus an anti-join against lineitem, never nested
+    // re-scans. 4-table join with nation in the output.
+    Declared("q_sql_q21",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT s_name, n_name, COUNT(*) AS numwait
+          FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+          GROUP BY s_name, n_name
+          ORDER BY numwait DESC, s_name""")
+      },
+      Some("""SELECT s_name, n_name, COUNT(*)::BIGINT AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name, n_name
+        ORDER BY numwait DESC, s_name""")),
+
+    // Winsorization at exact discrete [P05, P95] per event_type
+    // (EventOps.winsorize): cap-don't-drop robust cleaning. The bounds
+    // come from a cume_dist window (the ANSI percentile_disc definition,
+    // spillable external sort — not Spark's memory-buffering exact
+    // percentile aggregate) and broadcast back over a single scan.
+    Declared("q_winsorize",
+      (s, d) => EventOps.winsorize(Tables.events(s, d), 5, 95),
+      Some("""WITH b AS (SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        c AS (SELECT event_type, value_c,
+                cume_dist() OVER (PARTITION BY event_type
+                                  ORDER BY value_c) AS cd FROM b),
+        bounds AS (SELECT event_type,
+                MIN(CASE WHEN cd >= 0.05 THEN value_c END) AS lo_c,
+                MIN(CASE WHEN cd >= 0.95 THEN value_c END) AS hi_c
+              FROM c GROUP BY event_type)
+        SELECT b.event_id, b.event_type, b.value_c, bounds.lo_c,
+          bounds.hi_c,
+          GREATEST(bounds.lo_c, LEAST(bounds.hi_c, b.value_c)) AS clamped_c
+        FROM b JOIN bounds USING (event_type)
+        ORDER BY event_id""")),
+
+    // Median-absolute-deviation outliers (EventOps.madOutliers) at
+    // k = 5: the robust sibling of q_zscore_outliers — a spike inflates
+    // σ and hides outliers; it barely moves the median. Median and MAD
+    // are ANSI-discrete percentiles (actual cents values); the flag
+    // comparison is pure int64.
+    Declared("q_mad_outliers",
+      (s, d) => EventOps.madOutliers(Tables.events(s, d), 5),
+      Some("""WITH b AS (SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        c AS (SELECT event_type, value_c,
+                cume_dist() OVER (PARTITION BY event_type
+                                  ORDER BY value_c) AS cd FROM b),
+        med AS (SELECT event_type,
+                MIN(CASE WHEN cd >= 0.5 THEN value_c END) AS med_c
+              FROM c GROUP BY event_type),
+        dev AS (SELECT b.event_id, b.event_type, b.value_c, med.med_c,
+                abs(b.value_c - med.med_c) AS dev_c
+              FROM b JOIN med USING (event_type)),
+        c2 AS (SELECT event_type, dev_c,
+                cume_dist() OVER (PARTITION BY event_type
+                                  ORDER BY dev_c) AS cd FROM dev),
+        mad AS (SELECT event_type,
+                MIN(CASE WHEN cd >= 0.5 THEN dev_c END) AS mad_c
+              FROM c2 GROUP BY event_type)
+        SELECT dev.event_id, dev.event_type, dev.value_c, dev.med_c,
+          mad.mad_c, dev.dev_c
+        FROM dev JOIN mad USING (event_type)
+        WHERE dev.dev_c > 5 * mad.mad_c
+        ORDER BY event_id""")),
+
+    // Fixed-round k-core peeling (DedupOps.kCoreFixedRounds, k=2, 3
+    // rounds) over the SAME %10-slice jaccard-80 similarity graph as
+    // q_triangles/q_pagerank: vertices surviving 3 peels with their
+    // residual degree. The oracle replays each round as a nested CTE —
+    // statically known plan depth in both engines.
+    Declared("q_kcore",
+      (s, d) => DedupOps.kCoreFixedRounds(
+        DedupOps.jaccardPairs(
+          documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80)
+          .select("a_id", "b_id"),
+        k = 2, rounds = 3),
+      Some(kCoreOracle(k = 2, rounds = 3))),
+
+    // FUZZY decontamination (DedupOps.jaccardAgainstCorpus): corpus docs
+    // whose word-set Jaccard vs any %100-slice benchmark doc ≥ 70% —
+    // catches the paraphrased/lightly-edited eval leakage the verbatim
+    // n-gram q_decontaminate misses. Cross-side inverted-index join,
+    // benchmark side broadcast.
+    Declared("q_decontaminate_fuzzy",
+      (s, d) => DedupOps.jaccardAgainstCorpus(
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) === 0),
+        minJaccardPct = 70),
+      Some("""WITH cw AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 100 <> 0),
+        bw AS (SELECT DISTINCT doc_id AS bench_id,
+                unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE doc_id % 100 = 0),
+        cs AS (SELECT doc_id, COUNT(*)::BIGINT AS c_size FROM cw
+               GROUP BY doc_id),
+        bs AS (SELECT bench_id, COUNT(*)::BIGINT AS b_size FROM bw
+               GROUP BY bench_id),
+        cm AS (SELECT cw.doc_id, bw.bench_id, COUNT(*)::BIGINT AS common
+               FROM cw JOIN bw USING (word)
+               GROUP BY cw.doc_id, bw.bench_id)
+        SELECT cm.doc_id, cm.bench_id, cm.common,
+          cs.c_size + bs.b_size - cm.common AS union_size,
+          cm.common * 1000000 // (cs.c_size + bs.b_size - cm.common)
+            AS jaccard_ppm
+        FROM cm JOIN cs USING (doc_id) JOIN bs USING (bench_id)
+        WHERE cm.common * 100 >= (cs.c_size + bs.b_size - cm.common) * 70
+        ORDER BY doc_id, bench_id""")),
+
+    // ORACLE-CHECKED semantic dedup (SimilarityOps.semDedupBuckets):
+    // sign-LSH buckets from the corpus's own vectors 0..3 as hyperplanes
+    // — every dot is an exact int64 sum after 1e7 fixed-point rounding,
+    // so the bucket partition (and therefore the whole bucketed-pair
+    // relation) hash-matches across engines, unlike the float-plane
+    // rows-only ANN paths. Within-bucket pairs at cos ≥ 30% via the
+    // established square-free integer cosine test.
+    Declared("q_semdedup_buckets",
+      (s, d) => SimilarityOps.semDedupBuckets(
+        embeddings(s, d), probeIds = Seq(0L, 1L, 2L, 3L), minCosPct = 30),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+                pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        n AS (SELECT vec_id, SUM(vi * vi)::BIGINT AS norm_s FROM e
+              GROUP BY vec_id),
+        pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM e
+               WHERE vec_id IN (0, 1, 2, 3)),
+        dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
+               FROM e JOIN pr USING (pos) GROUP BY e.vec_id, pr.p_id),
+        bkt AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << p_id)
+                         ELSE 0 END) AS BIGINT) AS bucket
+              FROM dp GROUP BY vec_id),
+        d AS (SELECT ba.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+                SUM(a.vi * b.vi)::BIGINT AS dot_s
+              FROM e a JOIN bkt ba ON a.vec_id = ba.vec_id
+              JOIN bkt bb ON ba.bucket = bb.bucket
+              JOIN e b ON b.vec_id = bb.vec_id AND a.pos = b.pos
+                      AND a.vec_id < b.vec_id
+              GROUP BY ba.bucket, a.vec_id, b.vec_id)
+        SELECT d.bucket, d.a_id, d.b_id, d.dot_s,
+          na.norm_s AS a_norm_s, nb.norm_s AS b_norm_s
+        FROM d JOIN n na ON d.a_id = na.vec_id
+               JOIN n nb ON d.b_id = nb.vec_id
+        WHERE d.dot_s > 0
+          AND CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE)
+                * 10000.0 >=
+              CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE)
+                * 900.0
+        ORDER BY a_id, b_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

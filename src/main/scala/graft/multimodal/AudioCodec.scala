@@ -108,6 +108,85 @@ object AudioCodec {
         result
       } catch { case _: Exception => None } // corrupt payload ⇒ stub path
 
+  /** 64-bit acoustic fingerprint — the audio twin of
+    * [[ImageCodec.dHash]]: slice the PCM stream into 65 equal frames,
+    * sum each frame's absolute amplitude (integer — |sample| around the
+    * format's zero line), and emit one GRADIENT-SIGN bit per adjacent
+    * frame pair (bit j = energy(j+1) > energy(j)). Like dHash's
+    * box-averaged luminance, frame-SUMMED energy absorbs small edits —
+    * re-encoding at a different volume scales every frame equally (all
+    * signs survive), trimming or noise perturbs only the frames it
+    * touches — while the envelope's rises and falls, which is what
+    * identifies a recording, drive the bits. Pure int64 arithmetic over
+    * the raw PCM words: bit-deterministic across JVMs and partitions,
+    * ~2·10¹⁸ overflow headroom (2³¹ samples × 2¹⁵ amplitude).
+    *
+    * None for undecodable payloads or streams shorter than 65 samples
+    * (no meaningful envelope). Same codec-boundary contract as
+    * [[decode]]: callers route None to byte-level exact dedup.
+    */
+  def fingerprint(payload: Array[Byte]): Option[Long] =
+    if (!looksDecodable(payload)) None
+    else
+      try {
+        var off = 12
+        var audioFormat, channels, sampleRate, blockAlign, bits = 0
+        var haveFmt = false
+        var result: Option[Long] = None
+        var corrupt = false
+        while (!corrupt && result.isEmpty && off + 8 <= payload.length) {
+          val id = new String(payload, off, 4, "US-ASCII")
+          val size = le32(payload, off + 4)
+          if (size < 0 || off + 8 + size > payload.length) corrupt = true
+          else {
+            if (id == "fmt ") {
+              if (size < 16) corrupt = true
+              else {
+                audioFormat = le16(payload, off + 8)
+                channels = le16(payload, off + 10)
+                sampleRate = le32(payload, off + 12)
+                blockAlign = le16(payload, off + 20)
+                bits = le16(payload, off + 22)
+                haveFmt = true
+              }
+            } else if (id == "data") {
+              if (!haveFmt || audioFormat != 1 || channels <= 0 ||
+                sampleRate <= 0 || blockAlign <= 0 ||
+                (bits != 8 && bits != 16) || size % blockAlign != 0)
+                corrupt = true
+              else {
+                val base = off + 8
+                val n = if (bits == 8) size else size / 2
+                if (n < 65) corrupt = true
+                else {
+                  val energy = new Array[Long](65)
+                  var i = 0
+                  while (i < n) {
+                    // frame index by EXACT integer proportion — no
+                    // accumulated rounding drift across long streams
+                    val f = (i.toLong * 65L / n).toInt
+                    val amp =
+                      if (bits == 8) math.abs((payload(base + i) & 0xFF) - 128)
+                      else math.abs(le16(payload, base + i * 2).toShort.toInt)
+                    energy(f) += amp
+                    i += 1
+                  }
+                  var sig = 0L
+                  var j = 0
+                  while (j < 64) {
+                    if (energy(j + 1) > energy(j)) sig |= (1L << j)
+                    j += 1
+                  }
+                  result = Some(sig)
+                }
+              }
+            }
+            off += 8 + size + (size & 1)
+          }
+        }
+        result
+      } catch { case _: Exception => None }
+
   /** In-memory PCM-16 WAV encoder for fixtures/tests: interleaved
     * little-endian samples, canonical 44-byte header.
     */

@@ -188,6 +188,43 @@ object MultimodalOps {
         .select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
       maxHamming, 64)
 
+  /** Per-clip acoustic fingerprints (round 7): media_id → 64-bit
+    * [[AudioCodec.fingerprint]] (frame-energy gradient signs), null for
+    * payloads that aren't decodable PCM WAV or are shorter than 65
+    * samples. Same per-partition codec-boundary contract as
+    * [[imageDHashes]]: decode cost linear in samples, output 16
+    * bytes/row regardless of clip length.
+    */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val fp = if (payload == null) None else AudioCodec.fingerprint(payload)
+        Row(r.getLong(0), fp.map(java.lang.Long.valueOf).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType))))
+  }
+
+  /** Audio near-duplicate pairs (round 7): the acoustic sibling of
+    * [[imageNearDupPairs]] — fingerprint every decodable clip, then the
+    * SAME hamming-band kernel ([[graft.operators.DedupOps
+    * .hammingBandPairs]]) pairs clips within `maxHamming` envelope-sign
+    * flips: re-encodes, gain changes, and light noise of the same
+    * recording band together; different material does not. Identical
+    * 100 TB shape: embarrassingly-parallel decode, then band equi-joins
+    * over 16-byte signatures.
+    */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.DedupOps.hammingBandPairs(
+      audioFingerprints(media)
+        .filter(col("afp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash")),
+      maxHamming, 64)
+
   /** Frame-sampling stub for video: emit one row per sampled frame index
     * (`explode` over a bounded sequence — the real pattern for
     * frame-level fan-out, where each output row would carry the decoded

@@ -642,6 +642,91 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Graph hardening — FIXED-ROUND k-core peeling: repeatedly drop
+    * vertices of degree < k (with their edges), `rounds` times, and
+    * report the surviving vertices with their residual degree. The
+    * standard community/noise filter over a similarity graph: a
+    * near-dup cluster's members sit in a dense core, while chains of
+    * borderline pairs peel away.
+    *
+    * Fixed-round (not iterate-to-fixpoint) is the DECLARED semantics:
+    * every engine — and the SQL oracle, as `rounds` nested CTEs —
+    * computes the identical relation with a statically known plan
+    * depth. On graphs whose peel cascades are shorter than `rounds`
+    * (typical for similarity graphs, where cores are dense cliques and
+    * peripheries are shallow), the result IS the true k-core; a
+    * KCoreSpec property pins that equivalence against driver-side
+    * fixpoint peeling.
+    *
+    * Scale shape: each round is one map-side-combined degree rollup
+    * (2|E| rows → |V| keys) plus two hash semi-joins of the edge list
+    * against the |V|-bounded survivor set — 3 bounded shuffles per
+    * round, no window, no driver iteration or collect. Edges are
+    * normalized (least/greatest + distinct) like [[triangleCounts]],
+    * so duplicate or double-oriented inputs cannot double degrees.
+    */
+  def kCoreFixedRounds(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k)
+      edges = edges
+        .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+        .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+        .select("a_id", "b_id")
+    }
+    degrees(edges).select(col("id").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 — FUZZY test-set decontamination: corpus documents whose
+    * word-set Jaccard against ANY held-out benchmark document reaches
+    * `minJaccardPct` — the near-duplicate sibling of [[decontaminate]]
+    * (which needs ≥ N shared n-grams verbatim; paraphrased or lightly
+    * edited eval leakage passes that filter but not this one). Output
+    * is the full (corpus doc, benchmark doc, overlap) audit relation —
+    * callers anti-join their corpus against the doc_id column.
+    *
+    * Same inverted-index equi-join + pure-integer Jaccard contract as
+    * [[jaccardPairs]], but CROSS-side: candidates must share a word
+    * ACROSS the corpus/benchmark boundary, so the join is linear in
+    * the benchmark's posting lists rather than quadratic in the
+    * corpus's. The benchmark side (an eval suite — thousands of docs,
+    * not billions) is aggregated and broadcast; the corpus-side
+    * inverted index feeds two consumers (sizes + the pair join) so it
+    * is checkpointed once — at petabyte scale that becomes a
+    * checkpoint table, per the [[jaccardPairs]] discipline.
+    */
+  def jaccardAgainstCorpus(corpus: DataFrame, benchmark: DataFrame,
+                           minJaccardPct: Int): DataFrame = {
+    val cw = docWords(corpus).localCheckpoint() // sizes + pair join
+    val bw = docWords(benchmark)
+      .select(col("doc_id").as("bench_id"), col("word"))
+      .localCheckpoint() // feeds sizes + the join probe side
+    val cSizes = cw.groupBy("doc_id").agg(count(lit(1)).as("c_size"))
+    val bSizes = bw.groupBy("bench_id").agg(count(lit(1)).as("b_size"))
+    val common = cw.join(broadcast(bw), Seq("word"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(cSizes, Seq("doc_id"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("union_size",
+        col("c_size") + col("b_size") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select(col("doc_id"), col("bench_id"), col("common"),
+        col("union_size"),
+        expr("common * 1000000L div union_size").as("jaccard_ppm"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** L2/L4 — sparse TF-IDF cosine near-dup pairs: the weighted cousin of
     * [[jaccardPairs]] — two documents are near-dups when their tf-idf
     * vectors point the same way, which (unlike raw word-set Jaccard)

@@ -233,6 +233,76 @@ object EventOps {
       .orderBy("event_type", "ts_ns", "value_c")
   }
 
+  /** Per-type ANSI-discrete percentile bounds of centi-scaled `value`:
+    * the smallest value whose cumulative distribution reaches p — an
+    * ACTUAL data value (deterministic), not an interpolated float.
+    *
+    * Computed via a `cume_dist` window rather than `percentile_disc`
+    * deliberately: Spark's exact percentile aggregates buffer every
+    * group value in executor memory, while a window over
+    * (event_type, value_c) is an external SORT — spillable, so the same
+    * plan survives a 10⁸-rows-per-type group at 100 TB. The output is
+    * GROUP-CARDINALITY-sized (#event_types rows), made for broadcasting
+    * back (see [[winsorize]] / [[madOutliers]]).
+    */
+  private def discBounds(cents: DataFrame, ps: Seq[(String, Double)],
+                         valueCol: String = "value_c"): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col(valueCol))
+    val cd = cents.withColumn("cd", cume_dist().over(w))
+    val aggs = ps.map { case (name, p) =>
+      min(when(col("cd") >= p, col(valueCol))).as(name)
+    }
+    cd.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Winsorization — clip each event's centi-scaled value to its
+    * type's exact discrete [P05, P95]: the standard robust-cleaning
+    * step before aggregating a heavy-tailed metric (cap, don't drop).
+    *
+    * Scale shape: one external-sort window pass produces a
+    * #event_types-row bounds frame, broadcast back over a single scan
+    * with a codegen'd `greatest(lo, least(hi, x))` — no per-row state,
+    * no second shuffle, no in-memory percentile buffers.
+    */
+  def winsorize(events: DataFrame, loPct: Int, hiPct: Int): DataFrame = {
+    val cents = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    val bounds = discBounds(cents,
+      Seq("lo_c" -> loPct / 100.0, "hi_c" -> hiPct / 100.0))
+    cents.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value_c"),
+        col("lo_c"), col("hi_c"),
+        greatest(col("lo_c"), least(col("hi_c"), col("value_c")))
+          .as("clamped_c"))
+      .orderBy("event_id")
+  }
+
+  /** Median-absolute-deviation outliers: |x − median| > k·MAD per
+    * event_type — the robust sibling of [[zscoreOutliers]] (a single
+    * extreme spike inflates σ and HIDES other outliers; it barely moves
+    * the median, so MAD keeps flagging them). All quantities are exact
+    * integers on the cents grid: the median and MAD are ANSI-discrete
+    * percentiles (actual data values), the comparison is pure int64.
+    *
+    * Scale shape: two external-sort window passes (value, then absolute
+    * deviation) each reduced to a #event_types-row frame that
+    * broadcast-joins back — the events side stays a scan + codegen
+    * filter, same as the z-score plan, just one more bounded pass.
+    */
+  def madOutliers(events: DataFrame, k: Int): DataFrame = {
+    val cents = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    val med = discBounds(cents, Seq("med_c" -> 0.5))
+    val dev = cents.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev_c", abs(col("value_c") - col("med_c")))
+    val mad = discBounds(dev, Seq("mad_c" -> 0.5), valueCol = "dev_c")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev_c") > lit(k.toLong) * col("mad_c"))
+      .select(col("event_id"), col("event_type"), col("value_c"),
+        col("med_c"), col("mad_c"), col("dev_c"))
+      .orderBy("event_id")
+  }
+
   /** First-order Markov transition counts of the event stream: order each
     * user's events by (µs time, event_id — the total-order tiebreak used
     * throughout), pair each event with its successor via `lead`, count

@@ -98,6 +98,70 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L3 — ORACLE-CHECKABLE semantic dedup: sign-LSH bucketing with
+    * DATA-DERIVED hyperplanes in exact integer arithmetic, then
+    * [[cosinePairsExact]]-style verified pairs WITHIN each bucket.
+    *
+    * The rows-only ANN paths ([[lshBucket]]/[[ivfIndex]]) hash with
+    * float planes/centroids whose dot signs no SQL engine replays
+    * bit-identically — so their outputs carry recall floors, not
+    * hashes. Here the hyperplanes are the corpus's OWN vectors
+    * (`probeIds`, after fixed-point rounding), making every bucket bit
+    * exact: dot(v, probe) is an int64 sum, the bucket is the packed
+    * `dot > 0` sign bits, and both engines compute the identical
+    * partition. That turns the whole semantic-dedup pipeline — bucket,
+    * pair, cosine-verify — into a hash-checked relation, the
+    * same bounded-plan-with-shared-oracle pattern as the prefix-filter
+    * siblings. (Recall vs. exhaustive pairing is the usual sign-LSH
+    * trade; the DECLARED relation is the bucketed one.)
+    *
+    * Scale shape: probes are a handful of rows → broadcast; bucket
+    * assignment is one map pass (|probes| int-dots per vector); pairing
+    * is an equi-join on bucket — candidates bounded by the largest
+    * bucket, never all-pairs; the exact-cosine verify runs only inside
+    * buckets. 2^|probes| buckets: pick |probes| ≈ log₂(corpus/target
+    * bucket size) so buckets stay executor-sized at any corpus scale.
+    */
+  def semDedupBuckets(embeddings: DataFrame, probeIds: Seq[Long],
+                      minCosPct: Int): DataFrame = {
+    // 3 consumers (probe slice, bucket pass, pair join-back) — same
+    // localCheckpoint discipline as DedupOps.jaccardPairs
+    val withInts = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
+      .localCheckpoint()
+    val probes = withInts
+      .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
+    // packed sign bits: bit i set iff dot(v, probe_i) > 0 (exact int64)
+    val bitVal = probeIds.zipWithIndex
+      .map { case (pid, i) => (col("p_id") === pid, lit(1L << i)) }
+      .foldLeft(lit(0L)) { case (acc, (cond, v)) => when(cond, v).otherwise(acc) }
+    val bucketed = withInts
+      .join(broadcast(probes))
+      .withColumn("bit",
+        when(graft.plans.VecDot.dotLong(col("vi"), col("pvi")) > 0, bitVal)
+          .otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).as("bucket"))
+      .join(withInts, Seq("vec_id"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
+      col("vi").as("avi"), col("norm_s").as("a_norm_s"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
+      col("vi").as("bvi"), col("norm_s").as("b_norm_s"))
+    val tauSq = (minCosPct.toLong * minCosPct).toDouble
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot_s", graft.plans.VecDot.dotLong(col("avi"), col("bvi")))
+      .filter(col("dot_s") > 0 &&
+        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
+          col("a_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) * lit(tauSq))
+      .select(col("bucket"), col("a_id"), col("b_id"), col("dot_s"),
+        col("a_norm_s"), col("b_norm_s"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Double-precision dot product of two array columns in one expression
     * (codegen-friendly, no explode).
     */

@@ -226,6 +226,31 @@ object StreamingOps {
       .select(graft.operators.SketchOps.hllRegRho(keyCol, m): _*)
       .groupBy("register").agg(max(col("rho")).as("max_rho"))
 
+  /** Streaming heavy hitters — per tumbling window, the keys whose
+    * exact count reaches `minCount`, emitted ONCE per window when the
+    * watermark closes it (append mode: a key is reported only when its
+    * window can no longer grow, so downstream consumers never see a
+    * retraction). The windowing is what bounds state where a global
+    * heavy-hitter count could not: per-window per-key counters are
+    * dropped at watermark expiry, so state is live-windows × keys-per-
+    * window regardless of stream length. For an UNWINDOWED approximate
+    * census at scale, feed [[streamingCmsCounts]]'s bounded cell table
+    * to [[graft.operators.SketchOps]] lookups instead — this op is the
+    * exact, bounded-horizon complement.
+    */
+  def streamingHeavyHitters(events: DataFrame, keyCol: String,
+                            minCount: Long,
+                            windowLen: String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_ts", watermark)
+      .groupBy(window(col("ts_ts"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("cnt"))
+
   /** Convenience: start a memory-sink query for tests/inspection. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()

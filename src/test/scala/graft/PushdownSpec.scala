@@ -281,4 +281,64 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("WindowExec") && !plan.contains("Window "),
       s"z-score must not window over the events:\n$plan")
   }
+
+  test("q_sql_q17 decorrelates the scalar-avg subquery into an aggregate join") {
+    // the correlated per-part average must become ONE aggregate over
+    // lineitem joined back — a per-row subquery re-scan is O(rows ×
+    // parts); after decorrelation no subquery node survives in the
+    // physical plan
+    val plan = executedPlan("q_sql_q17")
+    assert(!plan.contains("Subquery"),
+      s"correlated scalar subquery not decorrelated:\n$plan")
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("q_sql_q21 plans the EXISTS/NOT-EXISTS double as semi + anti joins") {
+    // both correlated quantifiers over lineitem must decorrelate: the
+    // EXISTS to a LeftSemi, the NOT EXISTS to a LeftAnti — nested
+    // re-scans per outer row are the O(rows × orders) failure shape
+    val plan = executedPlan("q_sql_q21")
+    assert(plan.contains("LeftSemi"), s"expected semi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
+  }
+
+  test("q_semdedup_buckets pairs via the bucket equi-join, probes broadcast") {
+    // the whole point of the bucketed plan: the probe fan-out is a
+    // BROADCAST of the 4-row probe frame (a BNLJ with the tiny side
+    // broadcast — the q_cross_join shape), while the PAIR stage is an
+    // equi-join on bucket — a cartesian pair stage is what the buckets
+    // exist to avoid
+    val plan = executedPlan("q_semdedup_buckets")
+    assert(plan.contains("BroadcastExchange"), s"probes not broadcast:\n$plan")
+    assert(plan.contains("Join [bucket"),
+      s"pair stage is not the bucket equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast all-pairs join in the bucketed plan:\n$plan")
+  }
+
+  test("q_decontaminate_fuzzy broadcasts the benchmark side of the word join") {
+    // the eval suite is small by construction; the corpus-side inverted
+    // index must stream through a broadcast join against it — shuffling
+    // the corpus to meet a benchmark would invert the scale asymmetry
+    val plan = executedPlan("q_decontaminate_fuzzy")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("q_winsorize broadcasts the per-type bounds frame back over one scan") {
+    // the bounds frame is #event_types rows — it must broadcast; the
+    // cume_dist window runs on the BOUNDS derivation only (external
+    // sort, spillable), never a second pass over the joined events
+    val plan = executedPlan("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q_kcore peels via semi-joins against the survivor set") {
+    // each round must filter the edge list with hash semi-joins on the
+    // |V|-bounded survivor frame — an inner join would duplicate edges
+    // whose endpoints both survive, corrupting the next round's degrees
+    val plan = executedPlan("q_kcore")
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+  }
 }

@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.{DedupOps, EventOps, SimilarityOps}
+import graft.multimodal.{AudioCodec, MultimodalOps}
+import org.apache.spark.sql.functions._
+
+/** Round-7 extension tests: fixed-round k-core vs driver-side fixpoint
+  * peeling, cross-side fuzzy decontamination, oracle-checkable
+  * sign-LSH semantic dedup vs the exhaustive pair set, robust-stats
+  * winsorize/MAD on hand-checked distributions, and the acoustic
+  * fingerprint near-dup path.
+  */
+class Round7ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- kCoreFixedRounds ----------------
+
+  /** Driver-side reference: iterate-to-fixpoint k-core peeling. */
+  private def kCoreFixpoint(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size }
+  }
+
+  test("kCoreFixedRounds peels a tail off a clique (hand-checked cascade)") {
+    // K4 on {1,2,3,4} plus the tail 4-5-6: round 1 drops 6 (deg 1),
+    // round 2 drops the now-dangling 5, round 3 is stable — the K4
+    // core survives with degree 3 everywhere
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = DedupOps.kCoreFixedRounds(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCoreFixedRounds normalizes duplicates/orientations like triangleCounts") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 2L),
+      (2L, 2L)).toDF("a_id", "b_id")
+    val got = DedupOps.kCoreFixedRounds(messy, k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("3 rounds reach the true k-core fixpoint on the declared jaccard graph") {
+    // the scaladoc claim behind q_kcore's fixed-round semantics: on
+    // similarity graphs the peel cascade is shallow, so fixed rounds =
+    // fixpoint. Pin it on the real graph the declared query uses.
+    val pairs = DedupOps.jaccardPairs(
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(pmod(col("doc_id"), lit(10)) === 0), 80)
+      .select("a_id", "b_id")
+    val edgeSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = kCoreFixpoint(edgeSet, 2).map { case (v, d) => v -> d.toLong }
+    val got = DedupOps.kCoreFixedRounds(pairs, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"fixed-round(3) != fixpoint: got=$got want=$want")
+  }
+
+  // ---------------- jaccardAgainstCorpus ----------------
+
+  test("jaccardAgainstCorpus pairs cross-side only, at the declared threshold") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // == bench doc 100 → ppm 1e6
+      (2L, "alpha beta gamma epsilon"), // 3/5 vs bench 100 → 600000 ppm
+      (3L, "zeta eta theta iota")       // disjoint from bench
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = DedupOps.jaccardAgainstCorpus(corpus, bench, 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // doc 1 exact dup (1e6 ppm), doc 2 at 600000 ppm; doc 3 absent;
+    // corpus docs 1/2 similar to EACH OTHER but never paired (cross-side)
+    assert(got == Set((1L, 100L, 1000000L), (2L, 100L, 600000L)))
+  }
+
+  // ---------------- semDedupBuckets ----------------
+
+  test("semDedupBuckets == exhaustive cosine pairs restricted to equal buckets") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probeIds = Seq(0L, 1L, 2L, 3L)
+    val got = SimilarityOps.semDedupBuckets(emb, probeIds, 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // driver-side reference: fixed-point ints, exact signs, same math
+    // fixed-point ints come from the SAME Spark expression the op uses
+    // (the rounding itself is oracle-hash-checked at sf0.01 — what this
+    // test pins is the bucketed-pair RELATION, in exact integer math)
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), v => SimilarityOps.fixedPoint(v)).as("vi"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val bucketOf = vecs.map { case (id, v) =>
+      id -> probeIds.zipWithIndex.map { case (pid, i) =>
+        if (dot(v, vecs(pid)) > 0) 1L << i else 0L
+      }.sum
+    }
+    // iterate the Map as a Seq — a for over a Map yields a MAP, which
+    // would collapse every a-key to its last surviving pair
+    val want = (for {
+      (a, va) <- vecs.toSeq; (b, vb) <- vecs.toSeq if a < b
+      if bucketOf(a) == bucketOf(b)
+      d = dot(va, vb)
+      if d > 0 && d.toDouble * d.toDouble * 10000.0 >=
+        dot(va, va).toDouble * dot(vb, vb).toDouble * 900.0
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "vacuous: no within-bucket pairs at sf0.001")
+    // and bucketing is a restriction of the exhaustive relation
+    val exhaustive = SimilarityOps.cosinePairsExact(emb, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exhaustive))
+  }
+
+  // ---------------- winsorize / madOutliers ----------------
+
+  test("winsorize clips at the ANSI-discrete P05/P95 (hand-checked grid)") {
+    val events = (1 to 100).map(i => (i.toLong, "t", i.toDouble / 100))
+      .toDF("event_id", "event_type", "value")
+    val rows = EventOps.winsorize(events, 5, 95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    // values are 1..100 cents: smallest value with cume_dist >= 0.05
+    // over 100 rows is 5; >= 0.95 is 95
+    assert(rows.forall { case (_, _, c) => c >= 5L && c <= 95L })
+    assert(rows.count { case (_, v, c) => v != c } == 9,
+      "exactly values 1..4 and 96..100 get clipped")
+    assert(rows.collect { case (id, _, c) if id == 1L => c }.head == 5L)
+    assert(rows.collect { case (id, _, c) if id == 100L => c }.head == 95L)
+  }
+
+  test("madOutliers flags by median absolute deviation per type") {
+    val events = (Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 100).zipWithIndex.map {
+      case (v, i) => (i.toLong, "a", v.toDouble / 100)
+    } ++ Seq((100L, "b", 1.0), (101L, "b", 1.0))) // zero-MAD type: no flags
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.madOutliers(events, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // type a cents 1..9,100: median = 5 (cd >= .5), devs sorted
+    // 0,1,1,2,2,3,3,4,4,95 → MAD = 2; only dev 95 > 5·2
+    assert(got.toSeq == Seq((9L, "a", 100L, 5L, 2L)))
+  }
+
+  // ---------------- acoustic fingerprint near-dup ----------------
+
+  /** Deterministic test signal: a triangle wave whose per-frame
+    * amplitude follows `ampSeed` — 65 envelope frames over n samples.
+    */
+  private def wav(n: Int, ampSeed: Int, noise: Int = 0): Array[Byte] = {
+    val samples = Array.tabulate[Short](n) { i =>
+      val frame = (i.toLong * 65L / n).toInt
+      // wraps every few frames → a non-monotone envelope whose
+      // rise/fall pattern (the fingerprint bits) depends on ampSeed
+      val amp = 200 + (frame * ampSeed) % 97 * 50
+      val tri = (i % 40) - 20 // zero-mean triangle-ish carrier
+      val s = tri * amp / 20 + (if (noise > 0) (i * 7919) % noise - noise / 2 else 0)
+      s.toShort
+    }
+    AudioCodec.encodeWavPcm16(8000, 1, samples)
+  }
+
+  test("audio fingerprint: deterministic, None on short/corrupt payloads") {
+    val p = wav(8000, 37)
+    assert(AudioCodec.fingerprint(p) == AudioCodec.fingerprint(p.clone()))
+    assert(AudioCodec.fingerprint(p).isDefined)
+    assert(AudioCodec.fingerprint(
+      AudioCodec.encodeWavPcm16(8000, 1, new Array[Short](64))).isEmpty,
+      "needs >= 65 samples")
+    assert(AudioCodec.fingerprint("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs bands the noisy re-take with its original, not the stranger") {
+    val base = wav(8000, 37)
+    val noisy = wav(8000, 37, noise = 40)     // same envelope, light noise
+    val stranger = wav(8000, 53)              // different envelope walk
+    val sigBase = AudioCodec.fingerprint(base).get
+    val sigNoisy = AudioCodec.fingerprint(noisy).get
+    val sigStranger = AudioCodec.fingerprint(stranger).get
+    assert(java.lang.Long.bitCount(sigBase ^ sigNoisy) <= 3,
+      "noise must not flip the envelope gradients")
+    assert(java.lang.Long.bitCount(sigBase ^ sigStranger) > 3,
+      "different envelopes must differ beyond the band threshold")
+    val media = MultimodalOps.fromBytes(spark, Seq(
+      (1L, base, "audio", "wav"),
+      (2L, noisy, "audio", "wav"),
+      (3L, stranger, "audio", "wav"),
+      (4L, "not audio at all".getBytes, "audio", "wav")))
+    val pairs = MultimodalOps.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -107,6 +107,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters emit once per closed window, below-threshold keys never") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts_ts", "key")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.streamingHeavyHitters(events, "key", minCount = 2L),
+      "hh_test", "append")
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:15:00"), "a"),
+        (ts("2024-01-01 10:25:00"), "b"),   // below threshold
+        (ts("2024-01-01 10:35:00"), "a"))
+      q.processAllAvailable()
+      // append mode: nothing emits until the watermark closes 10:00-11:00
+      assert(spark.table("hh_test").isEmpty)
+      input.addData((ts("2024-01-01 12:30:00"), "c")) // advances watermark
+      q.processAllAvailable()
+      val got = spark.table("hh_test")
+        .select("window_start", "key", "cnt").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("2024-01-01 10:00:00.0", "a", 3L)))
+    } finally q.stop()
+  }
+
   test("streaming sliding window counts events in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
