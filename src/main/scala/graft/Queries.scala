@@ -125,7 +125,7 @@ object Queries {
   private def hllEstimateOracle: String = {
     val m = 64
     val p = 55
-    def d(x: Double) = s"CAST(${java.lang.Double.toString(x)} AS DOUBLE)"
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
     val num = SketchOps.hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
     val lutCase = SketchOps.hllLinearCountLut(m).zipWithIndex
       .map { case (x, i) => s"WHEN ${i + 1} THEN ${d(x)}" }
@@ -150,6 +150,44 @@ object Queries {
                THEN CASE v $lutCase END
                ELSE est_raw END AS est
         FROM e"""
+  }
+
+  /** DuckDB replay of [[SketchOps.hllRegistersBy]] ∘ [[SketchOps
+    * .hllEstimateBy]] at m = 64: one HLL sketch PER epoch-day over the
+    * event stream's user ids — the grouped COUNT(DISTINCT) sketch. Same
+    * constants discipline as [[hllEstimateOracle]] (shared Scala
+    * doubles, integer harmonic sums), with the grouping key threaded
+    * through every CTE.
+    */
+  private def hllDailyUsersOracle: String = {
+    val m = 64
+    val p = 55
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val num = SketchOps.hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
+    val lutCase = SketchOps.hllLinearCountLut(m).zipWithIndex
+      .map { case (x, i) => s"WHEN ${i + 1} THEN ${d(x)}" }
+      .mkString(" ")
+    s"""WITH h AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+              FROM events),
+        r AS (SELECT day, h % $m AS register,
+                $p - length(ltrim(bin(h // $m), '0')) AS rho FROM h),
+        regs AS (SELECT day, register, MAX(rho) AS max_rho FROM r
+                 GROUP BY day, register),
+        a AS (SELECT day, COALESCE(CAST(SUM(1::BIGINT << ($p - max_rho))
+                       AS BIGINT), 0) AS s_obs,
+                     COUNT(*)::BIGINT AS n_obs FROM regs GROUP BY day),
+        s AS (SELECT day, s_obs + ($m - n_obs) * (1::BIGINT << $p)
+                       AS s_scaled,
+                     $m - n_obs AS v FROM a),
+        e AS (SELECT day, s_scaled, v,
+                ${d(num)} / CAST(s_scaled AS DOUBLE) AS est_raw FROM s)
+        SELECT day, s_scaled, v, est_raw,
+          CASE WHEN est_raw <= ${d(2.5 * m)} AND v > 0
+               THEN CASE v $lutCase END
+               ELSE est_raw END AS est
+        FROM e ORDER BY day"""
   }
 
   /** (maxHamming+1)-band banding + bit_count(xor) verify — the DuckDB
@@ -3141,7 +3179,141 @@ object Queries {
                 * 10000.0 >=
               CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE)
                 * 900.0
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table star —
+    // region→nation broadcast dims, the c_nationkey = s_nationkey
+    // "local" constraint riding the join, revenue on the q3 scale-8
+    // integer grid. Plan: dims broadcast, one fact shuffle.
+    Declared("q_sql_q5",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT n_name,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS revenue_s8,
+            COUNT(*) AS n_lines
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY n_name
+          ORDER BY revenue_s8 DESC, n_name""")
+      },
+      Some("""SELECT n_name,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+            AS BIGINT) AS revenue_s8,
+          COUNT(*)::BIGINT AS n_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue_s8 DESC, n_name""")),
+
+    // TPC-H Q10 shape (returned-item revenue, top customers): the
+    // quarter's 'R'-flag losses per customer, top 20 by revenue —
+    // TakeOrderedAndProject on the unique (revenue DESC, custkey)
+    // total order, nation broadcast.
+    Declared("q_sql_q10",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_custkey, c_name, n_name,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS revenue_s8,
+            COUNT(*) AS n_lines
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue_s8 DESC, c_custkey
+          LIMIT 20""")
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+            AS BIGINT) AS revenue_s8,
+          COUNT(*)::BIGINT AS n_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_s8 DESC, c_custkey
+        LIMIT 20""")),
+
+    // Daily-active-users via GROUPED HLL (SketchOps.hllRegistersBy ∘
+    // hllEstimateBy): one 64-register sketch per epoch-day — the
+    // 100 TB GROUP BY COUNT(DISTINCT) shape, shuffle ≤ |days|·64 cells
+    // whatever the user cardinality. Bit-deterministic estimator over
+    // the portable md5 hash, replayed exactly by the oracle.
+    Declared("q_hll_daily_users",
+      (s, d) => SketchOps.hllEstimateBy(
+        SketchOps.hllRegistersBy(
+          events(s, d).select(
+            expr(s"ts div ${Tables.Nanos.PerDay}").as("day"),
+            col("user_id").cast(StringType).as("uid")),
+          "day", "uid", 64),
+        "day", 64),
+      Some(hllDailyUsersOracle)),
+
+    // MinHash Jaccard estimates for the LSH candidates
+    // (DedupOps.minHashEstJaccard): est_ppm = equal-minima fraction —
+    // the estimator-triage stage between banding and exact verify,
+    // priced from the signature frame alone. Same %10-slice portable-
+    // seed setup as q_minhash_lsh; the oracle replays the 12 minima per
+    // doc and counts equality per candidate pair.
+    Declared("q_minhash_est",
+      (s, d) => DedupOps.minHashEstJaccard(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3,
+        seedHash = DedupOps.md5SeedHash60),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        hx AS (SELECT doc_id, s.i AS seed,
+                 MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word),
+                   1, 15))::BIGINT) AS mh
+               FROM w CROSS JOIN range(12) s(i)
+               GROUP BY doc_id, s.i),
+        bands AS (SELECT doc_id, seed // 3 AS band_idx,
+                    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)
+                      AS band_sig
+                  FROM hx GROUP BY doc_id, seed // 3),
+        p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+        eq AS (SELECT p.a_id, p.b_id,
+                 CAST(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_eq
+               FROM p
+               JOIN hx ha ON ha.doc_id = p.a_id
+               JOIN hx hb ON hb.doc_id = p.b_id AND hb.seed = ha.seed
+               GROUP BY p.a_id, p.b_id)
+        SELECT a_id, b_id, n_eq, n_eq * 1000000 // 12 AS est_ppm
+        FROM eq ORDER BY a_id, b_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

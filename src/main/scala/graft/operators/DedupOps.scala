@@ -281,6 +281,52 @@ object DedupOps {
       posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
 
+  /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
+    * (#equal signature minima)/numHashes — the unbiased estimator the
+    * signatures exist for (P[min_i(A) = min_i(B)] = J(A,B) per seed).
+    * This is the triage stage between banding and the exact verify: at
+    * 100 TB the estimate prices each candidate from numHashes longs
+    * ALREADY IN the signature frame — no re-tokenization, no
+    * posting-list join — so a pipeline can drop low-estimate pairs (or
+    * route tiers to different verifiers) for the cost of an integer
+    * comparison per seed. [[lshVerifiedJaccardPairs]] stays the exact
+    * path; a spec bounds the estimator's error against it.
+    *
+    * Scale shape: candidates from the band equi-join (never
+    * all-pairs), then two |pairs|-sized hash joins back to the
+    * signature frame, which is computed ONCE (localCheckpoint) and is
+    * numHashes longs/doc regardless of document length.
+    */
+  def minHashEstJaccard(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                          XxSeedHash): DataFrame = {
+    val sigs = minHashSignatures(documents, numHashes, seedHash)
+      .localCheckpoint() // feeds the band frame + both pair sides
+    val numBands = numHashes / rowsPerBand
+    val bandHashes = array((0 until numBands).map { b =>
+      val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      xxhash64(bandCols: _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val nEq = (0 until numHashes)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), nEq.as("n_eq"))
+      .withColumn("est_ppm", expr(s"n_eq * 1000000L div $numHashes"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Incremental dedup — flag which BATCH docs near-duplicate anything
     * already in the CORPUS (the shape a continuously-ingesting pipeline
     * runs: new crawl vs. everything kept so far). Both sides are banded

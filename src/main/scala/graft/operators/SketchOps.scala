@@ -142,6 +142,51 @@ object SketchOps {
   private[graft] def hllLinearCountLut(m: Int): Seq[Double] =
     (1 to m).map(v => m.toDouble * math.log(m.toDouble / v))
 
+  /** GROUPED HLL register tables: one m-register sketch PER group —
+    * the 100 TB shape for `GROUP BY x, COUNT(DISTINCT y)`: instead of
+    * shuffling every distinct (x, y) pair (the exact plan's
+    * vocabulary-sized exchange), the map side folds each group's keys
+    * into m max-rho cells, so the shuffle carries ≤ |groups|·m rows
+    * whatever the key cardinality. Same portable [[hllRegRho]] cells as
+    * the global sketch — and each group's slice of this table IS a
+    * valid [[hllRegisters]] table: it feeds [[hllMerge]] (per-shard
+    * group sketches combine) and [[hllEstimateBy]] unchanged.
+    */
+  def hllRegistersBy(rows: DataFrame, groupCol: String, keyCol: String,
+                     m: Int): DataFrame =
+    rows.select(col(groupCol) +: hllRegRho(keyCol, m): _*)
+      .groupBy(groupCol, "register").agg(max(col("rho")).as("max_rho"))
+      .orderBy(groupCol, "register")
+
+  /** Per-group HLL estimates from a [[hllRegistersBy]] table — the same
+    * bit-deterministic estimator as [[hllEstimate]] (integer-scaled
+    * harmonic sum, exact-double numerator, precomputed linear-counting
+    * LUT), one row per group. Cost is |groups|·m cells in, |groups|
+    * rows out — corpus size never appears.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val logm = Integer.numberOfTrailingZeros(m)
+    val p = 61 - logm
+    val num = hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
+    val lut = hllLinearCountLut(m)
+    registers
+      .groupBy(groupCol)
+      .agg(
+        coalesce(sum(expr(s"shiftleft(1L, cast($p - max_rho as int))")),
+          lit(0L)).as("s_obs"),
+        count(lit(1)).as("n_obs"))
+      .select(col(groupCol),
+        (col("s_obs") + (lit(m.toLong) - col("n_obs")) * lit(1L << p)).as("s_scaled"),
+        (lit(m.toLong) - col("n_obs")).as("v"))
+      .withColumn("est_raw", lit(num) / col("s_scaled").cast("double"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("v") > 0,
+          element_at(array(lut.map(lit): _*), col("v").cast("int")))
+          .otherwise(col("est_raw")))
+      .orderBy(groupCol)
+  }
+
   /** Merge CMS counter tables built with the SAME (depth, width): cell
     * counters add. This is the property that makes sketching worth it at
     * 100 TB — per-shard / per-day partial sketches combine into the

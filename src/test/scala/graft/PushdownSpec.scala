@@ -334,6 +334,30 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q_sql_q5 broadcasts the dimension tables, top-level shuffle is the fact agg") {
+    // region/nation/supplier are dimension-sized: the star must plan
+    // them as broadcast builds — shuffling lineitem to meet a 5-row
+    // region is the anti-pattern
+    val plan = executedPlan("q_sql_q5")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("q_sql_q10 top-Ks the limit instead of a full sort") {
+    val plan = executedPlan("q_sql_q10")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("q_hll_daily_users never shuffles raw user ids") {
+    // the grouped sketch's point: the exchange carries (day, register)
+    // cells — ≤ |days|·64 rows — not the distinct (day, uid) pairs an
+    // exact COUNT(DISTINCT) plan would shuffle
+    val plan = executedPlan("q_hll_daily_users")
+    val shuffleLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty && shuffleLines.forall(!_.contains("uid")),
+      s"a shuffle carries raw uids:\n${shuffleLines.mkString("\n")}")
+  }
+
   test("q_kcore peels via semi-joins against the survivor set") {
     // each round must filter the edge list with hash semi-joins on the
     // |V|-bounded survivor frame — an inner join would duplicate edges

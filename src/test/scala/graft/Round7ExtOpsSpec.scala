@@ -149,6 +149,73 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((9L, "a", 100L, 5L, 2L)))
   }
 
+  // ---------------- grouped HLL ----------------
+
+  test("hllRegistersBy group slices equal the per-group global sketch (no drift)") {
+    import graft.operators.SketchOps
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(expr(s"ts div ${Tables.Nanos.PerDay}").as("day"),
+        col("user_id").cast("string").as("uid"))
+    val grouped = SketchOps.hllRegistersBy(ev, "day", "uid", 64)
+    val days = ev.select("day").distinct().collect().map(_.getLong(0))
+    // each day's slice must BE the hllRegisters table of that day's rows
+    // (shared hllRegRho cells — the merge/estimate contract)
+    for (day <- days.take(3)) {
+      val slice = grouped.filter(col("day") === day)
+        .select("register", "max_rho")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = SketchOps.hllRegisters(
+          ev.filter(col("day") === day), "uid", 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(slice == direct, s"day $day slice != direct sketch")
+    }
+  }
+
+  test("hllEstimateBy tracks per-group exact distinct within documented error") {
+    import graft.operators.SketchOps
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(expr(s"ts div ${Tables.Nanos.PerDay}").as("day"),
+        col("user_id").cast("string").as("uid"))
+    val est = SketchOps.hllEstimateBy(
+        SketchOps.hllRegistersBy(ev, "day", "uid", 64), "day", 64)
+      .select("day", "est")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = ev.groupBy("day").agg(countDistinct("uid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // 1.04/sqrt(64) = 13% standard error; allow 3.5σ per group (the
+    // group count is small enough that a uniform bound is meaningful)
+    for ((day, n) <- exact) {
+      val e = est(day)
+      assert(math.abs(e - n) <= 0.455 * n + 3,
+        s"day $day: est $e vs exact $n")
+    }
+  }
+
+  // ---------------- minHashEstJaccard ----------------
+
+  test("minhash estimate tracks exact jaccard on the LSH candidates") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val est = DedupOps.minHashEstJaccard(docs, 12, 3,
+        seedHash = DedupOps.md5SeedHash60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val exact = DedupOps.jaccardPairs(docs, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(est.nonEmpty)
+    // every candidate shares a band, so it shares >= 1 word: exact is
+    // defined for all of them
+    assert(est.keySet.subsetOf(exact.keySet))
+    val errs = est.map { case (k, e) => math.abs(e - exact(k)) }
+    // 12 hashes → per-pair σ ≈ sqrt(J(1-J)/12) ≤ 144338 ppm; the MEAN
+    // absolute error across hundreds of pairs must sit well inside it
+    assert(errs.sum / errs.size <= 150000L,
+      s"mean |est-exact| = ${errs.sum / errs.size} ppm over ${errs.size} pairs")
+    // and exact duplicates estimate exactly 1.0
+    for ((k, x) <- exact if x == 1000000L && est.contains(k))
+      assert(est(k) == 1000000L, s"pair $k: dup must estimate 1e6 ppm")
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame
