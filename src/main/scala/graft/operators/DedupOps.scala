@@ -713,20 +713,28 @@ object DedupOps {
     */
   def kCoreFixedRounds(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    // Lineage/storage discipline (the connectedComponents pattern):
+    // every round consumes its edge frame TWICE (degree rollup + the
+    // semi-join probe), so without a per-round checkpoint the upstream
+    // pipeline — possibly a full inverted-index jaccard join — would
+    // re-execute 2^rounds times in one action. Checkpoint blocks are
+    // ContextCleaner-released when the result frame drops.
     var edges = pairs
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
+      .localCheckpoint()
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val keep = degrees(edges).filter(col("deg") >= k)
-      edges = edges
+      val next = edges
         .join(keep.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
         .join(keep.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
         .select("a_id", "b_id")
+      edges = if (r < rounds) next.localCheckpoint() else next
     }
     degrees(edges).select(col("id").as("doc_id"), col("deg"))
       .orderBy("doc_id")
