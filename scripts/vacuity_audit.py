@@ -38,6 +38,13 @@ KNOWN_BENIGN = {
     ("q_map_funcs", "m_size"), ("q_map_funcs", "keys"),  # literal structure
     ("q_median", "p90_qty_s3"),             # uniform quantity grid
     ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
+    # same %10 slice through the star-contraction engine: same single
+    # cluster — the shared-oracle sibling of q_neardup_clusters
+    ("q_neardup_clusters_star", "cluster_id"),
+    # every event_type draws values from the same generator, so each
+    # type's MEDIAN falls in the same 2000-cent bin; the within-bin
+    # ppm offsets (frac500_ppm) DO vary per type and are the estimate
+    ("q_hist_quantiles", "b500"),
     ("q_percentile_disc", "p25_s2"), ("q_percentile_disc", "p75_s2"),
     ("q_string_agg", "priorities"),         # every status sees all 5 values
     # the corpus-wide token total is ONE scalar repeated per threshold

@@ -3313,7 +3313,98 @@ object Queries {
                JOIN hx hb ON hb.doc_id = p.b_id AND hb.seed = ha.seed
                GROUP BY p.a_id, p.b_id)
         SELECT a_id, b_id, n_eq, n_eq * 1000000 // 12 AS est_ppm
-        FROM eq ORDER BY a_id, b_id"""))
+        FROM eq ORDER BY a_id, b_id""")),
+
+    // The SAME near-dup clustering relation through the SECOND CC
+    // engine: alternating large-star/small-star contraction
+    // (O(log²) rounds on ANY topology, where min-label propagation is
+    // O(diameter) — the safety net for chain-shaped overlap graphs).
+    // Shares q_neardup_clusters' recursive-reachability oracle
+    // VERBATIM: two independent clustering algorithms, one declarative
+    // formulation — the prefix-sibling pattern applied to graphs.
+    Declared("q_neardup_clusters_star",
+      (s, d) => DedupOps.nearDupKeepersStar(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80),
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst))::BIGINT AS cluster_id,
+               (LEAST(src, MIN(dst)) = src) AS is_keeper
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // Histogram-sketch quantile estimates (EventOps.histogramQuantiles):
+    // the MERGEABLE quantile path — sketch state is |types|·12 bin
+    // counters (per-shard histograms ADD, like CMS/HLL cells), estimate
+    // = first bucket whose cumulative count reaches ⌈total·p/1000⌉ plus
+    // the within-bucket offset in ppm, all integer arithmetic. Exact
+    // percentiles stay with q_percentile_disc/q_winsorize; this is the
+    // shape that survives when the data can't be sorted.
+    Declared("q_hist_quantiles",
+      (s, d) => EventOps.histogramQuantiles(Tables.events(s, d),
+        binWidthCents = 2000L, numBins = 12, pPermille = Seq(500, 900)),
+      Some("""WITH b AS (SELECT event_type,
+                GREATEST(0, LEAST(CAST(floor(
+                    CAST(round(value * 100) AS BIGINT) / 2000) AS BIGINT),
+                  11)) AS bucket
+              FROM events),
+        h AS (SELECT event_type, bucket, COUNT(*)::BIGINT AS cnt
+              FROM b GROUP BY event_type, bucket),
+        c AS (SELECT event_type, bucket, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY event_type
+                  ORDER BY bucket) AS BIGINT) AS cum
+              FROM h),
+        t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+              FROM h GROUP BY event_type),
+        j AS (SELECT c.*, t.total FROM c JOIN t USING (event_type)),
+        hit AS (SELECT event_type, total,
+                MIN(CASE WHEN cum * 1000 >= total * 500
+                    THEN bucket END) AS b500,
+                MIN(CASE WHEN cum * 1000 >= total * 900
+                    THEN bucket END) AS b900
+              FROM j GROUP BY event_type, total)
+        SELECT hit.event_type, hit.total,
+          hit.b500 AS b500,
+          (LEAST((hit.total * 500 + 999) // 1000, j5.cum)
+            - (j5.cum - j5.cnt)) * 1000000 // j5.cnt AS frac500_ppm,
+          hit.b900 AS b900,
+          (LEAST((hit.total * 900 + 999) // 1000, j9.cum)
+            - (j9.cum - j9.cnt)) * 1000000 // j9.cnt AS frac900_ppm
+        FROM hit
+        JOIN j j5 ON j5.event_type = hit.event_type AND j5.bucket = hit.b500
+        JOIN j j9 ON j9.event_type = hit.event_type AND j9.bucket = hit.b900
+        ORDER BY hit.event_type""")),
+
+    // Deterministic fixed-k sample per stratum (Relational
+    // .sampleKPerGroup): the 20 lowest-hash events per type — the
+    // "exactly k per class" eval-set/inspection shape; membership is a
+    // pure function of the key set (partition/retry/cluster-size
+    // invariant, removal-stable under deletions).
+    Declared("q_sample_k_per_group",
+      (s, d) => Relational.sampleKPerGroup(
+        Tables.events(s, d), "event_type", "event_id", 20),
+      Some("""SELECT event_type, event_id, rn FROM (
+          SELECT event_type, event_id,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ('0x' || substr(md5('s:' ||
+                CAST(event_id AS VARCHAR)), 1, 15))::BIGINT, event_id)
+              AS rn
+          FROM events)
+        WHERE rn <= 20
+        ORDER BY event_type, rn"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -576,6 +576,98 @@ object DedupOps {
     out
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the second,
+    * independently-shaped CC engine beside the min-label propagation
+    * of [[connectedComponents]]. Same output contract (id →
+    * cluster_id = component minimum), so the two can share one
+    * declared oracle — the prefix-sibling pattern applied to graph
+    * clustering.
+    *
+    * Why carry both: min-label propagation needs O(diameter) rounds —
+    * a 10⁶-long path graph is 10⁶ rounds; star contraction converges
+    * in O(log²) rounds on ANY topology by rewiring every vertex
+    * toward its neighborhood minimum (large-star moves big ids, then
+    * small-star flattens). On near-dup similarity graphs (dense
+    * cliques, tiny diameter) both are a few rounds; on adversarial
+    * chains — e.g. passage-overlap graphs where A∼B∼C∼… — the
+    * contraction is the one that still terminates.
+    *
+    * Round shape: large-star is one symmetric-adjacency groupBy +
+    * join (2|E| rows → |V| keys), small-star one groupBy + join on
+    * the canonical (lo, hi) set — all bounded shuffles, edges
+    * localCheckpoint'd per round (the [[kCoreFixedRounds]] lineage
+    * discipline). Convergence = the edge set reaching its star
+    * fixpoint, checked with a two-way exceptAll emptiness probe (one
+    * bounded job per round).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star: every vertex x sends each LARGER neighbor to the
+    // minimum of its closed neighborhood — (nbr, m) with m ≤ x < nbr
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("x"), col("v").as("nbr"))
+        .union(e.select(col("v").as("x"), col("u").as("nbr")))
+      val mins = adj.groupBy("x").agg(min(col("nbr")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      adj.join(mins, "x")
+        .filter(col("nbr") > col("x"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .distinct()
+    }
+
+    // small-star: every vertex hi rewires its smaller neighbors (and
+    // itself) to their minimum — (m, lo) and (m, hi), m < lo < hi
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      e.join(mins, "v")
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(mins.select(col("m").as("u"), col("v")))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next))
+        .isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint edge set IS the star forest (root = component minimum)
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u").as("id"), col("u").as("cluster_id"))
+        .distinct())
+      .select(col("id"), col("cluster_id"))
+  }
+
+  /** [[nearDupKeepers]] through the star-contraction engine — shares
+    * the declared min-label oracle verbatim (two independent CC
+    * algorithms, one declarative formulation).
+    */
+  def nearDupKeepersStar(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                         minJaccardPct: Int): DataFrame = {
+    val pairs = lshVerifiedJaccardPairsUnsorted(documents, numHashes, rowsPerBand,
+      minJaccardPct).select("a_id", "b_id")
+    connectedComponentsStar(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-point PageRank over an undirected pair graph (near-dup
     * centrality: which document anchors its duplicate cluster). All
     * arithmetic is integer ppm with truncating division, so every

@@ -303,6 +303,53 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Histogram-SKETCH quantile estimates: per event_type, an
+    * equi-width bin-count table over the cents grid, then the quantile
+    * read off the cumulative counts — bucket index plus the
+    * within-bucket offset in ppm, all integer arithmetic.
+    *
+    * This is the MERGEABLE quantile path: the sketch state is
+    * |types|·numBins counters (map-side combined — per-shard
+    * histograms ADD, like the CMS/HLL tables), where the exact
+    * percentile needs the full sorted data and t-digest isn't
+    * cross-engine reproducible. Estimate error is bounded by the bin
+    * width; [[winsorize]]/q_percentile_disc stay the exact paths.
+    *
+    * Definition (both engines, exact ints): target_p = ⌈total·p/1000⌉;
+    * the estimate lands in the first bucket whose cumulative count
+    * reaches target_p, at offset (target_p − cum_before)·10⁶ div cnt.
+    */
+  def histogramQuantiles(events: DataFrame, binWidthCents: Long, numBins: Int,
+                         pPermille: Seq[Int]): DataFrame = {
+    require(binWidthCents > 0 && numBins > 1 && pPermille.nonEmpty)
+    val cents = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    val binned = cents
+      .groupBy(col("event_type"),
+        greatest(lit(0L), least(floor(col("value_c") / binWidthCents),
+          lit(numBins - 1L))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val cum = binned.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = binned.groupBy("event_type").agg(sum(col("cnt")).as("total"))
+    val joined = cum.join(broadcast(totals), Seq("event_type"))
+    val hits = pPermille.map { p =>
+      min(when(col("cum") * 1000 >= col("total") * p,
+        struct(col("bucket"), col("cum"), col("cnt")))).as(s"hit_$p")
+    }
+    val outs = pPermille.flatMap { p =>
+      Seq(expr(s"hit_$p.bucket").as(s"b$p"),
+        // offset of target_p inside its bucket, exact integer div
+        expr(s"(least((total * $p + 999) div 1000, hit_$p.cum) " +
+          s"- (hit_$p.cum - hit_$p.cnt)) * 1000000L div hit_$p.cnt")
+          .as(s"frac${p}_ppm"))
+    }
+    joined.groupBy("event_type")
+      .agg(max(col("total")).as("total"), hits: _*)
+      .select(col("event_type") +: col("total") +: outs: _*)
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transition counts of the event stream: order each
     * user's events by (µs time, event_id — the total-order tiebreak used
     * throughout), pair each event with its successor via `lead`, count

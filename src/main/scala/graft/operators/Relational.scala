@@ -141,6 +141,33 @@ object Relational {
       .filter(col("bucket_ppm") < col("__rate_ppm"))
       .drop("__rate_ppm")
 
+  /** Deterministic FIXED-K sample per stratum: the k rows whose
+    * key-hash ranks lowest within each group — the "exactly k examples
+    * per class" shape ([[stratifiedSample]] covers rate-based
+    * thinning; eval-set construction and per-class inspection want a
+    * fixed count). Like the rate samplers, membership is a pure
+    * function of the key set: stable across partitionings, retries,
+    * and cluster sizes, and REMOVAL-STABLE under deletions (a dropped
+    * row only ever pulls in the next-ranked row of its own stratum).
+    *
+    * Scale shape: one hash-partitioned window sort per stratum
+    * (external sort, spillable — no percentile-style buffering), then
+    * a codegen'd rank filter. Skew note: a hot stratum sorts on one
+    * partition's disk, which is the acceptable cost of exact-k; if
+    * approximate k suffices, rate-sample at k/|stratum| instead.
+    */
+  def sampleKPerGroup(df: DataFrame, stratumCol: String, keyCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = DedupOps.md5Hash60(
+      concat(lit("s:"), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy(stratumCol).orderBy(h, col(keyCol))
+    df.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col(stratumCol), col(keyCol), col("rn"))
+      .orderBy(stratumCol, "rn")
+  }
+
   /** Categorical distribution drift between two snapshots — the
     * data-quality monitor a continuously-ingesting pipeline runs between
     * yesterday's corpus and today's (did the language / source / topic

@@ -226,6 +226,18 @@ object StreamingOps {
       .select(graft.operators.SketchOps.hllRegRho(keyCol, m): _*)
       .groupBy("register").agg(max(col("rho")).as("max_rho"))
 
+  /** Stream–static enrichment: join the live stream against a batch
+    * dimension frame — the canonical lookup-enrichment shape (events ×
+    * user profile, lineitem × part). STATELESS on the stream side: no
+    * watermark, no join state — each micro-batch probes the static
+    * side, which Spark re-plans per batch (a dimension TABLE refresh
+    * is picked up between batches). The broadcast hint pins the only
+    * sane 100 TB plan: the dimension builds once per executor, the
+    * unbounded stream never shuffles for the join.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming heavy hitters — per tumbling window, the keys whose
     * exact count reaches `minCount`, emitted ONCE per window when the
     * watermark closes it (append mode: a key is reported only when its

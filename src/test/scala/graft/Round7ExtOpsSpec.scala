@@ -216,6 +216,106 @@ class Round7ExtOpsSpec extends SparkSpec {
       assert(est(k) == 1000000L, s"pair $k: dup must estimate 1e6 ppm")
   }
 
+  // ---------------- connectedComponentsStar ----------------
+
+  test("star contraction equals min-label propagation on mixed topologies") {
+    import org.apache.spark.sql.DataFrame
+    def labelsOf(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a short path, two disjoint cliques, and a lollipop (clique +
+    // tail) — kept SMALL on the propagation side, whose round count is
+    // the path's diameter (the long-path case below is star-only)
+    val path = (100L until 112L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cliqueA = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cliqueB = for (a <- 200L to 203L; b <- (a + 1) to 203L) yield (a, b)
+    val tail = Seq((203L, 300L), (300L, 301L))
+    val edges = (path ++ cliqueA ++ cliqueB ++ tail).toDF("a_id", "b_id")
+    val star = labelsOf(DedupOps.connectedComponentsStar(edges))
+    val prop = labelsOf(DedupOps.connectedComponents(edges))
+    assert(star == prop)
+    // and the roots really are the component minima
+    assert(star(111L) == 100L && star(4L) == 0L && star(301L) == 200L)
+  }
+
+  test("star contraction resolves a LONG path in logarithmic rounds") {
+    // the adversarial topology propagation cannot take (O(diameter)
+    // rounds — the driver-side plan alone outgrows the heap before a
+    // 200-hop chain converges): contraction needs ~log² rounds and a
+    // maxIter of 50 is generous headroom
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val star = DedupOps.connectedComponentsStar(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 0L))
+  }
+
+  test("star contraction handles duplicate/reversed edges and an empty graph") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponentsStar(messy)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.connectedComponentsStar(empty).isEmpty)
+  }
+
+  // ---------------- histogramQuantiles ----------------
+
+  test("histogramQuantiles reads exact quantile offsets off a hand-built histogram") {
+    // one type, values 0..99 cents, bin width 10, 10 bins → each bin
+    // holds exactly 10; p50 target = 50 → bucket 4 (cum 50), offset
+    // (50-40)/10 = 1e6 ppm; p90 target = 90 → bucket 8, same offset
+    val events = (0 until 100).map(i => ("t", i.toDouble / 100))
+      .toDF("event_type", "value")
+    val r = EventOps.histogramQuantiles(events, 10L, 10, Seq(500, 900))
+      .collect()(0)
+    assert(r.getLong(1) == 100L)                   // total
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1000000L,
+      s"p50: bucket ${r.getLong(2)} frac ${r.getLong(3)}")
+    assert(r.getLong(4) == 8L && r.getLong(5) == 1000000L)
+  }
+
+  test("histogramQuantiles: shard histograms merge into the corpus answer") {
+    // the mergeability contract: binning each half and adding counters
+    // gives the same quantile read as binning the whole — verified by
+    // splitting events and comparing against the unsplit result
+    val all = (0 until 90).map(i => ("t", (i * 7 % 90).toDouble / 100))
+      .toDF("event_type", "value")
+    val whole = EventOps.histogramQuantiles(all, 10L, 10, Seq(500)).collect()(0)
+    val unioned = EventOps.histogramQuantiles(
+      all.filter(col("value") * 100 < 45)
+        .union(all.filter(col("value") * 100 >= 45)), 10L, 10, Seq(500))
+      .collect()(0)
+    assert(whole.toSeq == unioned.toSeq)
+  }
+
+  // ---------------- sampleKPerGroup ----------------
+
+  test("sampleKPerGroup takes exactly k stable rows per stratum, removal-stable") {
+    import graft.operators.Relational
+    val events = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("event_id", "event_type")
+    val s1 = Relational.sampleKPerGroup(events, "event_type", "event_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.count(_._1 == "a") == 10 && s1.count(_._1 == "b") == 10)
+    // removing a NON-sampled row changes nothing
+    val sampled = s1.map(_._2).toSet
+    val nonSampled = (1 to 200).map(_.toLong).filterNot(sampled).head
+    val s2 = Relational.sampleKPerGroup(
+        events.filter(col("event_id") =!= nonSampled),
+        "event_type", "event_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq == s2.toSeq)
+    // removing a SAMPLED row only pulls in the next rank of ITS stratum
+    val victim = s1.filter(_._1 == "a").map(_._2).head
+    val s3 = Relational.sampleKPerGroup(
+        events.filter(col("event_id") =!= victim),
+        "event_type", "event_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1Set = s1.map(t => (t._1, t._2)).toSet
+    assert((s1Set -- s3).map(_._2) == Set(victim))
+    assert((s3 -- s1Set).forall(_._1 == "a"))
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame

@@ -132,6 +132,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.enrichStream(stream, dim, "user_id"), "enrich_test", "append")
+    try {
+      input.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      input.addData((2L, 20.0)) // second micro-batch probes the dim again
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      // left join: unknown user 3 passes through with a null tier
+      assert(got == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
+    } finally q.stop()
+  }
+
   test("streaming sliding window counts events in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double, Long)]
