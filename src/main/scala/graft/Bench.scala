@@ -37,7 +37,9 @@ object Bench {
     // q_window_running (cheap near-duplicates of kept family keys).
     // Line stays < 1500 B — VerifyJsonSpec bounds it.
     "q_dedup_canonical", "q_hll_registers", "q_boilerplate",
-    "q_containment", "q_sql_q18")
+    "q_containment", "q_sql_q18",
+    // round-7 additions that landed in the worst-cost tier
+    "q_neardup_clusters_star", "q_kcore")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

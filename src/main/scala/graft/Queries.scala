@@ -3404,7 +3404,181 @@ object Queries {
               AS rn
           FROM events)
         WHERE rn <= 20
-        ORDER BY event_type, rn"""))
+        ORDER BY event_type, rn""")),
+
+    // Per-label centroid table (SimilarityOps.labelCentroids): exact
+    // integer class prototypes — Σvi div n per dimension, exploded to
+    // scalar (label, pos, c) rows. Spark `div` and DuckDB `//` BOTH
+    // truncate toward zero (verified on negatives), so the centroids
+    // hash-match even where dimension sums go negative.
+    Declared("q_label_centroids",
+      (s, d) => SimilarityOps.labelCentroids(embeddings(s, d)),
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+                pos
+              FROM (SELECT label, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings))
+        SELECT label, pos,
+          CAST(SUM(vi) AS BIGINT) // COUNT(*) AS c
+        FROM e GROUP BY label, pos
+        ORDER BY label, pos""")),
+
+    // Nearest-centroid assignment (SimilarityOps.centroidAssign): each
+    // embedding classified to its closest label prototype by exact
+    // integer squared L2, ties to the smallest label — the standard
+    // class-separability eval over the embedding space. Centroids
+    // broadcast; the corpus never shuffles its vectors.
+    Declared("q_centroid_assign",
+      (s, d) => SimilarityOps.centroidAssign(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+                pos
+              FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        cent AS (SELECT label AS clabel, pos,
+                CAST(SUM(vi) AS BIGINT) // COUNT(*) AS c
+              FROM e GROUP BY label, pos),
+        dist AS (SELECT e.vec_id, e.label, cent.clabel,
+                CAST(SUM((e.vi - cent.c) * (e.vi - cent.c)) AS BIGINT)
+                  AS dist
+              FROM e JOIN cent USING (pos)
+              GROUP BY e.vec_id, e.label, cent.clabel),
+        ranked AS (SELECT vec_id, label, clabel,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dist, clabel) AS rk
+              FROM dist)
+        SELECT vec_id, label, clabel AS pred_label,
+          (label = clabel) AS correct
+        FROM ranked WHERE rk = 1
+        ORDER BY vec_id""")),
+
+    // TPC-H Q6 shape (forecast revenue change): the pure
+    // scan-filter-aggregate — every predicate must reach the parquet
+    // scan (plan-asserted PushedFilters); revenue in exact cents·ppm.
+    Declared("q_sql_q6",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 1000000) AS BIGINT))
+              AS revenue_s8,
+            COUNT(*) AS n_lines
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+            AND CAST(round(l_quantity * 100) AS BIGINT) < 2400""")
+      },
+      Some("""SELECT
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_discount * 1000000) AS BIGINT))
+            AS BIGINT) AS revenue_s8,
+          COUNT(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity * 100) AS BIGINT) < 2400""")),
+
+    // TPC-H Q4 shape (order-priority checking): orders in one quarter
+    // with ANY flagged lineitem ('R' plays the late marker) — the
+    // EXISTS-decorrelated-to-semi-join + date-range combination,
+    // counted per priority.
+    Declared("q_sql_q4",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // TPC-H Q14 shape (promotion effect): the conditional-share
+    // aggregate — promo revenue share in ppm via integer division of
+    // two exact sums. Revenue rides the SCALE-4 grid (price_c ×
+    // (100−disc_c)) deliberately: the q3 scale-8 grid times the 10⁶
+    // ppm share multiplier would overflow int64 on a month of revenue.
+    Declared("q_sql_q14",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT
+            SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100L - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0L END) * 1000000L
+              div SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100L - CAST(round(l_discount * 100) AS BIGINT)))
+              AS promo_share_ppm,
+            COUNT(*) AS n_lines
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+      },
+      Some("""SELECT
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ELSE 0 END) * 1000000
+            // SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS promo_share_ppm,
+          COUNT(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")),
+
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjoint
+    // brand/size/quantity bands OR'd together — the predicate-pushdown
+    // stress shape (the part-side conjuncts must still prune the scan
+    // even under the disjunction).
+    Declared("q_sql_q19",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS revenue_s8,
+            COUNT(*) AS n_lines
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND CAST(round(l_quantity * 100) AS BIGINT)
+                     BETWEEN 100 AND 1100)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND CAST(round(l_quantity * 100) AS BIGINT)
+                     BETWEEN 1000 AND 2000)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                 AND CAST(round(l_quantity * 100) AS BIGINT)
+                     BETWEEN 2000 AND 3000)""")
+      },
+      Some("""SELECT
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+            AS BIGINT) AS revenue_s8,
+          COUNT(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND CAST(round(l_quantity * 100) AS BIGINT)
+                   BETWEEN 100 AND 1100)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND CAST(round(l_quantity * 100) AS BIGINT)
+                   BETWEEN 1000 AND 2000)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND CAST(round(l_quantity * 100) AS BIGINT)
+                   BETWEEN 2000 AND 3000)"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

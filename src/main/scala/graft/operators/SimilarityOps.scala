@@ -162,6 +162,59 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Per-label centroids of the fixed-point embeddings, EXPLODED to
+    * scalar rows (label, pos, c) — the class-prototype table a
+    * nearest-centroid classifier or a semantic-space monitor consumes.
+    * Exact integer arithmetic end to end: the per-dimension mean is
+    * Σvi div n (int64 sum of 1e7-scaled ints, truncating division), so
+    * the centroid table is hash-reproducible at any partitioning.
+    *
+    * Scale shape: one map pass (posexplode) + a (|labels|·dim)-key
+    * map-side-combined rollup — the shuffle carries label·dim cells,
+    * never vectors; the output is |labels|·dim rows, broadcast-sized
+    * for [[centroidAssign]].
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"), v => fixedPoint(v)))
+          .as(Seq("pos", "vi")))
+      .groupBy("label", "pos")
+      .agg(expr("sum(vi) div count(1)").as("c"))
+      .orderBy("label", "pos")
+
+  /** Nearest-centroid assignment: classify every embedding to its
+    * closest label centroid by EXACT integer squared L2 — dist =
+    * Σ(vi−c)², ≤ 64·(2·10⁷)² ≈ 2.6·10¹⁶ ≪ 2⁶³ — and report the
+    * agreement with the true label (the standard embedding-quality
+    * eval: how separable are the classes around their prototypes).
+    * Ties break to the smallest label, so the argmin is total-ordered
+    * and cross-engine deterministic.
+    *
+    * Scale shape: centroids are |labels|·dim rows → broadcast into the
+    * position equi-join; per vector the work is |labels|·dim integer
+    * ops in one map-side-combined rollup keyed (vec_id, label), then a
+    * dim-free argmin rollup per vec_id. The corpus never shuffles its
+    * vectors.
+    */
+  def centroidAssign(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("clabel"), col("pos"), col("c"))
+    val vecs = embeddings
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"), v => fixedPoint(v)))
+          .as(Seq("pos", "vi")))
+    val dists = vecs.join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum((col("vi") - col("c")) * (col("vi") - col("c"))).as("dist"))
+    dists.groupBy("vec_id", "label")
+      .agg(min(struct(col("dist"), col("clabel"))).getField("clabel")
+        .as("pred_label"))
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        (col("label") === col("pred_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
   /** Double-precision dot product of two array columns in one expression
     * (codegen-friendly, no explode).
     */

@@ -358,6 +358,28 @@ class PushdownSpec extends SparkSpec {
       s"a shuffle carries raw uids:\n${shuffleLines.mkString("\n")}")
   }
 
+  test("q_sql_q6 pushes every predicate to the parquet scan") {
+    // the pure scan-filter-agg: the date range must reach the scan as
+    // PushedFilters — a post-scan filter on the full table is the
+    // difference between reading a partition and reading 100 TB
+    val plan = executedPlan("q_sql_q6")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate bounds not pushed:\n$plan")
+  }
+
+  test("q_sql_q4 decorrelates EXISTS to a semi-join") {
+    val plan = executedPlan("q_sql_q4")
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+  }
+
+  test("q_centroid_assign broadcasts the centroid table") {
+    // |labels|·dim rows of prototypes must broadcast into the position
+    // join — shuffling the exploded corpus to meet 640 rows is the
+    // anti-pattern
+    val plan = executedPlan("q_centroid_assign")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("q_kcore peels via semi-joins against the survivor set") {
     // each round must filter the edge list with hash semi-joins on the
     // |V|-bounded survivor frame — an inner join would duplicate edges

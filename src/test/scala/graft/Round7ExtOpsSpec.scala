@@ -316,6 +316,35 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert((s3 -- s1Set).forall(_._1 == "a"))
   }
 
+  // ---------------- label centroids / nearest-centroid assign ----------------
+
+  test("labelCentroids are the exact truncating-division means per dimension") {
+    val emb = Seq(
+      (1L, Array(0.5f, -0.3f), 0),
+      (2L, Array(0.7f, -0.5f), 0),
+      (3L, Array(-0.2f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelCentroids(emb)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // label 0: (5e6+7e6) div 2 = 6e6; (-3e6 + -5e6) div 2 = -4e6
+    // (truncation toward zero — matches DuckDB // on negatives)
+    assert(got == Map((0L, 0) -> 6000000L, (0L, 1) -> -4000000L,
+      (1L, 0) -> -2000000L, (1L, 1) -> 9000000L))
+  }
+
+  test("centroidAssign classifies every vector, beats the random-label baseline") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = SimilarityOps.centroidAssign(emb).collect()
+    assert(rows.length == emb.count())
+    val nLabels = emb.select("label").distinct().count()
+    val acc = rows.count(_.getBoolean(3)).toDouble / rows.length
+    // sf0.01 measures 41% against a 10% random baseline; at sf0.001
+    // demand clear separation without overfitting the sample
+    assert(acc > 2.0 / nLabels, s"accuracy $acc vs random ${1.0 / nLabels}")
+    // the argmin is total: every vector got exactly one prediction
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame
