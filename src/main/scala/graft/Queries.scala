@@ -3578,7 +3578,115 @@ object Queries {
                    BETWEEN 1000 AND 2000)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND CAST(round(l_quantity * 100) AS BIGINT)
-                   BETWEEN 2000 AND 3000)"""))
+                   BETWEEN 2000 AND 3000)""")),
+
+    // URL-canonicalization dedup (TextOps.urlDedup): crawl-frontier
+    // dedup BEFORE fetch/tokenize — the cheapest tier. The corpus has
+    // no URL column, so page URLs are derived deterministically
+    // (q_scrub_pii's augmentation pattern): 7-doc blocks share a page,
+    // each doc dressing it in a different recorded variant (scheme
+    // case, www., tracking params, fragments, trailing slash) that
+    // canonicalization must collapse.
+    Declared("q_url_dedup",
+      (s, d) => TextOps.urlDedup(documents(s, d).select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("https://www."))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("HTTP://"))
+            .otherwise(lit("https://")),
+          lit("example.org/page/"),
+          expr("doc_id div 7"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("?utm_source=x"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit("/"))
+            .otherwise(lit("#section-2"))).as("url"))),
+      Some("""WITH aug AS (SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'https://www.'
+                     WHEN 1 THEN 'HTTP://' ELSE 'https://' END
+                || 'example.org/page/' || CAST(doc_id // 7 AS VARCHAR)
+                || CASE doc_id % 3 WHEN 0 THEN '?utm_source=x'
+                     WHEN 1 THEN '/' ELSE '#section-2' END AS url
+              FROM documents),
+        canon AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(lower(url), '^[a-z]+://', ''),
+                  '^www\.', ''), '[?#].*$', ''), '/$', '')
+                  AS canonical_url
+              FROM aug)
+        SELECT canonical_url, MIN(doc_id)::BIGINT AS keep_doc_id,
+               COUNT(*)::BIGINT AS dup_cnt
+        FROM canon GROUP BY canonical_url
+        ORDER BY keep_doc_id""")),
+
+    // HLL shard-merge, ORACLE-CHECKED end to end: the engine builds
+    // per-shard register tables (doc_id parity plays the shard key),
+    // hllMerge-s them, and estimates; the oracle computes the estimate
+    // over the UNDIVIDED corpus. Sharing hllEstimateOracle verbatim
+    // makes merge(A,B) ≡ build(A ∪ B) — the property that lets 100 TB
+    // of per-day sketches combine without re-reading raw data — a
+    // hash-checked declared relation, not just a ScalaTest.
+    Declared("q_hll_merge_shards",
+      (s, d) => {
+        def shard(m: Int) = SketchOps.hllRegisters(
+          documents(s, d).filter(pmod(col("doc_id"), lit(2)) === m)
+            .select(explode(TextOps.words(col("text"))).as("word")),
+          "word", 64)
+        SketchOps.hllEstimate(SketchOps.hllMerge(shard(0), shard(1)), 64)
+      },
+      Some(hllEstimateOracle)),
+
+    // Month-over-month revenue growth: the agg→window composite every
+    // analytics surface ships — monthly order revenue in exact cents,
+    // lag, delta in ppm (truncating integer division, negative-safe:
+    // Spark div ≡ DuckDB // toward zero). The lag window runs over the
+    // |months|-sized aggregate, not the fact table.
+    Declared("q_mom_growth",
+      (s, d) => {
+        val monthly = orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate"))
+            .cast(DateType).as("month"))
+          .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+            .as("rev_c"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+          .filter(col("prev_c").isNotNull)
+          .select(col("month"), col("rev_c"), col("prev_c"),
+            expr("(rev_c - prev_c) * 1000000L div prev_c")
+              .as("delta_ppm"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (SELECT CAST(date_trunc('month', o_orderdate)
+                  AS DATE) AS month,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+              FROM orders GROUP BY 1),
+        l AS (SELECT month, rev_c,
+                lag(rev_c) OVER (ORDER BY month) AS prev_c FROM m)
+        SELECT month, rev_c, prev_c,
+          (rev_c - prev_c) * 1000000 // prev_c AS delta_ppm
+        FROM l WHERE prev_c IS NOT NULL
+        ORDER BY month""")),
+
+    // Lexical-rarity quality score (TextOps.rarityScores): mean corpus
+    // frequency rank per document in ppm — the logarithm-free
+    // perplexity proxy (rare-word text scores high, head-word
+    // boilerplate low); vocabulary-bounded rank window, rank table
+    // broadcast back.
+    Declared("q_rarity_score",
+      (s, d) => TextOps.rarityScores(documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        f AS (SELECT word, COUNT(*)::BIGINT AS freq FROM t
+              GROUP BY word),
+        r AS (SELECT word,
+                CAST(dense_rank() OVER (ORDER BY freq DESC, word)
+                  AS BIGINT) AS rank
+              FROM f)
+        SELECT t.doc_id, COUNT(*)::BIGINT AS n_tokens,
+          CAST(SUM(r.rank) AS BIGINT) * 1000000
+            // COUNT(*) AS mean_rank_ppm
+        FROM t JOIN r USING (word)
+        GROUP BY t.doc_id
+        ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -17,6 +17,67 @@ object TextOps {
   /** Tokenize on single spaces (the documents corpus is space-joined). */
   def words(c: Column): Column = split(c, " ")
 
+  /** Canonicalize a URL for dedup: lowercase, strip scheme and
+    * leading `www.`, drop the query string / fragment, drop a trailing
+    * slash. These are the variations crawlers record for the SAME page
+    * (`HTTP://`, tracking params, `#anchors`); everything else — path
+    * case on case-sensitive servers aside, which lowering accepts as a
+    * dedup-biased tradeoff — identifies distinct content. All four
+    * rewrites are anchored/greedy-tail regexes (RE2-safe: no
+    * lookaround, replayable by any engine).
+    */
+  def canonicalizeUrl(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), "^[a-z]+://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
+  /** URL-level dedup of a (doc_id, url) frame: group on the canonical
+    * form, keep the minimum doc id — the crawl-frontier dedup that runs
+    * BEFORE any content is fetched or tokenized, which is what makes it
+    * the cheapest dedup tier at 100 TB (16-byte canonical hashes
+    * shuffle; page bodies never do). Same keep-min contract as
+    * [[DedupOps.exactDedup]] one tier up.
+    */
+  def urlDedup(urls: DataFrame): DataFrame =
+    urls
+      .groupBy(canonicalizeUrl(col("url")).as("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_cnt"))
+      .orderBy("keep_doc_id")
+
+  /** Lexical-rarity score: global corpus frequency ranks (1 = most
+    * frequent), then each document's mean token rank in ppm — a
+    * perplexity PROXY that needs no language model and no logarithm
+    * (libm would break cross-engine hashing): text built from rare
+    * words scores high, boilerplate built from the corpus head scores
+    * low. The quality-signal sibling of [[oovRate]] with a graded
+    * rather than binary vocabulary notion.
+    *
+    * Scale shape: the rank window runs over the VOCABULARY-sized
+    * frequency table (single partition by design — bounded like the
+    * tf-idf rank pass), which then broadcasts back into the token
+    * stream; per-doc rollup is map-side-combined. Mean = integer
+    * Σrank·10⁶ div n — exact.
+    */
+  def rarityScores(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val freq = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+    val rank = freq.withColumn("rank",
+      dense_rank().over(Window.orderBy(desc("freq"), col("word")))
+        .cast("long"))
+    toks.join(broadcast(rank.select("word", "rank")), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rank_sum * 1000000L div n_tokens").as("mean_rank_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Word n-gram shingles of a token-array column: the windowed-slice
     * expression shared by repetition stats, decontamination, and n-gram
     * Jaccard (one definition — three consumers). Caller guards

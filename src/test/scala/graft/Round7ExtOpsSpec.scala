@@ -345,6 +345,42 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  // ---------------- URL canonicalization / rarity ----------------
+
+  test("canonicalizeUrl collapses recorded variants, keeps distinct pages apart") {
+    import graft.operators.TextOps
+    val urls = Seq(
+      "https://www.Example.org/Page/3?utm_source=x",
+      "HTTP://example.org/page/3/",
+      "https://example.org/page/3#section-2",
+      "https://example.org/page/4",          // different page
+      "https://other.net/page/3")            // different host
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val got = urls.select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "example.org/page/3" && got(1) == got(0) && got(2) == got(0))
+    assert(got(3) == "example.org/page/4" && got(4) == "other.net/page/3")
+    val dedup = TextOps.urlDedup(urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dedup == Set(("example.org/page/3", 0L, 3L),
+      ("example.org/page/4", 3L, 1L), ("other.net/page/3", 4L, 1L)))
+  }
+
+  test("rarityScores ranks head words low and rare words high") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "the the the the"),   // pure head word → mean rank 1
+      (2L, "the the quux the")   // one rare token lifts the mean
+    ).toDF("doc_id", "text")
+    val got = TextOps.rarityScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 1000000L)          // rank 1 exactly
+    assert(got(2L) > got(1L))            // rare token raises the score
+    // 'the' freq 7 → rank 1; 'quux' freq 1 → rank 2; doc 2 mean =
+    // (1+1+2+1)/4 = 1.25 → 1250000 ppm
+    assert(got(2L) == 1250000L)
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame
