@@ -3686,7 +3686,117 @@ object Queries {
             // COUNT(*) AS mean_rank_ppm
         FROM t JOIN r USING (word)
         GROUP BY t.doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Splice-overlap detection (TextOps.spliceOverlaps): pairs whose
+    // 5-token seam matches (one doc's tail = another's head) — the
+    // split/continued-page signature Jaccard dedup misses (disjoint
+    // bodies, exact seam). The corpus has no natural splices (audited:
+    // zero), so continuation docs are DERIVED deterministically (the
+    // q_scrub_pii augmentation pattern): every %25 doc spawns
+    // doc_id+10⁶ whose text starts with the parent's last 5 tokens.
+    Declared("q_overlap_splice",
+      (s, d) => {
+        val ws = TextOps.words(col("text"))
+        val base = documents(s, d)
+        val continuations = base
+          .filter(pmod(col("doc_id"), lit(25)) === 0 && size(ws) >= 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ",
+              concat(slice(ws, -5, 5), slice(ws, 1, 10))).as("text"))
+        TextOps.spliceOverlaps(
+          base.select("doc_id", "text").unionByName(continuations), 5)
+      },
+      Some("""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+        cont AS (SELECT doc_id + 1000000 AS doc_id,
+                array_to_string(
+                  list_concat(ws[len(ws)-4:len(ws)], ws[1:10]), ' ')
+                  AS text
+              FROM w0 WHERE doc_id % 25 = 0 AND len(ws) >= 5),
+        aug AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM cont),
+        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+        base AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 5),
+        heads AS (SELECT doc_id AS head_doc,
+                array_to_string(ws[1:5], ' ') AS gram FROM base),
+        tails AS (SELECT doc_id AS tail_doc,
+                array_to_string(ws[len(ws)-4:len(ws)], ' ') AS gram
+              FROM base)
+        SELECT tail_doc, head_doc, gram
+        FROM tails JOIN heads USING (gram)
+        WHERE tail_doc <> head_doc
+        ORDER BY tail_doc, head_doc""")),
+
+    // Local clustering coefficients (DedupOps.clusteringCoefficients)
+    // over the %10 jaccard-80 graph: 2·tri·10⁶ div deg(deg−1) ppm —
+    // separates true duplicate cliques (→ 10⁶) from boilerplate-hub
+    // stars (high degree, low closure). Engine: degree-oriented wedge
+    // closure + degree rollup; oracle: the naive 3-way triangle join.
+    Declared("q_clustering_coeff",
+      (s, d) => DedupOps.clusteringCoefficients(
+        DedupOps.jaccardPairs(
+          documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 80)
+          .select("a_id", "b_id")),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id FROM c
+              JOIN sz sa ON c.a_id = sa.doc_id
+              JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >=
+                    (sa.set_size + sb.set_size - c.common) * 80),
+        deg AS (SELECT id AS doc_id, COUNT(*)::BIGINT AS deg
+              FROM (SELECT a_id AS id FROM p
+                    UNION ALL SELECT b_id FROM p)
+              GROUP BY id),
+        tri0 AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+                FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
+                JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        tri AS (SELECT doc_id, COUNT(*)::BIGINT AS n_triangles
+              FROM (SELECT x AS doc_id FROM tri0
+                    UNION ALL SELECT y FROM tri0
+                    UNION ALL SELECT z FROM tri0)
+              GROUP BY doc_id)
+        SELECT deg.doc_id, deg.deg,
+          COALESCE(tri.n_triangles, 0)::BIGINT AS n_triangles,
+          CASE WHEN deg.deg < 2 THEN 0
+               ELSE COALESCE(tri.n_triangles, 0) * 2000000
+                    // (deg.deg * (deg.deg - 1)) END::BIGINT
+            AS coeff_ppm
+        FROM deg LEFT JOIN tri USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // Rate-spike alarms (EventOps.rateSpikes): hourly counts exceeding
+    // 3× their trailing-3-hour mean — division-free integer
+    // cross-multiplication, cold-start hours (fewer than 3
+    // predecessors) never alarm; the window runs over the
+    // |types|·|hours| aggregate, never raw events.
+    Declared("q_rate_spikes",
+      (s, d) => EventOps.rateSpikes(Tables.events(s, d), 300),
+      Some("""WITH h AS (SELECT event_type,
+                epoch_ns(ts) // 3600000000000 AS hour,
+                COUNT(*)::BIGINT AS cnt
+              FROM events GROUP BY event_type, hour),
+        t AS (SELECT event_type, hour, cnt,
+                SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  AS prev_sum,
+                COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_n
+              FROM h)
+        SELECT event_type, hour, cnt,
+          CAST(prev_sum AS BIGINT) AS prev_sum
+        FROM t
+        WHERE prev_n = 3 AND cnt * 100 * prev_n > 300 * prev_sum
+        ORDER BY event_type, hour"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

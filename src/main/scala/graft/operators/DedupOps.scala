@@ -873,6 +873,37 @@ object DedupOps {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Local clustering coefficients: per node, 2·triangles·10⁶ div
+    * (deg·(deg−1)) ppm — how clique-like each node's neighborhood is.
+    * On a near-dup similarity graph this separates TRUE duplicate
+    * clusters (coefficient → 10⁶: everyone resembles everyone) from
+    * hub artifacts like boilerplate-linked stars (high degree, low
+    * closure) — the standard triage signal before trusting a cluster.
+    * Degree-<2 nodes have no wedge to close: coefficient 0.
+    *
+    * Reuses [[triangleCounts]]'s degree-oriented wedge closure (its
+    * normalization handles messy inputs) plus one degree rollup and a
+    * left join — all |V|/|E|-bounded, pure integer output.
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val norm = pairs
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND the triangle pipeline
+    val deg = norm.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(norm), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr(
+            "coalesce(n_triangles, 0L) * 2000000L div (deg * (deg - 1))"))
+          .as("coeff_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** L2/L4 — sparse TF-IDF cosine near-dup pairs: the weighted cousin of
     * [[jaccardPairs]] — two documents are near-dups when their tf-idf
     * vectors point the same way, which (unlike raw word-set Jaccard)

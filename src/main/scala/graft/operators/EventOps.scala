@@ -350,6 +350,37 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Rate-spike detection: per (event_type, hour) counts flagged when
+    * the hour's count exceeds `factorPct`% of its trailing-3-hour
+    * mean — the monitoring alarm every event pipeline runs, in exact
+    * integers: `cnt·100·n_prev > factorPct·Σprev` cross-multiplies the
+    * mean away (no division at all, so no rounding decision to agree
+    * on). Hours with fewer than 3 predecessors don't alarm (cold
+    * start).
+    *
+    * Scale shape: the hourly rollup is map-side combined to
+    * |types|·|hours| rows; the trailing window runs on THAT aggregate
+    * (hash-partitioned by type), never on raw events.
+    */
+  def rateSpikes(events: DataFrame, factorPct: Int): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr(s"ts div ${graft.Tables.Nanos.PerHour}").as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-3, -1)
+    hourly
+      .withColumn("prev_sum", sum(col("cnt")).over(w))
+      .withColumn("prev_n", count(col("cnt")).over(w))
+      .filter(col("prev_n") === 3 &&
+        col("cnt") * 100 * col("prev_n") > lit(factorPct.toLong) * col("prev_sum"))
+      // prev_n is pinned to 3 by the filter itself — carrying it in
+      // the output would be a constant column
+      .select(col("event_type"), col("hour"), col("cnt"), col("prev_sum"))
+      .orderBy("event_type", "hour")
+  }
+
   /** First-order Markov transition counts of the event stream: order each
     * user's events by (µs time, event_id — the total-order tiebreak used
     * throughout), pair each event with its successor via `lead`, count

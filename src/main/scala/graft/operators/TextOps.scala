@@ -49,6 +49,34 @@ object TextOps {
         count(lit(1)).as("dup_cnt"))
       .orderBy("keep_doc_id")
 
+  /** Splice-overlap detection: document pairs where one document's
+    * LAST k tokens equal another's FIRST k — the boundary signature of
+    * split/continued/stitched pages (a chunked crawl re-emitting one
+    * article as consecutive "documents", or shingled training leakage
+    * across record boundaries). Jaccard-style dedup misses these: the
+    * bodies can be entirely disjoint while the seam is exact.
+    *
+    * One equi-join on the k-gram seam string — tails and heads are one
+    * row per document, so the join is |docs| vs |docs| on a selective
+    * key, never all-pairs; at 100 TB the seam table is the only thing
+    * shuffled (k tokens per doc, not bodies).
+    */
+  def spliceOverlaps(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val ws = words(col("text"))
+    val base = documents
+      .filter(size(ws) >= k)
+      .select(col("doc_id"), ws.as("ws"))
+    val heads = base.select(col("doc_id").as("head_doc"),
+      concat_ws(" ", slice(col("ws"), 1, k)).as("gram"))
+    val tails = base.select(col("doc_id").as("tail_doc"),
+      concat_ws(" ", slice(col("ws"), -k, k)).as("gram"))
+    tails.join(heads, Seq("gram"))
+      .filter(col("tail_doc") =!= col("head_doc"))
+      .select(col("tail_doc"), col("head_doc"), col("gram"))
+      .orderBy("tail_doc", "head_doc")
+  }
+
   /** Lexical-rarity score: global corpus frequency ranks (1 = most
     * frequent), then each document's mean token rank in ppm — a
     * perplexity PROXY that needs no language model and no logarithm

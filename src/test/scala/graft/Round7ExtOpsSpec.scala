@@ -381,6 +381,45 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(got(2L) == 1250000L)
   }
 
+  // ---------------- splice overlap / clustering coeff / rate spikes ----------------
+
+  test("spliceOverlaps pairs a tail with its continuation head, not unrelated docs") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "e f g h x y z w"),      // head = doc 1's tail (4-gram)
+      (3L, "p q r s t u v m")       // unrelated
+    ).toDF("doc_id", "text")
+    val got = TextOps.spliceOverlaps(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("clusteringCoefficients: clique closes fully, star closes not at all") {
+    // K3 {1,2,3} + star center 10 with leaves 11,12,13 (no leaf-leaf
+    // edges): clique nodes coeff 1e6; star center deg 3, 0 triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a_id", "b_id")
+    val got = DedupOps.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 1000000L) && got(2L) == (2L, 1000000L))
+    assert(got(10L) == (3L, 0L))
+    assert(got(11L) == (1L, 0L)) // deg < 2 → defined 0
+  }
+
+  test("rateSpikes flags a burst against its trailing mean, not the cold start") {
+    import graft.operators.EventOps
+    val h = graft.Tables.Nanos.PerHour
+    // type t: hours 0..3 at 10 events, hour 4 at 40 (4× the mean)
+    val rows = (0 until 4).flatMap(hr =>
+      (0 until 10).map(i => (hr * h + i.toLong, "t"))) ++
+      (0 until 40).map(i => (4 * h + i.toLong, "t"))
+    val events = rows.toDF("ts", "event_type")
+    val got = EventOps.rateSpikes(events, 300)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("t", 4L, 40L)))
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame
