@@ -190,6 +190,49 @@ object Queries {
         FROM e ORDER BY day"""
   }
 
+  /** DuckDB replay of the ROLLING 7-day sketch union
+    * ([[SketchOps.hllRollingRegisters]] ∘ [[SketchOps.hllEstimateBy]]):
+    * per-day registers, max-rho over each trailing window, then the
+    * same bit-deterministic estimator — the WAU shape, sketch-merged.
+    */
+  private def hllRollingUsersOracle(windowDays: Int): String = {
+    val m = 64
+    val p = 55
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val num = SketchOps.hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, p)
+    val lutCase = SketchOps.hllLinearCountLut(m).zipWithIndex
+      .map { case (x, i) => s"WHEN ${i + 1} THEN ${d(x)}" }
+      .mkString(" ")
+    s"""WITH h AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS h
+              FROM events WHERE event_id % 7 = 0),
+        r AS (SELECT day, h % $m AS register,
+                $p - length(ltrim(bin(h // $m), '0')) AS rho FROM h),
+        regs AS (SELECT day, register, MAX(rho) AS max_rho FROM r
+                 GROUP BY day, register),
+        dd AS (SELECT DISTINCT day AS w_day FROM regs),
+        mrg AS (SELECT dd.w_day AS day, regs.register,
+                MAX(regs.max_rho) AS max_rho
+              FROM regs JOIN dd
+                ON regs.day BETWEEN dd.w_day - ${windowDays - 1}
+                               AND dd.w_day
+              GROUP BY dd.w_day, regs.register),
+        a AS (SELECT day, COALESCE(CAST(SUM(1::BIGINT << ($p - max_rho))
+                       AS BIGINT), 0) AS s_obs,
+                     COUNT(*)::BIGINT AS n_obs FROM mrg GROUP BY day),
+        s AS (SELECT day, s_obs + ($m - n_obs) * (1::BIGINT << $p)
+                       AS s_scaled,
+                     $m - n_obs AS v FROM a),
+        e AS (SELECT day, s_scaled, v,
+                ${d(num)} / CAST(s_scaled AS DOUBLE) AS est_raw FROM s)
+        SELECT day, s_scaled, v, est_raw,
+          CASE WHEN est_raw <= ${d(2.5 * m)} AND v > 0
+               THEN CASE v $lutCase END
+               ELSE est_raw END AS est
+        FROM e ORDER BY day"""
+  }
+
   /** (maxHamming+1)-band banding + bit_count(xor) verify — the DuckDB
     * replay of [[DedupOps.simHashPairs]] (portable hash, 60 bits).
     */
@@ -3796,7 +3839,74 @@ object Queries {
           CAST(prev_sum AS BIGINT) AS prev_sum
         FROM t
         WHERE prev_n = 3 AND cnt * 100 * prev_n > 300 * prev_sum
-        ORDER BY event_type, hour"""))
+        ORDER BY event_type, hour""")),
+
+    // Point-in-time correct join (EventOps.pointInTimeJoin): facts
+    // enriched with the dimension VERSION valid at their timestamp —
+    // the leak-free versioned enrichment (joining today's attributes
+    // onto last year's facts is the classic training-data bug). The
+    // %5 slice of each user's events plays the versioned dimension
+    // (scd2Intervals), the rest are facts; equi hash join on user_id
+    // with the interval test as a residual, pre-history survives null.
+    Declared("q_pit_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val dim = EventOps.scd2Intervals(
+          ev.filter(pmod(col("event_id"), lit(5)) === 0), "user_id",
+          expr("ts div 1000"), "event_id")
+          .select(col("user_id").as("d_user"),
+            col("event_id").as("dim_version"),
+            col("valid_from_us"), col("valid_to_us"))
+        val facts = ev.filter(pmod(col("event_id"), lit(5)) =!= 0)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        facts.join(dim,
+            facts("user_id") === dim("d_user") &&
+              facts("ts_us") >= dim("valid_from_us") &&
+              (dim("valid_to_us").isNull ||
+                facts("ts_us") < dim("valid_to_us")),
+            "left")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("dim_version"), col("valid_from_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (SELECT user_id AS d_user, event_id AS dim_version,
+                ts_us AS valid_from_us,
+                lead(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS valid_to_us
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_id % 5 = 0)),
+        facts AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_id % 5 <> 0)
+        SELECT f.event_id, f.user_id, f.ts_us, dim.dim_version,
+               dim.valid_from_us
+        FROM facts f LEFT JOIN dim
+          ON f.user_id = dim.d_user
+         AND f.ts_us >= dim.valid_from_us
+         AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)
+        ORDER BY event_id""")),
+
+    // Rolling 3-day active users from per-day HLL sketches
+    // (SketchOps.hllRegistersBy ∘ hllRollingRegisters ∘ hllEstimateBy):
+    // the WAU surface — exact rolling COUNT(DISTINCT) re-touches every
+    // (day, uid) pair per window; the sketch path re-touches
+    // |days|·64 cells against a broadcast calendar frame, and the
+    // per-day register table serves every window size. The %7 event
+    // slice + 3-day window keep windows UNSATURATED on the synthetic
+    // 150-user pool (full-stream 7-day unions contain every user —
+    // audited constant, hence vacuous).
+    Declared("q_rolling_active_users",
+      (s, d) => SketchOps.hllEstimateBy(
+        SketchOps.hllRollingRegisters(
+          SketchOps.hllRegistersBy(
+            events(s, d).filter(pmod(col("event_id"), lit(7)) === 0)
+              .select(
+                expr(s"ts div ${Nanos.PerDay}").as("day"),
+                col("user_id").cast(StringType).as("uid")),
+            "day", "uid", 64),
+          windowDays = 3),
+        "day", 64),
+      Some(hllRollingUsersOracle(3)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

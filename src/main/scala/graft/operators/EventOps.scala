@@ -350,6 +350,28 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** POINT-IN-TIME correct join: each fact row picks the dimension
+    * version whose [valid_from, valid_to) interval contains its
+    * timestamp — the versioned-dimension enrichment that as-of joins
+    * approximate and naive joins get WRONG (joining today's attributes
+    * onto last year's facts is the classic training-data leak).
+    * `dim` is an [[scd2Intervals]]-shaped frame; a NULL `valid_to_us`
+    * means the currently-open version. Facts before the key's first
+    * version survive with null dim columns (left join) — pre-history
+    * is visible, not silently dropped.
+    *
+    * Scale shape: an EQUI hash join on the key with the interval test
+    * as a residual filter — never a non-equi range join across keys;
+    * versions-per-key is the only fan-in, and exactly one version
+    * matches per fact (intervals partition the timeline per key).
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        facts("ts_us") >= dim("valid_from_us") &&
+        (dim("valid_to_us").isNull || facts("ts_us") < dim("valid_to_us")),
+      "left")
+
   /** Rate-spike detection: per (event_type, hour) counts flagged when
     * the hour's count exceeds `factorPct`% of its trailing-3-hour
     * mean — the monitoring alarm every event pipeline runs, in exact

@@ -187,6 +187,30 @@ object SketchOps {
       .orderBy(groupCol)
   }
 
+  /** ROLLING-window merge of a [[hllRegistersBy]] table keyed by an
+    * integer day: for every day present, the max-rho union of the
+    * trailing `windowDays` days' registers — the WAU/MAU shape (7-day
+    * rolling distinct users) computed entirely from per-day sketches.
+    * An exact rolling COUNT(DISTINCT) must re-touch every (day, uid)
+    * pair per window; the sketch path re-touches only |days|·m cells,
+    * and the per-day register table is built ONCE however many window
+    * sizes read it.
+    *
+    * The day-range join is |days|·m cells against a |days|-row
+    * calendar frame (broadcast) — bounded by the calendar, never by
+    * event volume.
+    */
+  def hllRollingRegisters(registers: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1)
+    val days = registers.select(col("day").as("w_day")).distinct()
+    registers
+      .join(broadcast(days),
+        col("day") >= col("w_day") - (windowDays - 1) &&
+          col("day") <= col("w_day"))
+      .groupBy(col("w_day").as("day"), col("register"))
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
   /** Merge CMS counter tables built with the SAME (depth, width): cell
     * counters add. This is the property that makes sketching worth it at
     * 100 TB — per-shard / per-day partial sketches combine into the
