@@ -50,6 +50,66 @@ class GraphFunnelPropertySpec extends SparkSpec {
     })
   }
 
+  test("connectedComponentsStar equals union-find on random graphs") {
+    // same generator and reference as the propagation test — the two
+    // CC engines must agree with brute force (and hence each other) on
+    // every random topology, duplicates and reversed edges included
+    val pairGen = for {
+      n <- Gen.choose(1, 12)
+      pairs <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L)
+        b <- Gen.choose(0L, 15L) if a != b
+      } yield (a, b)) // UNNORMALIZED on purpose: both orientations occur
+    } yield pairs
+    check(Prop.forAll(pairGen) { pairs =>
+      pairs.isEmpty || {
+        val got = DedupOps.connectedComponentsStar(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        got == bruteComponents(pairs.map { case (a, b) =>
+          (math.min(a, b), math.max(a, b))
+        })
+      }
+    })
+  }
+
+  /** Reference iterate-to-fixpoint k-core peel. */
+  private def bruteKCore(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+  }
+
+  test("kCoreFixedRounds with enough rounds equals the fixpoint peel on random graphs") {
+    // on ≤16 vertices any peel cascade is ≤ 16 rounds — a fixed 16
+    // must land exactly on the fixpoint core (and, since peeling is
+    // monotone, stay there)
+    val pairGen = for {
+      n <- Gen.choose(1, 14)
+      pairs <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 15L)
+        b <- Gen.choose(0L, 15L) if a != b
+      } yield (a, b))
+    } yield pairs
+    check(Prop.forAll(pairGen) { pairs =>
+      pairs.isEmpty || {
+        val got = DedupOps.kCoreFixedRounds(
+            pairs.toDF("a_id", "b_id"), k = 2, rounds = 16)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        got == bruteKCore(pairs, 2)
+      }
+    })
+  }
+
   /** Reference greedy funnel scan over time-sorted events. */
   private def bruteFunnel(evs: Seq[(Long, String)], stages: Seq[String]): Long = {
     var stage = 0
