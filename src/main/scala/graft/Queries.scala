@@ -3906,7 +3906,37 @@ object Queries {
             "day", "uid", 64),
           windowDays = 3),
         "day", 64),
-      Some(hllRollingUsersOracle(3)))
+      Some(hllRollingUsersOracle(3))),
+
+    // Row-level snapshot diff (Relational.snapshotDiff): two derived
+    // corpus versions — A drops %3==2, B drops %3==0 and edits the
+    // text of %5==0 survivors — so every status (added / removed /
+    // changed / unchanged) occurs by construction. 16-byte
+    // fingerprints shuffle; document bodies never do.
+    Declared("q_snapshot_diff",
+      (s, d) => {
+        val docs = documents(s, d)
+        val snapA = docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+        val snapB = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Relational.snapshotDiff(snapA, snapB, "doc_id", "text")
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS a_fp FROM documents
+                WHERE doc_id % 3 <> 2),
+        b AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                     ELSE text END) AS b_fp
+              FROM documents WHERE doc_id % 3 <> 0)
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN a.a_fp IS NULL THEN 'added'
+               WHEN b.b_fp IS NULL THEN 'removed'
+               WHEN a.a_fp <> b.b_fp THEN 'changed'
+               ELSE 'unchanged' END AS status,
+          a.a_fp, b.b_fp
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -168,6 +168,32 @@ object Relational {
       .orderBy(stratumCol, "rn")
   }
 
+  /** Row-level SNAPSHOT DIFF between two corpus versions: full outer
+    * join on the key comparing 16-byte content fingerprints — every
+    * row classified added / removed / changed / unchanged. The
+    * dataset-version audit an incremental pipeline runs between
+    * yesterday's corpus and today's before promoting it (did the
+    * refresh add what it should and ONLY that?); [[distributionDrift]]
+    * watches the aggregate mix, this pins the row-level deltas.
+    *
+    * Scale shape: both sides reduce to (key, md5) projections before
+    * the join — 16-byte fingerprints shuffle, bodies never do (the
+    * [[DedupOps.exactDedup]] discipline applied to diffing).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+                   contentCol: String): DataFrame = {
+    val fa = a.select(col(key), md5(col(contentCol)).as("a_fp"))
+    val fb = b.select(col(key), md5(col(contentCol)).as("b_fp"))
+    fa.join(fb, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("a_fp").isNull, lit("added"))
+          .when(col("b_fp").isNull, lit("removed"))
+          .when(col("a_fp") =!= col("b_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("a_fp"), col("b_fp"))
+      .orderBy(key)
+  }
+
   /** Categorical distribution drift between two snapshots — the
     * data-quality monitor a continuously-ingesting pipeline runs between
     * yesterday's corpus and today's (did the language / source / topic
