@@ -45,6 +45,10 @@ KNOWN_BENIGN = {
     # type's MEDIAN falls in the same 2000-cent bin; the within-bin
     # ppm offsets (frac500_ppm) DO vary per type and are the estimate
     ("q_hist_quantiles", "b500"),
+    # the uniform corpus gives every source exactly 25 distinct texts,
+    # and the re-ingested dup slice adds none by construction — n_docs
+    # and dup_ppm are the varying signal
+    ("q_dup_rate_by_source", "n_distinct"),
     ("q_percentile_disc", "p25_s2"), ("q_percentile_disc", "p75_s2"),
     ("q_string_agg", "priorities"),         # every status sees all 5 values
     # the corpus-wide token total is ONE scalar repeated per threshold

@@ -3936,7 +3936,75 @@ object Queries {
                ELSE 'unchanged' END AS status,
           a.a_fp, b.b_fp
         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // Cluster-capped sampling (DedupOps.clusterCapSample): at most 2
+    // docs per near-dup cluster by deterministic hash rank — the
+    // curation middle ground between keep-one (canonical) and keep-all;
+    // paraphrase diversity survives, bulk duplication doesn't. Same
+    // %4 multi-cluster slice as q_dedup_canonical (the %10 slice is ONE
+    // cluster); oracle = recursive-reachability CC + replayed hash-rank
+    // window.
+    Declared("q_cluster_cap_sample",
+      (s, d) => DedupOps.clusterCapSample(
+        documents(s, d).filter(pmod(col("doc_id"), lit(4)) === 0),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80, cap = 2),
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT cluster_id, doc_id, rn FROM (
+          SELECT cluster_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY ('0x' || substr(md5('c:' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id)
+              AS rn
+          FROM (SELECT src AS doc_id,
+                  LEAST(src, MIN(dst))::BIGINT AS cluster_id
+                FROM reach GROUP BY src))
+        WHERE rn <= 2
+        ORDER BY cluster_id, rn""")),
+
+    // Per-source duplication accounting: each source's exact-dup rate
+    // in ppm — the provenance-quality table that decides which feeds
+    // get demoted (16-byte fingerprints only; the distinct count rides
+    // the same rollup). The raw corpus is dup-free (audited constant-0
+    // rates), so the %7 slice is re-ingested under shifted ids KEEPING
+    // its source — per-source rates then vary by the slice's uneven
+    // residue intersection (the q_dedup_exact augmentation pattern).
+    Declared("q_dup_rate_by_source",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "source", "text")
+        val dupes = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        base.unionByName(dupes)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            expr("(n_docs - n_distinct) * 1000000L div n_docs")
+              .as("dup_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH aug AS (SELECT source, text FROM documents
+                UNION ALL
+                SELECT source, text FROM documents WHERE doc_id % 7 = 0)
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+          COUNT(DISTINCT md5(text))::BIGINT AS n_distinct,
+          (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+            // COUNT(*) AS dup_ppm
+        FROM aug GROUP BY source ORDER BY source"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

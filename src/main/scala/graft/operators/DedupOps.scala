@@ -1057,6 +1057,33 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** CLUSTER-CAPPED sampling: at most `cap` documents per near-dup
+    * cluster, chosen by deterministic hash rank — the curation middle
+    * ground between keep-one (canonicalKeepers: maximal dedup, loses
+    * paraphrase diversity) and keep-all (no dedup): near-identical
+    * variants are capped while their cluster still contributes up to
+    * `cap` exemplars to training. Membership is a pure function of the
+    * doc-id set ([[graft.operators.Relational.sampleKPerGroup]]'s
+    * contract applied to cluster strata).
+    *
+    * Scale shape: clustering is the usual LSH→verify→CC pipeline; the
+    * cap is ONE window sort per cluster over (hash, doc_id) — cluster
+    * sizes bound the sort, and only clustered docs enter it.
+    */
+  def clusterCapSample(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                       minJaccardPct: Int, cap: Int): DataFrame = {
+    val clustered = nearDupKeepers(documents, numHashes, rowsPerBand,
+      minJaccardPct).select("doc_id", "cluster_id")
+    val h = md5Hash60(concat(lit("c:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(h, col("doc_id"))
+    clustered
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col("cluster_id"), col("doc_id"), col("rn"))
+      .orderBy("cluster_id", "rn")
+  }
+
   /** L2 — quality-weighted canonical selection: per near-dup cluster,
     * keep the member with the MOST tokens (tie → smallest doc_id) —
     * the curation policy that keeps the richest variant of a duplicated
