@@ -4004,7 +4004,65 @@ object Queries {
           COUNT(DISTINCT md5(text))::BIGINT AS n_distinct,
           (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
             // COUNT(*) AS dup_ppm
-        FROM aug GROUP BY source ORDER BY source"""))
+        FROM aug GROUP BY source ORDER BY source""")),
+
+    // Last-touch attribution (EventOps.lastTouchAttribution): every
+    // purchase credited to the user's most recent preceding click —
+    // ONE per-user window pass with last_value(ignoreNulls) over the
+    // incremental preceding frame (no self-join, no per-row subquery);
+    // organic conversions (no prior click) attribute null.
+    Declared("q_attribution",
+      (s, d) => EventOps.lastTouchAttribution(
+        events(s, d), touchType = "click", conversionType = "purchase"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                event_type FROM events),
+        a AS (SELECT user_id, ts_ns, event_id, event_type,
+                last_value(CASE WHEN event_type = 'click'
+                    THEN event_id END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS touch_id,
+                last_value(CASE WHEN event_type = 'click'
+                    THEN ts_ns END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS touch_ts_ns
+              FROM e)
+        SELECT event_id AS conversion_id, user_id, ts_ns // 1000 AS ts_us,
+          touch_id, touch_ts_ns // 1000 AS touch_ts_us
+        FROM a WHERE event_type = 'purchase'
+        ORDER BY conversion_id""")),
+
+    // Session outcomes (EventOps.sessionOutcomes): q_window_session's
+    // gap sessionization with the conversion verdict riding the same
+    // rollup — the abandonment table for one extra max(), no second
+    // pass.
+    Declared("q_session_outcomes",
+      (s, d) => EventOps.sessionOutcomes(events(s, d),
+        expr("ts div 1000"), 30L * 60L * 1000L * 1000L, "purchase")
+        .withColumnRenamed("session_start", "session_start_us")
+        .withColumnRenamed("session_end", "session_end_us"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                epoch_us(ts) AS tsn FROM events),
+        g AS (SELECT user_id, tsn, event_id, event_type,
+                CASE WHEN lag(tsn) OVER (PARTITION BY user_id
+                       ORDER BY tsn, event_id) IS NULL
+                       OR tsn - lag(tsn) OVER (PARTITION BY user_id
+                         ORDER BY tsn, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e),
+        sess AS (SELECT user_id, tsn, event_type,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+              FROM g)
+        SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+          CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted,
+          MIN(tsn) AS session_start_us, MAX(tsn) AS session_end_us
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

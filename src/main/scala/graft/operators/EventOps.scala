@@ -350,6 +350,66 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Session OUTCOMES: [[sessionizeOn]]'s gap sessionization with the
+    * conversion verdict riding the same rollup — per session, event
+    * count, bounds, and whether any `conversionType` event occurred.
+    * The abandonment/conversion table (which sessions end without
+    * buying) for the cost of one extra max() in the existing
+    * aggregation; no second pass, no join back.
+    */
+  def sessionOutcomes(events: DataFrame, tsCol: Column, gap: Long,
+                      conversionType: String): DataFrame = {
+    val withTs = events.withColumn("__t", tsCol)
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTs
+      .withColumn("__prev_ts", lag(col("__t"), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull || col("__t") - col("__prev_ts") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_sess")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max((col("event_type") === conversionType).cast("long"))
+          .as("converted"),
+        min(col("__t")).as("session_start"),
+        max(col("__t")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** LAST-TOUCH attribution: every conversion event credited to the
+    * most recent preceding touch event of the same user — the
+    * marketing/product attribution join, expressed as ONE per-user
+    * window pass: `last_value(touch, ignoreNulls)` over the
+    * unbounded-preceding frame carries the latest touch forward, so no
+    * self-join and no per-row subquery. Conversions with no prior
+    * touch attribute null (organic).
+    *
+    * Scale shape: one shuffle on user_id, one incremental running
+    * frame (O(1) state per row — never the O(m²) following-frame
+    * trap), then a codegen filter to conversion rows.
+    */
+  def lastTouchAttribution(events: DataFrame, touchType: String,
+                           conversionType: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch_id",
+        last(when(col("event_type") === touchType, col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_ts",
+        last(when(col("event_type") === touchType, col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .select(col("event_id").as("conversion_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("touch_id"),
+        expr("touch_ts div 1000").as("touch_ts_us"))
+      .orderBy("conversion_id")
+  }
+
   /** POINT-IN-TIME correct join: each fact row picks the dimension
     * version whose [valid_from, valid_to) interval contains its
     * timestamp — the versioned-dimension enrichment that as-of joins

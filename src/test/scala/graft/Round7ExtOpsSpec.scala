@@ -381,6 +381,40 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(got(2L) == 1250000L)
   }
 
+  // ---------------- attribution / session outcomes ----------------
+
+  test("lastTouchAttribution credits the latest prior click, organic stays null") {
+    import graft.operators.EventOps
+    val evs = Seq(
+      (1L, 1000L, 1L, "click"),
+      (2L, 2000L, 1L, "click"),     // the later touch wins
+      (3L, 3000L, 1L, "purchase"),
+      (4L, 4000L, 1L, "purchase"),  // still credits click 2
+      (5L, 1000L, 2L, "purchase"),  // user 2 never clicked → organic
+      (6L, 2000L, 2L, "click")      // AFTER the purchase: must not credit
+    ).map { case (id, ts, u, t) => (id, ts * 1000000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.lastTouchAttribution(evs, "click", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(3L -> 2L, 4L -> 2L, 5L -> -1L))
+  }
+
+  test("sessionOutcomes flags converting sessions in the same rollup") {
+    import graft.operators.EventOps
+    val gap = 1000L
+    val evs = Seq(
+      (1L, 100L, 1L, "view"), (2L, 200L, 1L, "purchase"), // session 1: converts
+      (3L, 5000L, 1L, "view"),                            // session 2: abandons
+      (4L, 100L, 2L, "view")                              // user 2: abandons
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val got = EventOps.sessionOutcomes(evs, col("ts_us"), gap, "purchase")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((1L, 1L) -> (2L, 1L), (1L, 2L) -> (1L, 0L),
+      (2L, 1L) -> (1L, 0L)))
+  }
+
   // ---------------- PIT join / rolling HLL ----------------
 
   test("pointInTimeJoin picks the version valid at each fact's timestamp") {
