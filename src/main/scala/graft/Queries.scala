@@ -4062,7 +4062,40 @@ object Queries {
             AS BIGINT) AS converted,
           MIN(tsn) AS session_start_us, MAX(tsn) AS session_end_us
         FROM sess GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    // Window functions through the SQL FRONT DOOR: a warehouse-SQL
+    // user's OVER() clauses (rank + partitioned running sum) must work
+    // verbatim via spark.sql, not just the DataFrame Window API the
+    // q_window_* family covers. Cents grid; unique total order.
+    Declared("q_sql_window",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_custkey, o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+            RANK() OVER (PARTITION BY o_custkey
+              ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                       o_orderkey) AS price_rank,
+            SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS running_spend_c
+          FROM orders
+          ORDER BY o_custkey, o_orderkey""")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+          CAST(RANK() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                     o_orderkey) AS BIGINT) AS price_rank,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_spend_c
+        FROM orders
+        ORDER BY o_custkey, o_orderkey"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship
