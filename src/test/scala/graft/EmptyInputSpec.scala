@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Library hardening: operators fed EMPTY inputs must return empty
+  * frames (with their declared schemas), never throw — the behavior a
+  * pipeline needs when a filter, a quiet day, or an empty shard
+  * produces zero rows upstream. Exceptions with documented loud-fail
+  * semantics (distributionDrift's ANSI division on an empty side) are
+  * pinned as THROWING, so a silent behavior change is caught either
+  * way.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def emptyEvents: DataFrame =
+    Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def emptyEmb: DataFrame =
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+
+  private def emptyPairs: DataFrame =
+    Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+
+  test("dedup operators return empty on an empty corpus") {
+    assert(DedupOps.exactDedup(emptyDocs).isEmpty)
+    assert(DedupOps.jaccardPairs(emptyDocs, 80).isEmpty)
+    assert(DedupOps.containmentPairsPrefix(emptyDocs, 90).isEmpty)
+    assert(DedupOps.tfidfCosinePairs(emptyDocs, 80).isEmpty)
+    assert(DedupOps.minHashCandidates(emptyDocs, 12, 3).isEmpty)
+    assert(DedupOps.jaccardAgainstCorpus(emptyDocs, emptyDocs, 70).isEmpty)
+    assert(DedupOps.simHashPairs(emptyDocs).isEmpty)
+  }
+
+  test("graph operators return empty on an empty edge list") {
+    assert(DedupOps.connectedComponents(emptyPairs).isEmpty)
+    assert(DedupOps.connectedComponentsStar(emptyPairs).isEmpty)
+    assert(DedupOps.kCoreFixedRounds(emptyPairs, 2, 3).isEmpty)
+    assert(DedupOps.triangleCounts(emptyPairs).isEmpty)
+    assert(DedupOps.clusteringCoefficients(emptyPairs).isEmpty)
+    assert(DedupOps.pageRankFixedPoint(emptyPairs, 3).isEmpty)
+  }
+
+  test("text operators return empty on an empty corpus") {
+    assert(TextOps.wordCounts(emptyDocs).isEmpty)
+    assert(TextOps.rarityScores(emptyDocs).isEmpty)
+    assert(TextOps.spliceOverlaps(emptyDocs, 5).isEmpty)
+    assert(TextOps.urlDedup(
+      Seq.empty[(Long, String)].toDF("doc_id", "url")).isEmpty)
+    assert(TextOps.fingerprints(emptyDocs).isEmpty)
+  }
+
+  test("event operators return empty on an empty stream") {
+    assert(EventOps.winsorize(emptyEvents, 5, 95).isEmpty)
+    assert(EventOps.madOutliers(emptyEvents, 5).isEmpty)
+    assert(EventOps.rateSpikes(emptyEvents, 300).isEmpty)
+    assert(EventOps.zscoreOutliers(emptyEvents, 3).isEmpty)
+    assert(EventOps.lastTouchAttribution(emptyEvents, "click", "purchase").isEmpty)
+    assert(EventOps.sessionOutcomes(emptyEvents, col("ts"), 1000L,
+      "purchase").isEmpty)
+    assert(EventOps.transitionCounts(emptyEvents).isEmpty)
+  }
+
+  test("similarity/sketch operators handle empty inputs") {
+    assert(SimilarityOps.cosinePairsExact(emptyEmb, 30).isEmpty)
+    assert(SimilarityOps.semDedupBuckets(emptyEmb, Seq(0L, 1L), 30).isEmpty)
+    assert(SimilarityOps.labelCentroids(emptyEmb).isEmpty)
+    assert(SimilarityOps.centroidAssign(emptyEmb).isEmpty)
+    assert(SketchOps.cmsBuild(
+      Seq.empty[Tuple1[String]].toDF("word"), "word", 2, 16).isEmpty)
+    assert(SketchOps.hllRegisters(
+      Seq.empty[Tuple1[String]].toDF("word"), "word", 64).isEmpty)
+    // the estimator over an EMPTY register table is the documented
+    // zero-registers case: v = m, linear counting → m·ln(m/m) = 0
+    val est = SketchOps.hllEstimate(SketchOps.hllRegisters(
+      Seq.empty[Tuple1[String]].toDF("word"), "word", 64), 64)
+      .collect()(0)
+    assert(est.getDouble(est.fieldIndex("est")) == 0.0)
+  }
+
+  test("relational operators handle empty inputs") {
+    assert(Relational.sampleKPerGroup(emptyEvents, "event_type",
+      "event_id", 5).isEmpty)
+    assert(Relational.snapshotDiff(emptyDocs, emptyDocs, "doc_id",
+      "text").isEmpty)
+    assert(Relational.paretoFrontier(
+      Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y").isEmpty)
+    // BOTH sides empty → empty drift table (no category row ever
+    // reaches the share division)
+    assert(Relational.distributionDrift(emptyDocs, emptyDocs, "lang").isEmpty)
+    // ONE side empty is the DOCUMENTED loud-fail (ANSI divide on the
+    // vanished snapshot's zero total) — pin the throw
+    val oneSide = Seq((1L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    intercept[Exception] {
+      Relational.distributionDrift(oneSide, emptyDocs, "lang").collect()
+    }
+  }
+}
