@@ -1,0 +1,37 @@
+package graft
+
+/** Makes the determinism claim MECHANICAL: a sample of order-sensitive
+  * declared queries must produce byte-identical row sequences at
+  * different `spark.sql.shuffle.partitions` — the property the whole
+  * hash-compare contract rests on (a result that depends on partition
+  * count can never hash-match an oracle, and silently breaks on any
+  * cluster resize). Two child sessions of the shared context, nothing
+  * else differing.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  // order-sensitive shapes across the families: window rank, grouped
+  // agg, inverted-index join, sketch arithmetic, sampling, graph
+  private val sampled = Seq(
+    "q_agg_multi", "q_window_rank", "q_tfidf_cosine", "q_hll_estimate",
+    "q_sample_k_per_group", "q_kcore", "q_mom_growth", "q_semdedup_buckets")
+
+  test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
+    val dir = "/root/testdata/sf0.001"
+    val a = spark.newSession()
+    val b = spark.newSession()
+    // a child session starts with a fresh function registry — the
+    // codegen kernels must be re-registered per session
+    graft.plans.VecDot.register(a)
+    graft.plans.VecDot.register(b)
+    a.conf.set("spark.sql.shuffle.partitions", "3")
+    b.conf.set("spark.sql.shuffle.partitions", "17")
+    for (name <- sampled) {
+      val fn = Queries.queries(name)
+      val ra = fn(a, dir).collect().map(_.toString).toSeq
+      val rb = fn(b, dir).collect().map(_.toString).toSeq
+      assert(ra == rb, s"$name differs across partition counts")
+      assert(ra.nonEmpty, s"$name vacuous at sf0.001")
+    }
+  }
+}
