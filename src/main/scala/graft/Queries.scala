@@ -4095,7 +4095,74 @@ object Queries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS running_spend_c
         FROM orders
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Length-bucketed batching stats (TextOps.lengthBuckets): docs in
+    // 16-token buckets with the padding-waste ppm a batch packer
+    // optimizes (pad-to-bucket-max vs pad-to-global-max) — pure
+    // integer, |buckets|-key rollup.
+    Declared("q_length_buckets",
+      (s, d) => TextOps.lengthBuckets(documents(s, d),
+        bucketWidth = 16, maxBucket = 8),
+      Some("""WITH t AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+        b AS (SELECT LEAST(n_tokens // 16, 8) AS bucket,
+                COUNT(*)::BIGINT AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                MAX(n_tokens) AS max_tokens
+              FROM t GROUP BY 1)
+        SELECT bucket, n_docs, total_tokens, max_tokens,
+          max_tokens * n_docs - total_tokens AS padding_tokens,
+          (max_tokens * n_docs - total_tokens) * 1000000
+            // (max_tokens * n_docs) AS waste_ppm
+        FROM b ORDER BY bucket""")),
+
+    // Negative sampling for contrastive pairs (DedupOps
+    // .negativeSamples): per %10-slice anchor, 2 hash-ranked partners
+    // anti-joined against the VERIFIED jaccard-80 near-dup relation in
+    // both orientations — the guarantee that a "negative" is never
+    // secretly a positive.
+    Declared("q_negative_samples",
+      (s, d) => {
+        val docs = documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+        DedupOps.negativeSamples(docs,
+          DedupOps.jaccardPairs(docs, 80).select("a_id", "b_id"), k = 2)
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id FROM c
+              JOIN sz sa ON c.a_id = sa.doc_id
+              JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >=
+                    (sa.set_size + sb.set_size - c.common) * 80),
+        pos AS (SELECT a_id AS anchor_id, b_id AS cand_id FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+        ids AS (SELECT doc_id FROM docs),
+        grid AS (SELECT a.doc_id AS anchor_id, b.doc_id AS cand_id
+              FROM ids a JOIN ids b ON a.doc_id <> b.doc_id),
+        neg AS (SELECT g.anchor_id, g.cand_id FROM grid g
+              WHERE NOT EXISTS (SELECT 1 FROM pos
+                WHERE pos.anchor_id = g.anchor_id
+                  AND pos.cand_id = g.cand_id))
+        SELECT anchor_id, cand_id, rn FROM (
+          SELECT anchor_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)
+                || ':' || CAST(cand_id AS VARCHAR)), 1, 15))::BIGINT,
+                cand_id) AS rn
+          FROM neg)
+        WHERE rn <= 2
+        ORDER BY anchor_id, rn"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1057,6 +1057,40 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** NEGATIVE sampling for contrastive training: per anchor document,
+    * `k` deterministic hash-ranked partners that are NOT near-dups of
+    * it — the hard part of building (anchor, negative) pairs is
+    * guaranteeing the "negative" isn't secretly a positive, so the
+    * candidate grid is anti-joined against the verified near-dup pair
+    * relation (both orientations) before ranking. Membership is a pure
+    * function of the id pair: stable across partitionings and retries
+    * like every sampler here.
+    *
+    * Scale note: the candidate grid is anchors × corpus-ids — at real
+    * scale the id list is first rate-sampled down (hashBucketPpm) so
+    * the grid is anchors × O(k·oversample), not anchors × corpus;
+    * the declared query runs the exact small-corpus form.
+    */
+  def negativeSamples(documents: DataFrame, pairs: DataFrame,
+                      k: Int): DataFrame = {
+    val ids = documents.select(col("doc_id")).distinct()
+    val grid = ids.select(col("doc_id").as("anchor_id"))
+      .join(ids.select(col("doc_id").as("cand_id")),
+        col("anchor_id") =!= col("cand_id"))
+    val posBoth = pairs.select(col("a_id").as("anchor_id"),
+        col("b_id").as("cand_id"))
+      .unionByName(pairs.select(col("b_id").as("anchor_id"),
+        col("a_id").as("cand_id")))
+    val h = md5Hash60(concat(col("anchor_id").cast("string"), lit(":"),
+      col("cand_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(h, col("cand_id"))
+    grid.join(posBoth, Seq("anchor_id", "cand_id"), "left_anti")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("anchor_id", "rn")
+  }
+
   /** CLUSTER-CAPPED sampling: at most `cap` documents per near-dup
     * cluster, chosen by deterministic hash rank — the curation middle
     * ground between keep-one (canonicalKeepers: maximal dedup, loses

@@ -77,6 +77,35 @@ object TextOps {
       .orderBy("tail_doc", "head_doc")
   }
 
+  /** LENGTH-BUCKETED batching stats: documents grouped into token-count
+    * buckets (floor(n_tokens / width), capped), with the padding-waste
+    * accounting a training-batch packer optimizes — batching by length
+    * bucket pads every member to its bucket's max, so
+    * `waste = Σ(bucket_max − n_tokens)` and its ppm share is THE
+    * metric that justifies the bucketing (vs. padding everything to
+    * the global max). Pure integer arithmetic; one map-side-combined
+    * rollup over |buckets| keys.
+    */
+  def lengthBuckets(documents: DataFrame, bucketWidth: Int,
+                    maxBucket: Int): DataFrame = {
+    require(bucketWidth >= 1 && maxBucket >= 1)
+    documents
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(least(expr(s"n_tokens div $bucketWidth"),
+        lit(maxBucket.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("max_tokens"),
+        (col("max_tokens") * col("n_docs") - col("total_tokens"))
+          .as("padding_tokens"),
+        expr("(max_tokens * n_docs - total_tokens) * 1000000L " +
+          "div (max_tokens * n_docs)").as("waste_ppm"))
+      .orderBy("bucket")
+  }
+
   /** Lexical-rarity score: global corpus frequency ranks (1 = most
     * frequent), then each document's mean token rank in ppm — a
     * perplexity PROXY that needs no language model and no logarithm

@@ -381,6 +381,42 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(got(2L) == 1250000L)
   }
 
+  // ---------------- negative sampling / length buckets ----------------
+
+  test("negativeSamples never emits a near-dup pair, exactly k per anchor") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),   // 1~2 near-dups
+      (3L, "p q r s"), (4L, "w x y z"), (5L, "m n o k")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(docs, 80).select("a_id", "b_id")
+    val posSet = pairs.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    assert(posSet.contains((1L, 2L)), "fixture must contain a near-dup")
+    val neg = DedupOps.negativeSamples(docs, pairs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(neg.groupBy(_._1).forall(_._2.length == 2))
+    assert(neg.toSet.intersect(posSet).isEmpty,
+      "a sampled negative is secretly a positive")
+  }
+
+  test("lengthBuckets accounts padding waste exactly on a hand grid") {
+    // 3 docs of 2 tokens and 1 of 4 → bucket width 3: bucket 0 holds
+    // the 2-token docs (max 2, no waste), bucket 1 the 4-token doc
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"),
+      (4L, "g h i j")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.lengthBuckets(docs, 3, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(got == Map(0L -> (3L, 0L, 0L), 1L -> (1L, 0L, 0L)))
+    // add a 3-token doc into bucket 1: max 4, waste 1 of 7 slots
+    val got2 = graft.operators.TextOps.lengthBuckets(
+        docs.union(Seq((5L, "k l m")).toDF("doc_id", "text")), 3, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    assert(got2(1L) == (2L, 1L, 125000L), s"got ${got2(1L)}")
+  }
+
   // ---------------- attribution / session outcomes ----------------
 
   test("lastTouchAttribution credits the latest prior click, organic stays null") {
