@@ -247,8 +247,15 @@ object EventOps {
     */
   private def discBounds(cents: DataFrame, ps: Seq[(String, Double)],
                          valueCol: String = "value_c"): DataFrame = {
+    // null values would sort NULLS FIRST here but NULLS LAST in a SQL
+    // oracle's cume_dist — the distributionDrift cross-engine trap.
+    // The events table is null-free; a null value is an upstream bug,
+    // so fail loudly rather than emit engine-dependent bounds.
+    val guarded = cents.withColumn(valueCol,
+      when(col(valueCol).isNotNull, col(valueCol)).otherwise(raise_error(
+        lit(s"discBounds: null $valueCol — clean upstream"))))
     val w = Window.partitionBy("event_type").orderBy(col(valueCol))
-    val cd = cents.withColumn("cd", cume_dist().over(w))
+    val cd = guarded.withColumn("cd", cume_dist().over(w))
     val aggs = ps.map { case (name, p) =>
       min(when(col("cd") >= p, col(valueCol))).as(name)
     }
@@ -386,6 +393,10 @@ object EventOps {
     * self-join and no per-row subquery. Conversions with no prior
     * touch attribute null (organic).
     *
+    * CONTRACT: `ts` is epoch NANOS (the events-table convention) —
+    * outputs are emitted at µs (`ts div 1000`) per the cross-engine
+    * comparator rule.
+    *
     * Scale shape: one shuffle on user_id, one incremental running
     * frame (O(1) state per row — never the O(m²) following-frame
     * trap), then a codegen filter to conversion rows.
@@ -415,7 +426,9 @@ object EventOps {
     * timestamp — the versioned-dimension enrichment that as-of joins
     * approximate and naive joins get WRONG (joining today's attributes
     * onto last year's facts is the classic training-data leak).
-    * `dim` is an [[scd2Intervals]]-shaped frame; a NULL `valid_to_us`
+    * `dim` is an [[scd2Intervals]]-shaped frame — the column contract
+    * is positional-by-name: facts carry `ts_us`, dim carries
+    * `valid_from_us`/`valid_to_us`, all in µs; a NULL `valid_to_us`
     * means the currently-open version. Facts before the key's first
     * version survive with null dim columns (left join) — pre-history
     * is visible, not silently dropped.

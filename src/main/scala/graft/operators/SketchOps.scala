@@ -202,6 +202,9 @@ object SketchOps {
     */
   def hllRollingRegisters(registers: DataFrame, windowDays: Int): DataFrame = {
     require(windowDays >= 1)
+    require(registers.columns.contains("day"),
+      "hllRollingRegisters needs a registersBy table grouped as 'day' " +
+        s"(integer epoch day); got columns ${registers.columns.mkString(",")}")
     val days = registers.select(col("day").as("w_day")).distinct()
     registers
       .join(broadcast(days),
