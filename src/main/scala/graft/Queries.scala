@@ -3085,6 +3085,152 @@ object Queries {
         GROUP BY s_name, n_name
         ORDER BY numwait DESC, s_name""")),
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // double-aliased dimension — nation joined TWICE (supplier's and
+    // customer's) with the symmetric OR pair predicate. Both nation
+    // sides broadcast; the 6-table join reduces to lineitem⋈orders⋈
+    // customer keyed shuffles plus three broadcasts. Revenue rides the
+    // scale-8 integer grid (cents × ppm-discount), year extracted from
+    // l_shipdate and cast to INT on both engines.
+    Declared("q_sql_q7",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS revenue_s8,
+            COUNT(*) AS n_lines
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          GROUP BY n1.n_name, n2.n_name,
+            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT)
+          ORDER BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+            AS BIGINT) AS revenue_s8,
+          COUNT(*)::BIGINT AS n_lines
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name,
+          CAST(EXTRACT(YEAR FROM l_shipdate) AS INT)
+        ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q12 shape (shipping-mode priority split), adapted to this
+    // schema: no l_shipmode/l_commitdate columns exist, so l_linestatus
+    // plays the mode and "shipped ≥ 60 days after order" plays the
+    // late-receipt predicate (interval arithmetic on both engines).
+    // The signature is the conditional CASE split inside one aggregate
+    // pass — ONE scan, map-side partial aggregation, never two scans
+    // for two counts.
+    Declared("q_sql_q12",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT l_linestatus,
+            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS high_line_count,
+            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS low_line_count
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          GROUP BY l_linestatus
+          ORDER BY l_linestatus""")
+      },
+      Some("""SELECT l_linestatus,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")),
+
+    // TPC-H Q13 shape (customer order-count distribution): the
+    // OUTER-join-with-ON-filter signature — the priority predicate
+    // lives in the LEFT JOIN's ON clause (filtering WHERE would turn
+    // the outer join inner and silently drop zero-order customers),
+    // then a second aggregation over the first's output. Two keyed
+    // shuffles: custkey, then c_count.
+    Declared("q_sql_q13",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_count, COUNT(*) AS custdist
+          FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) c_orders
+          GROUP BY c_count
+          ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""SELECT c_count, COUNT(*)::BIGINT AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q22 shape (global sales opportunity), adapted: c_nationkey
+    // plays the phone-prefix country code (no c_phone column), and the
+    // anti-join is "no orders since 2000-01-01" (every customer has
+    // SOME order in this synthetic data — the classic Q22 NOT EXISTS
+    // would be vacuously empty, which the vacuity audit rejects).
+    // Signature preserved: an UNCORRELATED scalar subquery (the
+    // positive-balance average, computed once and broadcast) AND a
+    // correlated NOT EXISTS decorrelated to an anti-join against the
+    // date-filtered orders. The average is the one
+    // CAST(sum AS DOUBLE)/count division — bit-identical per the Q17
+    // discipline; balances ride the cents grid.
+    Declared("q_sql_q22",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+            SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+          FROM customer c
+          WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > (
+              SELECT CAST(SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                       AS DOUBLE) / COUNT(*)
+              FROM customer c2 WHERE c2.c_acctbal > 0.0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          GROUP BY c_nationkey
+          ORDER BY cntry""")
+      },
+      Some("""SELECT c_nationkey AS cntry, COUNT(*)::BIGINT AS numcust,
+          CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            AS totacctbal_c
+        FROM customer c
+        WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                     AS DOUBLE) / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY cntry""")),
+
     // Winsorization at exact discrete [P05, P95] per event_type
     // (EventOps.winsorize): cap-don't-drop robust cleaning. The bounds
     // come from a cume_dist window (the ANSI percentile_disc definition,

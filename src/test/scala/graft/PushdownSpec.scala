@@ -302,6 +302,49 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
   }
 
+  test("q_sql_q7 broadcasts both nation aliases, no cartesian pairing") {
+    // nation appears twice (supplier's and customer's) — both must be
+    // broadcast dims; the symmetric OR pair predicate must ride the
+    // equi-joins as a residual filter, never force a cartesian
+    val plan = executedPlan("q_sql_q7")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nation pair predicate degraded to a non-equi join:\n$plan")
+  }
+
+  test("q_sql_q12 does the CASE split in one pass over one lineitem scan") {
+    // both priority counters must come from ONE aggregate over ONE
+    // lineitem⋈orders join — a plan scanning lineitem twice (one per
+    // CASE arm) doubles the 100 TB read
+    val plan = executedPlan("q_sql_q12")
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected exactly one lineitem scan, got $lineitemScans:\n$plan")
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("q_sql_q13 keeps the ON-filtered join LEFT OUTER") {
+    // the priority predicate lives in the LEFT JOIN's ON clause; if a
+    // rewrite (or a future edit moving it to WHERE) turns the join
+    // inner, zero-order customers silently drop from the distribution
+    val plan = executedPlan("q_sql_q13")
+    assert(plan.contains("LeftOuter"),
+      s"outer join lost — zero-order customers would drop:\n$plan")
+  }
+
+  test("q_sql_q22 decorrelates NOT EXISTS to an anti-join, scalar avg computed once") {
+    // the correlated NOT EXISTS must plan as a LeftAnti against the
+    // date-filtered orders (never a per-customer re-scan); the
+    // uncorrelated average is a one-row subquery evaluated once —
+    // ReusedSubquery/Subquery nodes are fine, correlation is not
+    val plan = executedPlan("q_sql_q22")
+    assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"expected the uncorrelated scalar average subquery:\n$plan")
+  }
+
   test("q_semdedup_buckets pairs via the bucket equi-join, probes broadcast") {
     // the whole point of the bucketed plan: the probe fan-out is a
     // BROADCAST of the 4-row probe frame (a BNLJ with the tiny side
