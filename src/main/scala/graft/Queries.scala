@@ -3231,6 +3231,100 @@ object Queries {
         GROUP BY c_nationkey
         ORDER BY cntry""")),
 
+    // TPC-H Q8 shape (national market share): NATION_3's supplier share
+    // of AMERICA-region PROMO volume by order year — the
+    // ratio-of-conditional-aggregates signature computed in ONE pass
+    // (never two scans, never a self-join of two aggregates). The
+    // 8-table star broadcasts every dimension; only lineitem⋈orders
+    // shuffles. Shares ride Q14's scale-4 grid (cents × percent —
+    // scale-8 × the 10⁶ ppm multiplier would overflow int64) with ppm
+    // truncating division, exact on both engines.
+    Declared("q_sql_q8",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+            SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100L - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0L END) * 1000000L
+              div SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100L - CAST(round(l_discount * 100) AS BIGINT)))
+              AS share_ppm,
+            COUNT(*) AS n_lines
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          JOIN part ON p_partkey = l_partkey
+          WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+          ORDER BY o_year""")
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+          CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ELSE 0 END) * 1000000
+            // SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS share_ppm,
+          COUNT(*)::BIGINT AS n_lines
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+        ORDER BY o_year""")),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier
+    // (the CTE standing in for Q15's view), then the suppliers hitting
+    // the global maximum via an uncorrelated scalar MAX subquery — the
+    // aggregate-of-aggregate + argmax-by-rescan signature. The revenue
+    // CTE is referenced TWICE (join side and MAX side); Catalyst plans
+    // the scalar side as a one-row subquery over the same aggregate,
+    // evaluated once and broadcast into the filter, never per-row.
+    // Exact scale-8 integer revenue makes "equal to the max" a safe
+    // integer comparison — the floating-point argmax-equality trap
+    // (ties lost to rounding) cannot occur.
+    Declared("q_sql_q15",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+              SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (1000000L - CAST(round(l_discount * 1000000) AS BIGINT)))
+                AS total_rev_s8
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, total_rev_s8
+          FROM supplier JOIN rev ON s_suppkey = supplier_no
+          WHERE total_rev_s8 = (SELECT MAX(total_rev_s8) FROM rev)
+          ORDER BY s_suppkey""")
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)))
+              AS BIGINT) AS total_rev_s8
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_s8
+        FROM supplier JOIN rev ON s_suppkey = supplier_no
+        WHERE total_rev_s8 = (SELECT MAX(total_rev_s8) FROM rev)
+        ORDER BY s_suppkey""")),
+
     // Winsorization at exact discrete [P05, P95] per event_type
     // (EventOps.winsorize): cap-don't-drop robust cleaning. The bounds
     // come from a cume_dist window (the ANSI percentile_disc definition,

@@ -325,6 +325,19 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"plan:\n$plan")
   }
 
+  test("q_sql_q8 computes the share ratio in one pass, dimensions broadcast") {
+    // numerator and denominator must come from ONE aggregate over ONE
+    // lineitem scan (the CASE split), with region/nation/supplier/part
+    // broadcast — a second scan or a shuffled dim doubles the 100 TB
+    // read for a ratio
+    val plan = executedPlan("q_sql_q8")
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"expected exactly one lineitem scan, got $lineitemScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("q_sql_q13 keeps the ON-filtered join LEFT OUTER") {
     // the priority predicate lives in the LEFT JOIN's ON clause; if a
     // rewrite (or a future edit moving it to WHERE) turns the join
@@ -343,6 +356,21 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
     assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
       s"expected the uncorrelated scalar average subquery:\n$plan")
+  }
+
+  test("q_sql_q15 evaluates the scalar MAX once, date bounds pushed to the scan") {
+    // the MAX side must be a one-row subquery over the revenue
+    // aggregate evaluated once (a per-row re-aggregation is O(rows ×
+    // suppliers)); the quarter bounds must reach the lineitem scan
+    val plan = executedPlan("q_sql_q15")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"expected the scalar MAX subquery:\n$plan")
+    // several scans carry PushedFilters (supplier first) — assert on
+    // the lineitem one specifically
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("GreaterThanOrEqual(l_shipdate") &&
+      l.contains("LessThan(l_shipdate")),
+      s"quarter bounds not pushed to the lineitem scan:\n${pushed.mkString("\n")}")
   }
 
   test("q_semdedup_buckets pairs via the bucket equi-join, probes broadcast") {
