@@ -2394,6 +2394,27 @@ object Queries {
         FROM g LEFT JOIN hot ON g.sh = hot.sh
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // L4 — n-gram novelty curve (TextOps.ngramNovelty): each doc's
+    // share of trigrams never seen in any EARLIER doc (doc_id =
+    // arrival order) — the marginal-contribution feed-health metric
+    // that catches re-served near-dups and boilerplate before
+    // tokenization. Two gram-keyed bounded shuffles; bodies never move.
+    Declared("q_ngram_novelty",
+      (s, d) => TextOps.ngramNovelty(documents(s, d), 3),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT DISTINCT doc_id, sh
+              FROM (SELECT doc_id,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                    FROM d WHERE len(w) >= 3)),
+        f AS (SELECT sh, MIN(doc_id) AS first_doc FROM g GROUP BY sh)
+        SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+          CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+            AS n_novel,
+          CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) * 1000000
+            // COUNT(*) AS BIGINT) AS novel_ppm
+        FROM g JOIN f ON g.sh = f.sh
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
     // L4 — OOV quality signal (TextOps.oovRate): vocab = top-20 words
     // (the synthetic corpus has ~31 distinct words, so a 20-word vocab
     // yields a non-vacuous oov distribution).

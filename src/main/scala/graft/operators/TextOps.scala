@@ -145,6 +145,38 @@ object TextOps {
     transform(sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", slice(ws, i + 1, lit(n))))
 
+  /** L4 — per-document n-gram novelty: the share of each doc's DISTINCT
+    * n-grams never seen in any EARLIER document (doc_id = arrival
+    * order). The data-freshness curve of a growing corpus: a healthy
+    * crawl keeps contributing new n-grams; a feed that trends toward
+    * zero novelty is re-serving near-dups or boilerplate and can be cut
+    * before tokenization. Complements dedup (which asks "is this doc a
+    * copy?") by pricing MARGINAL contribution ("what fraction of it is
+    * new at all?").
+    *
+    * Scale shape: explode to distinct (doc, gram) once, a gram-keyed
+    * min(doc_id) rollup (the first-occurrence table, vocabulary-bounded
+    * like every df table here), then one equi-join back on gram — two
+    * bounded shuffles keyed by n-gram, document bodies never move.
+    * Pure integer output (ppm by truncating division).
+    */
+  def ngramNovelty(documents: DataFrame, n: Int): DataFrame = {
+    val ws = words(col("text"))
+    val grams = documents
+      .filter(size(ws) >= n)
+      .select(col("doc_id"), explode(wordNgrams(ws, n)).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000L div n_grams").as("novel_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** L4 — per-(lang, word) counts over the whole corpus. */
   def wordCounts(documents: DataFrame): DataFrame =
     documents

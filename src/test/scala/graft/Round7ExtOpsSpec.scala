@@ -578,4 +578,31 @@ class Round7ExtOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  // ---------------- ngramNovelty ----------------
+
+  test("ngramNovelty: first doc all-novel, verbatim repeat zero, mix priced by distinct trigrams") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "a b c d"),        // trigrams {a b c, b c d} — both novel
+      (1L, "a b c d"),        // verbatim repeat — zero novelty
+      (2L, "a b c x y z"),    // {a b c, b c x, c x y, x y z}: 3 of 4 new
+      (3L, "q r")             // shorter than n=3 — filtered out entirely
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 2L, 0L, 0L),
+      (2L, 4L, 3L, 750000L)))
+  }
+
+  test("ngramNovelty counts DISTINCT grams per doc — internal repetition is not novelty-inflating") {
+    import graft.operators.TextOps
+    val docs = Seq((0L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // grams: {a b c, b c a, c a b} each repeated — distinct = 3, all novel
+    val out = TextOps.ngramNovelty(docs, 3).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L)
+  }
 }
