@@ -165,15 +165,27 @@ object TextOps {
     val grams = documents
       .filter(size(ws) >= n)
       .select(col("doc_id"), explode(wordNgrams(ws, n)).as("gram"))
-      .distinct()
-    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    grams.join(first, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        expr("n_novel * 1000000L div n_grams").as("novel_ppm"))
+    // Never join the pair set back on gram: a doc's novel count IS the
+    // number of grams whose first occurrence is that doc, so it reads
+    // straight off the first-occurrence table (groupBy first_doc). No
+    // standalone distinct() either — min(doc_id) is duplicate-idempotent
+    // (the max-rho argument), and the per-doc side is count_distinct's
+    // partial-aggregated form. Both aggregates map-side-combine — a
+    // gram appearing in EVERY doc (the boilerplate-skew case) collapses
+    // per map task instead of landing on one reducer, and the only join
+    // is between two |docs|-sized count frames. A/B'd isolated at sf0.1
+    // min-of-3: this 1.9 s (a wash with the explicit-distinct double
+    // pass, 1.84 s) vs window-over-gram 2.0 s vs groupBy+join-back
+    // 2.5 s (localCheckpoint helped neither form: 2.48-2.65 s).
+    val perDoc = grams.groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("n_grams"))
+    val novel = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000L div n_grams").as("novel_ppm"))
       .orderBy("doc_id")
   }
 
