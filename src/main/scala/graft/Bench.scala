@@ -39,7 +39,8 @@ object Bench {
     "q_dedup_canonical", "q_hll_registers", "q_boilerplate",
     "q_containment", "q_sql_q18",
     // round-7 additions that landed in the worst-cost tier
-    "q_neardup_clusters_star", "q_kcore", "q_cluster_cap_sample")
+    "q_neardup_clusters_star", "q_kcore", "q_cluster_cap_sample",
+    "q_ngram_novelty")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
