@@ -605,4 +605,23 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 3L)
   }
+
+  test("ngramNovelty conservation: novel counts sum to the corpus's distinct gram count") {
+    import graft.operators.TextOps
+    // every distinct gram is novel in EXACTLY ONE doc (its first), so
+    // Σ n_novel must equal |distinct grams| — the invariant that breaks
+    // if first-occurrence ties ever double-credit or drop a gram
+    val docs = (0L until 40L).map { i =>
+      val w = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" ")
+      (i, w)
+    }.toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, 3)
+    val sumNovel = out.agg(sum("n_novel")).head.getLong(0)
+    val distinctGrams = docs
+      .select(explode(graft.operators.TextOps.wordNgrams(
+        split(col("text"), " "), 3)).as("g"))
+      .distinct().count()
+    assert(sumNovel == distinctGrams,
+      s"sum(n_novel)=$sumNovel != |distinct grams|=$distinctGrams")
+  }
 }
