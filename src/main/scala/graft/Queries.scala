@@ -2415,6 +2415,32 @@ object Queries {
         FROM g JOIN f ON g.sh = f.sh
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // L4 — feed-level novelty rollup (TextOps.noveltyBySource): each
+    // distinct gram credits the source of its globally first doc —
+    // the keep-crawling signal pairing with q_dup_rate_by_source's
+    // stop-crawling one. Same map-side-combined aggregate pair as
+    // q_ngram_novelty plus one vocab⋈docs equi-join for the source.
+    Declared("q_novelty_by_source",
+      (s, d) => TextOps.noveltyBySource(documents(s, d), 3),
+      Some("""WITH dd AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+        g AS (SELECT DISTINCT doc_id, source, sh
+              FROM (SELECT doc_id, source,
+                      unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                    FROM dd WHERE len(w) >= 3)),
+        occ AS (SELECT source, COUNT(*) AS n_occ FROM g GROUP BY source),
+        fd AS (SELECT sh, MIN(doc_id) AS doc_id FROM g GROUP BY sh),
+        fs AS (SELECT d2.source, COUNT(*) AS n_first
+               FROM fd JOIN (SELECT DISTINCT doc_id, source FROM dd) d2
+                 USING (doc_id)
+               GROUP BY d2.source)
+        SELECT occ.source, n_occ::BIGINT AS n_occ,
+          CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+          CAST(COALESCE(n_first, 0) * 1000000 // n_occ AS BIGINT)
+            AS novel_ppm
+        FROM occ LEFT JOIN fs USING (source)
+        ORDER BY source""")),
+
     // L4 — OOV quality signal (TextOps.oovRate): vocab = top-20 words
     // (the synthetic corpus has ~31 distinct words, so a 20-word vocab
     // yields a non-vacuous oov distribution).

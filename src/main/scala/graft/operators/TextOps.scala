@@ -189,6 +189,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L4 — per-SOURCE n-gram novelty: [[ngramNovelty]]'s feed-level
+    * rollup. Each distinct gram credits the source of its globally
+    * FIRST document; novel_ppm = first-contributions per distinct
+    * gram-occurrence. The feed-health pair with per-source dup rates:
+    * dup-rate says which feed re-serves copies, this says which feed
+    * still contributes CONTENT nobody else has — the keep-crawling
+    * signal.
+    *
+    * Scale shape: same two map-side-combined aggregates as
+    * [[ngramNovelty]] (occurrences per source; min(doc_id) per gram,
+    * duplicate-idempotent so no distinct pass), plus one vocab-sized ⋈
+    * |docs|-sized equi-join on doc_id to resolve the first doc's
+    * source. Sources are few — the output and both join sides after
+    * aggregation are tiny; bodies never move.
+    */
+  def noveltyBySource(documents: DataFrame, n: Int): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = documents
+      .filter(size(ws) >= n)
+      .select(col("doc_id"), col("source"), explode(wordNgrams(ws, n)).as("gram"))
+    val occ = pairs.dropDuplicates("doc_id", "gram")
+      .groupBy("source").agg(count(lit(1)).as("n_occ"))
+    val firstDoc = pairs.groupBy("gram").agg(min("doc_id").as("doc_id"))
+    val firsts = firstDoc
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_first"))
+    occ.join(firsts, Seq("source"), "left")
+      .select(col("source"), col("n_occ"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        expr("coalesce(n_first, 0L) * 1000000L div n_occ").as("novel_ppm"))
+      .orderBy("source")
+  }
+
   /** L4 — per-(lang, word) counts over the whole corpus. */
   def wordCounts(documents: DataFrame): DataFrame =
     documents

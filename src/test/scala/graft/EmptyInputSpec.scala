@@ -53,6 +53,7 @@ class EmptyInputSpec extends SparkSpec {
   test("text operators return empty on an empty corpus") {
     assert(TextOps.wordCounts(emptyDocs).isEmpty)
     assert(TextOps.ngramNovelty(emptyDocs, 3).isEmpty)
+    assert(TextOps.noveltyBySource(emptyDocs, 3).isEmpty)
     assert(TextOps.rarityScores(emptyDocs).isEmpty)
     assert(TextOps.spliceOverlaps(emptyDocs, 5).isEmpty)
     assert(TextOps.urlDedup(

@@ -624,4 +624,32 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(sumNovel == distinctGrams,
       s"sum(n_novel)=$sumNovel != |distinct grams|=$distinctGrams")
   }
+
+  test("noveltyBySource credits the globally first doc's source, occurrences stay local") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (0L, "feedA", "a b c d"),   // {a b c, b c d} — both first here
+      (1L, "feedB", "a b c d"),   // same grams, later doc: 0 credit, 2 occ
+      (2L, "feedB", "x y z w")    // {x y z, y z w} — feedB's own firsts
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.noveltyBySource(docs, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("feedA", 2L, 2L, 1000000L),
+      ("feedB", 4L, 2L, 500000L)))
+  }
+
+  test("noveltyBySource conservation: per-source credits sum to the corpus distinct gram count") {
+    import graft.operators.TextOps
+    val docs = (0L until 40L).map { i =>
+      val w = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" ")
+      (i, s"src${i % 4}", w)
+    }.toDF("doc_id", "source", "text")
+    val sumFirst = TextOps.noveltyBySource(docs, 3)
+      .agg(sum("n_first")).head.getLong(0)
+    val distinctGrams = docs
+      .select(explode(TextOps.wordNgrams(split(col("text"), " "), 3)).as("g"))
+      .distinct().count()
+    assert(sumFirst == distinctGrams)
+  }
 }
