@@ -37,6 +37,15 @@ fi
   python3 scripts/selfcheck.py "$SF" "$OUT"; sc=$?
   echo "--- vacuity audit ---"
   python3 scripts/vacuity_audit.py "$OUT"; va=$?
+  # Bench regression triage (VERDICT r7 #6) — informational, never RED:
+  # diff the freshest local bench run against the last driver artifact so
+  # any >1.5x multiple is visible (and triaged into SCALE.md) BEFORE the
+  # snapshot ships, instead of surprising the next round's verdict.
+  last_bench=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+  if [ -n "$last_bench" ] && [ -f target/bench.json ]; then
+    echo "--- benchdiff vs $last_bench (informational) ---"
+    python3 scripts/benchdiff.py "$last_bench" target/bench.json || true
+  fi
   echo "RESULT selfcheck_exit=$sc vacuity_exit=$va"
   [ "$sc" -eq 0 ] && [ "$va" -eq 0 ]
 } 2>&1 | tee "$LOG"

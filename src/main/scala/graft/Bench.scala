@@ -89,7 +89,21 @@ object Bench {
     // second run re-executes the full plan (nothing is persisted
     // between runs), so it is a legitimate timing, not a cache read.
     val results = queries.sortBy(_._1).map { case (name, fn) =>
-      name -> bestOf(2)(timeOnce(fn(spark, sfDir).count()))
+      val t = bestOf(2)(timeOnce(fn(spark, sfDir).count()))
+      // Inter-query storage hygiene (round-8 triage of the r7 driver
+      // outliers): many declared plans localCheckpoint/cache frames that
+      // are only reclaimed by ContextCleaner AFTER their DataFrame is
+      // GC'd — across ~190 sequential queries those blocks pile up in
+      // storage memory until a heavy shuffle forces eviction thrash,
+      // inflating exactly the expensive queries (the r7 artifact shows
+      // q_minhash_lsh 7.74 s in-suite vs 1.04 s fresh-JVM while the
+      // q_topk/q_pivot controls matched their isolated mins). Dropping
+      // the cache and nudging GC BETWEEN timings keeps each query's
+      // measurement independent, like IsolatedBench, at zero cost to
+      // the timed region.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> t
     }
     val out = java.nio.file.Paths.get(jsonPath)
     if (out.getParent != null)

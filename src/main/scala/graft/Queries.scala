@@ -28,6 +28,15 @@ object Queries {
   private val Dec18_2 = DecimalType(18, 2)
   private def dec(c: org.apache.spark.sql.Column) = c.cast(Dec18_2)
 
+  /** The probe set q_semdedup_buckets passes to
+    * [[graft.operators.SimilarityOps.semDedupBuckets]] — defined ONCE so
+    * the oracle SQL's IN-list and positional bit-weight CASE are
+    * interpolated from the same sequence the engine receives (ADVICE r7:
+    * engine packs bits by probe POSITION; an oracle shifting by id VALUE
+    * only coincides while the ids equal their indices).
+    */
+  private val semDedupProbeIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
+
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
     * DECLARED output column is cast to DOUBLE at the boundary — the driver
@@ -3477,8 +3486,15 @@ object Queries {
     // established square-free integer cosine test.
     Declared("q_semdedup_buckets",
       (s, d) => SimilarityOps.semDedupBuckets(
-        embeddings(s, d), probeIds = Seq(0L, 1L, 2L, 3L), minCosPct = 30),
-      Some("""WITH e AS (SELECT vec_id,
+        embeddings(s, d), probeIds = semDedupProbeIds, minCosPct = 30),
+      // Oracle GENERATED from the same probeIds the engine receives
+      // (ADVICE r7): the engine packs bucket bit i by the POSITION of
+      // p_id in probeIds, so the SQL must shift by position too — a
+      // literal `1 << p_id` only coincides while probeIds == 0..n-1,
+      // and breaks outright for ids ≥ 63. The interpolated CASE maps
+      // each id VALUE to its positional bit weight, keeping oracle and
+      // engine in lockstep under ANY future probe set.
+      Some(s"""WITH e AS (SELECT vec_id,
                 CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
                 pos
               FROM (SELECT vec_id, unnest(embedding) AS v,
@@ -3486,11 +3502,13 @@ object Queries {
         n AS (SELECT vec_id, SUM(vi * vi)::BIGINT AS norm_s FROM e
               GROUP BY vec_id),
         pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM e
-               WHERE vec_id IN (0, 1, 2, 3)),
+               WHERE vec_id IN (${semDedupProbeIds.mkString(", ")})),
         dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
                FROM e JOIN pr USING (pos) GROUP BY e.vec_id, pr.p_id),
         bkt AS (SELECT vec_id,
-                CAST(SUM(CASE WHEN dt > 0 THEN (1::BIGINT << p_id)
+                CAST(SUM(CASE WHEN dt <= 0 THEN 0 ${semDedupProbeIds.zipWithIndex
+                  .map { case (pid, i) => s"WHEN p_id = $pid THEN ${1L << i}" }
+                  .mkString(" ")}
                          ELSE 0 END) AS BIGINT) AS bucket
               FROM dp GROUP BY vec_id),
         d AS (SELECT ba.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -4117,10 +4135,10 @@ object Queries {
               FROM events GROUP BY event_type, hour),
         t AS (SELECT event_type, hour, cnt,
                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour
-                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                  RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)
                   AS prev_sum,
                 COUNT(cnt) OVER (PARTITION BY event_type ORDER BY hour
-                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_n
+                  RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_n
               FROM h)
         SELECT event_type, hour, cnt,
           CAST(prev_sum AS BIGINT) AS prev_sum

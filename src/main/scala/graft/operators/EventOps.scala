@@ -450,8 +450,11 @@ object EventOps {
     * mean — the monitoring alarm every event pipeline runs, in exact
     * integers: `cnt·100·n_prev > factorPct·Σprev` cross-multiplies the
     * mean away (no division at all, so no rounding decision to agree
-    * on). Hours with fewer than 3 predecessors don't alarm (cold
-    * start).
+    * on). The frame is RANGE over the hour value (ADVICE r7 — a ROWS
+    * frame would slide over silent gaps and compare against
+    * non-adjacent hours), so "trailing 3 hours" means exactly hours
+    * h−3..h−1 BY VALUE; hours without all three predecessors observed
+    * (cold start, or any gap in the trailing window) don't alarm.
     *
     * Scale shape: the hourly rollup is map-side combined to
     * |types|·|hours| rows; the trailing window runs on THAT aggregate
@@ -464,7 +467,7 @@ object EventOps {
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("event_type").orderBy("hour")
-      .rowsBetween(-3, -1)
+      .rangeBetween(-3, -1)
     hourly
       .withColumn("prev_sum", sum(col("cnt")).over(w))
       .withColumn("prev_n", count(col("cnt")).over(w))

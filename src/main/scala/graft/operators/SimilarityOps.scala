@@ -124,6 +124,12 @@ object SimilarityOps {
     */
   def semDedupBuckets(embeddings: DataFrame, probeIds: Seq[Long],
                       minCosPct: Int): DataFrame = {
+    // bucket bit i is the POSITION of probe i in this seq (not the id
+    // value) — ≤ 63 probes fit the packed long; duplicates would alias
+    // two hyperplanes onto one bit
+    require(probeIds.nonEmpty && probeIds.size <= 63 &&
+      probeIds.distinct.size == probeIds.size,
+      s"probeIds must be 1..63 distinct ids, got $probeIds")
     // 3 consumers (probe slice, bucket pass, pair join-back) — same
     // localCheckpoint discipline as DedupOps.jaccardPairs
     val withInts = embeddings.select(

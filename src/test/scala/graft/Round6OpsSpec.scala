@@ -292,6 +292,26 @@ class Round6OpsSpec extends SparkSpec {
     assert(dot * dot == na * nb)
   }
 
+  test("tfidf cosine overflow guard: a norm >= 2^63 raises loudly in both " +
+    "the full and prefix engines (ADVICE r7)") {
+    // one word repeated tf times with df=2 -> w = tf * 500000,
+    // norm = tf^2 * 2.5e11 >= 2^63 needs tf >= 6071; use 7000
+    val big = Array.fill(7000)("blowup").mkString(" ")
+    val docs = Seq((1L, big), (2L, big)).toDF("doc_id", "text")
+    for (engine <- Seq(
+        () => DedupOps.tfidfCosinePairs(docs, 50).collect(),
+        () => DedupOps.tfidfCosinePairsPrefix(docs, 50).collect())) {
+      val e = intercept[Exception] { engine() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("2^63")), s"wrong failure: $e")
+    }
+    // sanity: a corpus just UNDER the bound still answers
+    val ok = Array.fill(100)("fine").mkString(" ")
+    val small = Seq((1L, ok), (2L, ok)).toDF("doc_id", "text")
+    assert(DedupOps.tfidfCosinePairs(small, 50).count() == 1L)
+  }
+
   // ---------------- stratifiedSampleByRates ----------------
 
   test("stratifiedSampleByRates: computed rates drive membership; absent strata drop") {

@@ -530,6 +530,21 @@ class Round7ExtOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("t", 4L, 40L)))
   }
 
+  test("rateSpikes RANGE frame: a burst after a silent gap does not alarm " +
+    "against non-adjacent hours (ADVICE r7)") {
+    import graft.operators.EventOps
+    val h = graft.Tables.Nanos.PerHour
+    // hours 0..2 at 10 events, hours 3..5 silent, hour 6 at 40: a ROWS
+    // frame would slide over the gap and alarm hour 6 against hours
+    // 0..2; the RANGE frame sees no observations in hours 3..5 → no
+    // alarm anywhere.
+    val rows = (0 until 3).flatMap(hr =>
+      (0 until 10).map(i => (hr * h + i.toLong, "t"))) ++
+      (0 until 40).map(i => (6 * h + i.toLong, "t"))
+    val events = rows.toDF("ts", "event_type")
+    assert(EventOps.rateSpikes(events, 300).isEmpty)
+  }
+
   // ---------------- acoustic fingerprint near-dup ----------------
 
   /** Deterministic test signal: a triangle wave whose per-frame

@@ -36,6 +36,39 @@ class StorageOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compactParquet sortCols mode range-clusters files for min/max pruning") {
+    val base = tmp("compact_sorted")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    // round-robin input: every file spans nearly the full id range, so
+    // min/max stats prune nothing
+    (1 to 10000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+      .repartition(16).write.parquet(in)
+    val outFiles = StorageOps.compactParquet(spark, in, out,
+      targetBytes = 64 * 1024, sortCols = Seq("id"))
+    assert(outFiles > 1, s"need >1 file to demonstrate clustering, got $outFiles")
+    // repartitionByRange assigns disjoint key intervals per partition:
+    // per-file [min,max] spans must not overlap — THE property parquet
+    // min/max pruning needs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val spans = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath.toString)
+          .agg(min("id"), max("id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file spans overlap: $aMax >= $bMin")
+      case _ =>
+    }
+    // data identical
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ==
+      spark.read.parquet(in).orderBy("id").collect().toSeq)
+  }
+
   test("readEvolved unions schemas across batches; pre-evolution rows read null") {
     val dir = tmp("evolve")
     Seq((1L, "a")).toDF("id", "old_col").write.mode("append").parquet(dir)
