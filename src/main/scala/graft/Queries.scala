@@ -4467,7 +4467,74 @@ object Queries {
                 cand_id) AS rn
           FROM neg)
         WHERE rn <= 2
-        ORDER BY anchor_id, rn"""))
+        ORDER BY anchor_id, rn""")),
+
+    // INT8 quantization error audit (SimilarityOps.quantizeInt8Error):
+    // the commit-gate every embedding store runs before serving 4×
+    // smaller vectors — symmetric per-vector quantize/reconstruct on
+    // the fixed-point grid with truncating div, error mass exact and
+    // hash-checked. Engine plan is one map pass (array folds, no
+    // explode); the oracle replays it relationally via unnest.
+    Declared("q_vec_quantize",
+      (s, d) => SimilarityOps.quantizeInt8Error(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi
+              FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)),
+        s AS (SELECT vec_id, MAX(abs(vi)) AS scale_s,
+                CAST(SUM(abs(vi)) AS BIGINT) AS abs_sum_s
+              FROM e GROUP BY vec_id),
+        q AS (SELECT e.vec_id,
+                CASE WHEN s.scale_s = 0 THEN CAST(0 AS BIGINT)
+                     ELSE abs(e.vi -
+                       (((e.vi * 127) // s.scale_s) * s.scale_s) // 127)
+                END AS err
+              FROM e JOIN s USING (vec_id))
+        SELECT vec_id, s.scale_s, s.abs_sum_s,
+          CAST(SUM(q.err) AS BIGINT) AS err_s,
+          CASE WHEN s.abs_sum_s = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(SUM(q.err) AS BIGINT) * 1000000 // s.abs_sum_s
+          END AS err_ppm
+        FROM q JOIN s USING (vec_id)
+        GROUP BY vec_id, s.scale_s, s.abs_sum_s
+        ORDER BY vec_id""")),
+
+    // Token-budget curation (TextOps.tokenBudgetSelect): per source,
+    // greedily keep the highest distinct-word-ratio docs until the
+    // feed's cumulative word count reaches 600 (DuckDB-probed: keeps
+    // 302/500 docs across all 20 sources — both kept and dropped sets
+    // non-trivial). Counts shuffle, text never does.
+    Declared("q_token_budget",
+      (s, d) => TextOps.tokenBudgetSelect(documents(s, d), budgetTokens = 600L),
+      Some("""WITH q AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                  * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS score_ppm
+              FROM documents),
+        r AS (SELECT source, doc_id, score_ppm, n_words,
+                CAST(SUM(n_words) OVER (PARTITION BY source
+                  ORDER BY score_ppm DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM q)
+        SELECT source, doc_id, score_ppm, n_words, cum_tokens
+        FROM r WHERE cum_tokens <= 600
+        ORDER BY source, doc_id""")),
+
+    // Deterministic shard assignment (Relational.shardAssign): the
+    // reproducible "global shuffle" layout step — shard + in-shard
+    // position as pure functions of the portable 60-bit md5, so every
+    // retry lands every doc in the same training order.
+    Declared("q_shard_assign",
+      (s, d) => Relational.shardAssign(
+        documents(s, d).select("doc_id"), "doc_id", nShards = 8),
+      Some("""WITH h AS (SELECT doc_id,
+                CAST(('0x' || substr(md5('shard:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents)
+        SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+          CAST(row_number() OVER (PARTITION BY h % 8
+            ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

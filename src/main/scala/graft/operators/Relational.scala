@@ -168,6 +168,34 @@ object Relational {
       .orderBy(stratumCol, "rn")
   }
 
+  /** DETERMINISTIC training-shard assignment — the "global shuffle" a
+    * training pipeline runs last: every row gets a shard (uniform by
+    * the portable 60-bit md5, so shard sizes balance at any corpus
+    * size) and a position within its shard (hash-ordered — effectively
+    * random with respect to any data attribute, which is the point of
+    * shuffling training data), both pure functions of the key. Re-runs,
+    * retries and partial rebuilds land every row in the same (shard,
+    * pos) — the reproducibility contract a training job needs from its
+    * data order.
+    *
+    * Scale shape: shard assignment is one map pass; the position is a
+    * per-shard window sort — `nShards` hash partitions, each sorting
+    * corpus/nShards keys externally (spillable). That per-shard sort IS
+    * the global shuffle, priced once at layout time; pick nShards ≈
+    * corpus bytes / shard-file target so each sort stays executor-sized.
+    */
+  def shardAssign(rows: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = DedupOps.md5Hash60(
+      concat(lit("shard:"), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    rows.select(col(keyCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col(keyCol), col("shard"), col("pos"))
+      .orderBy(keyCol)
+  }
+
   /** Row-level SNAPSHOT DIFF between two corpus versions: full outer
     * join on the key comparing 16-byte content fingerprints — every
     * row classified added / removed / changed / unchanged. The

@@ -221,6 +221,41 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Symmetric INT8 QUANTIZATION error accounting — the audit every
+    * 100 TB embedding store runs before committing to 4× smaller
+    * vectors: per vector, quantize to q = (vi·127) div scale (scale =
+    * max |vi|, the symmetric per-vector scheme ANN stores use),
+    * reconstruct r = (q·scale) div 127, and report the absolute
+    * reconstruction error mass — total, and as ppm of the vector's L1
+    * mass. Downstream decides per-collection whether err_ppm is small
+    * enough to serve quantized.
+    *
+    * Exactness contract: everything happens on the 1e-7 fixed-point
+    * integer grid with truncating `div` (Spark ≡ DuckDB on negatives),
+    * so the error table is hash-reproducible cross-engine — a DECLARED
+    * relation, not a float estimate. Bounds: |vi| ≤ 2·10⁷, vi·127 ≤
+    * 2.6·10⁹, 64-dim L1 ≤ 1.3·10⁹, err·10⁶ ≤ 1.3·10¹⁵ — all ≪ 2⁶³.
+    *
+    * Scale shape: ONE map pass — scale, L1 mass and error are
+    * higher-order array folds over each row's own vector (no explode,
+    * no shuffle before the output sort); at any corpus size the plan
+    * is scan → project. All-zero vectors quantize to zero error by
+    * the scale_s = 0 guard rather than dividing by zero.
+    */
+  def quantizeInt8Error(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("scale_s", expr("array_max(transform(vi, x -> abs(x)))"))
+      .withColumn("abs_sum_s", expr("aggregate(vi, 0L, (a, x) -> a + abs(x))"))
+      .withColumn("err_s", expr(
+        "CASE WHEN scale_s = 0 THEN 0L ELSE aggregate(vi, 0L, " +
+          "(a, x) -> a + abs(x - ((x * 127L div scale_s) * scale_s div 127L)))" +
+          " END"))
+      .select(col("vec_id"), col("scale_s"), col("abs_sum_s"), col("err_s"),
+        expr("CASE WHEN abs_sum_s = 0 THEN 0L " +
+          "ELSE err_s * 1000000L div abs_sum_s END").as("err_ppm"))
+      .orderBy("vec_id")
+
   /** Double-precision dot product of two array columns in one expression
     * (codegen-friendly, no explode).
     */

@@ -280,6 +280,42 @@ object TextOps {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** L4 — TOKEN-BUDGET curation: per source, greedily keep the
+    * highest-quality documents until the source's cumulative token
+    * count reaches `budgetTokens` — the "we can afford N tokens per
+    * feed" selection step between scoring and training, which caps
+    * each feed's volume while keeping its best content (a global
+    * budget would let one verbose feed crowd out the rest).
+    *
+    * Quality = distinct-word ratio in ppm (the repetition-penalizing
+    * integer score; boilerplate and keyword-stuffed docs rank last),
+    * tie-broken by doc_id so the greedy order is total and the kept
+    * set is deterministic under any partitioning. A document is kept
+    * iff the cumulative count INCLUDING it fits the budget.
+    *
+    * Scale shape: one map pass computes (n_words, score) per doc —
+    * the running sum then runs over |docs-per-source| rows hash-
+    * partitioned by source, and only (id, counts) tuples shuffle,
+    * never text. Per-source windows are the bounded-partition shape;
+    * a skewed giant feed degrades to ITS doc count, not the corpus.
+    */
+  def tokenBudgetSelect(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint) " +
+          "* 1000000L div cast(size(split(text, ' ')) as bigint)")
+          .as("score_ppm"))
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("source", "doc_id", "score_ppm", "n_words", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** L4 — BPE-ish token counting: alpha runs + digit runs + single
     * non-space symbols, via one regex pass.
     */

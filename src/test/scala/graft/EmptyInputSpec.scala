@@ -72,6 +72,13 @@ class EmptyInputSpec extends SparkSpec {
     assert(EventOps.transitionCounts(emptyEvents).isEmpty)
   }
 
+  test("round-8 curation/layout operators return empty on empty inputs") {
+    assert(SimilarityOps.quantizeInt8Error(emptyEmb).isEmpty)
+    assert(TextOps.tokenBudgetSelect(emptyDocs, 600L).isEmpty)
+    assert(Relational.shardAssign(
+      Seq.empty[Long].toDF("doc_id"), "doc_id", 8).isEmpty)
+  }
+
   test("similarity/sketch operators handle empty inputs") {
     assert(SimilarityOps.cosinePairsExact(emptyEmb, 30).isEmpty)
     assert(SimilarityOps.semDedupBuckets(emptyEmb, Seq(0L, 1L), 30).isEmpty)

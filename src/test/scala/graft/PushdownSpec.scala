@@ -451,6 +451,37 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("q_vec_quantize stays map-only until the output sort") {
+    // quantization is per-row array folds — no explode, no join, no
+    // aggregation; the ONLY exchange allowed is the final total-order
+    // sort's range partitioning
+    val plan = executedPlan("q_vec_quantize")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a map-only quantization plan:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("Generate"),
+      s"quantization must fold arrays, not explode them:\n$plan")
+  }
+
+  test("q_token_budget shuffles the scored counts on source exactly once") {
+    // one hash exchange for the per-source budget window — the scoring
+    // projection (and the text column with it) is consumed BELOW the
+    // exchange, so only (source, id, counts) tuples shuffle
+    val plan = executedPlan("q_token_budget")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly one hash exchange (source window):\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_shard_assign is one hash exchange (the per-shard position sort)") {
+    val plan = executedPlan("q_shard_assign")
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly one hash exchange (shard window):\n${hashEx.mkString("\n")}")
+  }
+
   test("q_kcore peels via semi-joins against the survivor set") {
     // each round must filter the edge list with hash semi-joins on the
     // |V|-bounded survivor frame — an inner join would duplicate edges

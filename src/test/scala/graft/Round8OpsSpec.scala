@@ -64,4 +64,66 @@ class Round8OpsSpec extends SparkSpec {
       kcReliable == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(rddFileCount(dir) > 0, s"no checkpoint data under $dir")
   }
+
+  // ---------------- int8 quantization error ----------------
+
+  test("quantizeInt8Error: hand-checked reconstruction error on the " +
+    "fixed-point grid; zero vectors quantize error-free") {
+    import graft.operators.SimilarityOps
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8Error(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // vec 1: vi = [1e7, -5e6, 2.5e6, 0], scale = 1e7
+    //   q     = [127, -63, 31, 0]            ((vi*127) div scale, trunc)
+    //   recon = [1e7, -4960629, 2440944, 0]  ((q*scale) div 127, trunc)
+    //   err   = [0, 39371, 59056, 0] -> 98427; L1 = 1.75e7
+    //   ppm   = 98427*1e6 div 1.75e7 = 5624
+    // vec 2: all-zero -> scale 0 guard, zero everything
+    assert(got == Seq(
+      (1L, 10000000L, 17500000L, 98427L, 5624L),
+      (2L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
+  // ---------------- token-budget curation ----------------
+
+  test("tokenBudgetSelect keeps best-scored docs per source until the " +
+    "budget, ties to lower doc_id, inclusive-fit semantics") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c", "s1"),     // score 1e6, 3 words
+      (2L, "a a a a", "s1"),   // score 25e4, 4 words (worst -> dropped)
+      (3L, "x y", "s1"),       // score 1e6, 2 words
+      (10L, "p q r s t", "s2") // alone in s2, fits whole
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.tokenBudgetSelect(docs, budgetTokens = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // s1 greedy order: doc1 (cum 3), doc3 (cum 5), doc2 (cum 9 > 5 out)
+    assert(got == Seq(("s1", 1L, 3L), ("s1", 3L, 5L), ("s2", 10L, 5L)),
+      s"got $got")
+  }
+
+  // ---------------- deterministic shard assignment ----------------
+
+  test("shardAssign: pure function of the key — stable across runs, " +
+    "contiguous positions per shard, every row exactly once") {
+    import graft.operators.Relational
+    val ids = (1L to 200L).toDF("doc_id")
+    def run() = Relational.shardAssign(ids, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run(), "assignment not deterministic across runs")
+    assert(a.map(_._1).toSet == (1L to 200L).toSet, "rows lost or duplicated")
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8), "shard out of range")
+    // positions within each shard are exactly 1..|shard|
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // the md5 spreads: no empty shard at 200 rows / 8 shards
+    assert(a.map(_._2).distinct.size == 8, "empty shard — hash not spreading")
+  }
 }
