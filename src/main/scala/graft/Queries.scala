@@ -4311,6 +4311,37 @@ object Queries {
             // COUNT(*) AS dup_ppm
         FROM aug GROUP BY source ORDER BY source""")),
 
+    // Cross-source duplication matrix (DedupOps.crossSourceDupMatrix):
+    // which feeds copy each other — the between-feed complement of
+    // q_dup_rate_by_source's within-feed rate. The raw corpus is
+    // dup-free, so the %7 slice re-ingests under shifted ids with a
+    // REMAPPED source ('src' || (id div 7 mod 20)) — cross-feed pairs
+    // then spread over the matrix (DuckDB-probed: 18 cells, counts
+    // 3-8, 14 distinct sources per axis).
+    Declared("q_dup_matrix",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "source", "text")
+        val dupes = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .withColumn("source",
+            concat(lit("src"),
+              pmod(expr("doc_id div 7"), lit(20L)).cast("string")))
+        DedupOps.crossSourceDupMatrix(base.unionByName(dupes))
+      },
+      Some("""WITH aug AS (SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000,
+            'src' || CAST(((doc_id + 10000000) // 7) % 20 AS VARCHAR),
+            text
+          FROM documents WHERE doc_id % 7 = 0),
+        f AS (SELECT doc_id, source, md5(text) AS fp FROM aug),
+        p AS (SELECT LEAST(a.source, b.source) AS src_a,
+                GREATEST(a.source, b.source) AS src_b
+              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        SELECT src_a, src_b, COUNT(*)::BIGINT AS n_pairs
+        FROM p GROUP BY src_a, src_b
+        ORDER BY src_a, src_b""")),
+
     // Last-touch attribution (EventOps.lastTouchAttribution): every
     // purchase credited to the user's most recent preceding click —
     // ONE per-user window pass with last_value(ignoreNulls) over the

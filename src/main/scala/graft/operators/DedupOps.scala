@@ -33,6 +33,35 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
       .orderBy("keep_doc_id")
 
+  /** L1 — CROSS-SOURCE duplication matrix: for every pair of identical
+    * documents, one (src_a ≤ src_b) cell increment — the "which feeds
+    * copy each other" provenance audit that [[exactDedup]]'s flat
+    * keeper table and the per-source dup RATE both hide. A mirror feed
+    * shows up as a hot off-diagonal cell; scraper-of-scraper chains as
+    * a row; self-duplication as the diagonal. Downstream uses it to
+    * pick ONE canonical feed per hot cell instead of paying ingest +
+    * dedup for both.
+    *
+    * Scale shape: the pair join is an equi-join on the 16-byte md5
+    * fingerprint (bodies never shuffle, the [[exactDedup]] discipline);
+    * within a fingerprint group the pairing is quadratic in GROUP size
+    * — bounded by the corpus's largest identical-content cluster, which
+    * the exact-dedup pass upstream keeps small by construction (and a
+    * pathological viral-boilerplate key is exactly what this audit
+    * exists to surface). Output is ≤ |sources|² cells.
+    */
+  def crossSourceDupMatrix(documents: DataFrame): DataFrame = {
+    val f = documents.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"))
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(least(col("a.source"), col("b.source")).as("src_a"),
+        greatest(col("a.source"), col("b.source")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Distinct (doc, word) pairs — the inverted-index relation. */
   private def docWords(documents: DataFrame): DataFrame =
     documents
@@ -634,13 +663,15 @@ object DedupOps {
     * fixpoint, checked with a two-way exceptAll emptiness probe (one
     * bounded job per round).
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    var edges = pairs
-      .select(least(col("a_id"), col("b_id")).as("u"),
-        greatest(col("a_id"), col("b_id")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    var edges = truncateLineage(
+      pairs
+        .select(least(col("a_id"), col("b_id")).as("u"),
+          greatest(col("a_id"), col("b_id")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      checkpointDir)
 
     // large-star: every vertex x sends each LARGER neighbor to the
     // minimum of its closed neighborhood — (nbr, m) with m ≤ x < nbr
@@ -669,7 +700,7 @@ object DedupOps {
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = truncateLineage(smallStar(largeStar(edges)), checkpointDir)
       converged = next.exceptAll(edges)
         .union(edges.exceptAll(next))
         .isEmpty

@@ -85,8 +85,14 @@ object StorageOps {
     val keys = partitionCols.map(col)
     val spread =
       if (filesPerPartition == 1) df.repartition(keys: _*)
-      else df.repartition((keys :+ (abs(xxhash64(df.columns.map(col): _*))
-        % filesPerPartition)): _*)
+      else {
+        // explicit partition count: AQE is free to coalesce a
+        // no-count repartition, which would merge the spread buckets
+        // back into one writer task and silently defeat the split
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.repartition(n, (keys :+ (abs(xxhash64(df.columns.map(col): _*))
+          % filesPerPartition)): _*)
+      }
     spread.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), df.sparkSession.sparkContext.hadoopConfiguration)

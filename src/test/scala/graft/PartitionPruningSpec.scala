@@ -43,6 +43,29 @@ class PartitionPruningSpec extends SparkSpec {
       spark.read.parquet(s"$dir/lineitem.parquet").count())
   }
 
+  test("writePartitioned(filesPerPartition=3) spreads a partition over " +
+    "several writer tasks without changing the data") {
+    val d = java.nio.file.Files.createTempDirectory("graft_fpp")
+    d.toFile.deleteOnExit()
+    val out = s"$d/orders_by_status"
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val nDirs = StorageOps.writePartitioned(
+      orders.withColumn("status", col("o_orderstatus")),
+      Seq("status"), out, filesPerPartition = 3)
+    assert(nDirs >= 2, s"expected one dir per status, got $nDirs")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val perDir = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("status="))
+      .map(pd => fs.listStatus(pd.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    // the hash spread caps each dir at filesPerPartition and, for the
+    // big O/F partitions, actually uses more than one writer
+    assert(perDir.forall(n => n >= 1 && n <= 3), perDir.mkString(","))
+    assert(perDir.max > 1, "hash spread never split a partition's write")
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
   test("static partition pruning: a literal month predicate reaches " +
     "PartitionFilters and prunes the scan to one directory") {
     val q = spark.read.parquet(factDir).filter(col("l_month") === "1995-03")

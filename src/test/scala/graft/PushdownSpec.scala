@@ -482,6 +482,17 @@ class PushdownSpec extends SparkSpec {
       s"expected exactly one hash exchange (shard window):\n${hashEx.mkString("\n")}")
   }
 
+  test("q_dup_matrix pairs via the fingerprint equi-join, never all-pairs") {
+    // pair generation must be the md5 equi-join (quadratic only within
+    // an identical-content group) — a cartesian/BNLJ would be O(n²) in
+    // the corpus, the exact failure mode the fingerprint key avoids
+    val plan = executedPlan("q_dup_matrix")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in the dup-matrix plan:\n$plan")
+    assert(plan.contains("md5"), s"fingerprint key missing:\n$plan")
+  }
+
   test("q_kcore peels via semi-joins against the survivor set") {
     // each round must filter the edge list with hash semi-joins on the
     // |V|-bounded survivor frame — an inner join would duplicate edges

@@ -38,6 +38,11 @@ class Round8OpsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
     assert(rddFileCount(dir) > 0,
       s"no reliable checkpoint data written under $dir")
+    // the star-contraction engine takes the same option — same clusters
+    val star = DedupOps.connectedComponentsStar(pairs,
+        checkpointDir = Some(dir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == default, s"star engine diverged: $star")
   }
 
   test("pageRankFixedPoint and kCoreFixedRounds accept the reliable path " +
@@ -63,6 +68,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(kcReliable == kcDefault &&
       kcReliable == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(rddFileCount(dir) > 0, s"no checkpoint data under $dir")
+  }
+
+  // ---------------- cross-source dup matrix ----------------
+
+  test("crossSourceDupMatrix: symmetric cells, diagonal self-dups, " +
+    "unique texts contribute nothing") {
+    val docs = Seq(
+      (1L, "copied text", "feedA"),
+      (2L, "copied text", "feedB"),   // A↔B pair
+      (3L, "copied text", "feedB"),   // pairs with 1 (A,B) and 2 (B,B)
+      (4L, "unique one", "feedA"),    // no pair
+      (5L, "other copy", "feedC"),
+      (6L, "other copy", "feedA")     // A↔C pair (least/greatest order)
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("feedA", "feedB", 2L),  // (1,2) and (1,3)
+      ("feedA", "feedC", 1L),  // (5,6) normalized
+      ("feedB", "feedB", 1L)), // (2,3) diagonal
+      s"got $got")
   }
 
   // ---------------- int8 quantization error ----------------
