@@ -18,6 +18,13 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
 LOG=SELFCHECK.log
 
+# Testdata fingerprint (VERDICT r8 #4): capture the parquet schema hashes
+# BEFORE the (slow) Verify run. Re-taken after selfcheck below — if the
+# driver regenerated /root/testdata mid-gate (it did between the r8
+# commit and the r8 verify run), the two blocks differ and the gate goes
+# RED instead of vouching for data that no longer exists.
+FP_PRE=$(python3 scripts/tdfingerprint.py "$SF")
+
 rm -rf "$OUT"
 if ! sbt -batch "runMain graft.Verify $SF $OUT" >/tmp/presnapshot_verify.log 2>&1; then
   echo "presnapshot: Verify FAILED — see /tmp/presnapshot_verify.log"
@@ -46,8 +53,18 @@ fi
     echo "--- benchdiff vs $last_bench (informational) ---"
     python3 scripts/benchdiff.py "$last_bench" target/bench.json || true
   fi
-  echo "RESULT selfcheck_exit=$sc vacuity_exit=$va"
-  [ "$sc" -eq 0 ] && [ "$va" -eq 0 ]
+  echo "--- testdata fingerprint ($SF) ---"
+  echo "$FP_PRE"
+  FP_POST=$(python3 scripts/tdfingerprint.py "$SF")
+  if [ "$FP_PRE" != "$FP_POST" ]; then
+    echo "FINGERPRINT MISMATCH — testdata changed during the gate run:"
+    diff <(echo "$FP_PRE") <(echo "$FP_POST")
+    fp=1
+  else
+    fp=0
+  fi
+  echo "RESULT selfcheck_exit=$sc vacuity_exit=$va fingerprint_exit=$fp"
+  [ "$sc" -eq 0 ] && [ "$va" -eq 0 ] && [ "$fp" -eq 0 ]
 } 2>&1 | tee "$LOG"
 status=${PIPESTATUS[0]}
 if [ "$status" -eq 0 ]; then

@@ -1106,10 +1106,12 @@ object Queries {
               FROM orders)
         ORDER BY o_orderkey""")),
 
-    // NB the oracle side: DuckDB truncates parquet TIMESTAMP(NANOS) to µs
-    // at read time (verified), so oracle-compared event-time outputs use
-    // µs resolution (`ts div 1000` ≡ `epoch_us`); the engine itself keeps
-    // full nanos (Tables.events).
+    // NB the oracle side: DuckDB sees the events ts column at µs
+    // resolution under EITHER parquet encoding the harness has shipped
+    // (it truncates TIMESTAMP(NANOS) to µs at read time; µs data it
+    // reads natively), so oracle-compared event-time outputs use µs
+    // (`ts div 1000` ≡ `epoch_us`); the engine-internal contract stays
+    // epoch-nanos LONG either way (Tables.events normalizes).
     Declared("q_ts_convert",
       (s, d) => events(s, d)
         .select(col("event_id"), expr("ts div 1000").as("ts_us"),
@@ -2517,9 +2519,9 @@ object Queries {
     // diverge between engines. ~190 outlier events at sf0.01
     // (non-vacuous, differentiating across event types).
     Declared("q_zscore_outliers",
-      // the engine keeps full ns resolution; the declared output is µs
-      // (`ts div 1000` ≡ DuckDB epoch_us — this DuckDB build truncates
-      // the ns parquet column to µs TIMESTAMP, so raw nanos can't match)
+      // the engine keeps the normalized ns column; the declared output
+      // is µs (`ts div 1000` ≡ DuckDB epoch_us — DuckDB sees the column
+      // at µs resolution under either encoding, so raw ns can't match)
       (s, d) => EventOps.zscoreOutliers(events(s, d), 3)
         .select(col("event_type"), expr("ts_ns div 1000").as("ts_us"),
           col("value_c"), col("group_n"))

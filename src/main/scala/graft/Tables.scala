@@ -28,21 +28,54 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.parquet` carries a `TIMESTAMP(NANOS)` column, which stock
-    * Spark 4 rejects at schema-conversion time (`PARQUET_TYPE_ILLEGAL`).
-    * With `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives
-    * as `LongType` nanoseconds since the epoch — lossless. Derive
-    * timestamp semantics with integer arithmetic (`ts div 1000` → µs for
-    * `timestamp_micros`, `ts div 86400000000000` → epoch days), never
-    * through a double division, so no precision is lost at 2024-era
-    * epoch-nanos magnitudes (~1.7e18).
+  /** `events.parquet` ships with whichever parquet timestamp encoding the
+    * harness writer last used — `TIMESTAMP(NANOS)` through round 7,
+    * `TIMESTAMP(MICROS)` (isAdjustedToUTC=false) from round 8 — and at
+    * 100 TB a real lake mixes both, because different writers made
+    * different choices. The engine's internal contract is fixed either
+    * way: downstream event-time code sees `ts` as `LongType` epoch-NANOS
+    * and derives timestamp semantics with integer arithmetic
+    * (`ts div 1000` → µs for `timestamp_micros`, `ts div
+    * 86400000000000` → epoch days), never a double division, so no
+    * precision is lost at 2024-era epoch-nanos magnitudes (~1.7e18).
+    * Normalization happens ONCE, here, at the reader boundary:
     *
-    * The conf is set at runtime (session-wide, idempotent) because the
-    * driver's Verify/Bench build the session without it.
+    *  - `TIMESTAMP(NANOS)` parquet: stock Spark 4 rejects it at
+    *    schema-conversion time (`PARQUET_TYPE_ILLEGAL`); with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set idempotently
+    *    below — the driver's Verify/Bench build the session without it)
+    *    the column arrives as `LongType` nanos, already the contract.
+    *  - `TIMESTAMP(MICROS)`/`MILLIS` parquet: arrives as a timestamp
+    *    type; normalize with `unix_micros * 1000` (exact integer math —
+    *    µs-epoch fits a Long ×1000 with ~5 decimal digits to spare).
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false` (set
+    *    idempotently below, same pattern as the nanos shim) makes Spark
+    *    surface the isAdjustedToUTC=false column as TIMESTAMP_LTZ whose
+    *    internal value IS the raw parquet micros, so `unix_micros`
+    *    recovers the written value exactly, independent of the session
+    *    time zone (verified against pyarrow under a deliberately
+    *    non-UTC session). The NTZ match arm is a defensive fallback for
+    *    sessions that re-enable inference; it is value-preserving under
+    *    the UTC-pinned sessions every engine entry point builds.
+    *
+    * DuckDB (the oracle) reads the µs file as naive TIMESTAMP and
+    * `epoch_ns(ts)` yields the same µs-floored nanos, so oracle SQL is
+    * unchanged across encodings.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) via the shim: already epoch-nanos
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+    }
   }
 
   /** All table names under a data dir. */

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Dual-encoding contract for the events reader (VERDICT r8 #2).
+  *
+  * The harness has shipped `events.parquet` with TWO different parquet
+  * timestamp encodings across rounds — `TIMESTAMP(NANOS)` (rounds 1–7)
+  * and `TIMESTAMP(MICROS, isAdjustedToUTC=false)` (round 8's regenerated
+  * testdata) — and a 100 TB lake mixes writer generations the same way.
+  * This spec pins the reader-boundary contract so a future regeneration
+  * cannot silently break 22 queries again: [[Tables.events]] must yield
+  * `ts` as `LongType` epoch-NANOS for BOTH encodings, with identical
+  * values (µs data is ns-floored by definition), independent of the
+  * session time zone.
+  *
+  * Both fixtures are written with the parquet-hadoop example API — NOT
+  * Spark — deliberately: Spark cannot write TIMESTAMP(NANOS) at all, and
+  * a Spark-written µs file embeds the catalyst schema in the footer
+  * (`org.apache.spark.sql.parquet.row.metadata`), which overrides the
+  * NTZ-inference conf on read and therefore does not reproduce what the
+  * harness's pyarrow writer produces (a bare footer, where inference
+  * rules apply). The Spark-written shape gets its own test below, since
+  * it exercises the defensive NTZ fallback arm instead.
+  */
+class EventsEncodingSpec extends SparkSpec {
+
+  /** Sub-µs nanos on purpose: the ns path must preserve the ...123 tail. */
+  private val NanoTs: Seq[Long] =
+    Seq(1704067798778549123L, 1704068798000000456L, 1706657176220708789L)
+
+  /** Write `dir/events.parquet` with a bare (pyarrow-style) footer and
+    * `ts` as INT64 TIMESTAMP(`unit`, isAdjustedToUTC=false), one row per
+    * value in `ts` (already expressed in `unit`).
+    */
+  private def writeFixture(unit: TimeUnit, ts: Seq[Long]): String = {
+    val dir  = Files.createTempDirectory(s"graft_ev_$unit").toFile
+    val file = new java.io.File(dir, "events.parquet")
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, unit))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new Path(file.getAbsolutePath))
+      .withType(schema).build()
+    val fac = new SimpleGroupFactory(schema)
+    try ts.zipWithIndex.foreach { case (t, i) =>
+      writer.write(fac.newGroup()
+        .append("event_id", i.toLong).append("ts", t).append("user_id", i.toLong)
+        .append("event_type", "view").append("value", 1.0).append("props", "{}"))
+    } finally writer.close()
+    dir.getAbsolutePath
+  }
+
+  private def readTs(dir: String): Seq[Long] = {
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType === LongType,
+      s"events.ts must normalize to LongType nanos, got ${df.schema("ts").dataType}")
+    df.select("ts").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("TIMESTAMP(NANOS) parquet yields exact LongType epoch-nanos") {
+    assert(readTs(writeFixture(TimeUnit.NANOS, NanoTs)) === NanoTs.sorted)
+  }
+
+  test("TIMESTAMP(MICROS) parquet yields µs-floored LongType epoch-nanos") {
+    val dir = writeFixture(TimeUnit.MICROS, NanoTs.map(_ / 1000L))
+    assert(readTs(dir) === NanoTs.map(ns => ns / 1000L * 1000L).sorted)
+  }
+
+  test("µs normalization is independent of the session time zone") {
+    val dir  = writeFixture(TimeUnit.MICROS, NanoTs.map(_ / 1000L))
+    val utc  = readTs(dir)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(readTs(dir) === utc)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("Spark-written NTZ µs parquet routes through the fallback arm correctly") {
+    // A Spark writer embeds timestamp_ntz in the footer metadata, which
+    // wins over the inference conf — this is the one shape where the NTZ
+    // match arm fires. Under the engine's UTC-pinned sessions the cast is
+    // value-preserving, so the contract (LongType µs-floored nanos) holds.
+    val dir = Files.createTempDirectory("graft_ev_sparkntz").toFile.getAbsolutePath
+    val rows = NanoTs.zipWithIndex.map { case (ns, i) =>
+      Row(i.toLong, java.time.LocalDateTime.ofEpochSecond(
+        ns / 1000000000L, ((ns / 1000L) % 1000000L).toInt * 1000,
+        java.time.ZoneOffset.UTC), i.toLong, "view", 1.0, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampNTZType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(readTs(dir) === NanoTs.map(ns => ns / 1000L * 1000L).sorted)
+  }
+
+  test("harness testdata reads as LongType nanos under the current encoding") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType === LongType)
+    assert(df.selectExpr("count(*)").collect()(0).getLong(0) > 0)
+  }
+}

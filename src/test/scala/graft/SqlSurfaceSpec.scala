@@ -43,7 +43,7 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.collect().toSeq == df.collect().toSeq)
   }
 
-  test("events view carries the nanos shim (ts is queryable as LONG)") {
+  test("events view carries normalized epoch-nanos ts (queryable as LONG under any parquet encoding)") {
     Tables.registerViews(spark, dir)
     val n = spark.sql(
       "SELECT COUNT(*) FROM events WHERE ts div 1000 > 0").collect()(0).getLong(0)
