@@ -63,19 +63,42 @@ object Tables {
     * unchanged across encodings.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, unix_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = table(spark, dir, "events")
-    df.schema("ts").dataType match {
+    normalizeTsNanos(table(spark, dir, "events"), "ts")
+  }
+
+  /** Normalize a timestamp-bearing column to the engine contract —
+    * `LongType` epoch-nanos — whatever type the parquet reader surfaced.
+    * See [[events]] for the encoding-by-encoding reasoning.
+    */
+  def normalizeTsNanos(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
       case LongType => df // TIMESTAMP(NANOS) via the shim: already epoch-nanos
       case TimestampType | TimestampNTZType =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        df.withColumn(colName, unix_micros(col(colName).cast(TimestampType)) * 1000L)
       case other =>
         throw new IllegalStateException(
-          s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+          s"$colName: unsupported parquet type $other (expected int64 nanos or timestamp)")
     }
+  }
+
+  /** Events across a MIXED-generation lake: each directory may carry a
+    * different parquet timestamp encoding (a 100 TB lake accumulates
+    * TIMESTAMP(NANOS) partitions from one writer generation next to
+    * TIMESTAMP(MICROS) from another — exactly the drift the harness
+    * itself exhibited between rounds 7 and 8). One `spark.read` cannot
+    * span them (int64 vs timestamp schemas don't merge), so the unit of
+    * encoding uniformity is the directory: read + normalize each, then
+    * `unionByName`. Each branch stays an independent pushdown-capable
+    * parquet scan — the union is plan-level, not a materialization, so
+    * filters on the union still prune per-branch.
+    */
+  def eventsLake(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "eventsLake: at least one directory")
+    dirs.map(events(spark, _)).reduce(_.unionByName(_))
   }
 
   /** All table names under a data dir. */

@@ -113,6 +113,36 @@ object StorageOps {
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** Write `df` as a BUCKETED parquet table: rows are hash-distributed
+    * into `nBuckets` files per partition by `bucketCol`, and the bucket
+    * spec is recorded in the catalog. This is the pay-the-shuffle-once
+    * layout lever for 100 TB JOIN/AGG workloads: two tables bucketed by
+    * the same key into the same bucket count join with ZERO Exchange on
+    * either side (BucketedJoinSpec plan-asserts it) — the nightly
+    * fact⋈fact join that would shuffle 100 TB per run instead reads
+    * co-located buckets, paying the distribution cost once at write
+    * time. `sortCols` additionally sorts within each bucket file, which
+    * upgrades the join to sort-free SortMergeJoin and tightens per-file
+    * min/max stats.
+    *
+    * Bucketing requires a catalog entry (the bucket spec lives in table
+    * metadata, not parquet footers), hence `saveAsTable` — under the
+    * in-memory session catalog here, a Hive/Glue/Unity catalog in
+    * production; the layout on disk is identical.
+    *
+    * Sizing discipline the caller owns: `nBuckets` is FIXED at write
+    * time — pick it so a bucket ≈ one healthy task (128-512 MB) at the
+    * table's TARGET size, not today's; re-bucketing is a full rewrite.
+    */
+  def writeBucketedTable(df: DataFrame, tableName: String, bucketCol: String,
+                         nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(tableName)
+  }
+
   /** Run `df` to a parquet sink while OBSERVING row counts and a null
     * tally on `keyCol` — `Observation` rides the existing job (metrics
     * accumulate on the executors during the write itself), so the
