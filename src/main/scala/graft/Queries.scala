@@ -4567,7 +4567,61 @@ object Queries {
         SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
           CAST(row_number() OVER (PARTITION BY h % 8
             ORDER BY h, doc_id) AS BIGINT) AS pos
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // K-anonymity suppression (Relational.kAnonymize): (lang, source)
+    // combos with < 5 docs are suppressed to '*' — the metadata-privacy
+    // curation step before corpus release. Probed non-vacuous at sf0.01:
+    // group sizes spread 1-16, 55 of 100 combos below k=5.
+    Declared("q_anonymize_rare",
+      (s, d) => Relational.kAnonymize(
+        documents(s, d).select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"), k = 5),
+      Some("""WITH g AS (SELECT lang, source, COUNT(*)::BIGINT AS grp_n
+              FROM documents GROUP BY 1, 2)
+        SELECT d.doc_id,
+          CASE WHEN g.grp_n < 5 THEN '*' ELSE d.lang END AS lang,
+          CASE WHEN g.grp_n < 5 THEN '*' ELSE d.source END AS source,
+          g.grp_n, g.grp_n < 5 AS suppressed
+        FROM documents d JOIN g USING (lang, source)
+        ORDER BY d.doc_id""")),
+
+    // Cluster-atomic train/test split (DedupOps.leakageFreeSplit): every
+    // member of a verified near-dup cluster inherits ONE split (the
+    // eval-contamination guard a per-doc hash split lacks); singletons
+    // split on their own id. Same %10 slice + LSH recall posture as
+    // q_neardup_clusters; oracle recomputes clusters via the recursive
+    // transitive closure and applies the identical portable-md5 gate.
+    Declared("q_leakage_split",
+      (s, d) => DedupOps.leakageFreeSplit(
+        documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        numHashes = 32, rowsPerBand = 2, minJaccardPct = 80,
+        testPermille = 300),
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        m AS (SELECT src AS doc_id, LEAST(src, MIN(dst))::BIGINT AS cluster_id
+              FROM reach GROUP BY src)
+        SELECT d.doc_id,
+          COALESCE(m.cluster_id, d.doc_id) AS cluster_id,
+          CASE WHEN ('0x' || substr(md5('split:' ||
+              CAST(COALESCE(m.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+              % 1000 < 300
+            THEN 'test' ELSE 'train' END AS split
+        FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id
+        ORDER BY d.doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1143,6 +1143,43 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-FREE train/test split: assign splits by NEAR-DUP CLUSTER,
+    * not by document. A per-doc hash split puts one member of a
+    * near-dup cluster in train and its twin in eval — the classic
+    * silent eval-contamination bug — so the atomic unit here is the
+    * connected component of the verified near-dup relation: every
+    * member inherits the split of its cluster's min-label id, and
+    * singleton documents (no near-dup) form their own cluster.
+    * `testPermille` of clusters (by portable md5 of the cluster id)
+    * land in "test"; assignment is a pure function of content-derived
+    * ids, so re-runs and incremental rebuilds agree.
+    *
+    * Scale shape: the LSH→verify→CC pipeline is the [[nearDupKeepers]]
+    * machinery (banded equi-joins, bounded CC rounds — no all-pairs);
+    * the split itself adds one left join of docs against the (usually
+    * tiny) clustered-doc relation plus a map-side hash. Bodies never
+    * shuffle.
+    */
+  def leakageFreeSplit(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                       minJaccardPct: Int, testPermille: Int): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille in [0,1000], got $testPermille")
+    val pairs = lshVerifiedJaccardPairsUnsorted(documents, numHashes,
+      rowsPerBand, minJaccardPct).select("a_id", "b_id")
+    val cc = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    documents.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(md5Hash60(concat(lit("split:"),
+            col("cluster_id").cast("string"))), lit(1000L)) <
+            testPermille.toLong,
+          lit("test")).otherwise(lit("train")))
+      .orderBy("doc_id")
+  }
+
   /** NEGATIVE sampling for contrastive training: per anchor document,
     * `k` deterministic hash-ranked partners that are NOT near-dups of
     * it — the hard part of building (anchor, negative) pairs is

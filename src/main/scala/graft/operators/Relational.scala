@@ -168,6 +168,37 @@ object Relational {
       .orderBy(stratumCol, "rn")
   }
 
+  /** K-ANONYMITY suppression over quasi-identifier columns — the
+    * privacy-curation step a training pipeline runs before releasing
+    * metadata-bearing corpora: any combination of the quasi columns
+    * shared by fewer than `k` rows is SUPPRESSED (all quasi values
+    * replaced by `"*"`), so no released row's metadata narrows it to a
+    * group smaller than k. Rows keep their id, group size, and verdict
+    * so downstream can audit the suppression mass.
+    *
+    * Scale shape: one map-side-combined `groupBy` over the quasi
+    * columns (output ≤ |distinct combos|, by definition of a quasi
+    * identifier far below row count) joined back to the rows — AQE
+    * broadcasts the combo table when it is small, and the join key is
+    * the quasi tuple, so bodies shuffle at most once. No window over
+    * the full table.
+    */
+  def kAnonymize(rows: DataFrame, idCol: String, quasiCols: Seq[String],
+                 k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = rows.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("grp_n"))
+    val suppressed = col("grp_n") < k.toLong
+    rows.select((idCol +: quasiCols).map(col): _*)
+      .join(counts, quasiCols)
+      .select(col(idCol) +:
+        quasiCols.map(c => when(suppressed, lit("*"))
+          .otherwise(col(c).cast(StringType)).as(c)) :+
+        col("grp_n") :+ suppressed.as("suppressed"): _*)
+      .orderBy(idCol)
+  }
+
   /** DETERMINISTIC training-shard assignment — the "global shuffle" a
     * training pipeline runs last: every row gets a shard (uniform by
     * the portable 60-bit md5, so shard sizes balance at any corpus

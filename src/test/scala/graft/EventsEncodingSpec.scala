@@ -82,6 +82,11 @@ class EventsEncodingSpec extends SparkSpec {
     assert(readTs(dir) === NanoTs.map(ns => ns / 1000L * 1000L).sorted)
   }
 
+  test("TIMESTAMP(MILLIS) parquet yields ms-floored LongType epoch-nanos") {
+    val dir = writeFixture(TimeUnit.MILLIS, NanoTs.map(_ / 1000000L))
+    assert(readTs(dir) === NanoTs.map(ns => ns / 1000000L * 1000000L).sorted)
+  }
+
   test("µs normalization is independent of the session time zone") {
     val dir  = writeFixture(TimeUnit.MICROS, NanoTs.map(_ / 1000L))
     val utc  = readTs(dir)
