@@ -1804,6 +1804,32 @@ object Queries {
           FROM s) WHERE rn <= 5
         ORDER BY q_id, rn""")),
 
+    // Int8-quantized exact search (SimilarityOps.topKDotQuantized): the
+    // memory-bound 100 TB path (4x less scan IO than float32) with
+    // INTEGER scores, so unlike the LSH/IVF indexes this variant is
+    // end-to-end oracle-checked INCLUDING the quantization grid.
+    Declared("q_simsearch_quantized",
+      (s, d) => SimilarityOps.topKDotQuantized(embeddings(s, d), (0L until 8L), 5),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        sc AS (SELECT vec_id, MAX(abs(vi)) AS scale_s FROM e GROUP BY vec_id),
+        q8 AS (SELECT e.vec_id, e.pos,
+                 CASE WHEN sc.scale_s = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (e.vi * 127) // sc.scale_s END AS q
+               FROM e JOIN sc USING (vec_id)),
+        s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                CAST(SUM(a.q * b.q) AS BIGINT) AS score_q
+              FROM q8 a JOIN q8 b ON a.pos = b.pos
+              WHERE a.vec_id < 8 GROUP BY 1, 2)
+        SELECT q_id, rn, n_id, score_q FROM (
+          SELECT q_id, n_id, score_q,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_q DESC, n_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
     // multi-probe (hamming ≤ 1) since round 6: probes 9 of 256 buckets
     // per query — fan-in still corpus·9/256, recall floor pinned
     // executably in AnnRecallSpec against the oracle-checked exact top-k

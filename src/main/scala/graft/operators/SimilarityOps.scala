@@ -256,6 +256,39 @@ object SimilarityOps {
           "ELSE err_s * 1000000L div abs_sum_s END").as("err_ppm"))
       .orderBy("vec_id")
 
+  /** INT8-QUANTIZED exact top-k — the memory-bound production search
+    * path: vectors are symmetric-int8 quantized (same truncating
+    * 127/maxabs grid [[quantizeInt8Error]] audits), so the scan reads
+    * ~4× fewer bytes than float32 and every score is an exact INTEGER
+    * dot (|q|≤127 ⇒ ≤ 127²·dim per pair, nowhere near Long range) —
+    * which is what makes this variant fully oracle-checkable, unlike
+    * the float-scoring LSH/IVF indexes whose recall is spec-floored
+    * instead. Plan shape is the broadcast fast path: probes broadcast,
+    * one codegen'd [[graft.plans.VecDot.dotLong]] pass over the corpus,
+    * per-probe top-k window.
+    */
+  def topKDotQuantized(embeddings: DataFrame, queryIds: Seq[Long],
+                       k: Int): DataFrame = {
+    val q8 = embeddings
+      .select(col("vec_id"), transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("scale_s", expr("array_max(transform(vi, x -> abs(x)))"))
+      .withColumn("q8", expr(
+        "CASE WHEN scale_s = 0L THEN transform(vi, x -> 0L) " +
+          "ELSE transform(vi, x -> x * 127L div scale_s) END"))
+      .select(col("vec_id"), col("q8"))
+    val probes = q8
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("q8").as("qq"))
+    val scores = q8.select(col("vec_id").as("n_id"), col("q8").as("nq"))
+      .crossJoin(broadcast(probes))
+      .withColumn("score_q", graft.plans.VecDot.dotLong(col("qq"), col("nq")))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_q"), asc("n_id"))
+    scores.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_q")
+      .orderBy("q_id", "rn")
+  }
+
   /** Double-precision dot product of two array columns in one expression
     * (codegen-friendly, no explode).
     */

@@ -86,6 +86,22 @@ class PushdownSpec extends SparkSpec {
       s"fast path must not explode embedding positions:\n$plan")
   }
 
+  test("q_simsearch_quantized keeps the broadcast fast-path shape (no explode)") {
+    val plan = executedPlan("q_simsearch_quantized")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast probe side:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"quantized path must not explode embedding positions:\n$plan")
+  }
+
+  test("q_anonymize_rare counts combos map-side and plans no full-table window") {
+    val plan = executedPlan("q_anonymize_rare")
+    assert(plan.contains("partial_count"),
+      s"combo count must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"suppression must ride the count join, not a full-table window:\n$plan")
+  }
+
   test("q_join_asof_fwd never plans an unbounded-following frame (O(m^2)/key)") {
     // the forward as-of mirrors the backward plan by reversing the SORT;
     // a (currentRow, unboundedFollowing) frame makes Spark rebuild the

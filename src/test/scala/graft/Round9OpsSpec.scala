@@ -58,6 +58,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("quantized top-k agrees with exact top-k above the recall floor") {
+    // int8 on 64-dim keeps most of the ranking: measured 30/40 (75%)
+    // pair overlap at sf0.001 — floor at 60% so grid-sensitivity noise
+    // can't flake the suite while a real quantization bug (sign flip,
+    // scale misuse) still fails loudly.
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = SimilarityOps.topKDotExact(emb, 0L until 8L, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.topKDotQuantized(emb, 0L until 8L, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 40 && quant.size === 40)
+    val overlap = (exact & quant).size
+    assert(overlap >= 24, s"quantized/exact overlap $overlap/40 below 60% floor")
+  }
+
   test("leakageFreeSplit permille bounds: 0 => all train, 1000 => all test") {
     val all0 = DedupOps.leakageFreeSplit(corpus, 32, 2, 80, 0)
     assert(all0.filter(col("split") === "test").count() === 0)
