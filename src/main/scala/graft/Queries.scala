@@ -4595,6 +4595,29 @@ object Queries {
             ORDER BY h, doc_id) AS BIGINT) AS pos
         FROM h ORDER BY doc_id""")),
 
+    // PIVOT through the SQL FRONT DOOR: the relational-pivot syntax a
+    // warehouse-SQL user writes verbatim (q_pivot covers the DataFrame
+    // API form). Explicit IN-list per the engine-wide pivot discipline;
+    // COALESCE(..,0) at the boundary because Spark's pivot emits NULL
+    // for an absent (priority,status) cell while the oracle's
+    // COUNT(FILTER) emits 0 — pinned to 0 on both sides.
+    Declared("q_sql_pivot",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_orderpriority,
+            COALESCE(o, 0L) AS o_cnt, COALESCE(f, 0L) AS f_cnt,
+            COALESCE(p, 0L) AS p_cnt
+          FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+          PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+          CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+          CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // K-anonymity suppression (Relational.kAnonymize): (lang, source)
     // combos with < 5 docs are suppressed to '*' — the metadata-privacy
     // curation step before corpus release. Probed non-vacuous at sf0.01:

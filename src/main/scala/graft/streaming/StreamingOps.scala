@@ -266,6 +266,28 @@ object StreamingOps {
   /** Convenience: start a memory-sink query for tests/inspection. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+
+  /** Observability rollup over a query's recent progress — the numbers a
+    * production stream is paged on: rows silently DROPPED by the
+    * watermark (late data the pipeline never counted — the metric that
+    * distinguishes "volume dipped" from "we discarded it"), total state
+    * rows (leak detector: monotone growth under a watermark means keys
+    * never expire), and rows processed. Sourced from the engine's own
+    * `StreamingQueryProgress` (no extra pass over the data); aggregated
+    * across the in-memory progress ring, so call while the query runs
+    * or immediately after the batches of interest.
+    */
+  def progressAudit(q: StreamingQuery): Map[String, Long] = {
+    val ps = q.recentProgress.toSeq
+    val state = ps.flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+    Map(
+      "rows_in" -> ps.map(p => Option(p.numInputRows).getOrElse(0L)).sum,
+      "rows_dropped_by_watermark" ->
+        state.map(_.numRowsDroppedByWatermark).sum,
+      "state_rows_latest" ->
+        state.lastOption.map(_.numRowsTotal).getOrElse(0L),
+      "batches" -> ps.size.toLong)
+  }
 }
 
 /** State record for [[StreamingOps.runningUserStats]]. */

@@ -132,6 +132,26 @@ class EventsEncodingSpec extends SparkSpec {
     assert(lake.filter(s"ts >= ${NanoTs.min / 1000L * 1000L}").count() === 6)
   }
 
+  test("an unsupported ts physical type fails loudly at the reader boundary") {
+    // a silent pass-through here would surface as 22 downstream
+    // DATATYPE_MISMATCH failures (round 8's failure mode) — the reader
+    // must throw at the single chokepoint instead
+    val dir  = Files.createTempDirectory("graft_ev_bad").toFile
+    val file = new java.io.File(dir, "events.parquet")
+    val schema = Types.buildMessage()
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("ts")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new Path(file.getAbsolutePath))
+      .withType(schema).build()
+    try writer.write(new SimpleGroupFactory(schema).newGroup()
+      .append("ts", "not-a-timestamp"))
+    finally writer.close()
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("unsupported parquet type"))
+  }
+
   test("harness testdata reads as LongType nanos under the current encoding") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === LongType)
