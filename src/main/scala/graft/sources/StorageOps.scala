@@ -54,6 +54,77 @@ object StorageOps {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Z-ORDER compaction: rewrite a parquet directory clustered on the
+    * MORTON interleave of several columns' quantile codes, so each
+    * output file covers a small hyper-box in ALL `zCols` dimensions and
+    * parquet min/max stats prune files for predicates on ANY of them.
+    * This is the multi-dimensional upgrade of
+    * [[compactParquet]]`(sortCols=…)`: 1-D range clustering makes files
+    * tight on the leading column and leaves every other column's span
+    * at ~full range (a filter on the second column prunes nothing);
+    * interleaving bits trades a little per-dimension tightness for
+    * bounded spans on every clustered dimension — the layout a table
+    * with TWO hot filter columns needs.
+    *
+    * Scale shape: per-column codes come from `approxQuantile`
+    * boundaries (sampling-based sketch, one pass, driver state =
+    * 2^bits doubles per column) — NOT a `percent_rank` global window,
+    * which would sort the whole table on one partition. Bucket lookup
+    * is a codegen'd fold over the broadcast boundary array; the only
+    * shuffle is the final `repartitionByRange` on the z-code, which is
+    * the rewrite's raison d'être. `bits`=8 → 256 buckets/dimension =
+    * 65k cells for 2 columns, plenty for FILE-level (not row-level)
+    * clustering at any corpus size.
+    *
+    * Returns the output file count. Numeric/date/timestamp `zCols`
+    * (cast to double for coding); codes are layout-only — row content
+    * is byte-identical to the input. Known z-curve edge (ZOrderSpec
+    * pins it): a file whose z-range straddles a high-order Morton bit
+    * flip spans ~the full range of one dimension — the clustering
+    * guarantee is about the TYPICAL file, and aggregate pruning still
+    * dominates 1-D layouts whenever more than one column is filtered.
+    */
+  def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
+                    targetBytes: Long, zCols: Seq[String],
+                    bits: Int = 8): Int = {
+    require(zCols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits <= 16 && bits * zCols.size <= 60,
+      s"bits=$bits × ${zCols.size} cols must fit a Long")
+    require(targetBytes > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inDir)).getLength
+    val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val src = spark.read.parquet(inDir)
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val asDouble = zCols.map(c => col(c).cast("double").as(s"__zd_$c"))
+    val forQuantiles = src.select(asDouble: _*)
+    // one approxQuantile pass per column (sketch-merged, no sort)
+    val codes = zCols.map { c =>
+      val bounds = forQuantiles.stat
+        .approxQuantile(s"__zd_$c", probs, 1.0 / (4 * nBuckets))
+      val boundsArr = array(bounds.toSeq.map(lit): _*)
+      // code = #boundaries <= value  (codegen'd fold, 0..nBuckets-1)
+      aggregate(boundsArr, lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    val z = (0 until bits).flatMap { b =>
+      codes.zipWithIndex.map { case (code, i) =>
+        shiftleft(shiftrightunsigned(code, b).bitwiseAND(lit(1L)),
+          b * zCols.size + i)
+      }
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    src.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Write `df` as a Hive-style PARTITIONED parquet layout
     * (`outDir/col=value/…`) — the single largest scan-reduction lever
     * at 100 TB (VERDICT r7 missing #1): a predicate on a partition
