@@ -45,27 +45,44 @@ object Tables {
     *    `spark.sql.legacy.parquet.nanosAsLong=true` (set idempotently
     *    below — the driver's Verify/Bench build the session without it)
     *    the column arrives as `LongType` nanos, already the contract.
-    *  - `TIMESTAMP(MICROS)`/`MILLIS` parquet: arrives as a timestamp
-    *    type; normalize with `unix_micros * 1000` (exact integer math —
+    *  - `TIMESTAMP(MICROS)`/`MILLIS` parquet: the file is RE-READ with
+    *    an explicit schema pinning `ts` to TIMESTAMP_LTZ (user-supplied
+    *    schemas override both NTZ inference and any writer-embedded
+    *    catalyst metadata), under which the vectorized reader surfaces
+    *    the RAW parquet micros as the internal value — so
+    *    `unix_micros * 1000` recovers the written value exactly,
+    *    independent of the session time zone (verified against pyarrow
+    *    under a deliberately non-UTC session; exact integer math —
     *    µs-epoch fits a Long ×1000 with ~5 decimal digits to spare).
-    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false` (set
-    *    idempotently below, same pattern as the nanos shim) makes Spark
-    *    surface the isAdjustedToUTC=false column as TIMESTAMP_LTZ whose
-    *    internal value IS the raw parquet micros, so `unix_micros`
-    *    recovers the written value exactly, independent of the session
-    *    time zone (verified against pyarrow under a deliberately
-    *    non-UTC session). The NTZ match arm is a defensive fallback for
-    *    sessions that re-enable inference; it is value-preserving under
-    *    the UTC-pinned sessions every engine entry point builds.
+    *    Deliberately NOT a session-wide
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false`: that conf
+    *    would silently flip OTHER tables' µs columns (o_orderdate,
+    *    l_shipdate) from NTZ to LTZ for every read after the first
+    *    events read — an order-dependent type surface. The explicit
+    *    schema scopes the override to this one column of this one
+    *    table. The NTZ arm in [[normalizeTsNanos]] remains for direct
+    *    callers holding an already-read NTZ frame (value-preserving
+    *    under the UTC-pinned sessions every engine entry point builds).
     *
     * DuckDB (the oracle) reads the µs file as naive TIMESTAMP and
     * `epoch_ns(ts)` yields the same µs-floored nanos, so oracle SQL is
     * unchanged across encodings.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    normalizeTsNanos(table(spark, dir, "events"), "ts")
+    val probe = table(spark, dir, "events")
+    probe.schema("ts").dataType match {
+      case LongType => probe // TIMESTAMP(NANOS) via the shim: already epoch-nanos
+      case TimestampType | TimestampNTZType =>
+        val pinned = StructType(probe.schema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+        normalizeTsNanos(
+          spark.read.schema(pinned).parquet(s"$dir/events.parquet"), "ts")
+      case other =>
+        throw new IllegalStateException(
+          s"ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+    }
   }
 
   /** Normalize a timestamp-bearing column to the engine contract —

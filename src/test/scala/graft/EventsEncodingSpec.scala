@@ -97,11 +97,11 @@ class EventsEncodingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
-  test("Spark-written NTZ µs parquet routes through the fallback arm correctly") {
-    // A Spark writer embeds timestamp_ntz in the footer metadata, which
-    // wins over the inference conf — this is the one shape where the NTZ
-    // match arm fires. Under the engine's UTC-pinned sessions the cast is
-    // value-preserving, so the contract (LongType µs-floored nanos) holds.
+  test("Spark-written NTZ µs parquet (embedded catalyst schema) normalizes exactly") {
+    // A Spark writer embeds timestamp_ntz in the footer metadata; the
+    // events reader's pinned-schema re-read overrides it (user-supplied
+    // schemas win over writer metadata), so even this shape normalizes
+    // to the exact raw micros, tz-independently.
     val dir = Files.createTempDirectory("graft_ev_sparkntz").toFile.getAbsolutePath
     val rows = NanoTs.zipWithIndex.map { case (ns, i) =>
       Row(i.toLong, java.time.LocalDateTime.ofEpochSecond(
@@ -150,6 +150,28 @@ class EventsEncodingSpec extends SparkSpec {
       Tables.events(spark, dir.getAbsolutePath)
     }
     assert(e.getMessage.contains("unsupported parquet type"))
+  }
+
+  test("reading events leaves other tables' timestamp types untouched") {
+    // the normalization must be scoped to events.ts — a session-wide
+    // NTZ-inference override would flip o_orderdate/l_shipdate from
+    // NTZ to LTZ for every read AFTER the first events read, an
+    // order-dependent type surface this test forbids
+    val before = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .schema("l_shipdate").dataType
+    Tables.events(spark, "/root/testdata/sf0.001").count()
+    val after = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .schema("l_shipdate").dataType
+    assert(after === before,
+      s"events read changed l_shipdate: $before -> $after")
+  }
+
+  test("normalizeTsNanos NTZ arm is value-preserving under a UTC session") {
+    val ns  = 1704067798778549000L
+    val df = spark.sql(
+      s"SELECT TIMESTAMP_NTZ'2024-01-01 00:09:58.778549' AS ts")
+    val got = Tables.normalizeTsNanos(df, "ts").collect()(0).getLong(0)
+    assert(got === ns)
   }
 
   test("harness testdata reads as LongType nanos under the current encoding") {
