@@ -57,7 +57,9 @@ object StorageOps {
   /** Z-ORDER compaction: rewrite a parquet directory clustered on the
     * MORTON interleave of several columns' quantile codes, so each
     * output file covers a small hyper-box in ALL `zCols` dimensions and
-    * parquet min/max stats prune files for predicates on ANY of them.
+    * parquet row-group min/max stats (≡ file-level at one row group per
+    * file) prune the scan for predicates on ANY of them — ZOrderSpec
+    * measures the decoded-row reduction directly.
     * This is the multi-dimensional upgrade of
     * [[compactParquet]]`(sortCols=…)`: 1-D range clustering makes files
     * tight on the leading column and leaves every other column's span

@@ -15,6 +15,21 @@ class ZOrderSpec extends SparkSpec {
 
   private val in = "/root/testdata/sf0.001/lineitem.parquet"
 
+  /** Rows the parquet scan actually DECODED for `pred` over `dir` —
+    * i.e. after row-group min/max pruning (one row group per file at
+    * this size, so this equals file-level pruning). The number the
+    * layout exists to shrink.
+    */
+  private def rowsScanned(dir: String, pred: String): Long = {
+    val df = spark.read.parquet(dir).filter(pred)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
   /** Per-file (max-min)/(globalMax-globalMin) for `c` under `dir`. */
   private def spanFractions(dir: String, c: String): Seq[Double] = {
     val df = spark.read.parquet(dir)
@@ -52,6 +67,18 @@ class ZOrderSpec extends SparkSpec {
     assert(rPart.max <= 0.75, s"range-clustered partkey spans: $rPart")
     assert(rSupp.sum / rSupp.size >= 0.8,
       s"expected ~full suppkey span per file under 1-D clustering: $rSupp")
+    // the point of the layout: a predicate on the SECOND dimension
+    // decodes strictly fewer rows under z-order (row-group stats
+    // exclude files whose supp-box misses the value) than under 1-D
+    // partkey clustering (every file spans ~all suppkeys — nothing
+    // prunes). Same predicate, same data, same reader.
+    val zScan = rowsScanned(s"$dz/li", "l_suppkey = 3")
+    val rScan = rowsScanned(s"$dr/li", "l_suppkey = 3")
+    val total = spark.read.parquet(in).count()
+    assert(zScan < rScan,
+      s"z-order must prune on the second dim: z=$zScan vs 1-D=$rScan")
+    assert(rScan.toDouble >= 0.9 * total,
+      s"1-D layout unexpectedly pruned the second dim: $rScan of $total")
     // layout-only: content survives byte-identically (same multiset)
     assert(spark.read.parquet(s"$dz/li").count() ===
       spark.read.parquet(in).count())
