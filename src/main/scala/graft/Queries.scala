@@ -4618,6 +4618,43 @@ object Queries {
         FROM orders GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // Deequ-style constraint audit (Relational.checkConstraints): five
+    // declarative checks in ONE aggregate pass. Mixed verdicts by
+    // construction (probed at sf0.01): qty>45 fires 5967, the synthetic
+    // lineitem's (orderkey,linenumber) is deliberately NOT unique
+    // (14168 dups), null/bounds checks pass — so the output
+    // differentiates and the pass column carries both values.
+    Declared("q_constraint_audit",
+      (s, d) => Relational.checkConstraints(
+        lineitem(s, d),
+        violations = Seq(
+          "qty_le_45" -> (col("l_quantity") > 45),
+          "partkey_notnull" -> col("l_partkey").isNull,
+          "discount_bounds" ->
+            (col("l_discount") < 0.0 || col("l_discount") > 0.1)),
+        uniqueKeys = Seq(
+          "pk_unique" -> Seq("l_orderkey", "l_linenumber"),
+          "orderkey_unique" -> Seq("l_orderkey"))),
+      Some("""WITH v AS (
+          SELECT 'qty_le_45' AS c,
+            CAST(COUNT(*) FILTER (WHERE l_quantity > 45) AS BIGINT) AS violations
+          FROM lineitem
+          UNION ALL SELECT 'partkey_notnull',
+            CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL) AS BIGINT)
+          FROM lineitem
+          UNION ALL SELECT 'discount_bounds',
+            CAST(COUNT(*) FILTER (WHERE l_discount < CAST('0.0' AS DOUBLE)
+              OR l_discount > CAST('0.1' AS DOUBLE)) AS BIGINT)
+          FROM lineitem
+          UNION ALL SELECT 'pk_unique',
+            CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+          FROM lineitem
+          UNION ALL SELECT 'orderkey_unique',
+            CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+          FROM lineitem)
+        SELECT c AS constraint, violations, violations = 0 AS pass
+        FROM v ORDER BY c""")),
+
     // K-anonymity suppression (Relational.kAnonymize): (lang, source)
     // combos with < 5 docs are suppressed to '*' — the metadata-privacy
     // curation step before corpus release. Probed non-vacuous at sf0.01:

@@ -168,6 +168,42 @@ object Relational {
       .orderBy(stratumCol, "rn")
   }
 
+  /** DATA-QUALITY CONSTRAINT AUDIT — the Deequ-style gate a production
+    * load runs before promoting a table: declarative row-level
+    * constraints (each a violation predicate) plus uniqueness
+    * constraints (key column sets), evaluated in ONE global aggregate
+    * pass — every row-level check is a conditional sum riding the same
+    * scan, and each uniqueness check is `count(*) − countDistinct(keys)`
+    * in the same aggregate, so the audit costs one job however many
+    * constraints it carries. Output: one row per constraint with its
+    * violation count and pass verdict.
+    *
+    * Scale shape: partial (map-side) aggregation reduces each partition
+    * to one row of counters before the single-row final merge; distinct
+    * counts are exact (they shuffle the key projection only). For
+    * approximate-tolerance audits at extreme cardinality, swap
+    * `countDistinct` for HLL and keep the same output contract.
+    */
+  def checkConstraints(df: DataFrame,
+                       violations: Seq[(String, Column)],
+                       uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(violations.nonEmpty || uniqueKeys.nonEmpty, "no constraints given")
+    val vAggs = violations.map { case (n, c) =>
+      sum(c.cast(LongType)).as(n)
+    }
+    val uAggs = uniqueKeys.map { case (n, ks) =>
+      (count(lit(1)) - countDistinct(struct(ks.map(col): _*))).cast(LongType).as(n)
+    }
+    val aggs = vAggs ++ uAggs
+    val names = violations.map(_._1) ++ uniqueKeys.map(_._1)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${names.size}, " +
+        names.map(n => s"'$n', `$n`").mkString(", ") +
+        ") as (constraint, violations)"))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("constraint")
+  }
+
   /** K-ANONYMITY suppression over quasi-identifier columns — the
     * privacy-curation step a training pipeline runs before releasing
     * metadata-bearing corpora: any combination of the quasi columns

@@ -58,6 +58,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("checkConstraints counts violations and uniqueness gaps in one pass") {
+    val rows = Seq(
+      (1L, 10.0, "a"), (2L, 60.0, "a"), (2L, 5.0, "b"), (3L, -1.0, null))
+      .toDF("id", "qty", "tag")
+    val out = Relational.checkConstraints(rows,
+      violations = Seq(
+        "qty_positive" -> (col("qty") < 0),
+        "qty_le_50" -> (col("qty") > 50),
+        "tag_notnull" -> col("tag").isNull),
+      uniqueKeys = Seq("id_unique" -> Seq("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      ("id_unique", 1L, false),   // id 2 appears twice
+      ("qty_le_50", 1L, false),   // 60.0
+      ("qty_positive", 1L, false), // -1.0
+      ("tag_notnull", 1L, false)).sortBy(_._1))
+    // all-green table audits all-pass
+    val clean = Relational.checkConstraints(
+      Seq((1L, 1.0)).toDF("id", "qty"),
+      violations = Seq("qty_positive" -> (col("qty") < 0)),
+      uniqueKeys = Seq("id_unique" -> Seq("id")))
+    assert(clean.filter(!col("pass")).count() === 0)
+  }
+
   test("quantized top-k agrees with exact top-k above the recall floor") {
     // int8 on 64-dim keeps most of the ranking: measured 30/40 (75%)
     // pair overlap at sf0.001 — floor at 60% so grid-sensitivity noise
