@@ -3828,6 +3828,51 @@ object Queries {
         FROM ranked WHERE rk = 1
         ORDER BY vec_id""")),
 
+    // Label-agreement audit (SimilarityOps.labelAgreementKappa):
+    // Cohen's kappa between stored labels and the nearest-centroid
+    // assignment, exact integer ppm with oracle-mirrored truncation
+    // order (po/pe truncated first, kappa from the truncated values).
+    Declared("q_label_kappa",
+      (s, d) => SimilarityOps.labelAgreementKappa(embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+                pos
+              FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        cent AS (SELECT label AS clabel, pos,
+                CAST(SUM(vi) AS BIGINT) // COUNT(*) AS c
+              FROM e GROUP BY label, pos),
+        dist AS (SELECT e.vec_id, e.label, cent.clabel,
+                CAST(SUM((e.vi - cent.c) * (e.vi - cent.c)) AS BIGINT)
+                  AS dist
+              FROM e JOIN cent USING (pos)
+              GROUP BY e.vec_id, e.label, cent.clabel),
+        ranked AS (SELECT vec_id, label, clabel,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dist, clabel) AS rk
+              FROM dist),
+        pred AS (SELECT label, clabel AS pred_label FROM ranked WHERE rk = 1),
+        tot AS (SELECT COUNT(*)::BIGINT AS n,
+                 CAST(COUNT(*) FILTER (WHERE label = pred_label) AS BIGINT)
+                   AS agree FROM pred),
+        rm AS (SELECT label AS k, COUNT(*)::BIGINT AS rcnt
+               FROM pred GROUP BY 1),
+        cm AS (SELECT pred_label AS k, COUNT(*)::BIGINT AS ccnt
+               FROM pred GROUP BY 1),
+        pe AS (SELECT CAST(SUM(COALESCE(rcnt, 0) * COALESCE(ccnt, 0))
+                 AS BIGINT) AS pe_num
+               FROM rm FULL JOIN cm USING (k)),
+        pp AS (SELECT n, agree,
+                 agree * 1000000 // n AS po_ppm,
+                 pe_num * 1000000 // (n * n) AS pe_ppm
+               FROM tot, pe)
+        SELECT n, agree, CAST(po_ppm AS BIGINT) AS po_ppm,
+          CAST(pe_ppm AS BIGINT) AS pe_ppm,
+          CAST(CASE WHEN pe_ppm = 1000000 THEN 0
+            ELSE (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+          END AS BIGINT) AS kappa_ppm
+        FROM pp""")),
+
     // TPC-H Q6 shape (forecast revenue change): the pure
     // scan-filter-aggregate — every predicate must reach the parquet
     // scan (plan-asserted PushedFilters); revenue in exact cents·ppm.

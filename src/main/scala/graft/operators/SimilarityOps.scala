@@ -256,6 +256,54 @@ object SimilarityOps {
           "ELSE err_s * 1000000L div abs_sum_s END").as("err_ppm"))
       .orderBy("vec_id")
 
+  /** LABEL-AGREEMENT AUDIT (Cohen's kappa) between the stored labels
+    * and the nearest-centroid assignment — the label-quality eval a
+    * training pipeline runs on any machine- or crowd-labeled corpus:
+    * raw agreement flatters a skewed label distribution, kappa
+    * discounts the agreement chance alone would produce
+    * (κ = (p₀−p_e)/(1−p_e), p_e = Σ row·col marginal products / n²).
+    * All arithmetic is exact integer ppm with the truncation sequence
+    * mirrored in the oracle — po/pe are truncated FIRST, kappa is
+    * computed from the truncated values — so both engines emit the
+    * identical row. Output: one row (n, agree, po_ppm, pe_ppm,
+    * kappa_ppm); kappa may legitimately be negative (worse than
+    * chance), and truncation-toward-zero matches across engines.
+    *
+    * Scale shape: [[centroidAssign]]'s broadcast-centroid pass, then
+    * two label-grain aggregates and a |labels|-sized marginal join —
+    * nothing beyond the assignment scan touches row count. The long
+    * pe arithmetic is exact to n ≈ 3e6 (pe_num·1e6 < 2⁶³); beyond
+    * that the guard raises loudly — swap the pe column to
+    * Decimal(38,0) for corpus-scale runs (same contract, the tfidf
+    * overflow discipline).
+    */
+  def labelAgreementKappa(embeddings: DataFrame): DataFrame = {
+    val pred = centroidAssign(embeddings)
+      .select(col("label").cast(LongType).as("label"),
+        col("pred_label").cast(LongType).as("pred_label"))
+    val tot = pred.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum((col("label") === col("pred_label")).cast(LongType)).as("agree"))
+    val rm = pred.groupBy(col("label").as("k"))
+      .agg(count(lit(1)).cast(LongType).as("rcnt"))
+    val cm = pred.groupBy(col("pred_label").as("k2"))
+      .agg(count(lit(1)).cast(LongType).as("ccnt"))
+    val pe = rm.join(cm, col("k") === col("k2"), "full_outer")
+      .select((coalesce(col("rcnt"), lit(0L)) *
+        coalesce(col("ccnt"), lit(0L))).as("prod"))
+      .agg(sum("prod").cast(LongType).as("pe_num"))
+    tot.crossJoin(pe)
+      .withColumn("n", expr("CASE WHEN n >= 3000000 THEN " +
+        "CAST(raise_error('labelAgreementKappa: n too large for long pe " +
+        "arithmetic; switch pe to Decimal(38,0)') AS BIGINT) ELSE n END"))
+      .withColumn("po_ppm", expr("agree * 1000000L div n"))
+      .withColumn("pe_ppm", expr("pe_num * 1000000L div (n * n)"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000L THEN 0L " +
+          "ELSE (po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm) END"))
+      .select("n", "agree", "po_ppm", "pe_ppm", "kappa_ppm")
+  }
+
   /** INT8-QUANTIZED exact top-k — the memory-bound production search
     * path: vectors are symmetric-int8 quantized (same truncating
     * 127/maxabs grid [[quantizeInt8Error]] audits), so the scan reads
