@@ -1861,23 +1861,64 @@ object Queries {
           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // t-digest approximate percentiles (rows-only: sketch internals are
-    // engine-specific; exact counterpart is q_median)
+    // Approximate-percentile BOUND AUDIT (VERDICT r9 #5): the sketch
+    // value itself is engine-internal (t-digest/GK state is not
+    // portable), but its PUBLISHED guarantee is — accuracy=1000 bounds
+    // the returned value's rank within ±n/1000 of the exact rank, so
+    // the query emits the exact rank-window endpoints (percentile_disc
+    // at 0.5∓0.002, checkable cell-by-cell) plus the boolean audit
+    // "the sketch value lies between them". The oracle computes the
+    // same exact endpoints and asserts the bound as the invariant TRUE
+    // — a hash match certifies Spark's sketch honors its contract.
+    // Exact interpolating counterpart: q_median.
     Declared("q_approx_percentile",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
-          approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("p90_approx"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""WITH b AS (SELECT l_returnflag,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS qi FROM lineitem),
+          g AS (SELECT l_returnflag, COUNT(*) AS cnt,
+                  CAST(percentile_disc(0.498) WITHIN GROUP (ORDER BY qi)
+                    AS BIGINT) AS p50_lo_s2,
+                  CAST(percentile_disc(0.502) WITHIN GROUP (ORDER BY qi)
+                    AS BIGINT) AS p50_hi_s2,
+                  CAST(approx_percentile(qi, 0.5, 1000) AS BIGINT) AS ap50
+                FROM b GROUP BY l_returnflag)
+          SELECT l_returnflag, cnt, p50_lo_s2, p50_hi_s2,
+            (ap50 >= p50_lo_s2 AND ap50 <= p50_hi_s2) AS within_bound
+          FROM g ORDER BY l_returnflag""")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qi FROM lineitem),
+        c AS (SELECT l_returnflag, qi,
+                cume_dist() OVER (PARTITION BY l_returnflag ORDER BY qi) AS cd
+              FROM b)
+        SELECT l_returnflag, COUNT(*)::BIGINT AS cnt,
+          MIN(CASE WHEN cd >= 0.498 THEN qi END) AS p50_lo_s2,
+          MIN(CASE WHEN cd >= 0.502 THEN qi END) AS p50_hi_s2,
+          TRUE AS within_bound
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // HLL++ BOUND AUDIT (VERDICT r9 #5): same pattern — the register
+    // state is engine-internal, the rsd guarantee is not. Exact twin
+    // (countDistinct) rides the same aggregate; the audit asserts the
+    // estimate within 5 standard errors (5×rsd=25%, integer-exact
+    // compare |approx−exact|·4 ≤ exact — a >5σ miss means the sketch
+    // is broken, not unlucky). Raw estimate drill-down stays in
+    // q_hll_estimate (bit-deterministic, oracle-checked).
     Declared("q_agg_approx_distinct",
       (s, d) => lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
-          count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("__approx"))
+        .select(col("l_returnflag"), col("cnt"), col("exact_nd"),
+          (abs(col("__approx") - col("exact_nd")) * lit(4L) <=
+            col("exact_nd")).as("within_bound"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS cnt,
+          COUNT(DISTINCT l_partkey)::BIGINT AS exact_nd,
+          TRUE AS within_bound
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // oracle emulates the custom Catalyst expression byte-for-byte: the
     // corpus is pure ASCII (verified), so ord(char) == utf-8 byte and a
@@ -4573,6 +4614,58 @@ object Queries {
         WHERE rn <= 2
         ORDER BY anchor_id, rn""")),
 
+    // The SCALE-SAFE form of negative sampling (VERDICT r9 #1): the
+    // candidate side is rate-sampled to ≈16 ids via the portable md5
+    // bucket BEFORE the grid — anchors × O(expectedCandidates), never
+    // anchors × corpus — and the rate is a pure function of the corpus
+    // id count, so DuckDB replays membership exactly (LEAST(1e6,
+    // ceil(16e6/n)) with the same integer ceil). Runs on the FULL
+    // documents table (500 ids at sf0.01 ⇒ ppm 32000 ⇒ the sampling
+    // genuinely engages, unlike the small-slice exact form above).
+    Declared("q_negative_samples_sampled",
+      (s, d) => {
+        val docs = documents(s, d)
+        DedupOps.negativeSamples(docs,
+          DedupOps.jaccardPairs(docs, 80).select("a_id", "b_id"),
+          k = 2, expectedCandidates = 16)
+      },
+      Some("""WITH w AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w
+               GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id FROM c
+              JOIN sz sa ON c.a_id = sa.doc_id
+              JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >=
+                    (sa.set_size + sb.set_size - c.common) * 80),
+        pos AS (SELECT a_id AS anchor_id, b_id AS cand_id FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+        ids AS (SELECT DISTINCT doc_id FROM documents),
+        n AS (SELECT COUNT(*)::BIGINT AS n_ids FROM ids),
+        cands AS (SELECT doc_id FROM ids, n
+              WHERE ('0x' || substr(md5('negcand:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                    < LEAST(1000000, (16 * 1000000 + n_ids - 1) // n_ids)),
+        grid AS (SELECT a.doc_id AS anchor_id, b.doc_id AS cand_id
+              FROM ids a JOIN cands b ON a.doc_id <> b.doc_id),
+        neg AS (SELECT g.anchor_id, g.cand_id FROM grid g
+              WHERE NOT EXISTS (SELECT 1 FROM pos
+                WHERE pos.anchor_id = g.anchor_id
+                  AND pos.cand_id = g.cand_id))
+        SELECT anchor_id, cand_id, rn FROM (
+          SELECT anchor_id, cand_id,
+            ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)
+                || ':' || CAST(cand_id AS VARCHAR)), 1, 15))::BIGINT,
+                cand_id) AS rn
+          FROM neg)
+        WHERE rn <= 2
+        ORDER BY anchor_id, rn""")),
+
     // INT8 quantization error audit (SimilarityOps.quantizeInt8Error):
     // the commit-gate every embedding store runs before serving 4×
     // smaller vectors — symmetric per-vector quantize/reconstruct on
@@ -4714,7 +4807,9 @@ object Queries {
           CASE WHEN g.grp_n < 5 THEN '*' ELSE d.lang END AS lang,
           CASE WHEN g.grp_n < 5 THEN '*' ELSE d.source END AS source,
           g.grp_n, g.grp_n < 5 AS suppressed
-        FROM documents d JOIN g USING (lang, source)
+        FROM documents d JOIN g
+          ON d.lang IS NOT DISTINCT FROM g.lang
+         AND d.source IS NOT DISTINCT FROM g.source
         ORDER BY d.doc_id""")),
 
     // Cluster-atomic train/test split (DedupOps.leakageFreeSplit): every
@@ -4752,7 +4847,65 @@ object Queries {
               % 1000 < 300
             THEN 'test' ELSE 'train' END AS split
         FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // BUCKETED-LAYOUT READ-BACK (VERDICT r9 #3): the write path gets a
+    // DECLARED query, not only a plan spec — both sides are re-bucketed
+    // by the join key into the session catalog (8 buckets, rewritten
+    // every run so a driver-regenerated testdata can never leave a
+    // stale layout behind — the r8 lesson), then joined and aggregated
+    // FROM the bucketed tables. Values must equal the plain join
+    // (bucketing is layout, not semantics) — which is exactly what the
+    // oracle checks; the zero-Exchange co-location contract itself is
+    // plan-asserted in BucketedJoinSpec.
+    Declared("q_bucketed_join",
+      (s, d) => {
+        graft.sources.StorageOps.writeBucketedTable(orders(s, d),
+          "orders_rb", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+        graft.sources.StorageOps.writeBucketedTable(lineitem(s, d),
+          "lineitem_rb", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+        s.table("orders_rb")
+          .join(s.table("lineitem_rb"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+            outD(dec(sum(dec(col("l_quantity"))))).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*)::BIGINT AS n_lines,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Z-ORDER READ-BACK (VERDICT r9 #3): events is rewritten through
+    // the Morton-interleave compaction (z on user_id × value, the
+    // two-dimension pruning layout ZOrderSpec scan-metrics-asserts),
+    // then the declared result is a two-dimensional range filter +
+    // aggregate read FROM the z-ordered copy. Row content is
+    // byte-identical to the input by the compaction contract, so the
+    // result is layout/encoding-independent — the oracle runs the same
+    // filter on the ORIGINAL parquet. Rewritten every run (staleness
+    // discipline as above; the copy is rows-bounded, not corpus-wide).
+    Declared("q_zorder_scan",
+      (s, d) => {
+        val out = new java.io.File(
+          s"target/zorder_rb_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+        graft.sources.StorageOps.compactZOrder(s, s"$d/events.parquet", out,
+          targetBytes = 4L << 20, zCols = Seq("user_id", "value"))
+        s.read.parquet(out)
+          .filter(col("user_id").between(40L, 90L) &&
+            col("value") >= 20.0 && col("value") < 200.0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_s2"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_s2
+        FROM events
+        WHERE user_id BETWEEN 40 AND 90 AND value >= 20.0 AND value < 200.0
+        GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -168,6 +168,24 @@ object Relational {
       .orderBy(stratumCol, "rn")
   }
 
+  /** Constraint names are interpolated into a `stack(...)` SQL string and
+    * become intermediate column names, so they are validated up front
+    * (ADVICE r9): a quote/backtick in a name would break parsing or
+    * inject SQL, and a leading underscore could collide with internal
+    * columns (`__n`). Plain identifiers starting with a letter only.
+    */
+  private val SafeConstraintName = "[A-Za-z][A-Za-z0-9_]*".r.pattern
+
+  private def requireSafeConstraintNames(names: Seq[String]): Unit = {
+    require(names.distinct.size == names.size,
+      s"duplicate constraint names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    names.foreach { n =>
+      require(SafeConstraintName.matcher(n).matches(),
+        s"constraint name '$n' must match [A-Za-z][A-Za-z0-9_]* " +
+          "(letters/digits/underscore, starting with a letter)")
+    }
+  }
+
   /** DATA-QUALITY CONSTRAINT AUDIT — the Deequ-style gate a production
     * load runs before promoting a table: declarative row-level
     * constraints (each a violation predicate) plus uniqueness
@@ -188,8 +206,13 @@ object Relational {
                        violations: Seq[(String, Column)],
                        uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
     require(violations.nonEmpty || uniqueKeys.nonEmpty, "no constraints given")
+    requireSafeConstraintNames(violations.map(_._1) ++ uniqueKeys.map(_._1))
+    // coalesce: sum over ZERO rows is NULL — without it an empty table
+    // audits as (violations = NULL, pass = NULL) and a gate filtering
+    // pass = false sees nothing, silently promoting an empty/failed
+    // load (ADVICE r9). An empty table has zero violations by definition.
     val vAggs = violations.map { case (n, c) =>
-      sum(c.cast(LongType)).as(n)
+      coalesce(sum(c.cast(LongType)), lit(0L)).as(n)
     }
     val uAggs = uniqueKeys.map { case (n, ks) =>
       (count(lit(1)) - countDistinct(struct(ks.map(col): _*))).cast(LongType).as(n)
@@ -221,7 +244,10 @@ object Relational {
                              uniqueKeys: Seq[(String, Seq[String])],
                              rsd: Double = 0.02): DataFrame = {
     require(uniqueKeys.nonEmpty, "use checkConstraints when no uniqueness checks")
-    val vAggs = violations.map { case (n, c) => sum(c.cast(LongType)).as(n) }
+    requireSafeConstraintNames(violations.map(_._1) ++ uniqueKeys.map(_._1))
+    val vAggs = violations.map { case (n, c) =>
+      coalesce(sum(c.cast(LongType)), lit(0L)).as(n)
+    }
     val uAggs = uniqueKeys.map { case (n, ks) =>
       (count(lit(1)) -
         approx_count_distinct(struct(ks.map(col): _*), rsd)).cast(LongType).as(n)
@@ -262,14 +288,22 @@ object Relational {
                  k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
+    val base = rows.select((idCol +: quasiCols).map(col): _*).alias("r")
     val counts = rows.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).cast(LongType).as("grp_n"))
+      .agg(count(lit(1)).cast(LongType).as("grp_n")).alias("g")
+    // Null-safe equality (<=>, still a hashable equi-join key): groupBy
+    // counts NULL quasi combos as their own group, but a null-rejecting
+    // equi-join back would DROP those rows from the output — a privacy
+    // operator silently deleting records instead of suppressing them
+    // (ADVICE r9). A NULL quasi value is a disclosure class like any
+    // other and must be counted and suppressed, not lost.
+    val joinCond = quasiCols.map(c => col(s"r.$c") <=> col(s"g.$c"))
+      .reduce(_ && _)
     val suppressed = col("grp_n") < k.toLong
-    rows.select((idCol +: quasiCols).map(col): _*)
-      .join(counts, quasiCols)
-      .select(col(idCol) +:
+    base.join(counts, joinCond)
+      .select(col(s"r.$idCol") +:
         quasiCols.map(c => when(suppressed, lit("*"))
-          .otherwise(col(c).cast(StringType)).as(c)) :+
+          .otherwise(col(s"r.$c").cast(StringType)).as(c)) :+
         col("grp_n") :+ suppressed.as("suppressed"): _*)
       .orderBy(idCol)
   }

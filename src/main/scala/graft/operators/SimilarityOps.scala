@@ -271,33 +271,54 @@ object SimilarityOps {
     *
     * Scale shape: [[centroidAssign]]'s broadcast-centroid pass, then
     * two label-grain aggregates and a |labels|-sized marginal join —
-    * nothing beyond the assignment scan touches row count. The long
-    * pe arithmetic is exact to n ≈ 3e6 (pe_num·1e6 < 2⁶³); beyond
-    * that the guard raises loudly — swap the pe column to
-    * Decimal(38,0) for corpus-scale runs (same contract, the tfidf
-    * overflow discipline).
+    * nothing beyond the assignment scan touches row count. The pe
+    * arithmetic runs in Decimal(38,0) (exact integers to 10³⁸; the
+    * marginal products and pe_num·10⁶ stay inside that to n ≈ 10¹⁵,
+    * far past any corpus), so there is NO overflow cliff and no mode
+    * switch — the former n ≥ 3e6 loud-guard is gone (VERDICT r9 #2).
+    * Empty input still fails loudly: agreement over zero rows is
+    * undefined, and a silent NULL-ppm row would defeat the audit
+    * (ADVICE r9).
     */
-  def labelAgreementKappa(embeddings: DataFrame): DataFrame = {
-    val pred = centroidAssign(embeddings)
+  def labelAgreementKappa(embeddings: DataFrame): DataFrame =
+    kappaFromPredictions(centroidAssign(embeddings)
       .select(col("label").cast(LongType).as("label"),
-        col("pred_label").cast(LongType).as("pred_label"))
+        col("pred_label").cast(LongType).as("pred_label")))
+
+  /** Kappa core over an explicit (label, pred_label) relation — the
+    * [[labelAgreementKappa]] arithmetic factored out so any pair of
+    * label columns (two annotators, model-vs-gold, …) can be audited,
+    * and so the Decimal arm is spec-testable on synthetic frames far
+    * past the old Long-arithmetic bound without paying a centroid
+    * assignment. Same truncation sequence as the oracle: po/pe are
+    * truncated to ppm FIRST (integral `div`, toward zero — Decimal and
+    * Long `div` agree on the non-negative values here), kappa from the
+    * truncated values in plain Long arithmetic (|po−pe|·10⁶ ≤ 10¹²).
+    */
+  def kappaFromPredictions(pred: DataFrame): DataFrame = {
     val tot = pred.agg(
       count(lit(1)).cast(LongType).as("n"),
-      sum((col("label") === col("pred_label")).cast(LongType)).as("agree"))
+      coalesce(sum((col("label") === col("pred_label")).cast(LongType)),
+        lit(0L)).as("agree"))
     val rm = pred.groupBy(col("label").as("k"))
       .agg(count(lit(1)).cast(LongType).as("rcnt"))
     val cm = pred.groupBy(col("pred_label").as("k2"))
       .agg(count(lit(1)).cast(LongType).as("ccnt"))
+    // marginal products in Decimal(38,0): rcnt·ccnt ≤ n² would overflow
+    // Long past n ≈ 3e9; Decimal keeps every step exact
     val pe = rm.join(cm, col("k") === col("k2"), "full_outer")
-      .select((coalesce(col("rcnt"), lit(0L)) *
-        coalesce(col("ccnt"), lit(0L))).as("prod"))
-      .agg(sum("prod").cast(LongType).as("pe_num"))
+      .select((coalesce(col("rcnt"), lit(0L)).cast(DecimalType(19, 0)) *
+        coalesce(col("ccnt"), lit(0L)).cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0)).as("prod"))
+      .agg(coalesce(sum("prod"), lit(0)).cast(DecimalType(38, 0)).as("pe_num"))
     tot.crossJoin(pe)
-      .withColumn("n", expr("CASE WHEN n >= 3000000 THEN " +
-        "CAST(raise_error('labelAgreementKappa: n too large for long pe " +
-        "arithmetic; switch pe to Decimal(38,0)') AS BIGINT) ELSE n END"))
-      .withColumn("po_ppm", expr("agree * 1000000L div n"))
-      .withColumn("pe_ppm", expr("pe_num * 1000000L div (n * n)"))
+      .withColumn("n", expr("CASE WHEN n = 0 THEN " +
+        "CAST(raise_error('labelAgreementKappa: empty input — agreement " +
+        "over zero rows is undefined') AS BIGINT) ELSE n END"))
+      .withColumn("po_ppm", expr(
+        "CAST(agree AS DECIMAL(38,0)) * 1000000 div CAST(n AS DECIMAL(19,0))"))
+      .withColumn("pe_ppm", expr(
+        "pe_num * 1000000 div (CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))"))
       .withColumn("kappa_ppm", expr(
         "CASE WHEN pe_ppm = 1000000L THEN 0L " +
           "ELSE (po_ppm - pe_ppm) * 1000000L div (1000000L - pe_ppm) END"))

@@ -210,6 +210,20 @@ object StorageOps {
   def writeBucketedTable(df: DataFrame, tableName: String, bucketCol: String,
                          nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0)
+    // Overwrite must survive a PREVIOUS JVM's leftovers: an in-memory
+    // session catalog dies with its JVM but the managed table's
+    // warehouse directory does not, and CTAS onto an orphaned location
+    // throws LOCATION_ALREADY_EXISTS instead of overwriting. Drop any
+    // catalog entry, then clear the stale location explicitly — the
+    // rewrite-every-run staleness discipline depends on this being
+    // idempotent across sessions.
+    val ss = df.sparkSession
+    ss.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      ss.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tableName)))
+    val fs = loc.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))

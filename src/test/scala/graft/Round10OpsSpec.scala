@@ -1,0 +1,189 @@
+package graft
+
+import graft.operators.{DedupOps, Relational, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the round-10 hardening set (VERDICT r9 tasks 1-5 +
+  * ADVICE r9): the comment-level caveats converted into code paths —
+  * bounded negative sampling, the Decimal kappa arm, null-safe
+  * k-anonymity, loud/zero-safe constraint audits, and the
+  * parameterized tf-idf vocabulary broadcast.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- labelAgreementKappa: Decimal(38,0) pe arm (VERDICT r9 #2) ----
+
+  test("kappaFromPredictions matches BigInt arithmetic past the old 3e6 Long cliff") {
+    // 4M rows — past the former raise_error guard (pe_num·1e6 needs
+    // >2^63 here: marginals ~1.33e6 each, pe_num ~5.3e12, ·1e6 = 5.3e18
+    // is still inside Long, so push the skew: one label holds 3.6M rows
+    // → pe_num ≈ 3.6e6·3.2e6 ≈ 1.2e13, ·1e6 ≈ 1.2e19 > 2^63 ≈ 9.2e18.
+    val n = 4000000L
+    val pred = spark.range(n).select(
+      when(col("id") < 3600000L, 0L).otherwise(col("id") % 3).as("label"),
+      when(col("id") % 10 === 0, col("id") % 3).otherwise(0L).as("pred_label"))
+    val out = SimilarityOps.kappaFromPredictions(pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    // replay exactly in BigInt with the same truncation sequence
+    val rows = (0L until n).iterator.map { id =>
+      val label = if (id < 3600000L) 0L else id % 3
+      val predL = if (id % 10 == 0) id % 3 else 0L
+      (label, predL)
+    }.toSeq
+    val agree = rows.count { case (a, b) => a == b }.toLong
+    val rm = rows.groupBy(_._1).map { case (k, v) => k -> BigInt(v.size) }
+    val cm = rows.groupBy(_._2).map { case (k, v) => k -> BigInt(v.size) }
+    val peNum = (rm.keySet ++ cm.keySet).toSeq
+      .map(k => rm.getOrElse(k, BigInt(0)) * cm.getOrElse(k, BigInt(0))).sum
+    assert(peNum * 1000000 > BigInt(Long.MaxValue),
+      "fixture must actually cross the old Long-arithmetic cliff")
+    val poPpm = (BigInt(agree) * 1000000 / BigInt(n)).toLong
+    val pePpm = (peNum * 1000000 / (BigInt(n) * BigInt(n))).toLong
+    val kappaPpm =
+      if (pePpm == 1000000L) 0L
+      else (poPpm - pePpm) * 1000000L / (1000000L - pePpm)
+    assert(out === ((n, agree, poPpm, pePpm, kappaPpm)))
+  }
+
+  test("kappaFromPredictions agrees with hand arithmetic on a small frame") {
+    // confusion matrix: labels 0/1, preds 0/1 — n=10, agree=7,
+    // rm=(6,4), cm=(7,3), pe_num = 6*7+4*3 = 54
+    val pred = (Seq.fill(5)((0L, 0L)) ++ Seq.fill(1)((0L, 1L)) ++
+      Seq.fill(2)((1L, 0L)) ++ Seq.fill(2)((1L, 1L)))
+      .toDF("label", "pred_label")
+    val out = SimilarityOps.kappaFromPredictions(pred).collect().head
+    assert(out.getLong(0) === 10L && out.getLong(1) === 7L)
+    assert(out.getLong(2) === 700000L)             // po = 7e6/10
+    assert(out.getLong(3) === 540000L)             // pe = 54e6/100
+    assert(out.getLong(4) === (700000L - 540000L) * 1000000L / 460000L)
+  }
+
+  test("kappaFromPredictions fails loudly on empty input (ADVICE r9)") {
+    val empty = Seq.empty[(Long, Long)].toDF("label", "pred_label")
+    val e = intercept[Exception] {
+      SimilarityOps.kappaFromPredictions(empty).collect()
+    }
+    assert(e.getMessage.contains("labelAgreementKappa"),
+      s"expected the loud empty-input guard, got: ${e.getMessage}")
+  }
+
+  // ---- checkConstraints hardening (ADVICE r9) ----
+
+  test("checkConstraints on an EMPTY table audits 0 violations / pass, not NULL") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "qty")
+    val out = Relational.checkConstraints(empty,
+      violations = Seq("qty_positive" -> (col("qty") < 0)),
+      uniqueKeys = Seq("id_unique" -> Seq("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(("id_unique", 0L, true), ("qty_positive", 0L, true)))
+  }
+
+  test("checkConstraints rejects injection-prone and colliding constraint names") {
+    val rows = Seq((1L, 1.0)).toDF("id", "qty")
+    def bad(name: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Relational.checkConstraints(rows,
+          violations = Seq(name -> (col("qty") < 0)))
+      }
+      assert(e.getMessage.contains("constraint name"), s"name '$name': $e")
+    }
+    bad("it's")        // single quote would break the stack() literal
+    bad("a`b")         // backtick would break the quoted identifier
+    bad("__n")         // leading underscore reserved for internal columns
+    bad("has space")
+    val dup = intercept[IllegalArgumentException] {
+      Relational.checkConstraints(rows,
+        violations = Seq("c1" -> (col("qty") < 0), "c1" -> (col("qty") > 9)))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // approx variant shares the validation
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.checkConstraintsApprox(rows,
+        violations = Nil, uniqueKeys = Seq("bad'name" -> Seq("id")))
+    }
+    assert(e2.getMessage.contains("constraint name"))
+  }
+
+  // ---- kAnonymize null-safe join (ADVICE r9) ----
+
+  test("kAnonymize counts and suppresses NULL-bearing quasi combos instead of dropping them") {
+    val rows = Seq(
+      (1L, Some("a"), Some("1")), (2L, Some("a"), Some("1")),
+      (3L, Some("a"), Some("1")),
+      (4L, None, Some("1")), (5L, None, Some("1")),  // NULL city, 2 rows
+      (6L, Some("c"), None))                          // NULL band, 1 row
+      .toDF("id", "city", "band")
+    val out = Relational.kAnonymize(rows, "id", Seq("city", "band"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    // every input row survives — NULL combos are suppressed, not lost
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.toSeq === Seq(
+      (1L, "a", "1", 3L, false), (2L, "a", "1", 3L, false),
+      (3L, "a", "1", 3L, false),
+      (4L, "*", "*", 2L, true), (5L, "*", "*", 2L, true),
+      (6L, "*", "*", 1L, true)))
+  }
+
+  // ---- negativeSamples bounded by construction (VERDICT r9 #1) ----
+
+  private def negCorpus(n: Int) = spark.range(n.toLong)
+    .select(col("id").as("doc_id"),
+      concat(lit("w"), col("id") % 7, lit(" x"), col("id") % 11).as("text"))
+
+  test("negativeSamples rate-samples the candidate side to ~expectedCandidates") {
+    val docs = negCorpus(500)
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val out = DedupOps.negativeSamples(docs, pairs, k = 3,
+      expectedCandidates = 16)
+    // distinct candidates drawn across ALL anchors = the sampled pool
+    // (±self-exclusion): concentration around 16 — hard-bound it well
+    // below the 500-id corpus and above zero
+    val pool = out.select("cand_id").distinct().count()
+    assert(pool >= 4 && pool <= 48,
+      s"sampled candidate pool should concentrate near 16, got $pool")
+    // per-anchor output is exactly k (pool ≫ k, no positives to remove)
+    val perAnchor = out.groupBy("anchor_id").count()
+      .agg(min("count"), max("count")).collect().head
+    assert(perAnchor.getLong(0) === 3L && perAnchor.getLong(1) === 3L)
+  }
+
+  test("negativeSamples saturates to the exact full grid on small corpora") {
+    val docs = negCorpus(20)
+    val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
+    val bounded = DedupOps.negativeSamples(docs, pairs, k = 2,
+      expectedCandidates = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // expectedCandidates ≥ corpus ⇒ candPpm saturates at 1e6 ⇒ identical
+    // to the unbounded form: every anchor gets k, the positive pair is
+    // excluded in both orientations
+    assert(bounded.length === 40)
+    val asPairs = bounded.map(r => (r._1, r._2)).toSet
+    assert(!asPairs.contains((0L, 1L)) && !asPairs.contains((1L, 0L)),
+      "verified positives must never be emitted as negatives")
+  }
+
+  test("negativeSamples membership is partitioning-invariant") {
+    val docs = negCorpus(300)
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val a = DedupOps.negativeSamples(docs, pairs, 2, expectedCandidates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = DedupOps.negativeSamples(docs.repartition(13), pairs, 2,
+      expectedCandidates = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a === b)
+  }
+
+  // ---- tfIdfTopTerms broadcast parameter (VERDICT r9 hygiene) ----
+
+  test("tfIdfTopTerms emits identical rows with and without the vocab broadcast") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hinted = TextOps.tfIdfTopTerms(docs, 3, broadcastVocab = true)
+      .collect().toSeq
+    val shuffled = TextOps.tfIdfTopTerms(docs, 3, broadcastVocab = false)
+      .collect().toSeq
+    assert(hinted === shuffled)
+  }
+}
