@@ -4894,7 +4894,7 @@ object Queries {
         graft.sources.StorageOps.compactZOrder(s, s"$d/events.parquet", out,
           targetBytes = 4L << 20, zCols = Seq("user_id", "value"))
         s.read.parquet(out)
-          .filter(col("user_id").between(40L, 90L) &&
+          .filter(col("user_id").between(3L, 9L) &&
             col("value") >= 20.0 && col("value") < 200.0)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
@@ -4904,7 +4904,7 @@ object Queries {
       Some("""SELECT event_type, COUNT(*)::BIGINT AS n_events,
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_s2
         FROM events
-        WHERE user_id BETWEEN 40 AND 90 AND value >= 20.0 AND value < 200.0
+        WHERE user_id BETWEEN 3 AND 9 AND value >= 20.0 AND value < 200.0
         GROUP BY event_type ORDER BY event_type"""))
   )
 

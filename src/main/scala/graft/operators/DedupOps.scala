@@ -1001,7 +1001,9 @@ object DedupOps {
     * costs nothing measurable. [[tfidfCosinePairsPrefix]] carries the
     * identical guard on its perDoc norms.
     *
-    * Scale shape: df is vocabulary-bounded → broadcast; pair generation
+    * Scale shape: df is vocabulary-bounded → broadcast by default
+    * (`broadcastVocab = false` switches to a shuffle join on word when
+    * the vocabulary outgrows executor memory); pair generation
     * is the inverted-index equi-join on word (AQE-skew-handled, never
     * all-pairs); the weighted relation feeds norms + both join sides →
     * localCheckpoint, computed once. Like [[containmentPairs]], the full
@@ -1026,12 +1028,15 @@ object DedupOps {
       .otherwise(s.cast("long"))
   }
 
-  def tfidfCosinePairs(documents: DataFrame, minCosPct: Int): DataFrame = {
+  def tfidfCosinePairs(documents: DataFrame, minCosPct: Int,
+                       broadcastVocab: Boolean = true): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val wt = tf.join(broadcast(dfq), Seq("word"))
+    // vocabulary broadcast is a PARAMETER (the tfIdfTopTerms r10
+    // discipline): pass false when the vocabulary outgrows executors
+    val wt = tf.join(if (broadcastVocab) broadcast(dfq) else dfq, Seq("word"))
       .select(col("doc_id"), col("word"),
         (col("tf") * expr("1000000L div df")).as("w"))
       .localCheckpoint()
@@ -1072,7 +1077,8 @@ object DedupOps {
     * contract is bit-identical to [[tfidfCosinePairs]] — the declared
     * query pair shares one oracle.
     */
-  def tfidfCosinePairsPrefix(documents: DataFrame, minCosPct: Int): DataFrame = {
+  def tfidfCosinePairsPrefix(documents: DataFrame, minCosPct: Int,
+                             broadcastVocab: Boolean = true): DataFrame = {
     require(minCosPct >= 1 && minCosPct <= 100,
       s"minCosPct must be in [1,100], got $minCosPct")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -1081,7 +1087,7 @@ object DedupOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val wt = tf.join(broadcast(dfq), Seq("word"))
+    val wt = tf.join(if (broadcastVocab) broadcast(dfq) else dfq, Seq("word"))
       .select(col("doc_id"), col("word"), col("df"),
         (col("tf") * expr("1000000L div df")).as("w"))
       .localCheckpoint()  // feeds perDoc, the probe index, and nothing else twice

@@ -36,17 +36,23 @@ object Relational {
     * over the data; the unpivot is width-bounded, not data-bounded.
     */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // coalesce: sum over ZERO rows is NULL — an empty table has zero
+    // nulls per column, not an unknown count (same audit-NULL class as
+    // checkConstraints, ADVICE r9; null_ppm legitimately stays NULL on
+    // 0 rows — a ratio over nothing is undefined, and n_rows says why)
     val aggRow = df.select(
       (count(lit(1)).cast(LongType).as("__n_rows__") +:
         cols.toIndexedSeq.map(c =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).cast(LongType).as(c))): _*)
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .cast(LongType).as(c))): _*)
     aggRow
       .unpivot(Array(col("__n_rows__")), cols.map(col).toArray, "col_name", "n_nulls")
       .select(
         col("col_name"),
         col("n_nulls"),
         col("__n_rows__").as("n_rows"),
-        expr("`n_nulls` * 1000000L div `__n_rows__`").as("null_ppm"))
+        expr("CASE WHEN `__n_rows__` = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE `n_nulls` * 1000000L div `__n_rows__` END").as("null_ppm"))
       .orderBy("col_name")
   }
 

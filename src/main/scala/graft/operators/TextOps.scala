@@ -120,14 +120,18 @@ object TextOps {
     * stream; per-doc rollup is map-side-combined. Mean = integer
     * Σrank·10⁶ div n — exact.
     */
-  def rarityScores(documents: DataFrame): DataFrame = {
+  def rarityScores(documents: DataFrame,
+                   broadcastVocab: Boolean = true): DataFrame = {
     val toks = documents.select(col("doc_id"),
       explode(words(col("text"))).as("word"))
     val freq = toks.groupBy("word").agg(count(lit(1)).as("freq"))
     val rank = freq.withColumn("rank",
       dense_rank().over(Window.orderBy(desc("freq"), col("word")))
         .cast("long"))
-    toks.join(broadcast(rank.select("word", "rank")), Seq("word"))
+    val rankRel = rank.select(col("word"), col("rank"))
+    // vocabulary broadcast is a PARAMETER (tfIdfTopTerms r10 discipline)
+    toks.join(if (broadcastVocab) broadcast(rankRel) else rankRel,
+        Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
       .select(col("doc_id"), col("n_tokens"),

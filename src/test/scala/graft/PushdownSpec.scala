@@ -516,4 +516,56 @@ class PushdownSpec extends SparkSpec {
     val plan = executedPlan("q_kcore")
     assert(plan.contains("LeftSemi"), s"plan:\n$plan")
   }
+
+  /** AQE finalized-plan string: AdaptiveSparkPlanExec.toString prints
+    * BOTH Final and Initial plans (double-counting node asserts) — take
+    * the executed subtree only.
+    */
+  private def finalPlanString(
+      df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q_zorder_scan pushes both range predicates to the z-ordered scan (r10)") {
+    // the read-back query's whole point: a two-dimensional range filter
+    // against the Morton-clustered copy must reach the parquet scan on
+    // BOTH dimensions so file min/max stats can prune (metadata strings
+    // truncate at 100 chars by default — widen for the assert)
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      val plan = finalPlanString(Queries.queries("q_zorder_scan")(spark, dir))
+      val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.contains("GreaterThanOrEqual(user_id,3") &&
+        pushed.contains("LessThanOrEqual(user_id,9") &&
+        pushed.contains("GreaterThanOrEqual(value,20.0") &&
+        pushed.contains("LessThan(value,200.0"),
+        s"expected both z-dimensions' range bounds pushed: $pushed")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+  }
+
+  test("q_bucketed_join joins bucketed scans with no join-input Exchange (r10)") {
+    // the declared read-back must actually consume the bucketed layout —
+    // broadcast is disabled so the assert proves co-location, exactly
+    // like BucketedJoinSpec (at sf0.001 Spark otherwise broadcasts the
+    // small side and rightly skips the bucketed scan it doesn't need)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = finalPlanString(Queries.queries("q_bucketed_join")(spark, dir))
+      assert("Bucketed: true".r.findAllIn(plan).size == 2,
+        s"expected both sides read as bucketed scans:\n$plan")
+      // the only exchanges are ABOVE the join: the o_orderstatus agg
+      // and the output sort — the join inputs themselves are co-located
+      assert("Exchange".r.findAllIn(plan).size <= 2 &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join-input shuffle crept into the bucketed read-back:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }

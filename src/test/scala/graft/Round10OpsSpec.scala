@@ -186,4 +186,34 @@ class Round10OpsSpec extends SparkSpec {
       .collect().toSeq
     assert(hinted === shuffled)
   }
+
+  test("tfidfCosinePairs / rarityScores: broadcast parameter does not change rows") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    assert(DedupOps.tfidfCosinePairs(docs, 30, broadcastVocab = true)
+      .collect().toSeq ===
+      DedupOps.tfidfCosinePairs(docs, 30, broadcastVocab = false)
+        .collect().toSeq)
+    assert(TextOps.rarityScores(docs, broadcastVocab = true)
+      .collect().toSeq ===
+      TextOps.rarityScores(docs, broadcastVocab = false)
+        .collect().toSeq)
+  }
+
+  test("nullProfile on an EMPTY table reports zero nulls, not unknown (ADVICE r9 class)") {
+    val empty = Seq.empty[(Long, Option[String])].toDF("id", "tag")
+    val out = Relational.nullProfile(empty, Seq("id", "tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // n_nulls = 0 (an empty table HAS zero nulls); null_ppm stays NULL
+    // because a ratio over zero rows is undefined — and n_rows=0 says so
+    assert(out.toSeq === Seq(("id", 0L, 0L, None), ("tag", 0L, 0L, None)))
+  }
+
+  test("negativeSamples returns empty on an empty corpus") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.negativeSamples(emptyDocs, emptyPairs, k = 2,
+      expectedCandidates = 16).isEmpty)
+  }
 }
