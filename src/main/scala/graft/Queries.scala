@@ -1849,6 +1849,64 @@ object Queries {
         (0L until 8L), 5, nProbe = 2),
       None),
 
+    // ANN RECALL AUDIT as a DECLARED query (r10): DuckDB cannot replay
+    // the float-plane LSH/IVF indexes (hence their two no_oracle rows),
+    // but their RECALL CONTRACT is checkable — this query measures each
+    // index's recall against the oracle-checked exact top-k INSIDE one
+    // plan and emits the AnnRecallSpec floors as booleans, so the
+    // driver's own correctness artifact carries the executable recall
+    // evidence (n_exact is genuinely data-derived on both sides; a
+    // broken index flips meets_floor and the hash compare goes red).
+    // Floors mirror AnnRecallSpec: IVF 60% (measured 675k ppm at
+    // sf0.01), sign-LSH 30% (measured 350k ppm, multi-probe hamming≤1).
+    Declared("q_ann_recall_audit",
+      (s, d) => {
+        val exact = SimilarityOps.topKDotExact(embeddings(s, d),
+          (0L until 8L), 5).select(col("q_id"), col("n_id"))
+        def audit(variant: String, approx: DataFrame,
+                  floorPpm: Long): DataFrame = {
+          val hits = exact.join(
+            approx.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_semi")
+          exact.agg(count(lit(1)).cast(LongType).as("n_exact"))
+            .crossJoin(hits.agg(count(lit(1)).cast(LongType).as("__n_hits")))
+            .select(lit(variant).as("variant"), col("n_exact"),
+              lit(floorPpm).as("floor_ppm"),
+              (col("__n_hits") * lit(1000000L) >=
+                col("n_exact") * lit(floorPpm)).as("meets_floor"))
+        }
+        val ivf = SimilarityOps.ivfTopK(
+          SimilarityOps.ivfIndexCached(embeddings(s, d), d, k = 8,
+            iterations = 2, trainSampleMod = 4), (0L until 8L), 5, nProbe = 2)
+        val lsh = SimilarityOps.lshBucketTopK(embeddings(s, d),
+          (0L until 8L), 5, numPlanes = 8, dim = 64, maxFlip = 1)
+        audit("ivf", ivf, 600000L)
+          .unionByName(audit("lsh", lsh, 300000L))
+          .orderBy("variant")
+      },
+      Some("""WITH q AS (SELECT vec_id AS q_id, unnest(embedding) AS qv,
+                     unnest(range(64)) AS pos
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS n_id, unnest(embedding) AS cv,
+                unnest(range(64)) AS pos FROM embeddings),
+        s AS (SELECT q.q_id, c.n_id,
+                SUM(CAST(round(CAST(q.qv AS DOUBLE) * 10000000) AS BIGINT)
+                    * CAST(round(CAST(c.cv AS DOUBLE) * 10000000) AS BIGINT))
+                  AS score_s14
+              FROM q JOIN c ON q.pos = c.pos GROUP BY q.q_id, c.n_id),
+        topk AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY score_s14 DESC, n_id) AS rn
+              FROM s) WHERE rn <= 5),
+        cnt AS (SELECT COUNT(*)::BIGINT AS n_exact FROM topk)
+        SELECT 'ivf' AS variant, n_exact,
+               CAST(600000 AS BIGINT) AS floor_ppm, TRUE AS meets_floor
+        FROM cnt
+        UNION ALL
+        SELECT 'lsh', n_exact, CAST(300000 AS BIGINT), TRUE FROM cnt
+        ORDER BY variant""")),
+
     // skew-resistant two-phase (salted) aggregation, oracle-checked
     // against the plain GROUP BY — salting must be semantically
     // transparent, and counts/decimal-sums re-aggregate losslessly

@@ -103,10 +103,14 @@ object StorageOps {
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val asDouble = zCols.map(c => col(c).cast("double").as(s"__zd_$c"))
     val forQuantiles = src.select(asDouble: _*)
-    // one approxQuantile pass per column (sketch-merged, no sort)
-    val codes = zCols.map { c =>
-      val bounds = forQuantiles.stat
-        .approxQuantile(s"__zd_$c", probs, 1.0 / (4 * nBuckets))
+    // ONE approxQuantile pass for ALL z-columns (r10: the multi-column
+    // overload merges every column's quantile sketch in the same scan —
+    // the per-column form cost one full input read per dimension, which
+    // at 100 TB is the difference between 1× and |zCols|× the compaction
+    // read amplification before the rewrite even starts)
+    val allBounds = forQuantiles.stat.approxQuantile(
+      zCols.map(c => s"__zd_$c").toArray, probs, 1.0 / (4 * nBuckets))
+    val codes = zCols.zip(allBounds).map { case (c, bounds) =>
       val boundsArr = array(bounds.toSeq.map(lit): _*)
       // code = #boundaries <= value  (codegen'd fold, 0..nBuckets-1)
       aggregate(boundsArr, lit(0L),
