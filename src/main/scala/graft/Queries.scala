@@ -2713,6 +2713,49 @@ object Queries {
             AS weight_ppm
         FROM sc ORDER BY lang""")),
 
+    // Domain-mixture epoch planner (TextOps.mixtureEpochs): per-source
+    // repeat factors to hit a token budget at a declared mixture — the
+    // q_lang_weights companion at SOURCE grain, with the budget math in
+    // Decimal(38,0) (a 100 TB budget × 10⁶ would wrap a Long). The
+    // declared weights are hash-derived per source (md5-bucket 1..9,
+    // ppm-normalized) so rates vary and DuckDB replays them exactly;
+    // every weighted source is observed, so the unservable-mixture
+    // loud-guard stays dormant here (it's spec-pinned instead).
+    Declared("q_mixture_epochs",
+      (s, d) => {
+        val docs = documents(s, d)
+        val all = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val w = docs.select(col("source")).distinct()
+          .withColumn("raw", pmod(DedupOps.md5Hash60(
+            concat(lit("w:"), col("source"))), lit(9L)) + lit(1L))
+          .withColumn("__tot", sum("raw").over(all))
+          .select(col("source"),
+            expr("raw * 1000000L div __tot").as("weight_ppm"))
+        TextOps.mixtureEpochs(docs, w, budgetTokens = 250000L)
+      },
+      Some("""WITH tok AS (SELECT source,
+                CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tok
+              FROM documents),
+        sup AS (SELECT source, SUM(n_tok)::BIGINT AS tokens_have
+                FROM tok GROUP BY source),
+        w0 AS (SELECT source,
+                 ('0x' || substr(md5('w:' || source), 1, 15))::BIGINT % 9 + 1
+                   AS raw
+               FROM (SELECT DISTINCT source FROM documents)),
+        w AS (SELECT source,
+                CAST(raw * 1000000 // SUM(raw) OVER () AS BIGINT)
+                  AS weight_ppm FROM w0),
+        t AS (SELECT s.source, s.tokens_have, w.weight_ppm,
+                CAST(250000 * w.weight_ppm // 1000000 AS BIGINT)
+                  AS target_tokens
+              FROM sup s JOIN w USING (source))
+        SELECT source, tokens_have, weight_ppm, target_tokens,
+          CAST(target_tokens * 1000000 // tokens_have AS BIGINT)
+            AS epochs_ppm
+        FROM t ORDER BY source""")),
+
     // First-order Markov transition matrix of the event stream
     // (EventOps.transitionCounts): per-user lead window on the
     // (ts_us, event_id) total order, then a |types|²-key count.
@@ -4482,6 +4525,41 @@ object Queries {
           (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
             // COUNT(*) AS dup_ppm
         FROM aug GROUP BY source ORDER BY source""")),
+
+    // Dedup ROI in TOKENS (DedupOps.dedupTokensSaved): what an exact
+    // dedup pass saves per source, priced in the unit training actually
+    // pays — complements q_dup_rate_by_source's doc-count rate (a feed
+    // duplicating its longest docs has a modest doc rate but a large
+    // token rate). Same %7 shifted-id augmentation (the raw corpus is
+    // audited dup-free), keeper = GLOBAL min doc_id per fingerprint.
+    Declared("q_dedup_tokens_saved",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "source", "text")
+        val dupes = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+        DedupOps.dedupTokensSaved(base.unionByName(dupes))
+      },
+      Some("""WITH aug AS (SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, source, text FROM documents
+          WHERE doc_id % 7 = 0),
+        k AS (SELECT doc_id, source, md5(text) AS fp,
+                CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tok
+              FROM aug),
+        f AS (SELECT fp, MIN(doc_id) AS keep_id FROM k GROUP BY fp),
+        agg AS (SELECT k.source, COUNT(*)::BIGINT AS n_docs,
+                SUM(k.n_tok)::BIGINT AS n_tokens,
+                SUM(CASE WHEN k.doc_id <> f.keep_id THEN 1 ELSE 0 END)::BIGINT
+                  AS dup_docs,
+                SUM(CASE WHEN k.doc_id <> f.keep_id THEN k.n_tok ELSE 0 END)::BIGINT
+                  AS dup_tokens
+              FROM k JOIN f USING (fp) GROUP BY k.source)
+        SELECT source, n_docs, n_tokens, dup_docs, dup_tokens,
+          CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(dup_tokens * 1000000 // n_tokens AS BIGINT) END
+            AS saved_ppm
+        FROM agg ORDER BY source""")),
 
     // Cross-source duplication matrix (DedupOps.crossSourceDupMatrix):
     // which feeds copy each other — the between-feed complement of

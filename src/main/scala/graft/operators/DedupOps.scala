@@ -1423,4 +1423,46 @@ object DedupOps {
       .withColumn("n_kept", col("n_passages") - col("n_dup"))
       .orderBy("doc_id")
   }
+
+  /** DEDUP ROI ACCOUNTING: per source, how many TOKENS exact dedup
+    * saves — the table that prices a dedup pass (docs-only dup rates
+    * [[crossSourceDupMatrix]]-style hide that feeds duplicate their
+    * LONGEST documents disproportionately; training cost is tokens,
+    * not docs). A document is a duplicate iff its content fingerprint's
+    * GLOBAL first occurrence (min doc_id over the whole corpus, not
+    * per source) is a different document — so a feed that re-ingests
+    * another feed's documents is charged for them, matching
+    * [[exactDedup]]'s keep-first semantics.
+    *
+    * saved_ppm is exact-integer: `dup_tokens · 10⁶ div n_tokens` in
+    * Decimal(38,0) (a 100 TB source's token count × 10⁶ passes 2⁶³),
+    * cast back to BIGINT; a zero-token source reports 0 saved
+    * (its dup_tokens is necessarily 0 too — no silent NULL row on
+    * degenerate input, the ADVICE-r9 class).
+    *
+    * Scale shape: only (doc_id, source, 16-byte fingerprint, token
+    * count) tuples shuffle — never text. One group-min at fingerprint
+    * grain, one fingerprint-keyed equi-join back, one map-side-combined
+    * rollup to source grain.
+    */
+  def dedupTokensSaved(documents: DataFrame): DataFrame = {
+    val keyed = documents.select(col("doc_id"), col("source"),
+      md5(col("text")).as("__fp"),
+      size(expr(
+        "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+        .cast("long").as("__n_tok"))
+    val firstSeen = keyed.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
+    keyed.join(firstSeen, Seq("__fp"))
+      .withColumn("__is_dup", (col("doc_id") =!= col("__keep_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_tok")).as("n_tokens"),
+        sum(col("__is_dup")).as("dup_docs"),
+        sum(col("__is_dup") * col("__n_tok")).as("dup_tokens"))
+      .withColumn("saved_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN 0L " +
+          "ELSE CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000 " +
+          "div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT) END"))
+      .orderBy("source")
+  }
 }

@@ -693,4 +693,66 @@ object TextOps {
         min(col("total_tokens")).as("total_tokens"))
       .orderBy("threshold_ppm")
   }
+
+  /** DOMAIN-MIXTURE EPOCH PLANNER: given per-source token supply and a
+    * declared target mixture (weights relation `(source, weight_ppm)`),
+    * compute how many passes (epochs, in ppm) over each source a
+    * training run must take to hit a global `budgetTokens` at the
+    * declared mixture — the Pile/DoReMi-style "how often do we repeat
+    * Wikipedia vs CommonCrawl" table. epochs_ppm > 10⁶ means
+    * upsampling (repetition), < 10⁶ downsampling.
+    *
+    * Semantics are exact-integer and loud:
+    *  - `target_tokens = budgetTokens · weight_ppm div 10⁶` and
+    *    `epochs_ppm = target_tokens · 10⁶ div tokens_have`, both in
+    *    Decimal(38,0) — a 100 TB budget (~2·10¹³ tokens) × 10⁶ passes
+    *    2⁶³, so Long arithmetic is wrong at exactly the scale this
+    *    table exists for. Outputs cast back to BIGINT (ANSI: an
+    *    implausible quotient overflows loudly, never wraps).
+    *  - A PLANNED source with weight > 0 but zero supplied tokens
+    *    `raise_error`s: a domain the mixture calls for that the corpus
+    *    cannot serve means the run silently trains on a different
+    *    mixture than declared — the same silent-contamination class as
+    *    a leaky split, so it fails the plan, not the training run.
+    *  - An OBSERVED source absent from the weights relation gets
+    *    weight 0 / target 0 / epochs 0 — visible in the output row,
+    *    not dropped (ADVICE-r9 null-join lesson: full-outer, never
+    *    inner, so neither side's rows can vanish).
+    *
+    * Tokens are the engine's BPE-ish token count ([[tokenCounts]]'s
+    * regex), so the plan and the per-doc accounting agree.
+    *
+    * Scale shape: one map-side-combined aggregate to source grain,
+    * then a full-outer join at |sources| cardinality (dozens of rows at
+    * any corpus size) — document text never shuffles.
+    */
+  def mixtureEpochs(documents: DataFrame, weights: DataFrame,
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val supply = documents
+      .select(col("source"),
+        size(expr(
+          "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("tokens_have"))
+    supply
+      .join(weights.select(col("source"), col("weight_ppm").cast("long")
+        .as("weight_ppm")), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("tokens_have"), lit(0L)).as("tokens_have"),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"))
+      .withColumn("target_tokens", expr(
+        s"CAST(CAST($budgetTokens AS DECIMAL(38,0)) " +
+          "* CAST(weight_ppm AS DECIMAL(38,0)) div 1000000 AS BIGINT)"))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN tokens_have = 0 AND target_tokens > 0 THEN " +
+          "CAST(raise_error('mixtureEpochs: planned source ' || source || " +
+          "' has weight > 0 but zero supplied tokens — the declared " +
+          "mixture is unservable') AS BIGINT) " +
+          "WHEN tokens_have = 0 THEN 0L " +
+          "ELSE CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 " +
+          "div CAST(tokens_have AS DECIMAL(38,0)) AS BIGINT) END"))
+      .orderBy("source")
+  }
 }

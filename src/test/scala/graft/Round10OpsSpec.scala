@@ -216,4 +216,78 @@ class Round10OpsSpec extends SparkSpec {
     assert(DedupOps.negativeSamples(emptyDocs, emptyPairs, k = 2,
       expectedCandidates = 16).isEmpty)
   }
+
+  // ---- mixtureEpochs / dedupTokensSaved (round-10 curation ops) ----
+
+  private def mixDocs = Seq(
+    (1L, "aa bb", "A"), (2L, "cc dd", "A"),   // A: 2 docs × 2 tokens = 4
+    (3L, "x1 y2", "B"))                        // B: x,1,y,2 → 4 tokens
+    .toDF("doc_id", "text", "source")
+
+  test("mixtureEpochs agrees with hand arithmetic") {
+    val w = Seq(("A", 750000L), ("B", 250000L)).toDF("source", "weight_ppm")
+    val out = TextOps.mixtureEpochs(mixDocs, w, budgetTokens = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("A", 4L, 750000L, 750L, 187500000L),   // 750·1e6 div 4
+      ("B", 4L, 250000L, 250L, 62500000L)))
+  }
+
+  test("mixtureEpochs fails loudly when a planned source has no tokens") {
+    val w = Seq(("A", 500000L), ("C", 500000L)).toDF("source", "weight_ppm")
+    val e = intercept[Exception] {
+      TextOps.mixtureEpochs(mixDocs, w, budgetTokens = 1000L).collect()
+    }
+    assert(e.getMessage.contains("unservable"),
+      s"expected the unservable-mixture guard, got: ${e.getMessage}")
+  }
+
+  test("mixtureEpochs keeps unweighted observed sources visible at zero") {
+    val w = Seq(("A", 1000000L)).toDF("source", "weight_ppm")
+    val out = TextOps.mixtureEpochs(mixDocs, w, budgetTokens = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // B is observed but unplanned: weight/target/epochs 0, row NOT
+    // dropped (the ADVICE-r9 vanishing-row class)
+    assert(out.toSeq === Seq(
+      ("A", 4L, 1000000L, 100L, 25000000L),
+      ("B", 4L, 0L, 0L, 0L)))
+  }
+
+  test("mixtureEpochs returns empty on empty docs + empty weights") {
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val emptyW = Seq.empty[(String, Long)].toDF("source", "weight_ppm")
+    assert(TextOps.mixtureEpochs(emptyDocs, emptyW, 10L).isEmpty)
+  }
+
+  test("dedupTokensSaved charges cross-source duplicates to the duplicating feed") {
+    val docs = Seq(
+      (1L, "aa bb", "s1"),      // keeper (global first for 'aa bb')
+      (2L, "aa bb", "s1"),      // intra-source dup: 2 tokens charged
+      (3L, "aa bb", "s2"),      // CROSS-source dup of doc 1: charged to s2
+      (4L, "zz", "s2"))         // unique
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.dedupTokensSaved(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("s1", 2L, 4L, 1L, 2L, 500000L),
+      ("s2", 2L, 3L, 1L, 2L, 666666L)))   // 2·1e6 div 3, truncated
+  }
+
+  test("dedupTokensSaved: zero-token source reports 0 saved, empty corpus is empty") {
+    val docs = Seq((1L, "", "s0"), (2L, "", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.dedupTokensSaved(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // both docs have identical (empty) text: one dup doc, zero tokens —
+    // saved_ppm is the guarded 0, not a NULL/divide-by-zero
+    assert(out.toSeq === Seq(("s0", 2L, 0L, 1L, 0L, 0L)))
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(DedupOps.dedupTokensSaved(emptyDocs).isEmpty)
+  }
 }
