@@ -718,6 +718,10 @@ object TextOps {
     *    weight 0 / target 0 / epochs 0 — visible in the output row,
     *    not dropped (ADVICE-r9 null-join lesson: full-outer, never
     *    inner, so neither side's rows can vanish).
+    *  - A MALFORMED weights relation fails loudly: a duplicate source
+    *    row (which would silently fan out the join into two planner
+    *    rows for one source) or a negative weight both `raise_error`
+    *    inside the plan.
     *
     * Tokens are the engine's BPE-ish token count ([[tokenCounts]]'s
     * regex), so the plan and the per-doc accounting agree.
@@ -736,9 +740,25 @@ object TextOps {
           .cast("long").as("n_tok"))
       .groupBy("source")
       .agg(sum(col("n_tok")).as("tokens_have"))
+    // Validate the weights RELATION the way constraint names are
+    // validated (the r10 lesson — reject, don't document): a duplicate
+    // source row would silently fan out the full-outer join (two
+    // planner rows for one source), and a negative weight is a
+    // nonsense plan — both fail loudly inside the plan, at |sources|
+    // cost.
+    val w = weights
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("__w_cnt"),
+        max(col("weight_ppm").cast("long")).as("__w"))
+      .select(col("source"), expr(
+        "CASE WHEN __w_cnt > 1 THEN CAST(raise_error(" +
+          "'mixtureEpochs: duplicate weight row for source ' || source) " +
+          "AS BIGINT) " +
+          "WHEN __w < 0 THEN CAST(raise_error(" +
+          "'mixtureEpochs: negative weight_ppm for source ' || source) " +
+          "AS BIGINT) ELSE __w END").as("weight_ppm"))
     supply
-      .join(weights.select(col("source"), col("weight_ppm").cast("long")
-        .as("weight_ppm")), Seq("source"), "full_outer")
+      .join(w, Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(col("tokens_have"), lit(0L)).as("tokens_have"),
         coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"))

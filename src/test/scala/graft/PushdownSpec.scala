@@ -568,4 +568,33 @@ class PushdownSpec extends SparkSpec {
         s"join-input shuffle crept into the bucketed read-back:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("q_dedup_tokens_saved shuffles fingerprints, never text or all-pairs (r10)") {
+    val plan = finalPlanString(Queries.queries("q_dedup_tokens_saved")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in the dedup-ROI plan:\n$plan")
+    // every hash shuffle must be keyed on the 16-byte fingerprint or
+    // the source rollup key — a text-keyed exchange would mean bodies
+    // shuffle, the exact cost the fingerprint exists to avoid
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty &&
+      hashEx.forall(l => l.contains("__fp") || l.contains("source")),
+      s"unexpected shuffle key in:\n${hashEx.mkString("\n")}")
+    assert(plan.contains("md5"), s"fingerprint key missing:\n$plan")
+  }
+
+  test("q_mixture_epochs aggregates to source grain before any shuffle (r10)") {
+    val plan = finalPlanString(Queries.queries("q_mixture_epochs")(spark, dir))
+    // the token supply is map-side combined to |sources| rows: every
+    // hash exchange is keyed on source — document text is consumed
+    // below the first exchange and never shuffles
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("source")),
+      s"unexpected shuffle key in:\n${hashEx.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
 }

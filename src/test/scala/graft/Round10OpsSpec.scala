@@ -255,6 +255,22 @@ class Round10OpsSpec extends SparkSpec {
       ("B", 4L, 0L, 0L, 0L)))
   }
 
+  test("mixtureEpochs rejects malformed weights relations loudly") {
+    // duplicate source row: would silently fan out the planner join
+    val dup = Seq(("A", 600000L), ("A", 400000L)).toDF("source", "weight_ppm")
+    val e1 = intercept[Exception] {
+      TextOps.mixtureEpochs(mixDocs, dup, budgetTokens = 1000L).collect()
+    }
+    assert(e1.getMessage.contains("duplicate weight row"),
+      s"expected the duplicate-source guard, got: ${e1.getMessage}")
+    val neg = Seq(("A", -5L), ("B", 1000005L)).toDF("source", "weight_ppm")
+    val e2 = intercept[Exception] {
+      TextOps.mixtureEpochs(mixDocs, neg, budgetTokens = 1000L).collect()
+    }
+    assert(e2.getMessage.contains("negative weight_ppm"),
+      s"expected the negative-weight guard, got: ${e2.getMessage}")
+  }
+
   test("mixtureEpochs returns empty on empty docs + empty weights") {
     val emptyDocs = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "text", "source")
