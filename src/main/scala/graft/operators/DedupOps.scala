@@ -1446,11 +1446,17 @@ object DedupOps {
     * rollup to source grain.
     */
   def dedupTokensSaved(documents: DataFrame): DataFrame = {
+    // NULL text must not vanish from the accounting (the ADVICE-r9
+    // null-join class: a NULL fingerprint never matches the __fp
+    // equi-join, silently dropping the row). Sentinel "null" is not a
+    // 32-hex md5, so NULL-text docs form their own dup group —
+    // identical absent content dedups like identical present content —
+    // with an explicit 0 token count.
     val keyed = documents.select(col("doc_id"), col("source"),
-      md5(col("text")).as("__fp"),
-      size(expr(
+      coalesce(md5(col("text")), lit("null")).as("__fp"),
+      coalesce(size(expr(
         "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-        .cast("long").as("__n_tok"))
+        .cast("long"), lit(0L)).as("__n_tok"))
     val firstSeen = keyed.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
     keyed.join(firstSeen, Seq("__fp"))
       .withColumn("__is_dup", (col("doc_id") =!= col("__keep_id")).cast("long"))

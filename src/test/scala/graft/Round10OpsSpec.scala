@@ -293,6 +293,20 @@ class Round10OpsSpec extends SparkSpec {
       ("s2", 2L, 3L, 1L, 2L, 666666L)))   // 2·1e6 div 3, truncated
   }
 
+  test("dedupTokensSaved: NULL-text docs stay in the accounting (null-join class)") {
+    val docs = Seq((1L, Some("aa"), "s1"), (2L, None, "s1"), (3L, None, "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.dedupTokensSaved(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 2 and 3 share the sentinel fingerprint: doc 3 is a dup of
+    // doc 2 (global first), both rows COUNTED — a NULL md5 would have
+    // silently dropped them from the join
+    assert(out.toSeq === Seq(
+      ("s1", 2L, 1L, 0L, 0L, 0L),
+      ("s2", 1L, 0L, 1L, 0L, 0L)))
+  }
+
   test("dedupTokensSaved: zero-token source reports 0 saved, empty corpus is empty") {
     val docs = Seq((1L, "", "s0"), (2L, "", "s0"))
       .toDF("doc_id", "text", "source")
