@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,14 +76,15 @@ object DedupOps {
     * integer arithmetic, so the result is hash-exact reproducible.
     */
   def jaccardPairs(documents: DataFrame, minJaccardPct: Int): DataFrame = {
-    // localCheckpoint (NOT .cache()): the inverted index feeds three
+    // lineageTruncate (NOT .cache()): the inverted index feeds three
     // consumers (sizes + both join sides). A .cache() registers in the
     // CacheManager, which holds the blocks by strong reference until an
     // explicit unpersist() that a lazy operator can never issue;
     // checkpoint blocks are released by the ContextCleaner as soon as
-    // the result frame is dropped. At petabyte scale this becomes a
-    // checkpoint to storage.
-    val words = docWords(documents).localCheckpoint()
+    // the result frame is dropped. At petabyte scale set
+    // spark.graft.checkpointDir and this becomes a reliable checkpoint
+    // to storage (see Lineage).
+    val words = docWords(documents).lineageTruncate()
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = words.as("a")
       .join(words.as("b"),
@@ -117,7 +119,7 @@ object DedupOps {
     * candidate generation.
     */
   def containmentPairs(documents: DataFrame, minContPct: Int): DataFrame = {
-    val words = docWords(documents).localCheckpoint()
+    val words = docWords(documents).lineageTruncate()
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = words.as("a")
       .join(words.as("b"),
@@ -126,7 +128,7 @@ object DedupOps {
       .agg(count(lit(1)).as("common"))
       .join(sizes.select(col("doc_id").as("a_id"), col("set_size").as("n_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("set_size").as("n_b")), "b_id")
-      .localCheckpoint() // feeds both direction scans below, computed once
+      .lineageTruncate() // feeds both direction scans below, computed once
     val aInB = common.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
       col("common"), col("n_a").as("n_src"), col("n_b").as("n_dst"))
     val bInA = common.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
@@ -161,7 +163,7 @@ object DedupOps {
       s"minContPct must be in [1,100], got $minContPct")
     // inverted index feeds the df rollup, the prefix build, and the
     // candidate probe — checkpoint so the tokenize+distinct runs once
-    val words = docWords(documents).localCheckpoint()
+    val words = docWords(documents).lineageTruncate()
     val df = words.groupBy("word").agg(count(lit(1)).as("df"))
     // per-doc tokens in canonical (df asc, word asc) order; collect_list
     // is doc-size-bounded (same bound as every sorted-array kernel here)
@@ -330,7 +332,7 @@ object DedupOps {
                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
                           XxSeedHash): DataFrame = {
     val sigs = minHashSignatures(documents, numHashes, seedHash)
-      .localCheckpoint() // feeds the band frame + both pair sides
+      .lineageTruncate() // feeds the band frame + both pair sides
     val numBands = numHashes / rowsPerBand
     val bandHashes = array((0 until numBands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
@@ -507,7 +509,7 @@ object DedupOps {
         col("doc_id"),
         explode(array_distinct(when(size(col("__ws")) >= n,
           TextOps.wordNgrams(col("__ws"), n)))).as("word"))
-      .localCheckpoint()
+      .lineageTruncate()
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val common = shingled.as("a")
       .join(shingled.as("b"),
@@ -523,33 +525,15 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Lineage truncation for the iterative graph ops, with the cluster
-    * fault-tolerance contract made explicit (VERDICT r7 #5):
-    *
-    *  - `checkpointDir = None` (default): `localCheckpoint()` — executor-
-    *    memory/disk blocks, zero external storage. Correct locally and
-    *    the fastest option, but the blocks die WITH an executor: on a
-    *    real cluster, losing an executor mid-iteration forces recompute
-    *    from source — and since localCheckpoint TRUNCATED the lineage,
-    *    Spark cannot rebuild the lost blocks at all and the job fails.
-    *  - `checkpointDir = Some(dir)`: reliable `df.checkpoint()` into
-    *    `dir` (HDFS/object store on a cluster) — blocks survive executor
-    *    loss, the job recovers by re-reading the checkpoint files. The
-    *    production setting for long iterative runs at 100 TB; costs one
-    *    write+read of the frame per truncation.
-    *
-    * One checkpoint-dir per SparkContext: setting it here is idempotent
-    * for a fixed dir, and callers alternating dirs get last-set-wins
-    * (Spark's own semantics).
+  /** Lineage truncation for the iterative graph ops — the
+    * fault-tolerance contract and the local-vs-reliable switch live in
+    * [[graft.operators.Lineage]] (r10: session-conf-governed, so a
+    * cluster deployment flips EVERY truncation site with one conf).
+    * An explicit `checkpointDir` still takes precedence per call.
     */
   private def truncateLineage(df: DataFrame,
                               checkpointDir: Option[String]): DataFrame =
-    checkpointDir match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint()
-    }
+    Lineage.truncate(df, checkpointDir)
 
   /** L2 — connected components over candidate pairs by iterative
     * min-label propagation: every node starts labeled with itself; each
@@ -829,7 +813,7 @@ object DedupOps {
         when(aFirst, col("a_id")).otherwise(col("b_id")).as("src"),
         when(aFirst, col("b_id")).otherwise(col("a_id")).as("dst"),
         when(aFirst, col("db")).otherwise(col("da")).as("deg_dst"))
-      .localCheckpoint()  // feeds the wedge self-join AND the closure probe
+      .lineageTruncate()  // feeds the wedge self-join AND the closure probe
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
@@ -919,10 +903,10 @@ object DedupOps {
     */
   def jaccardAgainstCorpus(corpus: DataFrame, benchmark: DataFrame,
                            minJaccardPct: Int): DataFrame = {
-    val cw = docWords(corpus).localCheckpoint() // sizes + pair join
+    val cw = docWords(corpus).lineageTruncate() // sizes + pair join
     val bw = docWords(benchmark)
       .select(col("doc_id").as("bench_id"), col("word"))
-      .localCheckpoint() // feeds sizes + the join probe side
+      .lineageTruncate() // feeds sizes + the join probe side
     val cSizes = cw.groupBy("doc_id").agg(count(lit(1)).as("c_size"))
     val bSizes = bw.groupBy("bench_id").agg(count(lit(1)).as("b_size"))
     val common = cw.join(broadcast(bw), Seq("word"))
@@ -958,7 +942,7 @@ object DedupOps {
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
-      .localCheckpoint() // feeds degrees AND the triangle pipeline
+      .lineageTruncate() // feeds degrees AND the triangle pipeline
     val deg = norm.select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
     deg.join(triangleCounts(norm), Seq("doc_id"), "left")
@@ -1039,7 +1023,7 @@ object DedupOps {
     val wt = tf.join(if (broadcastVocab) broadcast(dfq) else dfq, Seq("word"))
       .select(col("doc_id"), col("word"),
         (col("tf") * expr("1000000L div df")).as("w"))
-      .localCheckpoint()
+      .lineageTruncate()
     val norms = wt.groupBy("doc_id")
       .agg(guardedNormS(col("w")).as("norm_s"))
     val dots = wt.as("a")
@@ -1090,14 +1074,14 @@ object DedupOps {
     val wt = tf.join(if (broadcastVocab) broadcast(dfq) else dfq, Seq("word"))
       .select(col("doc_id"), col("word"), col("df"),
         (col("tf") * expr("1000000L div df")).as("w"))
-      .localCheckpoint()  // feeds perDoc, the probe index, and nothing else twice
+      .lineageTruncate()  // feeds perDoc, the probe index, and nothing else twice
     val perDoc = wt.groupBy("doc_id").agg(
       sort_array(collect_list(struct(col("df"), col("word"), col("w"))))
         .as("by_rarity"),
       sort_array(collect_list(struct(xxhash64(col("word")).as("k"),
         col("w").as("w")))).as("kw"),
       guardedNormS(col("w")).as("norm_s"))
-      .localCheckpoint()  // feeds the prefix fan-out AND both verify sides
+      .lineageTruncate()  // feeds the prefix fan-out AND both verify sides
     // position i belongs to the prefix iff sufSq(i)·10⁴ ≥ τ²·normSq,
     // where sufSq(i) = normSq − preSq(i−1); the window partition is ONE
     // document's distinct words — bounded by doc length, never corpus

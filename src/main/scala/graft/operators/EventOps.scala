@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables.Nanos
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -159,7 +160,7 @@ object EventOps {
     // StorageReleaseSpec asserts the release.
     val byDay = events.select(dayCol.as("day"), col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .lineageTruncate()
     val span = byDay.agg(min("day").as("lo"), max("day").as("hi"))
     val allDays = span.select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = byDay.select("event_type").distinct()

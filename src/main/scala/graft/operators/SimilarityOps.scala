@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -136,7 +137,7 @@ object SimilarityOps {
       col("vec_id"),
       transform(col("embedding"), v => fixedPoint(v)).as("vi"))
       .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
-      .localCheckpoint()
+      .lineageTruncate()
     val probes = withInts
       .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("p_id"), col("vi").as("pvi"))

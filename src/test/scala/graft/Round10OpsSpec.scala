@@ -217,6 +217,25 @@ class Round10OpsSpec extends SparkSpec {
       expectedCandidates = 16).isEmpty)
   }
 
+  // ---- conf-governed reliable lineage checkpoints (r10) ----
+
+  test("spark.graft.checkpointDir flips lineage truncation to reliable checkpoints") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val base = DedupOps.jaccardPairs(docs, 50).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    try {
+      spark.conf.set(graft.operators.Lineage.ConfKey, dir.getAbsolutePath)
+      // identical rows through the reliable-checkpoint path...
+      assert(DedupOps.jaccardPairs(docs, 50).collect().toSeq === base)
+      // ...and the checkpoint actually landed in external storage
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Seq(f) ++ Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      assert(walk(dir).exists(_.getName.startsWith("rdd-")),
+        s"no reliable checkpoint written under $dir")
+    } finally spark.conf.unset(graft.operators.Lineage.ConfKey)
+  }
+
   // ---- mixtureEpochs / dedupTokensSaved (round-10 curation ops) ----
 
   private def mixDocs = Seq(
