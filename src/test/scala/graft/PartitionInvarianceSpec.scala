@@ -14,7 +14,10 @@ class PartitionInvarianceSpec extends SparkSpec {
   // agg, inverted-index join, sketch arithmetic, sampling, graph
   private val sampled = Seq(
     "q_agg_multi", "q_window_rank", "q_tfidf_cosine", "q_hll_estimate",
-    "q_sample_k_per_group", "q_kcore", "q_mom_growth", "q_semdedup_buckets")
+    "q_sample_k_per_group", "q_kcore", "q_mom_growth", "q_semdedup_buckets",
+    // r10 curation planners: global-min keeper choice and full-outer
+    // planner join must not depend on partition count
+    "q_dedup_tokens_saved", "q_mixture_epochs")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
