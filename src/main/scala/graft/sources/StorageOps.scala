@@ -214,6 +214,12 @@ object StorageOps {
   def writeBucketedTable(df: DataFrame, tableName: String, bucketCol: String,
                          nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0)
+    // tableName is interpolated into a backtick-quoted DROP TABLE — a
+    // backtick (or any SQL punctuation) in the name would break out of
+    // the identifier (the constraint-name lesson applied to every
+    // interpolated string): accept plain identifiers only.
+    require(tableName.matches("[A-Za-z0-9_]+"),
+      s"writeBucketedTable: unsafe table name '$tableName'")
     // Overwrite must survive a PREVIOUS JVM's leftovers: an in-memory
     // session catalog dies with its JVM but the managed table's
     // warehouse directory does not, and CTAS onto an orphaned location

@@ -75,6 +75,14 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    before: String = "1 hour",
                    watermark: String = "10 minutes"): DataFrame = {
+    // `before` is interpolated into SQL (`INTERVAL $before`) — validate
+    // it is a plain duration literal so a malformed caller string fails
+    // here with a clear message, not as parser spew (and can never
+    // smuggle expression fragments into the join predicate; the
+    // constraint-name lesson applied to every interpolated string).
+    require(before.matches(
+      "(?i)\\d+\\s+(second|minute|hour|day|week)s?"),
+      s"intervalJoin: before must be '<n> <unit>', got '$before'")
     val l = left.withWatermark("ts_ts", watermark)
     val r = right.toDF(right.columns.map("r_" + _): _*)
       .withWatermark("r_ts_ts", watermark)

@@ -217,6 +217,22 @@ class Round10OpsSpec extends SparkSpec {
       expectedCandidates = 16).isEmpty)
   }
 
+  // ---- interpolated-string guards (the constraint-name class) ----
+
+  test("interpolated-string inputs are validated, not spliced (injection class)") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.intervalJoin(
+        spark.range(1).toDF(), spark.range(1).toDF(), "id",
+        before = "1 hour' OR true --")
+    }
+    assert(e1.getMessage.contains("before must be"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.StorageOps.writeBucketedTable(
+        spark.range(1).toDF(), "t`b", "id", 2)
+    }
+    assert(e2.getMessage.contains("unsafe table name"))
+  }
+
   // ---- conf-governed reliable lineage checkpoints (r10) ----
 
   test("spark.graft.checkpointDir flips lineage truncation to reliable checkpoints") {
