@@ -40,7 +40,11 @@ object Bench {
     "q_containment", "q_sql_q18",
     // round-7 additions that landed in the worst-cost tier
     "q_neardup_clusters_star", "q_kcore", "q_cluster_cap_sample",
-    "q_ngram_novelty")
+    "q_ngram_novelty",
+    // round-9/10 additions in the worst-cost tier (same rule): the two
+    // layout-rewrite read-backs and the two ~2 s curation pipelines
+    "q_bucketed_join", "q_zorder_scan", "q_leakage_split",
+    "q_novelty_by_source")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
