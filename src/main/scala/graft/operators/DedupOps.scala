@@ -1198,7 +1198,17 @@ object DedupOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(expectedCandidates >= k,
       s"expectedCandidates ($expectedCandidates) must be >= k ($k)")
-    val ids = documents.select(col("doc_id")).distinct()
+    // ONE materialization of the distinct-id relation feeds all three
+    // consumers (the count, the candidate filter, the anchor side) —
+    // and the count is a DELIBERATE eager job, not an in-plan scalar:
+    // the rate must reach the candidate filter as a LITERAL so the
+    // predicate stays foldable and the optimizer can size the sampled
+    // pool (~expectedCandidates rows → broadcast grid, broadcast
+    // anti-join). The in-plan form (count frame cross-joined into the
+    // filter) destroys selectivity estimates and was measured to
+    // degrade the downstream plan ~40× at sf0.1 (grid and anti-join
+    // fall back to sort-merge over unsized inputs).
+    val ids = documents.select(col("doc_id")).distinct().lineageTruncate()
     val nIds = math.max(ids.count(), 1L)
     val candPpm = math.min(1000000L,
       (expectedCandidates.toLong * 1000000L + nIds - 1L) / nIds)

@@ -26,9 +26,18 @@ import org.apache.spark.sql.DataFrame
   * multi-consumer index and iterative loop in the library flips to
   * reliable checkpoints — no operator signature carries the concern.
   *
-  * One checkpoint-dir per SparkContext: setting it here is idempotent
-  * for a fixed dir, and callers alternating dirs get last-set-wins
-  * (Spark's own semantics).
+  * Storage lifecycle, stated honestly: reliable checkpoint files are
+  * NOT reclaimed by default — Spark's ContextCleaner deletes them on
+  * RDD garbage-collection only when the STARTUP conf
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set
+  * (it cannot be flipped at runtime), otherwise they live until the
+  * application's checkpoint directory is removed. A deployment that
+  * sets [[ConfKey]] should set the cleaner conf beside it, or point
+  * the dir at storage with a TTL/lifecycle rule. `setCheckpointDir`
+  * also mints a fresh UUID subdirectory per call, so [[truncate]]
+  * only re-sets it when the requested base dir changes — one UUID
+  * root per run, not one per truncation. Callers alternating explicit
+  * dirs get last-set-wins (Spark's own semantics).
   */
 object Lineage {
 
@@ -43,7 +52,17 @@ object Lineage {
       df.sparkSession.conf.getOption(ConfKey).filter(_.trim.nonEmpty))
     dir match {
       case Some(d) =>
-        df.sparkSession.sparkContext.setCheckpointDir(d)
+        val sc = df.sparkSession.sparkContext
+        // setCheckpointDir mints a fresh UUID SUBDIRECTORY on every
+        // call — calling it per truncation would scatter an iterative
+        // job's checkpoints over one directory per round. Only (re)set
+        // when the requested base dir actually changed, so a whole run
+        // shares one UUID dir and per-rdd cleanup (below) has one root.
+        val base = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        val already = sc.getCheckpointDir.exists(p =>
+          Option(new org.apache.hadoop.fs.Path(p).getParent)
+            .exists(_.toUri.getPath == base))
+        if (!already) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -307,7 +307,11 @@ object SimilarityOps {
       .agg(count(lit(1)).cast(LongType).as("ccnt"))
     // marginal products in Decimal(38,0): rcnt·ccnt ≤ n² would overflow
     // Long past n ≈ 3e9; Decimal keeps every step exact
-    val pe = rm.join(cm, col("k") === col("k2"), "full_outer")
+    // <=> not ===: with nullable annotator columns the NULL row-marginal
+    // must pair with the NULL column-marginal — a non-null-safe join
+    // pairs each with 0 and silently UNDERSTATES pe (inflating kappa),
+    // the ADVICE-r9 null-join class applied to the chance-agreement term
+    val pe = rm.join(cm, col("k") <=> col("k2"), "full_outer")
       .select((coalesce(col("rcnt"), lit(0L)).cast(DecimalType(19, 0)) *
         coalesce(col("ccnt"), lit(0L)).cast(DecimalType(19, 0)))
         .cast(DecimalType(38, 0)).as("prod"))

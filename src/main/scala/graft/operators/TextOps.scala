@@ -752,14 +752,22 @@ object TextOps {
         max(col("weight_ppm").cast("long")).as("__w"))
       .select(col("source"), expr(
         "CASE WHEN __w_cnt > 1 THEN CAST(raise_error(" +
-          "'mixtureEpochs: duplicate weight row for source ' || source) " +
-          "AS BIGINT) " +
+          "'mixtureEpochs: duplicate weight row for source ' || " +
+          "coalesce(source, 'NULL')) AS BIGINT) " +
+          "WHEN __w IS NULL THEN CAST(raise_error(" +
+          "'mixtureEpochs: NULL weight_ppm for source ' || " +
+          "coalesce(source, 'NULL')) AS BIGINT) " +
           "WHEN __w < 0 THEN CAST(raise_error(" +
-          "'mixtureEpochs: negative weight_ppm for source ' || source) " +
-          "AS BIGINT) ELSE __w END").as("weight_ppm"))
-    supply
-      .join(w, Seq("source"), "full_outer")
-      .select(col("source"),
+          "'mixtureEpochs: negative weight_ppm for source ' || " +
+          "coalesce(source, 'NULL')) AS BIGINT) " +
+          "ELSE __w END").as("weight_ppm"))
+    // <=> not a USING join: a NULL source grouping on the supply side
+    // must meet a NULL-source weight row as ONE planner row — the
+    // non-null-safe form splits them in two and the weight half, seeing
+    // tokens_have 0, spuriously trips the unservable guard
+    supply.as("s")
+      .join(w.as("w"), col("s.source") <=> col("w.source"), "full_outer")
+      .select(coalesce(col("s.source"), col("w.source")).as("source"),
         coalesce(col("tokens_have"), lit(0L)).as("tokens_have"),
         coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"))
       .withColumn("target_tokens", expr(
@@ -767,7 +775,8 @@ object TextOps {
           "* CAST(weight_ppm AS DECIMAL(38,0)) div 1000000 AS BIGINT)"))
       .withColumn("epochs_ppm", expr(
         "CASE WHEN tokens_have = 0 AND target_tokens > 0 THEN " +
-          "CAST(raise_error('mixtureEpochs: planned source ' || source || " +
+          "CAST(raise_error('mixtureEpochs: planned source ' || " +
+          "coalesce(source, 'NULL') || " +
           "' has weight > 0 but zero supplied tokens — the declared " +
           "mixture is unservable') AS BIGINT) " +
           "WHEN tokens_have = 0 THEN 0L " +

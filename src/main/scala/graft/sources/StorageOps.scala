@@ -45,6 +45,12 @@ object StorageOps {
     val inputBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    // Encoding tolerance (the Tables.events pattern, set idempotently):
+    // without the shim a TIMESTAMP(NANOS) parquet throws at schema
+    // conversion, making compaction order-dependent on whether an
+    // earlier read already set the conf. With it, ns columns surface
+    // as LongType — layout-only compaction copies them byte-identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(inDir)
     val laidOut =
       if (sortCols.isEmpty) src.repartition(nFiles)
@@ -98,6 +104,10 @@ object StorageOps {
     val inputBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    // Same ns-encoding shim as compactParquet (the Tables.events
+    // pattern): a z-order rewrite of a TIMESTAMP(NANOS) lake must not
+    // depend on read order to survive schema conversion.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(inDir)
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray

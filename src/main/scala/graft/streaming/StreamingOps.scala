@@ -80,9 +80,14 @@ object StreamingOps {
     // here with a clear message, not as parser spew (and can never
     // smuggle expression fragments into the join predicate; the
     // constraint-name lesson applied to every interpolated string).
+    // The whitelist spans Spark's INTERVAL unit vocabulary including
+    // compound forms ("2 hours 30 minutes") — validation must narrow
+    // the CHARACTER set, not the previously-working duration surface.
+    val unit =
+      "(year|month|week|day|hour|minute|min|second|sec|millisecond|ms)s?"
     require(before.matches(
-      "(?i)\\d+\\s+(second|minute|hour|day|week)s?"),
-      s"intervalJoin: before must be '<n> <unit>', got '$before'")
+      s"(?i)\\d+\\s*$unit(\\s+\\d+\\s*$unit)*"),
+      s"intervalJoin: before must be '<n> <unit> [<n> <unit> ...]', got '$before'")
     val l = left.withWatermark("ts_ts", watermark)
     val r = right.toDF(right.columns.map("r_" + _): _*)
       .withWatermark("r_ts_ts", watermark)

@@ -77,6 +77,22 @@ class EventsEncodingSpec extends SparkSpec {
     assert(readTs(writeFixture(TimeUnit.NANOS, NanoTs)) === NanoTs.sorted)
   }
 
+  test("compaction survives a TIMESTAMP(NANOS) lake without a prior events read (r10)") {
+    // the compaction ops set the nanosAsLong shim themselves — without
+    // that, running a layout rewrite BEFORE any Tables.events call in
+    // the session threw PARQUET_TYPE_ILLEGAL (order-dependent failure)
+    val dir = writeFixture(TimeUnit.NANOS, NanoTs)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val out = Files.createTempDirectory("graft_ev_compact").toFile
+    graft.sources.StorageOps.compactZOrder(spark,
+      s"$dir/events.parquet", out.getAbsolutePath,
+      targetBytes = 1L << 20, zCols = Seq("user_id", "value"))
+    val ts = spark.read.parquet(out.getAbsolutePath)
+      .select("ts").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ts === NanoTs.sorted,
+      "compaction must copy raw int64 nanos byte-identically")
+  }
+
   test("TIMESTAMP(MICROS) parquet yields µs-floored LongType epoch-nanos") {
     val dir = writeFixture(TimeUnit.MICROS, NanoTs.map(_ / 1000L))
     assert(readTs(dir) === NanoTs.map(ns => ns / 1000L * 1000L).sorted)

@@ -69,6 +69,22 @@ class Round10OpsSpec extends SparkSpec {
       s"expected the loud empty-input guard, got: ${e.getMessage}")
   }
 
+  test("kappaFromPredictions pairs NULL marginals null-safely in pe") {
+    // rows: (0,0), (NULL,0), (NULL,NULL), (1,1) — NULL labels count in
+    // n and in BOTH marginals (<=> pairing), never in agreement:
+    // rm = {0:1, NULL:2, 1:1}, cm = {0:2, NULL:1, 1:1},
+    // pe_num = 1·2 + 2·1 + 1·1 = 5 (a === join silently drops the
+    // NULL·NULL product and understates pe — inflating kappa)
+    val pred = Seq((Some(0L), Some(0L)), (None, Some(0L)),
+      (Option.empty[Long], Option.empty[Long]), (Some(1L), Some(1L)))
+      .toDF("label", "pred_label")
+    val out = SimilarityOps.kappaFromPredictions(pred).collect().head
+    assert(out.getLong(0) === 4L && out.getLong(1) === 2L)
+    assert(out.getLong(2) === 500000L)                 // po = 2e6 div 4
+    assert(out.getLong(3) === 312500L)                 // pe = 5e6 div 16
+    assert(out.getLong(4) === 187500L * 1000000L / 687500L)
+  }
+
   // ---- checkConstraints hardening (ADVICE r9) ----
 
   test("checkConstraints on an EMPTY table audits 0 violations / pass, not NULL") {
@@ -231,6 +247,18 @@ class Round10OpsSpec extends SparkSpec {
         spark.range(1).toDF(), "t`b", "id", 2)
     }
     assert(e2.getMessage.contains("unsafe table name"))
+    // the guard must narrow the CHARACTER set, not the duration
+    // surface: compound/abbreviated Spark INTERVAL forms still pass
+    // validation (the later failure here is the missing ts_ts column,
+    // not the guard)
+    for (ok <- Seq("2 hours 30 minutes", "90 min", "1 month")) {
+      val e = intercept[Exception] {
+        graft.streaming.StreamingOps.intervalJoin(
+          spark.range(1).toDF(), spark.range(1).toDF(), "id", before = ok)
+      }
+      assert(!e.getMessage.contains("before must be"),
+        s"valid duration '$ok' rejected: ${e.getMessage}")
+    }
   }
 
   // ---- conf-governed reliable lineage checkpoints (r10) ----
@@ -304,6 +332,31 @@ class Round10OpsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("negative weight_ppm"),
       s"expected the negative-weight guard, got: ${e2.getMessage}")
+    // NULL weight is malformed too — it must not silently become 0
+    val nul = Seq(("A", Some(600000L)), ("B", Option.empty[Long]))
+      .toDF("source", "weight_ppm")
+    val e3 = intercept[Exception] {
+      TextOps.mixtureEpochs(mixDocs, nul, budgetTokens = 1000L).collect()
+    }
+    assert(e3.getMessage.contains("NULL weight_ppm"),
+      s"expected the NULL-weight guard, got: ${e3.getMessage}")
+  }
+
+  test("mixtureEpochs joins NULL-source supply to a NULL-source weight null-safely") {
+    // a NULL source grouping must meet its weight row as ONE planner
+    // row — the non-null-safe join split them and spuriously tripped
+    // the unservable guard on the weight half
+    val docs = Seq((1L, "aa bb", Option.empty[String]),
+      (2L, "cc", Some("A"))).toDF("doc_id", "text", "source")
+    val w = Seq((Option.empty[String], 750000L), (Some("A"), 250000L))
+      .toDF("source", "weight_ppm")
+    val out = TextOps.mixtureEpochs(docs, w, budgetTokens = 1000L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // Spark ORDER BY is NULLS FIRST ascending
+    assert(out.toSeq === Seq(
+      (None, 2L, 750000L, 750L, 375000000L),
+      (Some("A"), 1L, 250000L, 250L, 250000000L)))
   }
 
   test("mixtureEpochs returns empty on empty docs + empty weights") {
