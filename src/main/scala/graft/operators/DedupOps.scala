@@ -1448,11 +1448,10 @@ object DedupOps {
     // with an explicit 0 token count.
     val keyed = documents.select(col("doc_id"), col("source"),
       coalesce(md5(col("text")), lit("null")).as("__fp"),
-      coalesce(size(expr(
-        "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-        .cast("long"), lit(0L)).as("__n_tok"))
-    val firstSeen = keyed.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
-    keyed.join(firstSeen, Seq("__fp"))
+      coalesce(TextOps.tokenCountCol(col("text")), lit(0L)).as("__n_tok"))
+    val keyedT = keyed.lineageTruncate()
+    val firstSeen = keyedT.groupBy("__fp").agg(min("doc_id").as("__keep_id"))
+    keyedT.join(firstSeen, Seq("__fp"))
       .withColumn("__is_dup", (col("doc_id") =!= col("__keep_id")).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -57,11 +57,20 @@ object Lineage {
         // call — calling it per truncation would scatter an iterative
         // job's checkpoints over one directory per round. Only (re)set
         // when the requested base dir actually changed, so a whole run
-        // shares one UUID dir and per-rdd cleanup (below) has one root.
-        val base = new org.apache.hadoop.fs.Path(d).toUri.getPath
-        val already = sc.getCheckpointDir.exists(p =>
-          Option(new org.apache.hadoop.fs.Path(p).getParent)
-            .exists(_.toUri.getPath == base))
+        // shares one UUID dir and per-rdd cleanup has one root. The
+        // comparison is on FULLY-QUALIFIED URIs (scheme + authority +
+        // resolved relative paths): a path-only compare would treat
+        // file:/ckpt as equal to hdfs://nn/ckpt and silently keep
+        // checkpointing to the wrong filesystem, and a relative conf
+        // value would never match and re-scatter per call.
+        def qualified(p: String): String = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(sc.hadoopConfiguration)
+            .makeQualified(path).toString
+        }
+        val already = sc.getCheckpointDir.exists(cur =>
+          Option(new org.apache.hadoop.fs.Path(cur).getParent)
+            .exists(par => qualified(par.toString) == qualified(d)))
         if (!already) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint()

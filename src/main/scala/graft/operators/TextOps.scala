@@ -17,6 +17,23 @@ object TextOps {
   /** Tokenize on single spaces (the documents corpus is space-joined). */
   def words(c: Column): Column = split(c, " ")
 
+  /** The engine's BPE-ish tokenizer regex: alpha runs + digit runs +
+    * single non-space symbols. ONE definition — per-doc accounting
+    * ([[tokenCounts]]), sequence packing, the budget planner
+    * ([[mixtureEpochs]]) and the dedup ROI table
+    * ([[graft.operators.DedupOps.dedupTokensSaved]]) must count
+    * identically or the planners silently disagree with the
+    * accounting; the DuckDB oracles embed this same literal.
+    */
+  val TokenRegex = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Token count of a text column under [[TokenRegex]] (LongType;
+    * NULL text yields NULL — callers choose their own degenerate-input
+    * stance).
+    */
+  def tokenCountCol(c: Column): Column =
+    size(regexp_extract_all(c, lit(TokenRegex), lit(0))).cast("long")
+
   /** Canonicalize a URL for dedup: lowercase, strip scheme and
     * leading `www.`, drop the query string / fragment, drop a trailing
     * slash. These are the variations crawlers record for the SAME page
@@ -330,8 +347,7 @@ object TextOps {
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      size(expr("regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-        .cast("long").as("n_tokens"),
+      tokenCountCol(col("text")).as("n_tokens"),
       col("n_chars"))
       .orderBy("doc_id")
 
@@ -631,9 +647,7 @@ object TextOps {
                     shardDocs: Long): DataFrame = {
     val toks = documents.select(col("source"),
       expr(s"doc_id div $shardDocs").as("shard"), col("doc_id"),
-      size(expr(
-        "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-        .cast("long").as("n_tokens"))
+      tokenCountCol(col("text")).as("n_tokens"))
     val before = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
@@ -735,9 +749,7 @@ object TextOps {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     val supply = documents
       .select(col("source"),
-        size(expr(
-          "regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-          .cast("long").as("n_tok"))
+        tokenCountCol(col("text")).as("n_tok"))
       .groupBy("source")
       .agg(sum(col("n_tok")).as("tokens_have"))
     // Validate the weights RELATION the way constraint names are

@@ -45,19 +45,41 @@ object StorageOps {
     val inputBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
-    // Encoding tolerance (the Tables.events pattern, set idempotently):
-    // without the shim a TIMESTAMP(NANOS) parquet throws at schema
-    // conversion, making compaction order-dependent on whether an
-    // earlier read already set the conf. With it, ns columns surface
-    // as LongType — layout-only compaction copies them byte-identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(inDir)
-    val laidOut =
-      if (sortCols.isEmpty) src.repartition(nFiles)
-      else src.repartitionByRange(nFiles, sortCols.map(col): _*)
-    laidOut.write.mode("overwrite").parquet(outDir)
+    withNanosShim(spark) {
+      val src = spark.read.parquet(inDir)
+      val laidOut =
+        if (sortCols.isEmpty) src.repartition(nFiles)
+        else src.repartitionByRange(nFiles, sortCols.map(col): _*)
+      laidOut.write.mode("overwrite").parquet(outDir)
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Scoped TIMESTAMP(NANOS) read tolerance for the compaction ops:
+    * inside `body` the legacy nanosAsLong shim is on, so a ns-encoded
+    * parquet reads as LongType instead of throwing at schema
+    * conversion — and the previous conf state is restored afterwards,
+    * so the shim never leaks into unrelated session reads (an
+    * application may rely on the loud PARQUET_TYPE_ILLEGAL).
+    *
+    * Honest schema contract for ns inputs: Spark cannot WRITE
+    * TIMESTAMP(NANOS) at all, so a compacted copy of a ns column
+    * carries plain INT64 epoch-nanos — exactly the engine's internal
+    * `ts` contract ([[graft.Tables.events]]), with row VALUES
+    * byte-identical. µs/ms timestamp columns round-trip with their
+    * annotations intact. An external reader that needs the ns
+    * annotation back must keep the original files.
+    */
+  private def withNanosShim[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Z-ORDER compaction: rewrite a parquet directory clustered on the
@@ -85,8 +107,10 @@ object StorageOps {
     * clustering at any corpus size.
     *
     * Returns the output file count. Numeric/date/timestamp `zCols`
-    * (cast to double for coding); codes are layout-only — row content
-    * is byte-identical to the input. Known z-curve edge (ZOrderSpec
+    * (cast to double for coding); codes are layout-only — row VALUES
+    * are byte-identical to the input (TIMESTAMP(NANOS) inputs, which
+    * Spark cannot write back, re-emerge as the engine's INT64
+    * epoch-nanos contract — see [[withNanosShim]]). Known z-curve edge (ZOrderSpec
     * pins it): a file whose z-range straddles a high-order Morton bit
     * flip spans ~the full range of one dimension — the clustering
     * guarantee is about the TYPICAL file, and aggregate pruning still
@@ -104,10 +128,7 @@ object StorageOps {
     val inputBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inDir)).getLength
     val nFiles = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
-    // Same ns-encoding shim as compactParquet (the Tables.events
-    // pattern): a z-order rewrite of a TIMESTAMP(NANOS) lake must not
-    // depend on read order to survive schema conversion.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withNanosShim(spark) {
     val src = spark.read.parquet(inDir)
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -137,6 +158,7 @@ object StorageOps {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(_.getPath.getName.endsWith(".parquet"))
   }

@@ -83,10 +83,11 @@ object StreamingOps {
     // The whitelist spans Spark's INTERVAL unit vocabulary including
     // compound forms ("2 hours 30 minutes") — validation must narrow
     // the CHARACTER set, not the previously-working duration surface.
-    val unit =
-      "(year|month|week|day|hour|minute|min|second|sec|millisecond|ms)s?"
+    val unit = "(year|month|week|day|hour|minute|min|second|sec|" +
+      "millisecond|ms|microsecond|us|nanosecond|ns)s?"
+    val num = "\\d+(\\.\\d+)?"
     require(before.matches(
-      s"(?i)\\d+\\s*$unit(\\s+\\d+\\s*$unit)*"),
+      s"(?i)$num\\s*$unit(\\s+$num\\s*$unit)*"),
       s"intervalJoin: before must be '<n> <unit> [<n> <unit> ...]', got '$before'")
     val l = left.withWatermark("ts_ts", watermark)
     val r = right.toDF(right.columns.map("r_" + _): _*)

@@ -570,6 +570,10 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("q_dedup_tokens_saved shuffles fingerprints, never text or all-pairs (r10)") {
+    // the (id, source, fp, count) relation is lineage-truncated once
+    // for its two consumers (group-min + join probe), so the executed
+    // plan reads the truncated tuples — the md5/tokenize pass ran
+    // exactly once, inside the truncation, and text appears nowhere
     val plan = finalPlanString(Queries.queries("q_dedup_tokens_saved")(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -582,7 +586,8 @@ class PushdownSpec extends SparkSpec {
     assert(hashEx.nonEmpty &&
       hashEx.forall(l => l.contains("__fp") || l.contains("source")),
       s"unexpected shuffle key in:\n${hashEx.mkString("\n")}")
-    assert(plan.contains("md5"), s"fingerprint key missing:\n$plan")
+    assert(!plan.contains("text#"),
+      s"document text leaked past the truncation:\n$plan")
   }
 
   test("q_mixture_epochs aggregates to source grain before any shuffle (r10)") {
