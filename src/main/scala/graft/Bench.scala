@@ -44,7 +44,9 @@ object Bench {
     // round-9/10 additions in the worst-cost tier (same rule): the two
     // layout-rewrite read-backs and the two ~2 s curation pipelines
     "q_bucketed_join", "q_zorder_scan", "q_leakage_split",
-    "q_novelty_by_source")
+    "q_novelty_by_source",
+    // round-10 curation-planner family representatives
+    "q_mixture_epochs", "q_dedup_tokens_saved")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
