@@ -1585,6 +1585,85 @@ object Queries {
       (s, d) => TextOps.fingerprints(documents(s, d)),
       Some("""SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""")),
 
+    // DSIR-style data selection (hashed-unigram importance score; see
+    // TextOps.importanceWeights for the log-free posterior form and
+    // why libm log can't be oracle-checked). Target corpus = the en
+    // slice — "select raw documents that look like the high-resource
+    // target" is DSIR's canonical use. 1024 buckets; the oracle
+    // replays bucket hash, add-one smoothing, and the Decimal
+    // truncation order in HUGEINT.
+    Declared("q_dsir_weights",
+      (s, d) => TextOps.importanceWeights(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"), 1024),
+      Some("""WITH tok AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        raw AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM raw) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT raw.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt)
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+               CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+        FROM tok JOIN post USING (b)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Embedding-space decontamination: corpus vectors (vec_id % 20 ≠ 0)
+    // within cosine 0.30 of any benchmark vector (% 20 = 0) — the
+    // paraphrase-leakage guard q_decontaminate's n-gram overlap can't
+    // see. Same fixed-point cosine frame as q_neardup_cosine, cross-set.
+    Declared("q_decon_semantic",
+      (s, d) => SimilarityOps.crossCosinePairs(
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        embeddings(s, d).filter(pmod(col("vec_id"), lit(20)) === 0), 30),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v, unnest(range(64)) AS pos
+                    FROM embeddings)),
+        n AS (SELECT vec_id, SUM(vi * vi)::BIGINT AS norm_s FROM e GROUP BY vec_id),
+        d AS (SELECT a.vec_id AS vec_id, b.vec_id AS bench_id,
+                SUM(a.vi * b.vi)::BIGINT AS dot_s
+              FROM e a JOIN e b ON a.pos = b.pos
+                AND a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+              GROUP BY a.vec_id, b.vec_id)
+        SELECT d.vec_id, d.bench_id, d.dot_s,
+               na.norm_s AS v_norm_s, nb.norm_s AS b_norm_s
+        FROM d JOIN n na ON d.vec_id = na.vec_id
+               JOIN n nb ON d.bench_id = nb.vec_id
+        WHERE d.dot_s > 0
+          AND (CAST(d.dot_s AS DOUBLE) * CAST(d.dot_s AS DOUBLE)) * 10000.0 >=
+              (CAST(na.norm_s AS DOUBLE) * CAST(nb.norm_s AS DOUBLE)) * 900.0
+        ORDER BY d.vec_id, d.bench_id""")),
+
+    // Quality-signal bias audit: stopword-share deciles × language
+    // composition (TextOps.qualityLangBias — is the quality filter a
+    // language filter in disguise?). Same stopword list and ppm
+    // arithmetic as q_text_quality.
+    Declared("q_quality_lang_bias",
+      (s, d) => TextOps.qualityLangBias(
+        documents(s, d), Seq("a", "the", "of", "and", "in"), 10),
+      Some("""WITH q AS (SELECT lang, sc * 1000000 // nw AS stopword_ppm
+              FROM (SELECT lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                      CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+                    FROM documents)),
+        b AS (SELECT lang, stopword_ppm * 10 // 1000001 AS bucket FROM q),
+        bl AS (SELECT bucket, lang, COUNT(*)::BIGINT AS n_docs
+               FROM b GROUP BY bucket, lang),
+        bt AS (SELECT bucket, SUM(n_docs)::BIGINT AS bucket_docs
+               FROM bl GROUP BY bucket)
+        SELECT bl.bucket, bl.lang, bl.n_docs, bt.bucket_docs,
+               bl.n_docs * 1000000 // bt.bucket_docs AS share_ppm
+        FROM bl JOIN bt USING (bucket)
+        ORDER BY bl.bucket, bl.lang""")),
+
     // ---- implemented, declared rows-only (no SQL-expressible oracle:
     // engine-specific hash seeds / approximate results / double scores) --
 

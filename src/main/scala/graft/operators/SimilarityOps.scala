@@ -99,6 +99,55 @@ object SimilarityOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** L5 — SEMANTIC DECONTAMINATION: every (corpus vector, benchmark
+    * vector) pair with cosine ≥ τ, in the exact fixed-point arithmetic
+    * of [[cosinePairsExact]] (`dot²·10⁴ ≥ τ²·10⁴·|v|²·|b|²` on integer
+    * dot/norms — no sqrt, no division, reproducible boundary). The
+    * embedding-space sibling of [[DedupOps.decontaminate]]: n-gram
+    * overlap catches verbatim test-set leakage, this catches the
+    * PARAPHRASED leakage n-grams miss — a training document that is a
+    * reworded eval question shares no trigram but sits next to it in
+    * embedding space.
+    *
+    * Cross-set by construction (corpus × bench, no self-pairs), so
+    * unlike the self-join pair ops there is no `a_id < b_id` dedup —
+    * every flagged (doc, bench) hit is reported for audit.
+    *
+    * Scale shape: eval suites are tiny next to a training corpus
+    * (~10⁵ vs ~10¹⁰ vectors), so the bench side broadcasts (parameter
+    * — the r10 hint discipline; disable past executor memory and Spark
+    * falls back to a shuffled join) and the whole operator is ONE
+    * codegen'd [[graft.plans.VecDot.dotLong]] map pass over the corpus:
+    * no shuffle, no pairing blow-up — output is bounded by actual
+    * contamination, |corpus|·|bench| work but only flagged rows move.
+    */
+  def crossCosinePairs(corpus: DataFrame, bench: DataFrame,
+                       minCosPct: Int,
+                       broadcastBench: Boolean = true): DataFrame = {
+    require(minCosPct >= 1 && minCosPct <= 100,
+      s"minCosPct must be in [1,100], got $minCosPct")
+    def ints(df: DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("norm_s",
+        graft.plans.VecDot.dotLong(col("vi"), col("vi")))
+    val c = ints(corpus).select(col("vec_id"), col("vi").as("cvi"),
+      col("norm_s").as("v_norm_s"))
+    val b0 = ints(bench).select(col("vec_id").as("bench_id"),
+      col("vi").as("bvi"), col("norm_s").as("b_norm_s"))
+    val b = if (broadcastBench) broadcast(b0) else b0
+    val tauSq = (minCosPct.toLong * minCosPct).toDouble
+    c.crossJoin(b)
+      .withColumn("dot_s", graft.plans.VecDot.dotLong(col("cvi"), col("bvi")))
+      .filter(col("dot_s") > 0 &&
+        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) *
+          lit(10000.0) >=
+          col("v_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) *
+            lit(tauSq))
+      .select(col("vec_id"), col("bench_id"), col("dot_s"),
+        col("v_norm_s"), col("b_norm_s"))
+      .orderBy("vec_id", "bench_id")
+  }
+
   /** L3 — ORACLE-CHECKABLE semantic dedup: sign-LSH bucketing with
     * DATA-DERIVED hyperplanes in exact integer arithmetic, then
     * [[cosinePairsExact]]-style verified pairs WITHIN each bucket.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for the `documents` table (SURVEY.md §2 K L4;
   * the training-data-pipeline extensions mandated by BASELINE.json).
@@ -795,5 +796,144 @@ object TextOps {
           "ELSE CAST(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 " +
           "div CAST(tokens_have AS DECIMAL(38,0)) AS BIGINT) END"))
       .orderBy("source")
+  }
+
+  /** Portable hashed-feature bucket: the first 8 hex chars of md5,
+    * decoded as an integer, mod `buckets` — the same md5-prefix decode
+    * as [[DedupOps.md5Hash60]] truncated to 32 bits, so any SQL engine
+    * replays the identical bucket id. Hashing is what bounds
+    * importance-resampling state: a 100 TB corpus's unbounded vocabulary
+    * folds into a FIXED 2^k-row feature table.
+    */
+  def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** L4 — DSIR-style hashed-unigram importance score for data
+    * selection (after Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling": score raw documents by how
+    * target-like their hashed n-gram bag is, then resample by the
+    * score). Tokens hash into `numBuckets` buckets ([[hashBucket]]);
+    * bucket unigram distributions are estimated for the TARGET corpus
+    * and the RAW corpus with add-one smoothing; each document's score
+    * is the mean per-token posterior `P(target | bucket)` under equal
+    * priors, in ppm.
+    *
+    * DSIR proper sums `log(p_target/p_raw)`; libm `log` differs in the
+    * last ulp across engines and would break hash-exact oracle
+    * comparison (the [[rarityScores]] precedent), so the engine scores
+    * with the log-free monotone-equivalent PER-TOKEN posterior
+    * `p_t/(p_t+p_r)` and averages — same per-feature ordering, exact
+    * integer arithmetic throughout:
+    * `post = (t_c+1)(R+B)·10⁶ div [(t_c+1)(R+B) + (r_c+1)(T+B)]`
+    * in Decimal(38,0) (t_c ≤ 10¹⁴ tokens times R ≤ 10¹⁵ stays under
+    * 10³⁸ at any real corpus size — the [[mixtureEpochs]] Decimal
+    * discipline, no overflow cliff).
+    *
+    * Degenerate inputs: an EMPTY target corpus fails loudly (the target
+    * distribution is undefined — the kappa n=0 stance); NULL-text docs
+    * tokenize to nothing and drop from the output (a meaningless mean,
+    * not a zero score).
+    *
+    * Scale shape: exactly TWO corpus token passes by construction —
+    * DSIR's own fit-then-score structure (one pass estimates the bucket
+    * distributions, one pass scores documents against them). The
+    * FIXED-`numBuckets`-row bucket frames are lineage-truncated
+    * ([[Lineage.truncate]] — `spark.graft.checkpointDir` flips to
+    * reliable checkpoints) so their multiple consumers (totals fold +
+    * posterior join) never re-run the token aggregates; the posterior
+    * table then joins back into the token stream broadcast (parameter —
+    * r10 hint discipline) and rolls up per doc map-side-combined.
+    * Document text shuffles NOWHERE; the only wide state is the 2^k
+    * bucket table, constant in corpus size — which is precisely DSIR's
+    * pitch at 100 TB.
+    */
+  def importanceWeights(documents: DataFrame, target: DataFrame,
+                        numBuckets: Int = 1024,
+                        broadcastBuckets: Boolean = true,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val b = lit(numBuckets.toLong)
+    // generators can't nest inside expressions — explode to a word
+    // column first, bucket in the next projection
+    val tok = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), hashBucket(col("word"), numBuckets).as("b"))
+    val raw = Lineage.truncate(
+      tok.groupBy("b").agg(count(lit(1)).as("r_c")), checkpointDir)
+    val tgt = Lineage.truncate(
+      target
+        .select(explode(words(col("text"))).as("word"))
+        .select(hashBucket(col("word"), numBuckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("t_c")), checkpointDir)
+    val rTot = raw.agg(coalesce(sum("r_c"), lit(0L)).as("r_tot"))
+    val tTot = tgt.agg(coalesce(sum("t_c"), lit(0L)).as("t_tot"))
+      .select(expr(
+        "CASE WHEN t_tot = 0 THEN CAST(raise_error(" +
+          "'importanceWeights: empty target corpus — the target " +
+          "unigram distribution is undefined') AS BIGINT) " +
+          "ELSE t_tot END").as("t_tot"))
+    val posts = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("b"),
+        ((coalesce(col("t_c"), lit(0L)) + lit(1L))
+          .cast(DecimalType(19, 0)) *
+          (col("r_tot") + b).cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("num"),
+        ((col("r_c") + lit(1L)).cast(DecimalType(19, 0)) *
+          (col("t_tot") + b).cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("den"))
+      .select(col("b"),
+        expr("num * 1000000 div (num + den)").as("post_ppm"))
+    val bt = if (broadcastBuckets) broadcast(posts) else posts
+    tok.join(bt, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("post_ppm").as("post_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("post_sum div n_tokens").as("dsir_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 — quality-signal BIAS AUDIT: bucket documents on a bounded
+    * quality score (stopword share in ppm, [[textQuality]]'s
+    * arithmetic, fixed-width `nBuckets` grid over [0, 10⁶]) and report
+    * each bucket's LANGUAGE composition. The calibration check every
+    * quality-filtered corpus needs before the filter runs: stopword /
+    * perplexity-proxy signals are built from high-resource-language
+    * statistics, and a threshold that looks neutral globally can
+    * silently evict one language's documents wholesale (the documented
+    * failure mode of English-centric quality classifiers on
+    * multilingual crawls). A language concentrated in the low-score
+    * buckets here = that filter is a language filter in disguise.
+    *
+    * Fixed-width buckets, NOT ntile: a global ntile is a single-
+    * partition total sort at corpus scale, while `score·n div (10⁶+1)`
+    * is a map-side expression — and the audit wants ABSOLUTE score
+    * bands anyway (the filter thresholds on the score, not the rank).
+    *
+    * Scale shape: one map pass scores and buckets; two map-side-
+    * combined aggregates to (bucket, lang) / bucket grain (≤ n·|langs|
+    * rows at any corpus size) and a tiny-×-tiny join. Text never
+    * shuffles.
+    */
+  def qualityLangBias(documents: DataFrame, stopwords: Seq[String],
+                      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val scored = documents.select(col("lang"),
+      size(words(col("text"))).cast("long").as("n_words"),
+      size(filter(words(col("text")),
+        w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+        .cast("long").as("stop_cnt"))
+      .select(col("lang"),
+        expr(s"(stop_cnt * 1000000L div n_words) * ${nBuckets}L " +
+          "div 1000001L").as("bucket"))
+    val bl = scored.groupBy("bucket", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val bt = bl.groupBy("bucket").agg(sum("n_docs").as("bucket_docs"))
+    bl.join(bt, Seq("bucket"))
+      .select(col("bucket"), col("lang"), col("n_docs"), col("bucket_docs"),
+        expr("n_docs * 1000000L div bucket_docs").as("share_ppm"))
+      .orderBy("bucket", "lang")
   }
 }

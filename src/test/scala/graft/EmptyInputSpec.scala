@@ -59,6 +59,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.urlDedup(
       Seq.empty[(Long, String)].toDF("doc_id", "url")).isEmpty)
     assert(TextOps.fingerprints(emptyDocs).isEmpty)
+    assert(TextOps.qualityLangBias(emptyDocs, Seq("the"), 10).isEmpty)
+    // empty RAW corpus with a non-empty target: nothing to score →
+    // empty output (the empty-TARGET case is the loud guard, pinned in
+    // Round10bOpsSpec)
+    assert(TextOps.importanceWeights(emptyDocs,
+      Seq((1L, "x")).toDF("doc_id", "text"), 64).isEmpty)
   }
 
   test("event operators return empty on an empty stream") {
@@ -81,6 +87,10 @@ class EmptyInputSpec extends SparkSpec {
 
   test("similarity/sketch operators handle empty inputs") {
     assert(SimilarityOps.cosinePairsExact(emptyEmb, 30).isEmpty)
+    assert(SimilarityOps.crossCosinePairs(emptyEmb, emptyEmb, 30).isEmpty)
+    assert(SimilarityOps.crossCosinePairs(emptyEmb,
+      Seq((9L, Array(1.0f), 0)).toDF("vec_id", "embedding", "label"),
+      30).isEmpty)
     assert(SimilarityOps.semDedupBuckets(emptyEmb, Seq(0L, 1L), 30).isEmpty)
     assert(SimilarityOps.labelCentroids(emptyEmb).isEmpty)
     assert(SimilarityOps.centroidAssign(emptyEmb).isEmpty)

@@ -17,7 +17,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_sample_k_per_group", "q_kcore", "q_mom_growth", "q_semdedup_buckets",
     // r10 curation planners: global-min keeper choice and full-outer
     // planner join must not depend on partition count
-    "q_dedup_tokens_saved", "q_mixture_epochs")
+    "q_dedup_tokens_saved", "q_mixture_epochs",
+    // r10 second wave: hashed-bucket posterior join + fixed-point
+    // cross-set cosine must not depend on partition count
+    "q_dsir_weights", "q_decon_semantic")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
