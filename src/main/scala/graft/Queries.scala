@@ -1654,7 +1654,7 @@ object Queries {
                       CAST(len(list_filter(string_split(text, ' '),
                         x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
                     FROM documents)),
-        b AS (SELECT lang, stopword_ppm * 10 // 1000001 AS bucket FROM q),
+        b AS (SELECT lang, COALESCE(stopword_ppm * 10 // 1000001, -1) AS bucket FROM q),
         bl AS (SELECT bucket, lang, COUNT(*)::BIGINT AS n_docs
                FROM b GROUP BY bucket, lang),
         bt AS (SELECT bucket, SUM(n_docs)::BIGINT AS bucket_docs

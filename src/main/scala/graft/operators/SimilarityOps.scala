@@ -81,22 +81,41 @@ object SimilarityOps {
     // would funnel everything through dim-many (64) shuffle keys — a
     // skew trap; the candidate set here is bounded by construction
     // (LSH-bucket first at scale), so NxN/2 zip_with folds win.
-    val withInts = embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
-      .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
+    val withInts = withFixedInts(embeddings)
     val a = withInts.select(col("vec_id").as("a_id"), col("vi").as("avi"),
       col("norm_s").as("a_norm_s"))
     val b = withInts.select(col("vec_id").as("b_id"), col("vi").as("bvi"),
       col("norm_s").as("b_norm_s"))
-    val tauSq = (minCosPct.toLong * minCosPct).toDouble
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("dot_s", graft.plans.VecDot.dotLong(col("avi"), col("bvi")))
-      .filter(col("dot_s") > 0 &&
-        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
-          col("a_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) * lit(tauSq))
+      .filter(cosGate(col("dot_s"), col("a_norm_s"), col("b_norm_s"), minCosPct))
       .select(col("a_id"), col("b_id"), col("dot_s"), col("a_norm_s"), col("b_norm_s"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Fixed-point projection + integer self-norm — ONE definition for
+    * every exact-cosine consumer ([[cosinePairsExact]],
+    * [[semDedupBuckets]], [[crossCosinePairs]]), so the three variants
+    * cannot diverge bit-for-bit on the frame they verify over.
+    */
+  private def withFixedInts(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
+
+  /** The exact `cos ≥ τ` boundary predicate: `dot²·10⁴ ≥ τ²·|a|²·|b|²`
+    * on integer dot/norms (the squares go through identical IEEE double
+    * products in any engine — no sqrt, no division). Shared by the
+    * self-join, bucketed, and cross-set variants for the same reason as
+    * [[withFixedInts]].
+    */
+  private def cosGate(dot: Column, normA: Column, normB: Column,
+                      minCosPct: Int): Column = {
+    val tauSq = (minCosPct.toLong * minCosPct).toDouble
+    dot > 0 &&
+      dot.cast(DoubleType) * dot.cast(DoubleType) * lit(10000.0) >=
+        normA.cast(DoubleType) * normB.cast(DoubleType) * lit(tauSq)
   }
 
   /** L5 — SEMANTIC DECONTAMINATION: every (corpus vector, benchmark
@@ -126,23 +145,14 @@ object SimilarityOps {
                        broadcastBench: Boolean = true): DataFrame = {
     require(minCosPct >= 1 && minCosPct <= 100,
       s"minCosPct must be in [1,100], got $minCosPct")
-    def ints(df: DataFrame) = df.select(col("vec_id"),
-      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
-      .withColumn("norm_s",
-        graft.plans.VecDot.dotLong(col("vi"), col("vi")))
-    val c = ints(corpus).select(col("vec_id"), col("vi").as("cvi"),
+    val c = withFixedInts(corpus).select(col("vec_id"), col("vi").as("cvi"),
       col("norm_s").as("v_norm_s"))
-    val b0 = ints(bench).select(col("vec_id").as("bench_id"),
+    val b0 = withFixedInts(bench).select(col("vec_id").as("bench_id"),
       col("vi").as("bvi"), col("norm_s").as("b_norm_s"))
     val b = if (broadcastBench) broadcast(b0) else b0
-    val tauSq = (minCosPct.toLong * minCosPct).toDouble
     c.crossJoin(b)
       .withColumn("dot_s", graft.plans.VecDot.dotLong(col("cvi"), col("bvi")))
-      .filter(col("dot_s") > 0 &&
-        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) *
-          lit(10000.0) >=
-          col("v_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) *
-            lit(tauSq))
+      .filter(cosGate(col("dot_s"), col("v_norm_s"), col("b_norm_s"), minCosPct))
       .select(col("vec_id"), col("bench_id"), col("dot_s"),
         col("v_norm_s"), col("b_norm_s"))
       .orderBy("vec_id", "bench_id")
@@ -182,11 +192,7 @@ object SimilarityOps {
       s"probeIds must be 1..63 distinct ids, got $probeIds")
     // 3 consumers (probe slice, bucket pass, pair join-back) — same
     // localCheckpoint discipline as DedupOps.jaccardPairs
-    val withInts = embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
-      .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
-      .lineageTruncate()
+    val withInts = withFixedInts(embeddings).lineageTruncate()
     val probes = withInts
       .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
@@ -206,13 +212,10 @@ object SimilarityOps {
       col("vi").as("avi"), col("norm_s").as("a_norm_s"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
       col("vi").as("bvi"), col("norm_s").as("b_norm_s"))
-    val tauSq = (minCosPct.toLong * minCosPct).toDouble
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot_s", graft.plans.VecDot.dotLong(col("avi"), col("bvi")))
-      .filter(col("dot_s") > 0 &&
-        col("dot_s").cast(DoubleType) * col("dot_s").cast(DoubleType) * lit(10000.0) >=
-          col("a_norm_s").cast(DoubleType) * col("b_norm_s").cast(DoubleType) * lit(tauSq))
+      .filter(cosGate(col("dot_s"), col("a_norm_s"), col("b_norm_s"), minCosPct))
       .select(col("bucket"), col("a_id"), col("b_id"), col("dot_s"),
         col("a_norm_s"), col("b_norm_s"))
       .orderBy("a_id", "b_id")

@@ -293,11 +293,19 @@ object TextOps {
     * all in exact integer arithmetic (ppm = parts per million). The
     * corpus is space-joined, so total word chars = n_chars - (n_words-1).
     */
+  /** Stopword count of a token-array column — THE counting expression
+    * behind the stopword-share quality score, defined once so
+    * [[textQuality]] (which emits the score) and [[qualityLangBias]]
+    * (which buckets it) cannot drift apart.
+    */
+  def stopCount(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws,
+      w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("long")
+
   def textQuality(documents: DataFrame, stopwords: Seq[String]): DataFrame =
     documents
       .withColumn("n_words", size(words(col("text"))).cast("long"))
-      .withColumn("__stop_cnt", size(filter(words(col("text")),
-        w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("long"))
+      .withColumn("__stop_cnt", stopCount(words(col("text")), stopwords))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -911,23 +919,32 @@ object TextOps {
     * is a map-side expression — and the audit wants ABSOLUTE score
     * bands anyway (the filter thresholds on the score, not the rank).
     *
-    * Scale shape: one map pass scores and buckets; two map-side-
-    * combined aggregates to (bucket, lang) / bucket grain (≤ n·|langs|
-    * rows at any corpus size) and a tiny-×-tiny join. Text never
-    * shuffles.
+    * NULL-text documents land in SENTINEL BUCKET −1 (their score is
+    * undefined, not low) rather than dropping: a missing-text slice
+    * correlated with a language or source is exactly the skewed
+    * exclusion this audit exists to surface — silently omitting it
+    * would be the ADVICE-r9 null-drop class inside the auditor itself.
+    *
+    * Scale shape: one map pass tokenizes ONCE, scores and buckets; two
+    * map-side-combined aggregates to (bucket, lang) / bucket grain
+    * (≤ (n+1)·|langs| rows at any corpus size) and a tiny-×-tiny join.
+    * Text never shuffles.
     */
   def qualityLangBias(documents: DataFrame, stopwords: Seq[String],
                       nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     require(stopwords.nonEmpty, "stopwords must be non-empty")
-    val scored = documents.select(col("lang"),
-      size(words(col("text"))).cast("long").as("n_words"),
-      size(filter(words(col("text")),
-        w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
-        .cast("long").as("stop_cnt"))
+    val scored = documents
+      .select(col("lang"), words(col("text")).as("ws"))
       .select(col("lang"),
-        expr(s"(stop_cnt * 1000000L div n_words) * ${nBuckets}L " +
-          "div 1000001L").as("bucket"))
+        size(col("ws")).cast("long").as("n_words"),
+        stopCount(col("ws"), stopwords).as("stop_cnt"))
+      .select(col("lang"),
+        // NULL text → NULL ws → NULL arithmetic → sentinel −1
+        coalesce(
+          expr(s"(stop_cnt * 1000000L div n_words) * ${nBuckets}L " +
+            "div 1000001L"),
+          lit(-1L)).as("bucket"))
     val bl = scored.groupBy("bucket", "lang")
       .agg(count(lit(1)).as("n_docs"))
     val bt = bl.groupBy("bucket").agg(sum("n_docs").as("bucket_docs"))

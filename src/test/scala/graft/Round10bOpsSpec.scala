@@ -159,6 +159,22 @@ class Round10bOpsSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getLong(0) === 9L)
   }
 
+  test("qualityLangBias sends NULL-text docs to sentinel bucket -1, not away") {
+    // a missing-text slice correlated with a language must stay VISIBLE
+    // in the audit (the ADVICE-r9 null-drop class applied to the auditor)
+    val docs = Seq(
+      (1L, "the cat", "en", 7L),
+      (2L, null.asInstanceOf[String], "zh", 0L),
+      (3L, null.asInstanceOf[String], "zh", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextOps.qualityLangBias(docs, Seq("the"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (-1L, "zh", 2L, 2L, 1000000L),
+      (4L, "en", 1L, 1L, 1000000L)))
+  }
+
   test("qualityLangBias rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
     intercept[IllegalArgumentException] {
