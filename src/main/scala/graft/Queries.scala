@@ -1614,6 +1614,37 @@ object Queries {
         FROM tok JOIN post USING (b)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The selection step completing q_dsir_weights: keep a doc with
+    // probability equal to its posterior score, via the deterministic
+    // md5 gate (membership a pure function of ids — the stratified-
+    // sample discipline). Oracle = the weights oracle + the same gate.
+    Declared("q_dsir_resample",
+      (s, d) => TextOps.importanceResample(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"), 1024),
+      Some("""WITH tok AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
+        raw AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM raw) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT raw.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        w AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+              FROM tok JOIN post USING (b) GROUP BY doc_id),
+        g AS (SELECT doc_id, n_tokens, dsir_ppm,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bucket_ppm
+              FROM w)
+        SELECT doc_id, n_tokens, dsir_ppm, bucket_ppm
+        FROM g WHERE bucket_ppm < dsir_ppm
+        ORDER BY doc_id""")),
+
     // Embedding-space decontamination: corpus vectors (vec_id % 20 ≠ 0)
     // within cosine 0.30 of any benchmark vector (% 20 = 0) — the
     // paraphrase-leakage guard q_decontaminate's n-gram overlap can't

@@ -902,6 +902,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** L4 — DSIR importance RESAMPLING: the selection step that completes
+    * [[importanceWeights]] — keep each document with probability equal
+    * to its target-posterior score (sample ∝ P(target | doc)), realized
+    * as the deterministic md5 gate `hash_ppm(doc_id) < dsir_ppm`
+    * ([[Relational.hashBucketPpm]]). Membership is a pure function of
+    * the ids and the two corpora — identical on any cluster size,
+    * partitioning, or retry (the stratified-sampling discipline: a
+    * seeded `df.sample` changes membership whenever partitioning
+    * changes, which silently breaks resumable pipelines).
+    *
+    * Scale shape: [[importanceWeights]]'s two token passes plus one
+    * map-side hash-compare — no additional shuffle or pass.
+    */
+  def importanceResample(documents: DataFrame, target: DataFrame,
+                         numBuckets: Int = 1024,
+                         broadcastBuckets: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame =
+    importanceWeights(documents, target, numBuckets, broadcastBuckets,
+      checkpointDir)
+      .withColumn("bucket_ppm", Relational.hashBucketPpm(col("doc_id")))
+      .filter(col("bucket_ppm") < col("dsir_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_ppm"),
+        col("bucket_ppm"))
+      .orderBy("doc_id")
+
   /** L4 — quality-signal BIAS AUDIT: bucket documents on a bounded
     * quality score (stopword share in ppm, [[textQuality]]'s
     * arithmetic, fixed-width `nBuckets` grid over [0, 10⁶]) and report

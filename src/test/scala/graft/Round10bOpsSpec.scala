@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Unit pins for the round-10 second wave: DSIR-style hashed-unigram
   * importance weights, embedding-space decontamination, and the
@@ -68,6 +69,61 @@ class Round10bOpsSpec extends SparkSpec {
     val byId = out.map(r => r._1 -> r._3).toMap
     assert(byId(3L) > byId(4L),
       s"target-vocab doc must outscore raw-only doc: $byId")
+  }
+
+  test("importanceWeights equals the BigInt replay on random corpora") {
+    // the Round10PropertySpec discipline: the distributed plan must
+    // agree with a trivially-correct driver-side replay on EVERY random
+    // input — small vocab over few buckets forces hash collisions, so
+    // the collision path is exercised, not dodged
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+    val corpusGen = for {
+      n <- Gen.choose(2, 10)
+      texts <- Gen.listOfN(n, Gen.listOfN(3,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")).map(_.mkString(" ")))
+      mask <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zipWithIndex.map { case (t, i) =>
+      // force ≥1 target doc (the empty-target loud guard is pinned below)
+      (i.toLong, t, if (mask(i) || i == 0) "en" else "de")
+    }
+    val res = SCTest.check(params, Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text", "lang")
+      val out = TextOps.importanceWeights(
+        df, df.filter(col("lang") === "en"), 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      out == dsirReplay(docs.map(d => (d._1, d._2)),
+        docs.filter(_._3 == "en").map(_._2), 64)
+    })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("importanceResample keeps exactly the docs whose md5 gate clears their score") {
+    // ids chosen so the md5 gates SPAN the posterior range (6→30940,
+    // 8→12693, 13→4944 ppm clear any mid-range score; 4→958457 won't) —
+    // the strict-subset assertion below can't luck into 0/4 or 4/4
+    val docs = Seq(
+      (6L, "x x y", "en"), (8L, "y z", "de"), (13L, "x q q q", "en"),
+      (4L, "z z w", "de"))
+      .toDF("doc_id", "text", "lang")
+    val weights = TextOps.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gate(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000000L
+    }
+    val expected = weights.toSeq.sortBy(_._1)
+      .filter { case (id, (_, ppm)) => gate(id) < ppm }
+      .map { case (id, (n, ppm)) => (id, n, ppm, gate(id)) }
+    val out = TextOps.importanceResample(
+      docs, docs.filter(col("lang") === "en"), 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out === expected)
+    assert(out.nonEmpty && out.size < 4,
+      s"fixture should keep a strict subset, kept ${out.size}/4")
   }
 
   test("importanceWeights fails loudly on an empty target corpus") {
