@@ -602,4 +602,33 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
+
+  test("q_dsir_weights joins the posterior table broadcast, text never shuffles (r10)") {
+    val plan = finalPlanString(Queries.queries("q_dsir_weights")(spark, dir))
+    // the 2^k posterior table joins back into the token stream
+    // broadcast — a shuffled join here would repartition the whole
+    // corpus's token stream on bucket id (1024 skewed keys)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"posterior join must broadcast:\n$plan")
+    // every hash exchange is a BOUNDED rollup keyed on the bucket id or
+    // doc id (text is tokenized MAP-SIDE, below the partial aggregates
+    // whose (key, counts) outputs are all that shuffles — a text-keyed
+    // exchange would mean bodies move)
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty &&
+      hashEx.forall(l => l.contains("b#") || l.contains("doc_id")),
+      s"unexpected shuffle key in:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_decon_semantic is one broadcast map pass over the corpus (r10)") {
+    val plan = finalPlanString(Queries.queries("q_decon_semantic")(spark, dir))
+    // bench side broadcast → BroadcastNestedLoopJoin; the corpus side
+    // streams map-side — NO hash exchange anywhere before the output
+    // sort (the whole operator is scan → dot → filter)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in the contamination scan:\n$plan")
+  }
 }
