@@ -861,14 +861,43 @@ object TextOps {
                         broadcastBuckets: Boolean = true,
                         checkpointDir: Option[String] = None): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    val b = lit(numBuckets.toLong)
     // generators can't nest inside expressions — explode to a word
     // column first, bucket in the next projection
     val tok = documents
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .select(col("doc_id"), hashBucket(col("word"), numBuckets).as("b"))
+    val posts = importancePosteriors(documents, target, numBuckets,
+      checkpointDir)
+    val bt = if (broadcastBuckets) broadcast(posts) else posts
+    tok.join(bt, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("post_ppm").as("post_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("post_sum div n_tokens").as("dsir_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** The FIT phase of [[importanceWeights]], exposed on its own: the
+    * `numBuckets`-row posterior table (b, post_ppm) estimated from the
+    * raw and target corpora — one bucket aggregate over each, totals
+    * folded from the (lineage-truncated) bucket frames. Consumed by
+    * the batch scorer above (broadcast join) and collectible for the
+    * streaming scorer ([[graft.streaming.StreamingOps.scoreDsirStream]]
+    * compiles it into a literal map — legitimate driver state because
+    * the table is FIXED 2^k rows at any corpus size). Buckets absent
+    * from the RAW corpus are absent here; a scorer meeting one (a
+    * token the fit never saw) uses [[importanceUnseenPpm]].
+    */
+  def importancePosteriors(documents: DataFrame, target: DataFrame,
+                           numBuckets: Int = 1024,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val b = lit(numBuckets.toLong)
     val raw = Lineage.truncate(
-      tok.groupBy("b").agg(count(lit(1)).as("r_c")), checkpointDir)
+      documents
+        .select(explode(words(col("text"))).as("word"))
+        .select(hashBucket(col("word"), numBuckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("r_c")), checkpointDir)
     val tgt = Lineage.truncate(
       target
         .select(explode(words(col("text"))).as("word"))
@@ -881,7 +910,7 @@ object TextOps {
           "'importanceWeights: empty target corpus — the target " +
           "unigram distribution is undefined') AS BIGINT) " +
           "ELSE t_tot END").as("t_tot"))
-    val posts = raw.join(tgt, Seq("b"), "left")
+    raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("b"),
         ((coalesce(col("t_c"), lit(0L)) + lit(1L))
@@ -893,13 +922,18 @@ object TextOps {
           .cast(DecimalType(38, 0)).as("den"))
       .select(col("b"),
         expr("num * 1000000 div (num + den)").as("post_ppm"))
-    val bt = if (broadcastBuckets) broadcast(posts) else posts
-    tok.join(bt, Seq("b"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("post_ppm").as("post_sum"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr("post_sum div n_tokens").as("dsir_ppm"))
-      .orderBy("doc_id")
+  }
+
+  /** The smoothed posterior of a bucket NEITHER corpus populated
+    * (t_c = r_c = 0): `(R+B)·10⁶ div ((R+B) + (T+B))` — what a scorer
+    * should assign a token the fit never saw. Driver-side arithmetic
+    * over the two token totals (BigInt, same truncation as the plan).
+    */
+  def importanceUnseenPpm(rawTokens: Long, targetTokens: Long,
+                          numBuckets: Int): Long = {
+    val num = BigInt(rawTokens) + numBuckets
+    val den = BigInt(targetTokens) + numBuckets
+    ((num * 1000000) / (num + den)).toLong
   }
 
   /** L4 — DSIR importance RESAMPLING: the selection step that completes

@@ -252,6 +252,35 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAMING DSIR scoring — fit offline, score online: the posterior
+    * table from [[graft.operators.TextOps.importancePosteriors]] (a
+    * FIXED 2^k rows at any corpus size — the bound that makes hashed
+    * importance features streamable at all) is compiled into a literal
+    * map expression, so scoring is pure per-row column arithmetic: no
+    * stream state, no stream-side shuffle, no aggregation mode
+    * constraints — each arriving document folds its own token array.
+    * Tokens hashing to a bucket the fit never saw score `unseenPpm`
+    * ([[graft.operators.TextOps.importanceUnseenPpm]] — the smoothed
+    * empty-bucket posterior). Batch/streaming parity is spec-pinned
+    * (same doc → same integer score as the batch scorer).
+    */
+  def scoreDsirStream(stream: DataFrame, posts: Seq[(Long, Long)],
+                      numBuckets: Int, unseenPpm: Long): DataFrame = {
+    require(posts.nonEmpty, "posts must be non-empty — run the fit first")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val pm = map(posts.flatMap { case (b, p) => Seq(lit(b), lit(p)) }: _*)
+    val ws = graft.operators.TextOps.words(col("text"))
+    val postArr = transform(ws, w => coalesce(
+      element_at(pm, graft.operators.TextOps.hashBucket(w, numBuckets)),
+      lit(unseenPpm)))
+    stream
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        aggregate(postArr, lit(0L), (acc, x) => acc + x).as("post_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("post_sum div n_tokens").as("dsir_ppm"))
+  }
+
   /** Streaming heavy hitters — per tumbling window, the keys whose
     * exact count reaches `minCount`, emitted ONCE per window when the
     * watermark closes it (append mode: a key is reported only when its

@@ -126,6 +126,41 @@ class Round10bOpsSpec extends SparkSpec {
       s"fixture should keep a strict subset, kept ${out.size}/4")
   }
 
+  test("scoreDsirStream matches the batch scorer doc-for-doc (fit offline, score online)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (6L, "x x y", "en"), (8L, "y z", "de"), (13L, "x q q q", "en"),
+      (4L, "z z w", "de"))
+      .toDF("doc_id", "text", "lang")
+    val tgt = docs.filter(col("lang") === "en")
+    val posts = TextOps.importancePosteriors(docs, tgt, 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unseen = TextOps.importanceUnseenPpm(
+      rawTokens = 12L, targetTokens = 7L, numBuckets = 1024)
+    val batch = TextOps.importanceWeights(docs, tgt, 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.toMemorySink(
+      graft.streaming.StreamingOps.scoreDsirStream(
+        input.toDF().toDF("doc_id", "text"), posts, 1024, unseen),
+      "dsir_stream_test", "append")
+    try {
+      input.addData((6L, "x x y"), (8L, "y z"))
+      input.addData((13L, "x q q q"), (4L, "z z w"))
+      // plus a doc with a token the fit never saw → unseen posterior
+      input.addData((99L, "zzqq zzqq"))
+      q.processAllAvailable()
+      val out = spark.table("dsir_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(out.filter(_._1 != 99L) === batch,
+        "streaming scores must equal the batch scorer's")
+      assert(out.find(_._1 == 99L).get._3 === unseen,
+        "unseen-vocabulary doc must score the smoothed empty-bucket posterior")
+    } finally q.stop()
+  }
+
   test("importanceWeights fails loudly on an empty target corpus") {
     val docs = Seq((1L, "x y")).toDF("doc_id", "text")
     val e = intercept[Exception] {
