@@ -843,18 +843,19 @@ object TextOps {
     * tokenize to nothing and drop from the output (a meaningless mean,
     * not a zero score).
     *
-    * Scale shape: exactly TWO corpus token passes by construction —
-    * DSIR's own fit-then-score structure (one pass estimates the bucket
-    * distributions, one pass scores documents against them). The
-    * FIXED-`numBuckets`-row bucket frames are lineage-truncated
+    * Scale shape: ONE corpus tokenization pass. The tokenize+md5 work
+    * lands in a lineage-truncated (doc, bucket, cnt) frame
     * ([[Lineage.truncate]] — `spark.graft.checkpointDir` flips to
-    * reliable checkpoints) so their multiple consumers (totals fold +
-    * posterior join) never re-run the token aggregates; the posterior
-    * table then joins back into the token stream broadcast (parameter —
-    * r10 hint discipline) and rolls up per doc map-side-combined.
-    * Document text shuffles NOWHERE; the only wide state is the 2^k
-    * bucket table, constant in corpus size — which is precisely DSIR's
-    * pitch at 100 TB.
+    * reliable checkpoints) from which BOTH halves of DSIR's
+    * fit-then-score structure derive: the raw bucket distribution is a
+    * re-aggregation of the truncated counts (never a second text
+    * scan), and the per-doc score folds `cnt·post` over the same
+    * frame after the broadcast (parameter — r10 hint discipline)
+    * posterior join. A/B'd at sf0.1 (SCALE.md): the fused form beat
+    * the two-pass original ~30% locally, and at 100 TB it halves the
+    * dominant cost — corpus text scans. Document text shuffles
+    * NOWHERE; the only wide state is the 2^k bucket table, constant
+    * in corpus size — which is precisely DSIR's pitch.
     */
   def importanceWeights(documents: DataFrame, target: DataFrame,
                         numBuckets: Int = 1024,
@@ -863,15 +864,20 @@ object TextOps {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     // generators can't nest inside expressions — explode to a word
     // column first, bucket in the next projection
-    val tok = documents
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .select(col("doc_id"), hashBucket(col("word"), numBuckets).as("b"))
-    val posts = importancePosteriors(documents, target, numBuckets,
+    val docB = Lineage.truncate(
+      documents
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .select(col("doc_id"), hashBucket(col("word"), numBuckets).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt")),
       checkpointDir)
+    val raw = docB.groupBy("b").agg(sum("cnt").as("r_c"))
+    val posts = posteriorsFromCounts(raw,
+      targetBucketCounts(target, numBuckets, checkpointDir), numBuckets)
     val bt = if (broadcastBuckets) broadcast(posts) else posts
-    tok.join(bt, Seq("b"))
+    docB.join(bt, Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("post_ppm").as("post_sum"))
+      .agg(sum("cnt").as("n_tokens"),
+        sum(expr("cnt * post_ppm")).as("post_sum"))
       .select(col("doc_id"), col("n_tokens"),
         expr("post_sum div n_tokens").as("dsir_ppm"))
       .orderBy("doc_id")
@@ -892,17 +898,34 @@ object TextOps {
                            numBuckets: Int = 1024,
                            checkpointDir: Option[String] = None): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    val b = lit(numBuckets.toLong)
     val raw = Lineage.truncate(
       documents
         .select(explode(words(col("text"))).as("word"))
         .select(hashBucket(col("word"), numBuckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("r_c")), checkpointDir)
-    val tgt = Lineage.truncate(
+    posteriorsFromCounts(raw,
+      targetBucketCounts(target, numBuckets, checkpointDir), numBuckets)
+  }
+
+  /** The target corpus's bucket counts (b, t_c), lineage-truncated —
+    * shared by the standalone fit and the fused batch scorer.
+    */
+  private def targetBucketCounts(target: DataFrame, numBuckets: Int,
+                                 checkpointDir: Option[String]): DataFrame =
+    Lineage.truncate(
       target
         .select(explode(words(col("text"))).as("word"))
         .select(hashBucket(col("word"), numBuckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("t_c")), checkpointDir)
+
+  /** The posterior arithmetic over (b, r_c) × (b, t_c) count frames —
+    * ONE definition (add-one smoothing, Decimal(38,0) products, the
+    * oracle's truncation order) consumed by both entry points above so
+    * the fused and standalone forms cannot drift.
+    */
+  private def posteriorsFromCounts(raw: DataFrame, tgt: DataFrame,
+                                   numBuckets: Int): DataFrame = {
+    val b = lit(numBuckets.toLong)
     val rTot = raw.agg(coalesce(sum("r_c"), lit(0L)).as("r_tot"))
     val tTot = tgt.agg(coalesce(sum("t_c"), lit(0L)).as("t_tot"))
       .select(expr(
