@@ -46,7 +46,10 @@ object Bench {
     "q_bucketed_join", "q_zorder_scan", "q_leakage_split",
     "q_novelty_by_source",
     // round-10 curation-planner family representatives
-    "q_mixture_epochs", "q_dedup_tokens_saved")
+    "q_mixture_epochs", "q_dedup_tokens_saved",
+    // round-10 second wave: the DSIR pipeline is the wave's cost tier
+    // representative (decon/bias/resample price at or under it)
+    "q_dsir_weights")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
