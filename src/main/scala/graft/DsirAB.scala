@@ -13,9 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * frame and derives both halves from it; this main checks result
   * equality and prints min-of-3 timings for both.
   *
-  * Measured 2026-08-14 at sf0.1 local[32] (same JVM, back to back):
-  * two-pass 1.171 s vs fused 0.824 s min-of-3 — and at 100 TB the
-  * fused form halves the dominant cost, corpus text scans.
+  * Measured 2026-08-14 at sf0.1 local[32], same JVM back to back,
+  * min-of-3 — two sessions: prototype 1.171 s two-pass vs 0.824 s
+  * fused; this committed harness 1.056 s vs 0.869 s. The BINDING
+  * record is SCALE.md's (the committed-harness numbers); a re-run of
+  * this main should land in that band. At 100 TB the fused form
+  * halves the dominant cost, corpus text scans, regardless of the
+  * local margin.
   */
 object DsirAB {
 

@@ -289,10 +289,6 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
-  /** L4 — quality scoring: word count, mean word length, stopword ratio —
-    * all in exact integer arithmetic (ppm = parts per million). The
-    * corpus is space-joined, so total word chars = n_chars - (n_words-1).
-    */
   /** Stopword count of a token-array column — THE counting expression
     * behind the stopword-share quality score, defined once so
     * [[textQuality]] (which emits the score) and [[qualityLangBias]]
@@ -302,6 +298,10 @@ object TextOps {
     size(filter(ws,
       w => w.isin(stopwords.map(_.asInstanceOf[Any]): _*))).cast("long")
 
+  /** L4 — quality scoring: word count, mean word length, stopword ratio —
+    * all in exact integer arithmetic (ppm = parts per million). The
+    * corpus is space-joined, so total word chars = n_chars - (n_words-1).
+    */
   def textQuality(documents: DataFrame, stopwords: Seq[String]): DataFrame =
     documents
       .withColumn("n_words", size(words(col("text"))).cast("long"))
@@ -851,8 +851,9 @@ object TextOps {
     * re-aggregation of the truncated counts (never a second text
     * scan), and the per-doc score folds `cnt·post` over the same
     * frame after the broadcast (parameter — r10 hint discipline)
-    * posterior join. A/B'd at sf0.1 (SCALE.md): the fused form beat
-    * the two-pass original ~30% locally, and at 100 TB it halves the
+    * posterior join. A/B'd at sf0.1 ([[graft.DsirAB]], binding record
+    * in SCALE.md): the fused form beat the two-pass original ~20-30%
+    * locally across both sessions, and at 100 TB it halves the
     * dominant cost — corpus text scans. Document text shuffles
     * NOWHERE; the only wide state is the 2^k bucket table, constant
     * in corpus size — which is precisely DSIR's pitch.
@@ -870,7 +871,12 @@ object TextOps {
         .select(col("doc_id"), hashBucket(col("word"), numBuckets).as("b"))
         .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt")),
       checkpointDir)
-    val raw = docB.groupBy("b").agg(sum("cnt").as("r_c"))
+    // the derived ≤2^k-row raw frame is truncated too: its two
+    // consumers inside posteriorsFromCounts (totals fold + posterior
+    // join) would otherwise each re-aggregate the corpus-sized docB
+    // checkpoint
+    val raw = Lineage.truncate(
+      docB.groupBy("b").agg(sum("cnt").as("r_c")), checkpointDir)
     val posts = posteriorsFromCounts(raw,
       targetBucketCounts(target, numBuckets, checkpointDir), numBuckets)
     val bt = if (broadcastBuckets) broadcast(posts) else posts
@@ -922,6 +928,16 @@ object TextOps {
     * ONE definition (add-one smoothing, Decimal(38,0) products, the
     * oracle's truncation order) consumed by both entry points above so
     * the fused and standalone forms cannot drift.
+    *
+    * FULL OUTER on the bucket id: when the target is NOT a subset of
+    * the raw corpus (DSIR's canonical external-target use), a bucket
+    * populated only by target tokens still gets its proper smoothed
+    * posterior — a left join would silently drop exactly the
+    * strongest target-signal buckets, and a streaming scorer meeting
+    * such a token would mis-score it as never-seen. Batch scoring is
+    * unaffected either way (raw tokens can only hit raw buckets), so
+    * the declared oracle keeps its LEFT JOIN form — equal by
+    * construction on the declared query's target ⊆ documents.
     */
   private def posteriorsFromCounts(raw: DataFrame, tgt: DataFrame,
                                    numBuckets: Int): DataFrame = {
@@ -933,14 +949,15 @@ object TextOps {
           "'importanceWeights: empty target corpus — the target " +
           "unigram distribution is undefined') AS BIGINT) " +
           "ELSE t_tot END").as("t_tot"))
-    raw.join(tgt, Seq("b"), "left")
+    raw.join(tgt, Seq("b"), "full_outer")
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("b"),
         ((coalesce(col("t_c"), lit(0L)) + lit(1L))
           .cast(DecimalType(19, 0)) *
           (col("r_tot") + b).cast(DecimalType(19, 0)))
           .cast(DecimalType(38, 0)).as("num"),
-        ((col("r_c") + lit(1L)).cast(DecimalType(19, 0)) *
+        ((coalesce(col("r_c"), lit(0L)) + lit(1L))
+          .cast(DecimalType(19, 0)) *
           (col("t_tot") + b).cast(DecimalType(19, 0)))
           .cast(DecimalType(38, 0)).as("den"))
       .select(col("b"),
@@ -969,8 +986,9 @@ object TextOps {
     * seeded `df.sample` changes membership whenever partitioning
     * changes, which silently breaks resumable pipelines).
     *
-    * Scale shape: [[importanceWeights]]'s two token passes plus one
-    * map-side hash-compare — no additional shuffle or pass.
+    * Scale shape: [[importanceWeights]]'s single fused tokenization
+    * pass plus one map-side hash-compare — no additional shuffle or
+    * pass.
     */
   def importanceResample(documents: DataFrame, target: DataFrame,
                          numBuckets: Int = 1024,

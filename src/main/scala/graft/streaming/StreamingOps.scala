@@ -261,8 +261,12 @@ object StreamingOps {
     * constraints — each arriving document folds its own token array.
     * Tokens hashing to a bucket the fit never saw score `unseenPpm`
     * ([[graft.operators.TextOps.importanceUnseenPpm]] — the smoothed
-    * empty-bucket posterior). Batch/streaming parity is spec-pinned
-    * (same doc → same integer score as the batch scorer).
+    * posterior of a bucket NEITHER corpus populated; buckets the
+    * TARGET alone populated are in the fit table itself, full-outer
+    * by construction). Batch/streaming parity is spec-pinned: same
+    * doc → same integer score as the batch scorer, and NULL-text
+    * docs DROP (the batch scorer's stance — a meaningless mean, not
+    * a NULL row the sink would propagate).
     */
   def scoreDsirStream(stream: DataFrame, posts: Seq[(Long, Long)],
                       numBuckets: Int, unseenPpm: Long): DataFrame = {
@@ -274,6 +278,7 @@ object StreamingOps {
       element_at(pm, graft.operators.TextOps.hashBucket(w, numBuckets)),
       lit(unseenPpm)))
     stream
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(ws).cast("long").as("n_tokens"),
         aggregate(postArr, lit(0L), (acc, x) => acc + x).as("post_sum"))
