@@ -1,10 +1,24 @@
 #!/usr/bin/env python3
-"""Round-over-round bench regression triage (VERDICT r7 #6).
+"""Round-over-round bench regression triage (VERDICT r7 #6, r10 #7).
 
 Diffs two bench artifacts and emits the >RATIO_FLOOR list so no round
 ships a driver artifact with unexplained multiples: every flagged key
 must end up either explained (controls inflated too -> host noise) or
 fixed, recorded in SCALE.md.
+
+Two distinct regression SIGNATURES (VERDICT r10 #7 -- the r10 closing
+artifact had flat controls with a localized >2x family and shipped
+untriaged because only the controls-inflated signature was named):
+
+  host-noise-suspect -- the cheap fixed-plan controls inflated along
+    with everything else: the host was busy; re-measure before
+    believing anything.
+  suspect-real -- controls FLAT (median ratio <= CONTROL_FLAT) while
+    one or more keys exceed HARD_RATIO: the inflation is localized to
+    real plans, so it is a plan or suite-hygiene regression until an
+    IsolatedBench fresh-JVM triage proves otherwise. With --gate,
+    every such key MUST have a "triage:" line naming it in SCALE.md or
+    the exit code goes non-zero (presnapshot folds that into the gate).
 
 Accepts BOTH artifact shapes:
   - driver BENCH_r{N}.json: {"n","rc","cpus","sf","tail","parsed"} --
@@ -13,20 +27,25 @@ Accepts BOTH artifact shapes:
   - raw bench line / target/bench.json: {"metric","value","queries",...}.
 
 Usage:
-  scripts/benchdiff.py OLD.json NEW.json [--append-scale]
+  scripts/benchdiff.py OLD.json NEW.json [--append-scale] [--gate]
 
-Exit 0 always (triage tool, not a correctness gate): bench multiples
-need human attribution -- the r5-r8 record shows most are co-tenant
-noise, and a red exit here would train people to override the gate.
+Exit 0 unless --gate is passed AND a suspect-real key lacks a SCALE.md
+triage entry (exit 3). Without --gate the tool stays informational:
+bench multiples need human attribution -- the r5-r8 record shows most
+are co-tenant noise, and an unconditional red exit would train people
+to override the gate.
 --append-scale appends the markdown table to SCALE.md under a dated
 heading when anything is flagged.
 """
 import json
 import re
+import statistics
 import subprocess
 import sys
 
 RATIO_FLOOR = 1.5
+HARD_RATIO = 2.0     # the driver's own "unexplained multiple" bar
+CONTROL_FLAT = 1.3   # controls at/below this median ratio count as flat
 # known-cheap queries whose inflation indicates HOST noise, not a plan
 # regression -- rendered alongside flagged rows for attribution
 CONTROLS = ("q_topk", "q_pivot", "q_filter_conj", "q_scan_limit")
@@ -46,9 +65,37 @@ def load_queries(path):
     return parsed["queries"], float(parsed.get("value", 0.0))
 
 
+def classify(old_q, new_q, flagged):
+    """(signature, control_median, hard_keys): which of the two named
+    regression signatures the diff shows, if any."""
+    ctl = [new_q[c] / old_q[c]
+           for c in CONTROLS if c in old_q and c in new_q and old_q[c] > 0]
+    ctl_med = statistics.median(ctl) if ctl else None
+    hard = [k for ratio, k, _, _ in flagged if ratio > HARD_RATIO]
+    if not hard or ctl_med is None:
+        return None, ctl_med, hard
+    if ctl_med <= CONTROL_FLAT:
+        return "suspect-real", ctl_med, hard
+    if ctl_med > RATIO_FLOOR:
+        return "host-noise-suspect", ctl_med, hard
+    return "ambiguous", ctl_med, hard
+
+
+def untriaged(hard_keys):
+    """Hard-flagged keys with no 'triage' line naming them in SCALE.md."""
+    try:
+        with open("SCALE.md") as f:
+            triage_lines = [ln for ln in f if "triage" in ln.lower()]
+    except FileNotFoundError:
+        return list(hard_keys)
+    return [k for k in hard_keys
+            if not any(k in ln for ln in triage_lines)]
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     append = "--append-scale" in sys.argv
+    gate = "--gate" in sys.argv
     if len(args) != 2:
         sys.exit(__doc__)
     old_q, old_total = load_queries(args[0])
@@ -65,6 +112,7 @@ def main():
         f"{len(common)} common keys, total {old_total:.1f}s -> {new_total:.1f}s, "
         f"{len(flagged)} over {RATIO_FLOOR}x"
     ]
+    exit_code = 0
     if flagged:
         lines.append("")
         lines.append("| query | old s | new s | ratio |")
@@ -79,9 +127,35 @@ def main():
         lines.append(
             "Controls (cheap fixed plans -- if these inflated too, "
             "suspect the host): " + ", ".join(ctl))
-        lines.append(
-            "Every flagged key needs an IsolatedBench min-of-3 triage "
-            "entry in SCALE.md (noise vs cause+fix).")
+        signature, ctl_med, hard = classify(old_q, new_q, flagged)
+        if signature == "suspect-real":
+            lines.append(
+                f"SIGNATURE: suspect-real -- controls flat (median "
+                f"{ctl_med:.2f}x) while {len(hard)} key(s) exceed "
+                f"{HARD_RATIO}x: {', '.join(hard)}. This is a plan or "
+                "suite-hygiene regression until an IsolatedBench "
+                "fresh-JVM min-of-3 triage in SCALE.md proves otherwise.")
+            missing = untriaged(hard)
+            if missing:
+                lines.append(
+                    "UNTRIAGED suspect-real keys (no 'triage:' line in "
+                    "SCALE.md names them): " + ", ".join(missing))
+                if gate:
+                    exit_code = 3
+        elif signature == "host-noise-suspect":
+            lines.append(
+                f"SIGNATURE: host-noise-suspect -- controls inflated too "
+                f"(median {ctl_med:.2f}x): re-measure on an idle host "
+                "before attributing any multiple to a plan.")
+        elif signature == "ambiguous":
+            lines.append(
+                f"SIGNATURE: ambiguous -- controls at {ctl_med:.2f}x "
+                "(neither flat nor clearly inflated): triage the "
+                f">{HARD_RATIO}x keys with IsolatedBench anyway.")
+        else:
+            lines.append(
+                "Every flagged key needs an IsolatedBench min-of-3 triage "
+                "entry in SCALE.md (noise vs cause+fix).")
     out = "\n".join(lines)
     print(out)
     if append and flagged:
@@ -90,6 +164,7 @@ def main():
         with open("SCALE.md", "a") as f:
             f.write(f"\n## benchdiff flags (HEAD={head})\n\n{out}\n")
         print("benchdiff: appended flagged table to SCALE.md")
+    sys.exit(exit_code)
 
 
 if __name__ == "__main__":

@@ -44,14 +44,18 @@ fi
   python3 scripts/selfcheck.py "$SF" "$OUT"; sc=$?
   echo "--- vacuity audit ---"
   python3 scripts/vacuity_audit.py "$OUT"; va=$?
-  # Bench regression triage (VERDICT r7 #6) — informational, never RED:
-  # diff the freshest local bench run against the last driver artifact so
-  # any >1.5x multiple is visible (and triaged into SCALE.md) BEFORE the
-  # snapshot ships, instead of surprising the next round's verdict.
+  # Bench regression triage (VERDICT r7 #6, r10 #7): diff the freshest
+  # local bench run against the last driver artifact. >1.5x multiples
+  # stay informational (mostly co-tenant noise, r5-r8 record) — EXCEPT
+  # the suspect-real signature (flat controls + >2x keys), which the
+  # gate now REQUIRES a SCALE.md triage entry for: the r10 closing
+  # artifact shipped exactly that shape untriaged.
   last_bench=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1)
+  bd=0
   if [ -n "$last_bench" ] && [ -f target/bench.json ]; then
-    echo "--- benchdiff vs $last_bench (informational) ---"
-    python3 scripts/benchdiff.py "$last_bench" target/bench.json || true
+    echo "--- benchdiff vs $last_bench (gated on suspect-real) ---"
+    python3 scripts/benchdiff.py --gate "$last_bench" target/bench.json
+    bd=$?
   fi
   echo "--- testdata fingerprint ($SF) ---"
   echo "$FP_PRE"
@@ -63,8 +67,8 @@ fi
   else
     fp=0
   fi
-  echo "RESULT selfcheck_exit=$sc vacuity_exit=$va fingerprint_exit=$fp"
-  [ "$sc" -eq 0 ] && [ "$va" -eq 0 ] && [ "$fp" -eq 0 ]
+  echo "RESULT selfcheck_exit=$sc vacuity_exit=$va fingerprint_exit=$fp benchdiff_exit=$bd"
+  [ "$sc" -eq 0 ] && [ "$va" -eq 0 ] && [ "$fp" -eq 0 ] && [ "$bd" -eq 0 ]
 } 2>&1 | tee "$LOG"
 status=${PIPESTATUS[0]}
 if [ "$status" -eq 0 ]; then

@@ -35,6 +35,11 @@ object IsolatedBench {
       val samples = (1 to 3).map(_ => Bench.timeOnce(fn(spark, sfDir).count()))
       println(f"ISOLATED $name min=${samples.min}%.3f " +
         s"samples=${samples.map(s => f"$s%.3f").mkString(",")} sf=$sfDir")
+      // same inter-query hygiene as Bench.runSuite, so a multi-name
+      // invocation measures each query as if it ran alone
+      spark.catalog.clearCache()
+      graft.operators.Lineage.releaseAll(spark)
+      System.gc()
     }
     spark.stop()
   }

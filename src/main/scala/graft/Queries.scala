@@ -38,6 +38,81 @@ object Queries {
     */
   private val semDedupProbeIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
 
+  /** DuckDB replay of [[graft.operators.SimilarityOps.ivfTopKExact]]:
+    * `iterations` unrolled integer Lloyd rounds (seed → assign →
+    * truncating-mean update, emptied cells carried via COALESCE), then
+    * full-corpus assignment, integer probe ranking (the final-centroid
+    * dot table serves both assignment argmax and probe rank), and the
+    * probe-limited exact top-k. Generated in code so the round count,
+    * sample modulus, and probe/k parameters provably match the
+    * declared query's.
+    */
+  private def ivfExactOracle(k: Int, iterations: Int, mod: Int,
+                             nProbe: Int, topK: Int): String = {
+    val lloyd = (1 to iterations).map { i =>
+      s"""d${i - 1} AS (SELECT t.vec_id, c.cell, SUM(t.vi * c.c) AS dt
+             FROM tr t JOIN c${i - 1} c ON t.pos = c.pos
+             GROUP BY t.vec_id, c.cell),
+        a${i - 1} AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM d${i - 1}) WHERE rn = 1),
+        u$i AS (SELECT a.cell, e.pos,
+               CAST(SUM(e.vi) // COUNT(*) AS BIGINT) AS c
+             FROM a${i - 1} a JOIN tr e ON e.vec_id = a.vec_id
+             GROUP BY a.cell, e.pos),
+        c$i AS (SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+             FROM c${i - 1} p
+             LEFT JOIN u$i u ON p.cell = u.cell AND p.pos = u.pos)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id,
+             CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(64)) AS pos FROM embeddings)),
+        tr AS (SELECT * FROM e WHERE vec_id % $mod = 0),
+        seed AS (SELECT vec_id, rn - 1 AS cell FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM tr)) WHERE rn <= $k),
+        c0 AS (SELECT s.cell, e.pos, e.vi AS c
+             FROM seed s JOIN e ON e.vec_id = s.vec_id),
+        $lloyd,
+        dful AS (SELECT v.vec_id, c.cell, SUM(v.vi * c.c) AS dt
+             FROM e v JOIN c$iterations c ON v.pos = c.pos
+             GROUP BY v.vec_id, c.cell),
+        af AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM dful) WHERE rn = 1),
+        pc AS (SELECT q_id, cell FROM (
+             SELECT vec_id AS q_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM dful WHERE vec_id < 8) WHERE rn <= $nProbe),
+        cand AS (SELECT pc.q_id, af.vec_id AS n_id
+             FROM pc JOIN af ON af.cell = pc.cell),
+        s AS (SELECT c.q_id, c.n_id,
+               CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
+             FROM cand c JOIN e a ON a.vec_id = c.q_id
+                         JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+             GROUP BY c.q_id, c.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM s) WHERE rn <= $topK
+        ORDER BY q_id, rn"""
+  }
+
+  /** The hyperplane set q_simsearch_lsh passes to
+    * [[graft.operators.SimilarityOps.lshBucketTopKExact]] — same
+    * define-once discipline as [[semDedupProbeIds]] (the oracle's
+    * IN-list and positional bit-weight CASE interpolate from it).
+    * 8 planes → 256 buckets; multi-probe hamming ≤ 1 probes 9.
+    */
+  private val lshProbeIds: Seq[Long] = (0L until 8L)
+
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
     * DECLARED output column is cast to DOUBLE at the boundary — the driver
@@ -83,6 +158,65 @@ object Queries {
 
   private def simHashOracle(src: String): String =
     s"WITH ${simHashSigCtes(src)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** Shared CTE chain replaying the SYNTHETIC-MEDIA fingerprints
+    * ([[graft.multimodal.MultimodalOps.syntheticImages]] /
+    * [[syntheticAudio]] → [[ImageCodec.dHash]] /
+    * [[AudioCodec.fingerprint]]) in DuckDB — possible because the
+    * fixtures are constructed so the codec pipelines collapse to
+    * replayable integer arithmetic: a 9×8 gray PNG makes every dHash
+    * box-average cell one pixel whose Rec.601 luma is its own byte
+    * value, and a 65-sample mono WAV makes every envelope frame one
+    * sample. The md5-derived pixel/sample values are the same string
+    * hashes both engines compute; the perturbation CASEs mirror the
+    * generators'. Bit 63 (a legal dHash/envelope bit) lands on the
+    * BIGINT sign — packed via the two's-complement identity
+    * (sum of bits 0..62) + (bit63 ? −2⁶³ : 0), exact in both engines.
+    * ONE definition feeds both media oracles below so the fingerprint
+    * and pair replays can never drift.
+    */
+  private def mediaSigCtes: String = {
+    // the packed-long rollup is identical for both modalities — only
+    // the per-bit source CTE differs
+    def pack(bitCte: String, alias: String) =
+      s"""$alias AS (SELECT i.media_id,
+             CAST(COALESCE(SUM(CASE WHEN b.j < 63
+                      THEN (1::BIGINT << b.j) ELSE 0 END), 0)
+               + CASE WHEN COUNT(CASE WHEN b.j = 63 THEN 1 END) > 0
+                      THEN -9223372036854775807 - 1 ELSE 0 END AS BIGINT) AS fp
+           FROM ids i LEFT JOIN $bitCte b ON i.media_id = b.media_id
+           GROUP BY i.media_id)"""
+    s"""ids AS (SELECT doc_id AS media_id, doc_id // 50 AS g,
+               (doc_id // 25) % 2 AS variant
+             FROM documents WHERE doc_id % 25 = 0),
+      px0 AS (SELECT i.media_id, i.variant, x.x, y.y,
+               ('0x' || substr(md5('px:' || CAST(i.g AS VARCHAR) || ':' ||
+                  CAST(x.x AS VARCHAR) || ':' || CAST(y.y AS VARCHAR)),
+                  1, 2))::BIGINT AS v0
+             FROM ids i
+             CROSS JOIN (SELECT unnest(range(9)) AS x) x
+             CROSS JOIN (SELECT unnest(range(8)) AS y) y),
+      px AS (SELECT media_id, x, y,
+               CASE WHEN variant = 1 AND x = 3 AND y = 4
+                    THEN 255 - v0 ELSE v0 END AS v
+             FROM px0),
+      ibit AS (SELECT a.media_id, CAST(a.y * 8 + a.x AS BIGINT) AS j
+             FROM px a JOIN px b ON a.media_id = b.media_id AND a.y = b.y
+                                AND b.x = a.x + 1
+             WHERE a.x < 8 AND a.v > b.v),
+      ${pack("ibit", "img")},
+      sm0 AS (SELECT i.media_id, i.variant, s.j,
+               ('0x' || substr(md5('au:' || CAST(i.g AS VARCHAR) || ':' ||
+                  CAST(s.j AS VARCHAR)), 1, 4))::BIGINT % 32768 AS s0
+             FROM ids i CROSS JOIN (SELECT unnest(range(65)) AS j) s),
+      sm AS (SELECT media_id, j,
+               CASE WHEN variant = 1 AND j = 10 THEN 32767 - s0 ELSE s0 END AS s
+             FROM sm0),
+      abit AS (SELECT a.media_id, a.j
+             FROM sm a JOIN sm b ON a.media_id = b.media_id AND b.j = a.j + 1
+             WHERE a.j < 64 AND b.s > a.s),
+      ${pack("abit", "aud")}"""
+  }
 
   /** DuckDB replay of [[DedupOps.kCoreFixedRounds]] over the %10-slice
     * jaccard-80 graph (the q_triangles base CTEs): each peel round is
@@ -1639,11 +1773,29 @@ object Queries {
                 CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
               FROM tok JOIN post USING (b) GROUP BY doc_id),
         g AS (SELECT doc_id, n_tokens, dsir_ppm,
-                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bucket_ppm
+                ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS bucket_ppm
               FROM w)
         SELECT doc_id, n_tokens, dsir_ppm, bucket_ppm
         FROM g WHERE bucket_ppm < dsir_ppm
         ORDER BY doc_id""")),
+
+    // The streaming scorer's unseen-bucket fallback constant as an
+    // ORACLE-PINNED relation (VERDICT r10 #6): pure integer arithmetic
+    // over the two corpus token totals — previously spec-only
+    // driver-side math (TextOps.importanceUnseenPpm); Round11 spec
+    // additionally pins plan ≡ driver function.
+    Declared("q_dsir_unseen",
+      (s, d) => TextOps.importanceUnseenTable(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"), 1024),
+      Some("""WITH r AS (SELECT COUNT(*)::BIGINT AS r_tot
+                FROM (SELECT unnest(string_split(text, ' ')) FROM documents)),
+        t AS (SELECT COUNT(*)::BIGINT AS t_tot
+                FROM (SELECT unnest(string_split(text, ' '))
+                      FROM documents WHERE lang = 'en'))
+        SELECT r_tot, t_tot,
+          CAST(((r_tot + 1024)::HUGEINT * 1000000)
+               // ((r_tot + 1024) + (t_tot + 1024)) AS BIGINT) AS unseen_ppm
+        FROM r, t""")),
 
     // Embedding-space decontamination: corpus vectors (vec_id % 20 ≠ 0)
     // within cosine 0.30 of any benchmark vector (% 20 = 0) — the
@@ -1941,24 +2093,66 @@ object Queries {
           FROM s) WHERE rn <= 5
         ORDER BY q_id, rn""")),
 
-    // multi-probe (hamming ≤ 1) since round 6: probes 9 of 256 buckets
-    // per query — fan-in still corpus·9/256, recall floor pinned
-    // executably in AnnRecallSpec against the oracle-checked exact top-k
+    // multi-probe (hamming ≤ 1) sign-LSH top-k, since round 11 in the
+    // ORACLE-CHECKABLE form (VERDICT r10 #5): hyperplanes are the
+    // corpus's own vectors 0..7 after fixed-point rounding (the
+    // q_semdedup_buckets trick), so bucket assignment AND scores are
+    // exact int64 both engines replay — probes 9 of 256 buckets per
+    // query, fan-in corpus·9/256, candidates ranked by the same
+    // score_s14 grid as q_simsearch_fast. The float-plane production
+    // variant (lshBucketTopK) keeps its recall floor on the declared
+    // surface via q_ann_recall_audit.
     Declared("q_simsearch_lsh",
-      (s, d) => SimilarityOps.lshBucketTopK(embeddings(s, d), (0L until 8L), 5,
-        numPlanes = 8, dim = 64, maxFlip = 1),
-      None),
+      (s, d) => SimilarityOps.lshBucketTopKExact(embeddings(s, d),
+        probeIds = lshProbeIds, queryIds = (0L until 8L), k = 5, maxFlip = 1),
+      Some(s"""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM e
+               WHERE vec_id IN (${lshProbeIds.mkString(", ")})),
+        dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
+               FROM e JOIN pr USING (pos) GROUP BY e.vec_id, pr.p_id),
+        bkt AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN dt <= 0 THEN 0 ${lshProbeIds.zipWithIndex
+                  .map { case (pid, i) => s"WHEN p_id = $pid THEN ${1L << i}" }
+                  .mkString(" ")}
+                         ELSE 0 END) AS BIGINT) AS bucket
+              FROM dp GROUP BY vec_id),
+        qb AS (SELECT q.vec_id AS q_id,
+                 CASE WHEN f.f = 0 THEN q.bucket
+                      ELSE xor(q.bucket, (1::BIGINT << (f.f - 1))) END AS bucket
+               FROM (SELECT vec_id, bucket FROM bkt WHERE vec_id < 8) q
+               CROSS JOIN (SELECT unnest(range(${lshProbeIds.size + 1})) AS f) f),
+        cand AS (SELECT qb.q_id, b.vec_id AS n_id
+                 FROM qb JOIN bkt b ON qb.bucket = b.bucket),
+        s AS (SELECT c.q_id, c.n_id, CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
+              FROM cand c JOIN e a ON a.vec_id = c.q_id
+                          JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+              GROUP BY c.q_id, c.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
 
-    // probe-only declared query: the index trains once per data dir and
-    // is memoized (an index retrained inside every query is no index);
-    // centroids train on a 1-in-4 deterministic sample — the 100 TB
-    // pattern (full-corpus Lloyd iterations never pay for themselves)
+    // probe-only declared query, since round 11 in the ORACLE-CHECKABLE
+    // integer form (the last no_oracle row): deterministic lowest-id
+    // seeds, truncating-int64 Lloyd updates, argmax assignment with
+    // lowest-cell ties — the oracle replays BOTH unrolled k-means
+    // iterations as CTE pairs (the q_pagerank precedent) and then the
+    // probe-limited search. Centroids train on a 1-in-4 deterministic
+    // sample and are memoized per data dir (an index retrained inside
+    // every query is no index) — the 100 TB pattern (full-corpus Lloyd
+    // iterations never pay for themselves). The float ivfTopK stays
+    // the production default under q_ann_recall_audit's floor.
     Declared("q_simsearch_ivf",
-      (s, d) => SimilarityOps.ivfTopK(
-        SimilarityOps.ivfIndexCached(embeddings(s, d), d, k = 8,
-          iterations = 2, trainSampleMod = 4),
-        (0L until 8L), 5, nProbe = 2),
-      None),
+      (s, d) => SimilarityOps.ivfTopKExact(embeddings(s, d), d, k = 8,
+        iterations = 2, trainSampleMod = 4,
+        queryIds = (0L until 8L), topK = 5, nProbe = 2),
+      Some(ivfExactOracle(k = 8, iterations = 2, mod = 4,
+        nProbe = 2, topK = 5))),
 
     // ANN RECALL AUDIT as a DECLARED query (r10): DuckDB cannot replay
     // the float-plane LSH/IVF indexes (hence their two no_oracle rows),
@@ -5115,21 +5309,94 @@ object Queries {
         FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id
         ORDER BY d.doc_id""")),
 
+    // L5 MULTIMODAL, ORACLE-CHECKED (VERDICT r10 #4 — the one family
+    // whose correctness evidence was fixtures alone): deterministic
+    // PNG + WAV payloads are GENERATED inside the query (distributed,
+    // derived from documents.doc_id — the q_scrub_pii augmentation
+    // precedent), then run through the REAL codec pipelines —
+    // ImageIO decode → box-averaged dHash, RIFF chunk-walk →
+    // envelope fingerprint — and the integer fingerprint bits are
+    // hash-compared against DuckDB's pure-arithmetic replay (the
+    // fixtures are constructed so the codec math collapses to shared
+    // md5-derived integers; see mediaSigCtes). A broken encoder,
+    // decoder, luma weight, frame split, or bit packing flips bits
+    // and goes red.
+    Declared("q_media_fingerprint",
+      (s, d) => {
+        val ids = documents(s, d).filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id").as("media_id"))
+        val img = graft.multimodal.MultimodalOps.imageDHashes(
+          graft.multimodal.MultimodalOps.syntheticImages(ids))
+          .select(lit("image").as("kind"), col("media_id"),
+            col("dhash").as("fp"))
+        val aud = graft.multimodal.MultimodalOps.audioFingerprints(
+          graft.multimodal.MultimodalOps.syntheticAudio(ids))
+          .select(lit("audio").as("kind"), col("media_id"),
+            col("afp").as("fp"))
+        img.unionByName(aud).orderBy("kind", "media_id")
+      },
+      Some(s"""WITH $mediaSigCtes
+        SELECT kind, media_id, fp FROM (
+          SELECT 'audio' AS kind, media_id, fp FROM aud
+          UNION ALL
+          SELECT 'image' AS kind, media_id, fp FROM img)
+        ORDER BY kind, media_id""")),
+
+    // …and the near-dup step over those fingerprints: the hamming-band
+    // kernel (pigeonhole-complete at 4 bands × 16 bits for hamming ≤ 3,
+    // so the DECLARED relation is exactly "all pairs within 3 bit
+    // flips" — which the oracle replays as a direct hamming join over
+    // its recomputed fingerprints). The fixture's variant structure
+    // (one inverted cell / one flipped sample per group) plants
+    // within-group pairs at hamming ≤ 2; cross-group hashes sit ~32
+    // bits apart.
+    Declared("q_media_neardup",
+      (s, d) => {
+        val ids = documents(s, d).filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id").as("media_id"))
+        val img = graft.multimodal.MultimodalOps.imageNearDupPairs(
+          graft.multimodal.MultimodalOps.syntheticImages(ids), maxHamming = 3)
+          .select(lit("image").as("kind"), col("a_id"), col("b_id"),
+            col("hamming"))
+        val aud = graft.multimodal.MultimodalOps.audioNearDupPairs(
+          graft.multimodal.MultimodalOps.syntheticAudio(ids), maxHamming = 3)
+          .select(lit("audio").as("kind"), col("a_id"), col("b_id"),
+            col("hamming"))
+        img.unionByName(aud).orderBy("kind", "a_id", "b_id")
+      },
+      Some(s"""WITH $mediaSigCtes
+        SELECT kind, a_id, b_id, hamming FROM (
+          SELECT 'audio' AS kind, a.media_id AS a_id, b.media_id AS b_id,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM aud a JOIN aud b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3
+          UNION ALL
+          SELECT 'image' AS kind, a.media_id AS a_id, b.media_id AS b_id,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM img a JOIN img b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+        ORDER BY kind, a_id, b_id""")),
+
     // BUCKETED-LAYOUT READ-BACK (VERDICT r9 #3): the write path gets a
     // DECLARED query, not only a plan spec — both sides are re-bucketed
-    // by the join key into the session catalog (8 buckets, rewritten
-    // every run so a driver-regenerated testdata can never leave a
-    // stale layout behind — the r8 lesson), then joined and aggregated
-    // FROM the bucketed tables. Values must equal the plain join
-    // (bucketing is layout, not semantics) — which is exactly what the
-    // oracle checks; the zero-Exchange co-location contract itself is
-    // plan-asserted in BucketedJoinSpec.
+    // by the join key into the session catalog (8 buckets), then joined
+    // and aggregated FROM the bucketed tables. Values must equal the
+    // plain join (bucketing is layout, not semantics) — which is
+    // exactly what the oracle checks; the zero-Exchange co-location
+    // contract itself is plan-asserted in BucketedJoinSpec. The rewrite
+    // is memoized on the SOURCE FINGERPRINT (VERDICT r10 #3): one
+    // rewrite per session per source state — a driver-regenerated
+    // testdata moves the fingerprint and forces the rewrite (the r8
+    // staleness lesson, now at listing cost instead of a full copy per
+    // invocation).
     Declared("q_bucketed_join",
       (s, d) => {
-        graft.sources.StorageOps.writeBucketedTable(orders(s, d),
-          "orders_rb", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
-        graft.sources.StorageOps.writeBucketedTable(lineitem(s, d),
-          "lineitem_rb", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+        graft.sources.StorageOps.writeBucketedTableCached(orders(s, d),
+          s"$d/orders.parquet", "orders_rb", "o_orderkey", 8,
+          sortCols = Seq("o_orderkey"))
+        graft.sources.StorageOps.writeBucketedTableCached(lineitem(s, d),
+          s"$d/lineitem.parquet", "lineitem_rb", "l_orderkey", 8,
+          sortCols = Seq("l_orderkey"))
         s.table("orders_rb")
           .join(s.table("lineitem_rb"),
             col("o_orderkey") === col("l_orderkey"))
@@ -5151,13 +5418,14 @@ object Queries {
     // aggregate read FROM the z-ordered copy. Row content is
     // byte-identical to the input by the compaction contract, so the
     // result is layout/encoding-independent — the oracle runs the same
-    // filter on the ORIGINAL parquet. Rewritten every run (staleness
-    // discipline as above; the copy is rows-bounded, not corpus-wide).
+    // filter on the ORIGINAL parquet. Rewrite memoized on the source
+    // fingerprint (VERDICT r10 #3, same discipline as q_bucketed_join;
+    // the copy is rows-bounded, not corpus-wide).
     Declared("q_zorder_scan",
       (s, d) => {
         val out = new java.io.File(
           s"target/zorder_rb_${math.abs(d.hashCode.toLong)}").getAbsolutePath
-        graft.sources.StorageOps.compactZOrder(s, s"$d/events.parquet", out,
+        graft.sources.StorageOps.compactZOrderCached(s, s"$d/events.parquet", out,
           targetBytes = 4L << 20, zCols = Seq("user_id", "value"))
         s.read.parquet(out)
           .filter(col("user_id").between(3L, 9L) &&

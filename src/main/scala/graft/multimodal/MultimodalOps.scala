@@ -238,6 +238,83 @@ object MultimodalOps {
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs)))
           .as("frame_ts_ms"))
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ORACLE-REPLAYABLE synthetic image corpus (round 11, VERDICT r10
+    * #4): one 9×8 grayscale PNG per input `media_id`, every pixel an
+    * md5-derived byte — so an external SQL engine can recompute the
+    * exact [[ImageCodec.dHash]] bits WITHOUT a PNG decoder. The 9×8
+    * geometry maps the dHash grid 1:1 (each box-average cell is exactly
+    * one pixel) and a gray pixel's integer Rec.601 luma is exactly its
+    * byte value ((299+587+114)·v / 1000 = v), so
+    * `bit(y·8+x) = v(x,y) > v(x+1,y)` — pure integer arithmetic both
+    * engines share, while the ENGINE path still exercises the real
+    * encode→ImageIO-decode→box-average pipeline end to end (a broken
+    * codec, luma weight, or bit packing breaks the hash compare).
+    *
+    * Near-dup structure: ids with equal `id div groupDiv` share a base
+    * image; the `(id div variantDiv) mod 2` variant inverts ONE
+    * interior cell (3,4), flipping at most the two gradient bits that
+    * touch it — within-group pairs land at hamming ≤ 2, cross-group
+    * pairs at ~32, exactly the separation [[imageNearDupPairs]]'
+    * banding exists to find.
+    *
+    * Generation is distributed (mapPartitions over the id frame — no
+    * driver materialization; a real corpus arrives via
+    * [[fromBinaryFiles]] instead).
+    */
+  def syntheticImages(ids: DataFrame, groupDiv: Int = 50,
+                      variantDiv: Int = 25): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select("media_id").rdd.mapPartitions { it =>
+      ImageCodec.initPartition()
+      it.map { r =>
+        val id = r.getLong(0)
+        val g = id / groupDiv
+        val variant = (id / variantDiv) % 2
+        val png = ImageCodec.encodePng(9, 8, (x, y) => {
+          val v0 = Integer.parseInt(md5Hex(s"px:$g:$x:$y").substring(0, 2), 16)
+          val v = if (variant == 1 && x == 3 && y == 4) 255 - v0 else v0
+          (v << 16) | (v << 8) | v
+        })
+        Row(id, png, Row("image", "png", 9, 8, null))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
+  /** ORACLE-REPLAYABLE synthetic audio corpus — the WAV sibling of
+    * [[syntheticImages]]: one 65-sample mono PCM-16 clip per id, every
+    * sample an md5-derived non-negative value (< 2¹⁵), so
+    * [[AudioCodec.fingerprint]]'s 65 frames are exactly one sample
+    * each (i·65/65 = i), frame energy = the sample itself, and
+    * `bit j = s(j+1) > s(j)` is replayable integer arithmetic — while
+    * the engine really round-trips RIFF encode → chunk-walk decode.
+    * The variant flips sample 10 (s → 32767−s), perturbing at most
+    * gradient bits 9 and 10: within-group hamming ≤ 2.
+    */
+  def syntheticAudio(ids: DataFrame, groupDiv: Int = 50,
+                     variantDiv: Int = 25): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select("media_id").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val g = id / groupDiv
+        val variant = (id / variantDiv) % 2
+        val samples = Array.tabulate[Short](65) { j =>
+          val s0 = Integer.parseInt(md5Hex(s"au:$g:$j").substring(0, 4), 16) % 32768
+          val s = if (variant == 1 && j == 10) 32767 - s0 else s0
+          s.toShort
+        }
+        val wav = AudioCodec.encodeWavPcm16(8000, 1, samples)
+        Row(id, wav, Row("audio", "wav", null, null, 65L * 1000L / 8000L))
+      }
+    }
+    spark.createDataFrame(rdd, MediaSchema)
+  }
+
   /** Build a media frame from raw (id, bytes, type, format) tuples — the
     * ingest path a binary-file datasource (`spark.read.format
     * ("binaryFile")`) would feed.

@@ -83,4 +83,29 @@ object Lineage {
   implicit class LineageOps(private val df: DataFrame) extends AnyVal {
     def lineageTruncate(): DataFrame = truncate(df, None)
   }
+
+  /** Release EVERY persisted RDD of the session — the between-queries
+    * storage hygiene a long-lived batch driver needs (round-11 triage):
+    * localCheckpoint blocks live OUTSIDE the CacheManager, so
+    * `spark.catalog.clearCache()` never frees them; they are reclaimed
+    * only when the ContextCleaner notices their RDD was GC'd, which
+    * across hundreds of sequential queries lags far behind allocation.
+    * The accumulated blocks then squeeze the unified-memory execution
+    * pool and evict under pressure exactly while the HEAVIEST queries
+    * run (the r10 closing-bench signature: flat cheap-query controls,
+    * 2-7× inflation confined to the checkpoint-heavy family — all five
+    * re-measured at ≤ r9 anchors in a fresh JVM).
+    *
+    * Safe ONLY between independent queries: unpersisting a
+    * localCheckpointed RDD makes it unrecomputable (its lineage is
+    * gone), so no frame built before the call may be re-executed after
+    * it. Recomputable `.persist()`/`.cache()` data is merely evicted
+    * (next use re-caches). Blocking so the storage pool is actually
+    * empty when the call returns — the deterministic guarantee
+    * StorageReleaseSpec pins.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
+      scala.util.Try(rdd.unpersist(blocking = true))
+    }
 }

@@ -66,6 +66,18 @@ object Relational {
     (conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10).cast(LongType)
       % 1000000L).as("bucket_ppm")
 
+  /** DOMAIN-SEPARATED variant (ADVICE r10): md5 of `salt` prepended to
+    * the key's string form. Two gates driven by the SAME key hash are
+    * maximally correlated — e.g. a resampler reusing [[assignSplit]]'s
+    * unsalted hash keeps exactly the low-hash docs, which are exactly
+    * the train band, silently starving val/test when the ops compose.
+    * Each independent selection decision must hash in its own domain;
+    * the salt is that domain tag.
+    */
+  def hashBucketPpm(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 8),
+      16, 10).cast(LongType) % 1000000L).as("bucket_ppm")
+
   /** Reproducible corpus split: train/val/test by hash bucket. */
   def assignSplit(df: DataFrame, keyCol: String,
                   trainPpm: Int, valPpm: Int): DataFrame =

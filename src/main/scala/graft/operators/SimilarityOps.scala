@@ -184,30 +184,10 @@ object SimilarityOps {
     */
   def semDedupBuckets(embeddings: DataFrame, probeIds: Seq[Long],
                       minCosPct: Int): DataFrame = {
-    // bucket bit i is the POSITION of probe i in this seq (not the id
-    // value) — ≤ 63 probes fit the packed long; duplicates would alias
-    // two hyperplanes onto one bit
-    require(probeIds.nonEmpty && probeIds.size <= 63 &&
-      probeIds.distinct.size == probeIds.size,
-      s"probeIds must be 1..63 distinct ids, got $probeIds")
     // 3 consumers (probe slice, bucket pass, pair join-back) — same
     // localCheckpoint discipline as DedupOps.jaccardPairs
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    val probes = withInts
-      .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
-      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
-    // packed sign bits: bit i set iff dot(v, probe_i) > 0 (exact int64)
-    val bitVal = probeIds.zipWithIndex
-      .map { case (pid, i) => (col("p_id") === pid, lit(1L << i)) }
-      .foldLeft(lit(0L)) { case (acc, (cond, v)) => when(cond, v).otherwise(acc) }
-    val bucketed = withInts
-      .join(broadcast(probes))
-      .withColumn("bit",
-        when(graft.plans.VecDot.dotLong(col("vi"), col("pvi")) > 0, bitVal)
-          .otherwise(lit(0L)))
-      .groupBy("vec_id")
-      .agg(sum(col("bit")).as("bucket"))
-      .join(withInts, Seq("vec_id"))
+    val bucketed = signBuckets(withInts, probeIds)
     val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"),
       col("vi").as("avi"), col("norm_s").as("a_norm_s"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"),
@@ -219,6 +199,85 @@ object SimilarityOps {
       .select(col("bucket"), col("a_id"), col("b_id"), col("dot_s"),
         col("a_norm_s"), col("b_norm_s"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Packed sign-bucket assignment against the corpus's OWN vectors as
+    * hyperplanes — ONE definition shared by [[semDedupBuckets]] and
+    * [[lshBucketTopKExact]] so the two oracle-checkable sign-LSH
+    * consumers cannot drift. Input must be a [[withFixedInts]] frame;
+    * output keeps (vec_id, vi, norm_s) and adds `bucket`: bit i set
+    * iff dot(v, probe_i) > 0 in exact int64 (bit index = the probe's
+    * POSITION in `probeIds`, not its id value; ≤ 63 probes fit the
+    * packed long; duplicates would alias two hyperplanes onto one
+    * bit).
+    *
+    * Scale shape: probes broadcast (a handful of rows), assignment is
+    * |probes| integer dots per vector in one map-side-combined rollup;
+    * pick |probes| ≈ log₂(corpus / target bucket size) so buckets stay
+    * executor-sized at any corpus scale.
+    */
+  private def signBuckets(withInts: DataFrame, probeIds: Seq[Long]): DataFrame = {
+    require(probeIds.nonEmpty && probeIds.size <= 63 &&
+      probeIds.distinct.size == probeIds.size,
+      s"probeIds must be 1..63 distinct ids, got $probeIds")
+    val probes = withInts
+      .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
+    val bitVal = probeIds.zipWithIndex
+      .map { case (pid, i) => (col("p_id") === pid, lit(1L << i)) }
+      .foldLeft(lit(0L)) { case (acc, (cond, v)) => when(cond, v).otherwise(acc) }
+    withInts
+      .join(broadcast(probes))
+      .withColumn("bit",
+        when(graft.plans.VecDot.dotLong(col("vi"), col("pvi")) > 0, bitVal)
+          .otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(sum(col("bit")).as("bucket"))
+      .join(withInts, Seq("vec_id"))
+  }
+
+  /** ORACLE-CHECKABLE multi-probe sign-LSH top-k (round 11, VERDICT
+    * r10 #5): the bucketed search of [[lshBucketTopK]] with
+    * [[semDedupBuckets]]' hyperplane trick — planes are the corpus's
+    * own `probeIds` vectors after fixed-point rounding, so bucket bits
+    * AND scores are exact int64 arithmetic any SQL engine replays
+    * bit-identically (the float-plane variant's dot signs are not).
+    * Declared as `q_simsearch_lsh` with a full DuckDB oracle; the
+    * float-plane [[lshBucketTopK]] remains the production default for
+    * arbitrary-dimension corpora and keeps its recall audit
+    * (`q_ann_recall_audit`).
+    *
+    * Same probe fan-out shape as the float variant: `maxFlip = 1`
+    * probes 1+|planes| of the 2^|planes| buckets along the broadcast
+    * query side; each corpus vector holds exactly one bucket so a
+    * (q, n) candidate appears at most once. Candidate fan-in ≈
+    * corpus · (1+planes)/2^planes per query — linear, never all-pairs.
+    */
+  def lshBucketTopKExact(embeddings: DataFrame, probeIds: Seq[Long],
+                         queryIds: Seq[Long], k: Int,
+                         maxFlip: Int = 1): DataFrame = {
+    require(maxFlip >= 0 && maxFlip <= 1, "maxFlip ∈ {0, 1} supported")
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    val bucketed = signBuckets(withInts, probeIds)
+    val numPlanes = probeIds.size
+    val probeBuckets =
+      if (maxFlip == 0) array(col("bucket"))
+      else array((col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val queries = bucketed
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
+        explode(probeBuckets).as("bucket"))
+    val cands = bucketed
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    cands
+      .withColumn("score_s14", graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
   }
 
   /** Per-label centroids of the fixed-point embeddings, EXPLODED to
@@ -644,6 +703,126 @@ object SimilarityOps {
       .filter(col("rn") <= topK)
       .select("q_id", "rn", "n_id", "score")
       .orderBy("q_id", "rn")
+  }
+
+  /** Nearest-centroid assignment over FIXED-POINT integer vectors — the
+    * exact-arithmetic sibling of [[assignCells]] (same expression-level
+    * argmax, zero shuffle, ties to the lowest cell via strict `>` over
+    * the ascending-cell fold), used by [[ivfTopKExact]] so every
+    * assignment decision is int64 and cross-engine reproducible.
+    */
+  private def assignCellsInt(withInts: DataFrame,
+                             cents: Array[(Int, Seq[Long])]): DataFrame = {
+    val centArr = array(cents.sortBy(_._1).map { case (cell, c) =>
+      struct(lit(cell).as("cell"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val best = aggregate(
+      centArr,
+      struct(lit(Long.MinValue).as("score"), lit(-1).as("cell")),
+      (acc, cs) => {
+        val sc = graft.plans.VecDot.dotLong(col("vi"), cs.getField("c"))
+        when(sc > acc.getField("score"),
+          struct(sc.as("score"), cs.getField("cell").as("cell"))).otherwise(acc)
+      })
+    withInts.withColumn("cell", best.getField("cell"))
+  }
+
+  /** Per-(session, key) memo of trained INTEGER centroid sets — plain
+    * driver data (k·dim longs, no RDD/cache state), so unlike
+    * [[ivfCache]] there is nothing to release; entries for stopped
+    * sessions are swept on each lookup. Same "an index retrained per
+    * query is no index" rationale as [[ivfIndexCached]].
+    */
+  private val intCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SessionRef, String, Int, Int, Int, Int), Array[(Int, Seq[Long])]]()
+
+  /** Integer k-means centroids: deterministic lowest-id seeds, Lloyd
+    * updates as `sum(vi) div count` (truncating int64 — exactly what a
+    * SQL engine replays), emptied cells carry their previous centroid.
+    * Trains on the hash-deterministic `vec_id % trainSampleMod` sample
+    * like [[ivfIndex]]; per-iteration driver state is k·dim longs.
+    */
+  private def intCentroids(withInts: DataFrame, k: Int, iterations: Int,
+                           trainSampleMod: Int): Array[(Int, Seq[Long])] = {
+    val train =
+      if (trainSampleMod <= 1) withInts
+      else withInts.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+    var cents: Array[(Int, Seq[Long])] = train
+      .orderBy("vec_id").limit(k).select("vec_id", "vi").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    for (_ <- 0 until iterations) {
+      val updated: Map[Int, Seq[Long]] = assignCellsInt(train, cents)
+        .select(col("cell"), posexplode(col("vi")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(expr("sum(v) div count(1)").as("c"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("ps"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))
+        .toMap
+      cents = cents.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
+    }
+    cents
+  }
+
+  /** ORACLE-CHECKABLE IVF top-k (round 11 — the last no_oracle row):
+    * the probe-limited search of [[ivfTopK]] with EVERY number integer.
+    * Fixed-point vectors, deterministic lowest-id seeds, truncating
+    * integer Lloyd updates, argmax assignment with lowest-cell ties,
+    * integer probe ranking and candidate scores — so a SQL engine
+    * replays the whole index bit-for-bit as `iterations` unrolled CTE
+    * pairs (the q_pagerank precedent for iterative oracle replay). The
+    * float [[ivfTopK]]/[[ivfIndexCached]] stays the production default
+    * (its recall floor rides `q_ann_recall_audit`); this variant is
+    * the hash-checked twin on the same index structure.
+    *
+    * Scale shape identical to the float path: training on a
+    * deterministic sample with k·dim driver-bounded state, assignment
+    * a zero-shuffle expression argmax, probes broadcast, search cost
+    * corpus·nProbe/k. Centroids are memoized per (session, cacheKey,
+    * params) — plain driver data, retraining per invocation would be
+    * the index-that-isn't-an-index anti-pattern.
+    */
+  def ivfTopKExact(embeddings: DataFrame, cacheKey: String, k: Int,
+                   iterations: Int, trainSampleMod: Int,
+                   queryIds: Seq[Long], topK: Int, nProbe: Int): DataFrame = {
+    intCentroidCache.forEach { (key, _) =>
+      if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
+    }
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val cents = intCentroidCache.computeIfAbsent(
+      (new SessionRef(embeddings.sparkSession), cacheKey, planKey, k,
+        iterations, trainSampleMod),
+      _ => intCentroids(withInts, k, iterations, trainSampleMod))
+    val assigned = assignCellsInt(withInts, cents)
+    val centsDf = broadcast(centroidIntDf(embeddings.sparkSession, cents))
+    val queries = assigned
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
+    val wc = Window.partitionBy("q_id").orderBy(desc("cscore"), asc("cell"))
+    val probeCells = queries.crossJoin(centsDf)
+      .withColumn("cscore", graft.plans.VecDot.dotLong(col("qvi"), col("cvec")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nProbe)
+      .select("q_id", "cell")
+    val cands = assigned
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("cell"))
+      .join(broadcast(probeCells.join(queries, "q_id")), Seq("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    cands
+      .withColumn("score_s14", graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  private def centroidIntDf(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[(Int, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cvec")
   }
 
   /** Sign-LSH bucket id: the 0/1 signs of dot products against

@@ -830,9 +830,16 @@ object TextOps {
     * DSIR proper sums `log(p_target/p_raw)`; libm `log` differs in the
     * last ulp across engines and would break hash-exact oracle
     * comparison (the [[rarityScores]] precedent), so the engine scores
-    * with the log-free monotone-equivalent PER-TOKEN posterior
-    * `p_t/(p_t+p_r)` and averages — same per-feature ordering, exact
-    * integer arithmetic throughout:
+    * with the log-free PER-TOKEN posterior `p_t/(p_t+p_r)` and
+    * averages. The monotone equivalence is PER FEATURE ONLY: for a
+    * single token, posterior and log-ratio order identically — but the
+    * DOCUMENT score (mean of posteriors) is NOT rank-equivalent to
+    * DSIR's sum of log-ratios (a bounded mean and an unbounded sum
+    * weight extreme tokens differently), so document-level rankings —
+    * and hence the resampled set — can differ from log-ratio DSIR
+    * (ADVICE r10). The trade is deliberate: an oracle-checkable,
+    * overflow-free integer score with the same feature-level signal.
+    * Exact integer arithmetic throughout:
     * `post = (t_c+1)(R+B)·10⁶ div [(t_c+1)(R+B) + (r_c+1)(T+B)]`
     * in Decimal(38,0) (t_c ≤ 10¹⁴ tokens times R ≤ 10¹⁵ stays under
     * 10³⁸ at any real corpus size — the [[mixtureEpochs]] Decimal
@@ -976,11 +983,42 @@ object TextOps {
     ((num * 1000000) / (num + den)).toLong
   }
 
+  /** In-PLAN form of [[importanceUnseenPpm]] (VERDICT r10 #6): one row
+    * (r_tot, t_tot, unseen_ppm) computed from the two corpora inside
+    * the engine — the streaming scorer's fallback constant as an
+    * oracle-pinnable relation instead of driver-only arithmetic.
+    * Same Decimal(38,0) products and truncating `div` as
+    * `posteriorsFromCounts`, so the emitted constant provably equals
+    * what a fit over these corpora implies (Round11 spec additionally
+    * pins it equal to the driver-side function).
+    *
+    * Scale shape: two map-side-combined global counts (no text
+    * shuffle), a 1×1 broadcast cross join, constant output.
+    */
+  def importanceUnseenTable(documents: DataFrame, target: DataFrame,
+                            numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val r = documents.select(explode(words(col("text"))).as("w"))
+      .agg(count(lit(1)).cast("long").as("r_tot"))
+    val t = target.select(explode(words(col("text"))).as("w"))
+      .agg(count(lit(1)).cast("long").as("t_tot"))
+    r.crossJoin(broadcast(t))
+      .select(col("r_tot"), col("t_tot"),
+        expr(s"CAST((CAST(r_tot AS DECIMAL(38,0)) + $numBuckets) * 1000000 " +
+          s"div ((CAST(r_tot AS DECIMAL(38,0)) + $numBuckets) " +
+          s"+ (t_tot + $numBuckets)) AS BIGINT)").as("unseen_ppm"))
+  }
+
   /** L4 — DSIR importance RESAMPLING: the selection step that completes
     * [[importanceWeights]] — keep each document with probability equal
     * to its target-posterior score (sample ∝ P(target | doc)), realized
-    * as the deterministic md5 gate `hash_ppm(doc_id) < dsir_ppm`
-    * ([[Relational.hashBucketPpm]]). Membership is a pure function of
+    * as the deterministic md5 gate `hash_ppm('dsir:'||doc_id) <
+    * dsir_ppm` ([[Relational.hashBucketPpm]]'s salted form — the gate
+    * is DOMAIN-SEPARATED from [[Relational.assignSplit]]'s unsalted
+    * key hash, ADVICE r10: with the same hash driving both, every
+    * resample survivor would have a low bucket value, i.e. sit in the
+    * train band, and composing resample→split on the same key would
+    * silently starve val/test). Membership is a pure function of
     * the ids and the two corpora — identical on any cluster size,
     * partitioning, or retry (the stratified-sampling discipline: a
     * seeded `df.sample` changes membership whenever partitioning
@@ -996,7 +1034,8 @@ object TextOps {
                          checkpointDir: Option[String] = None): DataFrame =
     importanceWeights(documents, target, numBuckets, broadcastBuckets,
       checkpointDir)
-      .withColumn("bucket_ppm", Relational.hashBucketPpm(col("doc_id")))
+      .withColumn("bucket_ppm",
+        Relational.hashBucketPpm(col("doc_id"), "dsir:"))
       .filter(col("bucket_ppm") < col("dsir_ppm"))
       .select(col("doc_id"), col("n_tokens"), col("dsir_ppm"),
         col("bucket_ppm"))

@@ -272,6 +272,92 @@ object StorageOps {
       .saveAsTable(tableName)
   }
 
+  /** Source-staleness fingerprint of a parquet file/directory: the
+    * sorted (name, length, mtime) tuples of every plain file under
+    * `dir`, md5'd. Cheap (one filesystem listing, no data read) and
+    * exactly the signal the rewrite-every-run staleness discipline
+    * needs: the driver regenerating the testdata rewrites the parquet
+    * files, which moves their length or mtime, which invalidates any
+    * layout memoized against the old fingerprint. Listing is
+    * NON-recursive by design — the engine's layout inputs are flat
+    * parquet files/dirs; a partitioned source would need the recursive
+    * form (and at 10⁸ files a manifest/catalog snapshot id instead).
+    */
+  def dirFingerprint(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(path).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Per-session memo of completed layout rewrites: layout key →
+    * source fingerprint at write time. Weak-keyed by the OWNING
+    * session (a bucketed table lives in that session's catalog, so the
+    * memo must die with it; the values hold no session reference, so
+    * the weak key actually collects). VERDICT r10 #3: the two
+    * layout-read-back declared queries used to re-run their full
+    * rewrite on EVERY invocation for staleness safety — ~5% of bench
+    * suite wall-time spent re-writing an unchanged layout. The
+    * fingerprint carries the same staleness guarantee at the cost of
+    * one directory listing: rewrite when (and only when) the source
+    * files changed, the layout is missing, or the JVM is fresh.
+    */
+  private val layoutMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def memoFor(ss: SparkSession) = layoutMemo.synchronized {
+    var m = layoutMemo.get(ss)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      layoutMemo.put(ss, m)
+    }
+    m
+  }
+
+  /** [[writeBucketedTable]] memoized on (session, layout params, source
+    * fingerprint): skips the rewrite when THIS session already wrote
+    * `tableName` with the same spec from byte-identical source files —
+    * and re-runs it the moment the fingerprint moves (regenerated
+    * testdata can never leave a stale layout behind, the r8 lesson).
+    * `srcDir` must be the parquet location `df` reads from; the
+    * staleness check is on those files.
+    */
+  def writeBucketedTableCached(df: DataFrame, srcDir: String,
+                               tableName: String, bucketCol: String,
+                               nBuckets: Int,
+                               sortCols: Seq[String] = Nil): Unit = {
+    val ss = df.sparkSession
+    val key = s"bucketed:$tableName:$bucketCol:$nBuckets:${sortCols.mkString(",")}"
+    val fp = dirFingerprint(ss, srcDir)
+    val memo = memoFor(ss)
+    if (memo.get(key) != fp || !ss.catalog.tableExists(tableName)) {
+      writeBucketedTable(df, tableName, bucketCol, nBuckets, sortCols)
+      memo.put(key, fp)
+    }
+  }
+
+  /** [[compactZOrder]] memoized the same way: rewrite once per
+    * (session, z-spec, source fingerprint), skip while the input files
+    * and the output directory are both intact.
+    */
+  def compactZOrderCached(spark: SparkSession, inDir: String, outDir: String,
+                          targetBytes: Long, zCols: Seq[String],
+                          bits: Int = 8): Unit = {
+    val key = s"zorder:$outDir:${zCols.mkString(",")}:$bits:$targetBytes"
+    val fp = dirFingerprint(spark, inDir)
+    val memo = memoFor(spark)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (memo.get(key) != fp || !outFs.exists(outPath)) {
+      compactZOrder(spark, inDir, outDir, targetBytes, zCols, bits)
+      memo.put(key, fp)
+    }
+  }
+
   /** Run `df` to a parquet sink while OBSERVING row counts and a null
     * tally on `keyCol` — `Observation` rides the existing job (metrics
     * accumulate on the executors during the write itself), so the

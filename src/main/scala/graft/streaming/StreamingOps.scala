@@ -272,6 +272,17 @@ object StreamingOps {
                       numBuckets: Int, unseenPpm: Long): DataFrame = {
     require(posts.nonEmpty, "posts must be non-empty — run the fit first")
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    // Fit/score consistency (ADVICE r10): a posterior table fit at a
+    // DIFFERENT bucket count would mis-score silently — keys >=
+    // numBuckets can never match a hashBucket output, so every token
+    // would quietly fall through to unseenPpm. Same reason unseenPpm
+    // must come from importanceUnseenPpm over the SAME fit's token
+    // totals (documented contract; its magnitude is not checkable here).
+    require(posts.forall(p => p._1 >= 0 && p._1 < numBuckets),
+      s"posterior table has bucket ids outside [0, $numBuckets) — " +
+        "it was fit at a different numBuckets than the scorer's")
+    require(posts.forall(p => p._2 >= 0 && p._2 <= 1000000L),
+      "posterior ppm values must lie in [0, 1e6]")
     val pm = map(posts.flatMap { case (b, p) => Seq(lit(b), lit(p)) }: _*)
     val ws = graft.operators.TextOps.words(col("text"))
     val postArr = transform(ws, w => coalesce(

@@ -3,15 +3,20 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Executable recall certification for the two rows-only ANN queries
-  * (VERDICT r5 "What's missing" #1): DuckDB cannot replay k-means/LSH,
-  * so `q_simsearch_lsh` / `q_simsearch_ivf` carry no oracle — without
-  * THIS spec, an ANN regression returning plausible-but-wrong neighbors
-  * would stay green forever. Recall is measured against the
-  * oracle-checked exact top-k (`q_simsearch_topk`) at the declared
-  * queries' own pinned seeds/parameters, and asserted against a floor
-  * pinned safely below the measured value on the committed testdata —
-  * tightening the data or parameters must consciously re-pin the floor.
+/** Executable recall certification for the approximate ANN queries
+  * (VERDICT r5 "What's missing" #1): DuckDB cannot replay k-means, so
+  * `q_simsearch_ivf` carries no oracle — without THIS spec, an ANN
+  * regression returning plausible-but-wrong neighbors would stay green
+  * forever. `q_simsearch_lsh` became ORACLE-CHECKED in round 11
+  * (integer data-derived hyperplanes), but its recall floor stays
+  * pinned here: the oracle proves the bucketed relation is computed
+  * right, the floor proves the bucketing is a useful INDEX (an
+  * always-empty bucket assignment could be oracle-correct and
+  * recall-zero). Recall is measured against the oracle-checked exact
+  * top-k (`q_simsearch_topk`) at the declared queries' own pinned
+  * seeds/parameters, and asserted against a floor pinned safely below
+  * the measured value on the committed testdata — tightening the data
+  * or parameters must consciously re-pin the floor.
   */
 class AnnRecallSpec extends SparkSpec {
 

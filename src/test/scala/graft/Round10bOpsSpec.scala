@@ -98,9 +98,11 @@ class Round10bOpsSpec extends SparkSpec {
   }
 
   test("importanceResample keeps exactly the docs whose md5 gate clears their score") {
-    // ids chosen so the md5 gates SPAN the posterior range (6→30940,
-    // 8→12693, 13→4944 ppm clear any mid-range score; 4→958457 won't) —
-    // the strict-subset assertion below can't luck into 0/4 or 4/4
+    // ids chosen so the SALTED md5 gates span the posterior range
+    // (13→339385 and 6→468062 ppm clear a mid-range score; 4→684686
+    // and 8→974991 won't) — the strict-subset assertion below can't
+    // luck into 0/4 or 4/4. The 'dsir:' salt is the ADVICE-r10 domain
+    // separation from assignSplit's unsalted key hash.
     val docs = Seq(
       (6L, "x x y", "en"), (8L, "y z", "de"), (13L, "x q q q", "en"),
       (4L, "z z w", "de"))
@@ -110,7 +112,7 @@ class Round10bOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
     def gate(id: Long): Long = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
+      val hex = md.digest(s"dsir:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000000L
     }

