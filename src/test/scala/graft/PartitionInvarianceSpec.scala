@@ -20,7 +20,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_dedup_tokens_saved", "q_mixture_epochs",
     // r10 second wave: hashed-bucket posterior join + fixed-point
     // cross-set cosine must not depend on partition count
-    "q_dsir_weights", "q_decon_semantic")
+    "q_dsir_weights", "q_decon_semantic",
+    // r11: integer LSH/IVF indexes (argmax ties, probe ranking) and
+    // the distributed media-fixture fingerprints must not depend on
+    // partition count
+    "q_simsearch_lsh", "q_simsearch_ivf", "q_media_fingerprint")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -631,4 +631,26 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in the contamination scan:\n$plan")
   }
+
+  test("q_simsearch_lsh: probes/queries broadcast, corpus never sort-merge-joins (r11)") {
+    val plan = finalPlanString(Queries.queries("q_simsearch_lsh")(spark, dir))
+    // the probe side (queries × 9 flip buckets) is tiny and must ride a
+    // broadcast into the bucket equi-join — a SortMergeJoin here would
+    // shuffle the whole bucketed corpus on bucket id (256 skewed keys)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket candidate join must broadcast the probe side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for any join in the LSH search:\n$plan")
+  }
+
+  test("q_simsearch_ivf: cell assignment is a zero-join projection, probes broadcast (r11)") {
+    val plan = finalPlanString(Queries.queries("q_simsearch_ivf")(spark, dir))
+    // centroids are inlined literals: assignment must appear as pure
+    // projection (no join against a centroid table on the corpus path);
+    // the only joins are the broadcast probe-cell joins
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-cell join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle or cross-join in the IVF search:\n$plan")
+  }
 }
