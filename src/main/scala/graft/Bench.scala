@@ -49,7 +49,10 @@ object Bench {
     "q_mixture_epochs", "q_dedup_tokens_saved",
     // round-10 second wave: the DSIR pipeline is the wave's cost tier
     // representative (decon/bias/resample price at or under it)
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round-11: the L5 multimodal family's first declared query — the
+    // one operator family previously absent from the headline
+    "q_media_fingerprint")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

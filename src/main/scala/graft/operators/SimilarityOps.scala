@@ -750,6 +750,9 @@ object SimilarityOps {
     var cents: Array[(Int, Seq[Long])] = train
       .orderBy("vec_id").limit(k).select("vec_id", "vi").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    // empty corpus → zero seeds → nothing to iterate (and an empty
+    // centroid literal would not even analyze); caller handles []
+    if (cents.isEmpty) return cents
     for (_ <- 0 until iterations) {
       val updated: Map[Int, Seq[Long]] = assignCellsInt(train, cents)
         .select(col("cell"), posexplode(col("vi")).as(Seq("pos", "v")))
@@ -796,6 +799,18 @@ object SimilarityOps {
       (new SessionRef(embeddings.sparkSession), cacheKey, planKey, k,
         iterations, trainSampleMod),
       _ => intCentroids(withInts, k, iterations, trainSampleMod))
+    // empty corpus ⇒ zero seed centroids ⇒ a zero-element literal
+    // struct array whose element type is VOID — unanalyzable. The
+    // semantically right answer is simply an empty result.
+    if (cents.isEmpty) {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q_id", LongType),
+          StructField("rn", LongType), StructField("n_id", LongType),
+          StructField("score_s14", LongType))))
+    }
     val assigned = assignCellsInt(withInts, cents)
     val centsDf = broadcast(centroidIntDf(embeddings.sparkSession, cents))
     val queries = assigned

@@ -106,6 +106,29 @@ class EmptyInputSpec extends SparkSpec {
     assert(est.getDouble(est.fieldIndex("est")) == 0.0)
   }
 
+  test("round-11 operators handle empty inputs") {
+    val emptyIds = Seq.empty[Tuple1[Long]].toDF("media_id")
+    // empty id frame → empty media corpus → empty fingerprints/pairs
+    assert(graft.multimodal.MultimodalOps.syntheticImages(emptyIds).isEmpty)
+    assert(graft.multimodal.MultimodalOps.syntheticAudio(emptyIds).isEmpty)
+    assert(graft.multimodal.MultimodalOps.imageNearDupPairs(
+      graft.multimodal.MultimodalOps.syntheticImages(emptyIds)).isEmpty)
+    // empty corpus → empty LSH/IVF search results (probes/queries all
+    // vanish with the corpus; no degenerate window or join throws)
+    assert(SimilarityOps.lshBucketTopKExact(emptyEmb, Seq(0L, 1L),
+      Seq(0L), 5, maxFlip = 1).isEmpty)
+    assert(SimilarityOps.ivfTopKExact(emptyEmb, "empty-test", k = 2,
+      iterations = 1, trainSampleMod = 1, Seq(0L), 5, nProbe = 1).isEmpty)
+    // empty RAW corpus with a non-empty target: totals are (0, n) and
+    // the unseen constant is still well-defined smoothed arithmetic
+    val tgt = Seq((1L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val unseen = TextOps.importanceUnseenTable(emptyDocs, tgt, 1024).head()
+    assert(unseen.getLong(0) == 0L && unseen.getLong(1) == 2L)
+    assert(unseen.getLong(2) ==
+      TextOps.importanceUnseenPpm(0L, 2L, 1024))
+  }
+
   test("relational operators handle empty inputs") {
     assert(Relational.sampleKPerGroup(emptyEvents, "event_type",
       "event_id", 5).isEmpty)
