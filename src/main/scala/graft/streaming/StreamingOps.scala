@@ -71,10 +71,24 @@ object StreamingOps {
     * emit/evict deterministically — the streaming analog of the batch
     * as-of/range join family. Columns: both frames need `ts_ts` and the
     * key; the right frame is exposed with an `r_` prefix.
+    * `joinType = "left_outer"` (round 11) additionally emits unmatched
+    * left rows null-padded once their join window expires — see the
+    * inline note below.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    before: String = "1 hour",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    // inner: matched pairs only. left_outer: ADDITIONALLY emit each
+    // unmatched left row null-padded — but only once the watermark
+    // proves no matching right row can still arrive (Spark holds the
+    // left row in state until its join window expires, then emits the
+    // null-padded result; an unmatched row is therefore a LATE output,
+    // not an immediate one — the semantics a funnel/attribution
+    // pipeline needs to count "clicks that never converted").
+    require(Set("inner", "leftouter").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"intervalJoin: joinType must be inner or left_outer, got '$joinType'")
     // `before` is interpolated into SQL (`INTERVAL $before`) — validate
     // it is a plain duration literal so a malformed caller string fails
     // here with a clear message, not as parser spew (and can never
@@ -95,7 +109,8 @@ object StreamingOps {
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts_ts") >= col("ts_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts_ts") <= col("ts_ts"))
+        col("r_ts_ts") <= col("ts_ts"),
+      joinType)
   }
 
   /** A4/A7 — the reference's chunked micro-batch load loop re-expressed:

@@ -130,6 +130,58 @@ class Round11OpsSpec extends SparkSpec {
     assert(equal <= 1, s"$equal/200 keys share gate values — not separated")
   }
 
+  test("left_outer intervalJoin emits unmatched left rows null-padded after window expiry") {
+    // The semantics a funnel/attribution stream needs: "clicks that
+    // never converted" must appear — but only once the watermark
+    // proves no matching right row can still arrive. Before expiry the
+    // unmatched row is withheld (emitting it early would be wrong the
+    // moment a late match lands); after expiry it arrives null-padded.
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long)]
+    val joined = graft.streaming.StreamingOps.intervalJoin(
+      lIn.toDF().toDF("ts_ts", "user_id"),
+      rIn.toDF().toDF("ts_ts", "user_id"),
+      "user_id", before = "10 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = graft.streaming.StreamingOps.toMemorySink(
+      joined, "oj_test", "append")
+    try {
+      // user 1 has a match 5 min earlier; user 2 never matches
+      lIn.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L))
+      rIn.addData((ts("2024-01-01 09:55:00"), 1L))
+      q.processAllAvailable()
+      // advance BOTH watermarks well past user 2's join window, then
+      // run additional batches so state eviction fires
+      lIn.addData((ts("2024-01-01 11:00:00"), 3L))
+      rIn.addData((ts("2024-01-01 11:00:00"), 9L))
+      q.processAllAvailable()
+      lIn.addData((ts("2024-01-01 12:00:00"), 4L))
+      rIn.addData((ts("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("oj_test")
+        .select("user_id", "r_user_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(out.contains((1L, Some(1L))), s"matched pair missing: $out")
+      assert(out.contains((2L, None)),
+        s"unmatched left row never emitted null-padded: $out")
+    } finally q.stop()
+  }
+
+  test("intervalJoin rejects an unsupported join type") {
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.intervalJoin(
+        spark.range(1).toDF(), spark.range(1).toDF(), "id",
+        joinType = "full_outer")
+    }
+  }
+
   test("q_media_fingerprint / q_media_neardup run non-vacuously on the testdata") {
     val dir = "/root/testdata/sf0.001"
     val fp = SparkEntry.queries("q_media_fingerprint")(spark, dir).collect()
