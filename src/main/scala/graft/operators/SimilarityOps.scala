@@ -101,7 +101,10 @@ object SimilarityOps {
   private def withFixedInts(embeddings: DataFrame): DataFrame =
     embeddings.select(
       col("vec_id"),
-      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+      // FixedPointArray, not transform(fixedPoint): the lambda form is
+      // CodegenFallback and dropped this full-corpus prep pass out of
+      // whole-stage codegen (round 11; bit parity property-pinned)
+      graft.plans.FixedPointArray.fixedPointArray(col("embedding")).as("vi"))
       .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
 
   /** The exact `cos ≥ τ` boundary predicate: `dot²·10⁴ ≥ τ²·|a|²·|b|²`
@@ -524,7 +527,8 @@ object SimilarityOps {
     * [[topKDotExact]] stays as the independent cross-check formulation.
     */
   def topKDotFastExact(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val toInts = transform(col("embedding"), v => fixedPoint(v))
+    // codegen'd fixed-point prep (round 11) — see withFixedInts
+    val toInts = graft.plans.FixedPointArray.fixedPointArray(col("embedding"))
     val queries = embeddings
       .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("q_id"), toInts.as("qi"))

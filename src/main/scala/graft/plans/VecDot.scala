@@ -306,7 +306,8 @@ object VecDot {
 
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor)
+    Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
+      FixedPointArray.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
