@@ -710,25 +710,24 @@ object SimilarityOps {
   }
 
   /** Nearest-centroid assignment over FIXED-POINT integer vectors — the
-    * exact-arithmetic sibling of [[assignCells]] (same expression-level
-    * argmax, zero shuffle, ties to the lowest cell via strict `>` over
-    * the ascending-cell fold), used by [[ivfTopKExact]] so every
-    * assignment decision is int64 and cross-engine reproducible.
+    * exact-arithmetic sibling of [[assignCells]] (zero shuffle, ties to
+    * the lowest cell), used by [[ivfTopKExact]] so every assignment
+    * decision is int64 and cross-engine reproducible. Round 11: the
+    * argmax is the codegen'd [[graft.plans.ArgMaxDotLong]] over the
+    * centroid matrix inlined as a literal — identical arithmetic
+    * (strict `>` over ascending cells) to the higher-order fold it
+    * replaces, which as a CodegenFallback lambda kept the full-corpus
+    * assignment pass out of whole-stage codegen.
     */
   private def assignCellsInt(withInts: DataFrame,
                              cents: Array[(Int, Seq[Long])]): DataFrame = {
-    val centArr = array(cents.sortBy(_._1).map { case (cell, c) =>
-      struct(lit(cell).as("cell"), array(c.map(lit(_)): _*).as("c"))
-    }: _*)
-    val best = aggregate(
-      centArr,
-      struct(lit(Long.MinValue).as("score"), lit(-1).as("cell")),
-      (acc, cs) => {
-        val sc = graft.plans.VecDot.dotLong(col("vi"), cs.getField("c"))
-        when(sc > acc.getField("score"),
-          struct(sc.as("score"), cs.getField("cell").as("cell"))).otherwise(acc)
-      })
-    withInts.withColumn("cell", best.getField("cell"))
+    val sorted = cents.sortBy(_._1)
+    val pos = graft.plans.ArgMaxDot.argMaxDotLong(col("vi"),
+      typedLit(sorted.map(_._2).toSeq))
+    // position → cell id, kept explicit so the contract survives
+    // arbitrary cell ids (today they are 0..k−1 by construction)
+    withInts.withColumn("cell",
+      element_at(typedLit(sorted.map(_._1).toSeq), pos + 1))
   }
 
   /** Per-(session, key) memo of trained INTEGER centroid sets — plain
@@ -847,20 +846,48 @@ object SimilarityOps {
   /** Sign-LSH bucket id: the 0/1 signs of dot products against
     * `numPlanes` pseudo-random hyperplanes, packed into a long. Planes
     * are generated deterministically from a seed via a hash-based
-    * construction inlined in the plan (no driver-side RNG state).
+    * construction.
+    *
+    * Round 11: the plane VALUES are data-independent constants, so
+    * they are evaluated ONCE driver-side (through the very same
+    * xxhash64 expression they always came from — bit-identical,
+    * memoized per (planes, dim, seed)) and inlined as literal arrays;
+    * the per-row work is then `numPlanes` codegen'd
+    * [[graft.plans.FloatDoubleVecDot]] dots. The previous in-plan form
+    * re-derived all planes·dim hash components PER ROW inside a
+    * CodegenFallback higher-order fold — at 100 TB that interpreted
+    * re-hashing dominates the bucketing scan for no informational
+    * gain whatsoever.
     */
   def lshBucket(emb: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val planeDots: Seq[Column] = (0 until numPlanes).map { p =>
-      // plane component j = hash(seed, p, j) scaled to [-1, 1)
-      val comps = sequence(lit(0), lit(dim - 1))
-      val plane = transform(comps, j =>
-        (pmod(xxhash64(lit(seed), lit(p), j), lit(2000000L)).cast(DoubleType) / 1000000.0) - 1.0)
-      aggregate(zip_with(emb, plane, (x, y) => x.cast(DoubleType) * y), lit(0.0), (a, v) => a + v)
-    }
-    planeDots.zipWithIndex.map { case (d, i) =>
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    val planes = lshPlanes(numPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(graft.plans.VecDot.dotFloatDouble(emb, typedLit(p)) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** The memoized driver-side plane evaluation behind [[lshBucket]]:
+    * plane component j of plane p = `(pmod(xxhash64(seed, p, j), 2e6)
+    * / 1e6) − 1` — computed by evaluating EXACTLY that expression over
+    * one row, so the constants cannot drift from the historical
+    * in-plan form. State: planes·dim doubles per distinct parameter
+    * triple — driver-trivial.
+    */
+  private val lshPlaneCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), Seq[Seq[Double]]]()
+
+  private def lshPlanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    lshPlaneCache.computeIfAbsent((numPlanes, dim, seed), _ => {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val exprs = (0 until numPlanes).map { p =>
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (pmod(xxhash64(lit(seed), lit(p), j), lit(2000000L))
+            .cast(DoubleType) / 1000000.0) - 1.0).as(s"p$p")
+      }
+      val row = spark.range(1).select(exprs: _*).head()
+      (0 until numPlanes).map(p => row.getSeq[Double](p))
+    })
 
   /** Approximate top-k: restrict candidates to corpus vectors falling in
     * the same sign-LSH bucket as the query, then exact-rank the bucket.

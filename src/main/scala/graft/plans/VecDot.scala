@@ -128,6 +128,64 @@ case class FloatVecDot(left: Expression, right: Expression) extends VecDotBase {
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of an ARRAY<FLOAT> column against an ARRAY<DOUBLE>
+  * column (round 11): Σ (double)aᵢ · bᵢ left-to-right — the exact
+  * operation sequence of the `aggregate(zip_with(emb, plane,
+  * x.cast(double) * y), 0.0, +)` fold it replaces in the sign-LSH
+  * plane dots, so bucket bits are bit-identical while the projection
+  * stays inside whole-stage codegen (the higher-order fold was
+  * CodegenFallback and dropped the whole bucketing pass out).
+  */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_float_double"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT> and ARRAY<DOUBLE> inputs, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two SORTED-ascending distinct
   * ARRAY<BIGINT> columns as one merge walk — the LSH verify primitive.
   * `size(array_intersect(a, b))` builds a hash set per evaluated PAIR;
@@ -304,10 +362,15 @@ object VecDot {
       new ExpressionInfo(classOf[SortedKeyWeightDot].getName, "sorted_kw_dot"),
       (children: Seq[Expression]) => SortedKeyWeightDot(children(0), children(1)))
 
+  val floatDoubleDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vec_dot_float_double"),
+      new ExpressionInfo(classOf[FloatDoubleVecDot].getName, "vec_dot_float_double"),
+      (children: Seq[Expression]) => FloatDoubleVecDot(children(0), children(1)))
+
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
-      FixedPointArray.descriptor)
+      floatDoubleDescriptor, FixedPointArray.descriptor, ArgMaxDot.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -333,5 +396,10 @@ object VecDot {
   def sortedKeyWeightDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     org.apache.spark.sql.functions.call_function("sorted_kw_dot", a, b)
+  }
+
+  def dotFloatDouble(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    org.apache.spark.sql.functions.call_function("vec_dot_float_double", a, b)
   }
 }

@@ -169,6 +169,66 @@ class Round11OpsSpec extends SparkSpec {
     assert(cgN(1) == null && cgN(0) != null, s"null not preserved: $cgN")
   }
 
+  test("literal-plane lshBucket is bit-identical to the historical in-plan form") {
+    // the r11 rewrite moved the plane derivation driver-side and the
+    // dots into FloatDoubleVecDot; the bucket BITS must not move — the
+    // historical per-row expression is restated verbatim here and
+    // compared over the real embeddings corpus
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def oldBucket(numPlanes: Int, dim: Int, seed: Long) = {
+      val planeDots = (0 until numPlanes).map { p =>
+        val plane = transform(sequence(lit(0), lit(dim - 1)), j =>
+          (pmod(xxhash64(lit(seed), lit(p), j), lit(2000000L))
+            .cast("double") / 1000000.0) - 1.0)
+        aggregate(zip_with(col("embedding"), plane,
+          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v)
+      }
+      planeDots.zipWithIndex.map { case (d, i) =>
+        when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val both = emb.select(col("vec_id"),
+      graft.operators.SimilarityOps.lshBucket(col("embedding"), 8, 64).as("nw"),
+      oldBucket(8, 64, 42L).as("od"))
+    val bad = both.filter(col("nw") =!= col("od")).count()
+    assert(bad == 0, s"$bad vectors changed sign-LSH bucket")
+  }
+
+  test("ArgMaxDotLong matches the aggregate-fold argmax including ties") {
+    // random vectors against a centroid matrix CONTAINING a duplicate
+    // (cells 1 and 3 identical) so the tie rule — earliest maximal
+    // position — is genuinely exercised, not just the happy path
+    val rnd = new scala.util.Random(7)
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq.fill(8)(rnd.nextLong() % 1000),
+      Seq.fill(8)(rnd.nextLong() % 1000),
+      Seq.fill(8)(rnd.nextLong() % 1000),
+      Seq.empty, // placeholder replaced below
+      Seq.fill(8)(rnd.nextLong() % 1000))
+    val withDup = cents.updated(3, cents(1))
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextLong() % 1000)))
+    val df = vecs.toDF("id", "vi")
+    val centLit = typedLit(withDup)
+    // independent replay of the strict-> ascending argmax in driver
+    // Scala — the rule the replaced aggregate fold implemented
+    val expected = vecs.map { case (id, v) =>
+      var best = -1; var bs = Long.MinValue
+      withDup.zipWithIndex.foreach { case (c, i) =>
+        val s = v.zip(c).map { case (a, b) => a * b }.sum
+        if (s > bs) { bs = s; best = i }
+      }
+      id -> best
+    }.toMap
+    val got = df.select(col("id"),
+      graft.plans.ArgMaxDot.argMaxDotLong(col("vi"), centLit).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // the duplicated centroid must never win as position 3: ties break
+    // to the earliest position (1)
+    assert(!got.values.exists(_ == 3), s"tie broke to the later duplicate: $got")
+  }
+
   test("left_outer intervalJoin emits unmatched left rows null-padded after window expiry") {
     // The semantics a funnel/attribution stream needs: "clicks that
     // never converted" must appear — but only once the watermark
