@@ -1859,7 +1859,7 @@ object Queries {
     Declared("q_minhash_lsh",
       (s, d) => DedupOps.minHashCandidates(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3,
-        seedHash = DedupOps.md5SeedHash60),
+        seedHash = DedupOps.Md5SeedHash60),
       Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
         hx AS (SELECT doc_id, s.i AS seed,
@@ -3240,7 +3240,7 @@ object Queries {
       (s, d) => DedupOps.dedupAgainstCorpus(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        12, 6, seedHash = DedupOps.md5SeedHash60),
+        12, 6, seedHash = DedupOps.Md5SeedHash60),
       Some("""WITH batch AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),
         corpus AS (SELECT doc_id, text FROM documents
@@ -4129,7 +4129,7 @@ object Queries {
     Declared("q_minhash_est",
       (s, d) => DedupOps.minHashEstJaccard(
         documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0), 12, 3,
-        seedHash = DedupOps.md5SeedHash60),
+        seedHash = DedupOps.Md5SeedHash60),
       Some("""WITH docs AS (SELECT doc_id, text FROM documents
                 WHERE doc_id % 10 = 0),
         w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))

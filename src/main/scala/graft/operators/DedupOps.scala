@@ -252,19 +252,48 @@ object DedupOps {
                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
                           XxSeedHash): DataFrame = {
     val ws = array_distinct(split(col("text"), " "))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(ws, w => seedHash(i, w))).as(s"mh_$i")
+    // The two canonical hash functions dispatch to the FUSED
+    // [[graft.plans.MinHashSig]] expression (round 11): the per-seed
+    // `array_min(transform(…))` columns are CodegenFallback lambdas —
+    // k interpreted transforms + k intermediate hash arrays per
+    // document on the hot signature pass of every MinHash pipeline.
+    // The fused form is spec-pinned bit-identical per hash family
+    // (identity comparison on the SHARED function vals — a caller
+    // passing its own lambda still gets the general column path).
+    val fused: Option[org.apache.spark.sql.Column] =
+      if (seedHash eq XxSeedHash)
+        Some(graft.plans.MinHashSig.sig(ws, numHashes, portable = false))
+      else if (seedHash eq Md5SeedHash60)
+        Some(graft.plans.MinHashSig.sig(ws, numHashes, portable = true))
+      else None
+    fused match {
+      case Some(sig) =>
+        // k extractions of ONE deterministic subexpression — whole-stage
+        // codegen's subexpression elimination evaluates the signature
+        // array once per row
+        documents.select((col("doc_id") +: (0 until numHashes).map(i =>
+          sig.getItem(i).as(s"mh_$i"))): _*)
+      case None =>
+        val sigCols = (0 until numHashes).map { i =>
+          array_min(transform(ws, w => seedHash(i, w))).as(s"mh_$i")
+        }
+        documents.select((col("doc_id") +: sigCols): _*)
     }
-    documents.select((col("doc_id") +: sigCols): _*)
   }
 
   /** Engine-portable seeded word hash for MinHash (see [[md5Hash60]]):
     * md5 over `"<seed>:<word>"`, top 15 hex chars as a long. Lets a SQL
     * oracle replay the exact signatures (`('0x' || substr(md5(seed ||
-    * ':' || word), 1, 15))::BIGINT`).
+    * ':' || word), 1, 15))::BIGINT`). A VAL so [[minHashSignatures]]
+    * can recognize it by identity for the fused fast path — pass THIS
+    * reference, not a re-eta-expanded copy.
     */
+  val Md5SeedHash60: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    (i, w) => md5Hash60(concat(lit(s"$i:"), w))
+
+  /** Backwards-compatible method form of [[Md5SeedHash60]]. */
   def md5SeedHash60(i: Int, w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    md5Hash60(concat(lit(s"$i:"), w))
+    Md5SeedHash60(i, w)
 
   /** L2 — MinHash + LSH banding: split the signature into bands of
     * `rowsPerBand`, hash each band, group docs by (band_idx, band_hash).

@@ -370,7 +370,8 @@ object VecDot {
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
-      floatDoubleDescriptor, FixedPointArray.descriptor, ArgMaxDot.descriptor)
+      floatDoubleDescriptor, FixedPointArray.descriptor, ArgMaxDot.descriptor,
+      MinHashSig.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -229,6 +229,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(!got.values.exists(_ == 3), s"tie broke to the later duplicate: $got")
   }
 
+  test("fused MinHashSig is bit-identical to the per-seed array_min(transform) columns") {
+    // both hash families, compared over the real documents corpus
+    // against the verbatim historical per-seed formulation
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ws = array_distinct(split(col("text"), " "))
+    def oldSig(k: Int,
+               seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      (0 until k).map(i => array_min(transform(ws, w => seedHash(i, w))).as(s"o_$i"))
+    for ((portable, seedHash) <- Seq(
+        (false, graft.operators.DedupOps.XxSeedHash),
+        (true, graft.operators.DedupOps.Md5SeedHash60))) {
+      val sig = graft.plans.MinHashSig.sig(ws, 12, portable)
+      val cmp = docs.select(
+        (Seq(col("doc_id")) ++ (0 until 12).map(i => sig.getItem(i).as(s"n_$i"))
+          ++ oldSig(12, seedHash)): _*)
+      val bad = cmp.filter((0 until 12).map(i =>
+        not(col(s"n_$i") <=> col(s"o_$i"))).reduce(_ || _)).count()
+      assert(bad == 0, s"portable=$portable: $bad docs diverged")
+    }
+    // empty word array → all-null minima in both forms
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("ws")
+      .select(graft.plans.MinHashSig.sig(col("ws"), 3, false).as("s"))
+      .head().getSeq[Any](0)
+    assert(empty == Seq(null, null, null))
+  }
+
   test("left_outer intervalJoin emits unmatched left rows null-padded after window expiry") {
     // The semantics a funnel/attribution stream needs: "clicks that
     // never converted" must appear — but only once the watermark
