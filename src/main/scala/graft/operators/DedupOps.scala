@@ -182,8 +182,8 @@ object DedupOps {
       .filter(col("src_id") =!= col("dst_id"))
       .select("src_id", "dst_id").distinct()
     val sets = documents.select(col("doc_id"),
-      sort_array(array_distinct(
-        transform(split(col("text"), " "), w => xxhash64(w)))).as("hs"))
+      graft.plans.SortedHashedSet.sortedHashedSet(
+        split(col("text"), " ")).as("hs"))
     cands
       .join(sets.select(col("doc_id").as("src_id"), col("hs").as("shs")), "src_id")
       .join(sets.select(col("doc_id").as("dst_id"), col("hs").as("dhs")), "dst_id")
@@ -219,8 +219,8 @@ object DedupOps {
     // (≤ |A∪B|²/2⁶⁴ ≈ 1e-14 per pair — corpus-pinned negligible, like
     // the LSH margin).
     val sets = documents.select(col("doc_id"),
-      sort_array(array_distinct(
-        transform(split(col("text"), " "), w => xxhash64(w)))).as("ws"))
+      graft.plans.SortedHashedSet.sortedHashedSet(
+        split(col("text"), " ")).as("ws"))
     val a = sets.select(col("doc_id").as("a_id"), col("ws").as("aws"))
     val b = sets.select(col("doc_id").as("b_id"), col("ws").as("bws"))
     a.join(b, col("a_id") < col("b_id"))
@@ -445,8 +445,8 @@ object DedupOps {
     // sorted-hashed-word merge-count, same rationale/bound as
     // [[jaccardPairsDense]]
     val sets = documents.select(col("doc_id"),
-      sort_array(array_distinct(
-        transform(split(col("text"), " "), w => xxhash64(w)))).as("ws"))
+      graft.plans.SortedHashedSet.sortedHashedSet(
+        split(col("text"), " ")).as("ws"))
     cands
       .join(sets.select(col("doc_id").as("a_id"), col("ws").as("aws")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("ws").as("bws")), "b_id")

@@ -371,7 +371,7 @@ object VecDot {
   def register(spark: SparkSession): Unit =
     Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
       floatDoubleDescriptor, FixedPointArray.descriptor, ArgMaxDot.descriptor,
-      MinHashSig.descriptor)
+      MinHashSig.descriptor, SortedHashedSet.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

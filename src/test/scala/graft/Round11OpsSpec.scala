@@ -255,6 +255,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(empty == Seq(null, null, null))
   }
 
+  test("fused SortedHashedSet equals sort_array(array_distinct(transform(xxhash64)))") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(
+      graft.plans.SortedHashedSet.sortedHashedSet(
+        split(col("text"), " ")).as("nw"),
+      sort_array(array_distinct(
+        transform(split(col("text"), " "), w => xxhash64(w)))).as("od"))
+    val bad = cmp.filter(not(col("nw") <=> col("od"))).count()
+    assert(bad == 0, s"$bad documents' hashed word sets diverged")
+    // degenerate inputs: empty array, duplicate-only array
+    val edge = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a", "a", "a")))
+      .toDF("ws")
+      .select(graft.plans.SortedHashedSet.sortedHashedSet(col("ws")).as("s"))
+      .collect().map(_.getSeq[Long](0).length).toSeq
+    assert(edge == Seq(0, 1), s"edge cardinalities: $edge")
+  }
+
   test("left_outer intervalJoin emits unmatched left rows null-padded after window expiry") {
     // The semantics a funnel/attribution stream needs: "clicks that
     // never converted" must appear — but only once the watermark
