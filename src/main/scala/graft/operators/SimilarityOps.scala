@@ -101,10 +101,7 @@ object SimilarityOps {
   private def withFixedInts(embeddings: DataFrame): DataFrame =
     embeddings.select(
       col("vec_id"),
-      // FixedPointArray, not transform(fixedPoint): the lambda form is
-      // CodegenFallback and dropped this full-corpus prep pass out of
-      // whole-stage codegen (round 11; bit parity property-pinned)
-      graft.plans.FixedPointArray.fixedPointArray(col("embedding")).as("vi"))
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
       .withColumn("norm_s", graft.plans.VecDot.dotLong(col("vi"), col("vi")))
 
   /** The exact `cos ≥ τ` boundary predicate: `dot²·10⁴ ≥ τ²·|a|²·|b|²`
@@ -527,8 +524,7 @@ object SimilarityOps {
     * [[topKDotExact]] stays as the independent cross-check formulation.
     */
   def topKDotFastExact(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    // codegen'd fixed-point prep (round 11) — see withFixedInts
-    val toInts = graft.plans.FixedPointArray.fixedPointArray(col("embedding"))
+    val toInts = transform(col("embedding"), v => fixedPoint(v))
     val queries = embeddings
       .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("q_id"), toInts.as("qi"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * (ARRAY<BIGINT>), ties to the LOWEST position, −1 on an empty
   * centroid array.
   *
-  * Why custom (the same story as [[FixedPointArray]]): the previous
+  * Why custom (the same CodegenFallback story as [[MinHashSig]]): the previous
   * formulation folded `when(dot > acc.score, …)` with
   * `aggregate(...)` over a literal struct array — a higher-order
   * lambda, hence CodegenFallback, hence the WHOLE cell-assignment

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * array — the fused form of
   * `(0 until k).map(i => array_min(transform(ws, w => seedHash(i, w))))`.
   *
-  * Why custom (the [[FixedPointArray]] story, k-fold): the per-seed
+  * Why custom: the per-seed
   * `transform` lambdas are CodegenFallback, so the signature stage of
   * EVERY MinHash pipeline (banding, verified near-dup, canonical
   * keepers, cluster capping, incremental dedup) evaluated k interpreted
@@ -81,13 +81,24 @@ case class MinHashSig(child: Expression, numHashes: Int, portable: Boolean)
       }
       j += 1
     }
-    val out = new Array[Any](numHashes)
+    // primitive fast path when every seed found a word (any non-empty
+    // word array): consumers read k elements per row, and a boxed
+    // GenericArrayData would unbox each — emit UnsafeArrayData instead
+    var allFound = true
     var i = 0
-    while (i < numHashes) {
-      if (found(i)) out(i) = mins(i)
-      i += 1
+    while (i < numHashes) { if (!found(i)) allFound = false; i += 1 }
+    if (allFound)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
+    else {
+      val out = new Array[Any](numHashes)
+      i = 0
+      while (i < numHashes) {
+        if (found(i)) out(i) = mins(i)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   protected override def nullSafeEval(a: Any): Any =

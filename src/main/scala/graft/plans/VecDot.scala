@@ -370,7 +370,7 @@ object VecDot {
   /** Idempotent runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
-      floatDoubleDescriptor, FixedPointArray.descriptor, ArgMaxDot.descriptor,
+      floatDoubleDescriptor, ArgMaxDot.descriptor,
       MinHashSig.descriptor, SortedHashedSet.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -64,6 +64,21 @@ class CodegenSpec extends SparkSpec {
       s"VecDot projection fell out of whole-stage codegen:\n$plan")
   }
 
+  test("the fused MinHash signature and hashed-set preps run inside codegen stages") {
+    val docs = Tables.documents(spark, dir)
+    val sig = graft.operators.DedupOps.minHashSignatures(docs, 12)
+    sig.collect()
+    val sigPlan = sig.queryExecution.executedPlan.toString
+    assert(codegenNodes(sigPlan).exists(_.contains("minhash_sig")),
+      s"minhash_sig projection fell out of codegen:\n$sigPlan")
+    val hs = docs.select(graft.plans.SortedHashedSet.sortedHashedSet(
+      split(col("text"), " ")).as("hs"))
+    hs.collect()
+    val hsPlan = hs.queryExecution.executedPlan.toString
+    assert(codegenNodes(hsPlan).exists(_.contains("sorted_hashed_set")),
+      s"sorted_hashed_set projection fell out of codegen:\n$hsPlan")
+  }
+
   test("the fixed-point brute-force search keeps its corpus pass in codegen") {
     val plan = executedPlanString("q_simsearch_fast")
     assert(codegenNodes(plan).nonEmpty,

@@ -130,45 +130,6 @@ class Round11OpsSpec extends SparkSpec {
     assert(equal <= 1, s"$equal/200 keys share gate values — not separated")
   }
 
-  test("FixedPointArray is bit-identical to the transform(round·1e7) composition") {
-    // the whole oracle-exact similarity family rides on this grid —
-    // the codegen'd expression must round EVERY float exactly like the
-    // Spark round() composition it replaced, including negatives
-    // (HALF_UP is away-from-zero: -2.5e-7 → -3) and the .5 boundaries
-    val rnd = new scala.util.Random(42)
-    val tricky = Seq(0.0f, -0.0f, 0.25e-7f, -0.25e-7f, 0.05f, -0.05f,
-      0.15000001f, -0.15000001f, 1.0f, -1.0f, 0.99999994f, -0.99999994f,
-      Float.MinPositiveValue, -Float.MinPositiveValue)
-    val vecs = (0 until 200).map { i =>
-      (i.toLong, Array.fill(16)(
-        if (rnd.nextBoolean()) rnd.nextFloat() * 2 - 1
-        else tricky(rnd.nextInt(tricky.length))))
-    }
-    val df = vecs.toDF("vec_id", "embedding")
-    val both = df.select(
-      col("vec_id"),
-      graft.plans.FixedPointArray.fixedPointArray(col("embedding")).as("cg"),
-      transform(col("embedding"),
-        v => round(v.cast("double") * 1e7).cast("long")).as("tf"))
-    val bad = both.filter(not(col("cg") <=> col("tf"))).collect()
-    assert(bad.isEmpty, s"grid divergence on ${bad.length} vectors: " +
-      bad.take(2).mkString("; "))
-    // null elements pass through as null in both forms (the literal
-    // expectation is computed through the TRANSFORM path — float
-    // representation error means e.g. -2.5e-7f is not exactly -2.5
-    // after scaling, so hand-derived constants would pin the wrong grid)
-    val nullIn = Seq((1L, Array[java.lang.Float](1.5e-7f, null, -2.5e-7f)))
-      .toDF("vec_id", "embedding")
-      .select(col("embedding").cast("array<float>").as("embedding"))
-    val cgN = nullIn.select(graft.plans.FixedPointArray.fixedPointArray(
-      col("embedding")).as("v")).head().getSeq[Any](0)
-    val tfN = nullIn.select(transform(col("embedding"),
-      v => round(v.cast("double") * 1e7).cast("long")).as("v"))
-      .head().getSeq[Any](0)
-    assert(cgN == tfN, s"null handling diverged: cg=$cgN tf=$tfN")
-    assert(cgN(1) == null && cgN(0) != null, s"null not preserved: $cgN")
-  }
-
   test("literal-plane lshBucket is bit-identical to the historical in-plan form") {
     // the r11 rewrite moved the plane derivation driver-side and the
     // dots into FloatDoubleVecDot; the bucket BITS must not move — the
