@@ -564,6 +564,76 @@ object DedupOps {
                               checkpointDir: Option[String]): DataFrame =
     Lineage.truncate(df, checkpointDir)
 
+  /** LOCAL CONTRACTION for the CC engines: collapse each partition's
+    * edge list to its spanning forest with an in-partition union-find
+    * (one narrow pass, no shuffle). The union of per-partition forests
+    * has EXACTLY the components of the full edge set (a forest preserves
+    * the connectivity of the edges it summarizes; connectivity is the
+    * union of per-partition connectivities), so both CC engines iterate
+    * over ≤ |V_p|−1 edges per partition instead of |E_p| — on dense
+    * near-dup graphs (boilerplate clusters are near-cliques: |E| grows
+    * quadratically in cluster size while the forest stays linear) this
+    * is the difference between shuffling the quadratic pair list every
+    * round and shuffling ~|V|. This is the "local aggregation" trick of
+    * the MapReduce-CC literature (cf. Kiveris et al., SoCC'14 §optim.);
+    * mapPartitions is justified here by SURVEY §4.2(d): union-find is
+    * genuinely per-partition imperative state no relational op expresses
+    * in one pass.
+    *
+    * Output rows are (root, member) with root = the partition-component
+    * minimum, root < member — a valid undirected edge list. Nodes that
+    * only ever appear in self-loops (a,a) are emitted as (a,a) so the
+    * min-label engine keeps reporting them as singleton clusters
+    * (the star engine drops self-loops, as it always did). Driver/exec
+    * memory is bounded by distinct nodes per PARTITION (two longs each),
+    * which `spark.sql.files.maxPartitionBytes` already bounds at scale.
+    */
+  private[operators] def localSpanningForest(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col(pairs.columns(0)).cast("long"), col(pairs.columns(1)).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+          var y = x0 // path-compress the walked chain
+          while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          if (a != b) {
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+            }
+          }
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        val keys = parent.keySet().iterator()
+        val roots = new java.util.HashSet[Long]()
+        while (keys.hasNext) {
+          val k = keys.next()
+          val r = find(k)
+          if (r != k) out += ((r, k)) else roots.add(k)
+        }
+        // every root surfaces as a (r, r) row: for size-1 components
+        // (self-loop-only nodes) it is the ONLY trace of the node; for
+        // larger ones it is one redundant self-edge per component that
+        // the engines already tolerate (min-label folds self-loops in,
+        // the star engine filters u ≠ v)
+        val rit = roots.iterator()
+        while (rit.hasNext) out += { val r = rit.next(); (r, r) }
+        out.result()
+      }
+      .toDF("a_id", "b_id")
+  }
+
   /** L2 — connected components over candidate pairs by iterative
     * min-label propagation: every node starts labeled with itself; each
     * round takes the min of its own and its neighbors' labels; fixpoint
@@ -595,8 +665,12 @@ object DedupOps {
     // label" case into the neighbor-min aggregation, so each round is
     // exactly one join + one groupBy — two shuffles, no left-join repair
     // step.
+    // localSpanningForest first: the iterated rounds (and the distinct
+    // below) then process ~|V| forest edges, not the possibly-quadratic
+    // verified pair list
+    val forest = localSpanningForest(pairs)
     val edges = truncateLineage(
-      pairs.select(explode(array(
+      forest.select(explode(array(
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")),
           struct(col("a_id").as("src"), col("a_id").as("dst")),
@@ -678,8 +752,10 @@ object DedupOps {
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
                               checkpointDir: Option[String] = None): DataFrame = {
+    // same local contraction as [[connectedComponents]] — the star
+    // rounds iterate over the forest, not the raw pair list
     var edges = truncateLineage(
-      pairs
+      localSpanningForest(pairs)
         .select(least(col("a_id"), col("b_id")).as("u"),
           greatest(col("a_id"), col("b_id")).as("v"))
         .filter(col("u") =!= col("v"))

@@ -169,6 +169,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(DedupOps.connectedComponents(empty).count() == 0)
   }
 
+  test("local contraction preserves components exactly (random graphs, both engines)") {
+    // the per-partition union-find prep must never merge or split a
+    // component under ANY partitioning of the edge list — compare both
+    // CC engines against a driver-side union-find over random graphs,
+    // re-shuffled across partition counts
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val edges = (1 to n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // driver-side reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      for (parts <- Seq(1, 3, 16)) {
+        val df = edges.toDF("a_id", "b_id").repartition(parts)
+        val gotMin = DedupOps.connectedComponents(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotMin == want, s"min-label diverged (trial=$trial parts=$parts)")
+        val gotStar = DedupOps.connectedComponentsStar(df)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotStar == want, s"star diverged (trial=$trial parts=$parts)")
+      }
+    }
+  }
+
+  test("local contraction keeps self-loop-only singletons in the min-label engine") {
+    // (5,5) must still surface as its own cluster after the forest prep
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("nearDupKeepers marks exactly the cluster minima as keepers") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = DedupOps.nearDupKeepers(docs, 24, 2, 80)
