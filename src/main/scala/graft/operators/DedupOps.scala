@@ -250,8 +250,10 @@ object DedupOps {
 
   def minHashSignatures(documents: DataFrame, numHashes: Int,
                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                          XxSeedHash): DataFrame = {
+                          XxSeedHash,
+                        carry: Seq[String] = Nil): DataFrame = {
     val ws = array_distinct(split(col("text"), " "))
+    val keep = col("doc_id") +: carry.map(col)
     // The two canonical hash functions dispatch to the FUSED
     // [[graft.plans.MinHashSig]] expression (round 11): the per-seed
     // `array_min(transform(…))` columns are CodegenFallback lambdas —
@@ -271,13 +273,13 @@ object DedupOps {
         // k extractions of ONE deterministic subexpression — whole-stage
         // codegen's subexpression elimination evaluates the signature
         // array once per row
-        documents.select((col("doc_id") +: (0 until numHashes).map(i =>
+        documents.select((keep ++ (0 until numHashes).map(i =>
           sig.getItem(i).as(s"mh_$i"))): _*)
       case None =>
         val sigCols = (0 until numHashes).map { i =>
           array_min(transform(ws, w => seedHash(i, w))).as(s"mh_$i")
         }
-        documents.select((col("doc_id") +: sigCols): _*)
+        documents.select((keep ++ sigCols): _*)
     }
   }
 
@@ -329,17 +331,33 @@ object DedupOps {
     * + posexplode — a per-band select unioned numBands times would scan
     * the signature frame numBands times (round-1 bench finding).
     */
-  private def bandFrame(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
-                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
-    val sigs = minHashSignatures(documents, numHashes, seedHash)
+  private[graft] def bandFrame(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                               seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                               carry: Seq[String] = Nil): DataFrame = {
+    val sigs = minHashSignatures(documents, numHashes, seedHash, carry)
     val numBands = numHashes / rowsPerBand
     val bandHashes = array((0 until numBands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       xxhash64(bandCols: _*)
     }: _*)
-    sigs.select(col("doc_id"),
-      posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    sigs.select(col("doc_id") +: carry.map(col) :+
+      posexplode(bandHashes).as(Seq("band_idx", "band_hash")): _*)
   }
+
+  /** The STORABLE LSH corpus index: the distinct (band_idx, band_hash)
+    * relation of a corpus's MinHash banding — numBands longs per doc
+    * before dedup, independent of document length. This is the artifact
+    * a continuous-ingest pipeline persists (and refreshes on corpus
+    * growth) so that batch [[dedupAgainstCorpus]] and streaming
+    * [[graft.streaming.StreamingOps.flagNearDupsStream]] probe the SAME
+    * band arithmetic the batch clustering pipelines use — one hash
+    * family, no drift between the index builder and either prober.
+    */
+  def corpusBandIndex(corpus: DataFrame, numHashes: Int, rowsPerBand: Int,
+                      seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                        XxSeedHash): DataFrame =
+    bandFrame(corpus, numHashes, rowsPerBand, seedHash)
+      .select("band_idx", "band_hash").distinct()
 
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
     * (#equal signature minima)/numHashes — the unbiased estimator the
@@ -406,8 +424,7 @@ object DedupOps {
                          seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
                            XxSeedHash): DataFrame = {
     val batchBands = bandFrame(batch, numHashes, rowsPerBand, seedHash)
-    val corpusBands = bandFrame(corpus, numHashes, rowsPerBand, seedHash)
-      .select("band_idx", "band_hash")
+    val corpusBands = corpusBandIndex(corpus, numHashes, rowsPerBand, seedHash)
     val matched = batchBands
       .join(corpusBands, Seq("band_idx", "band_hash"), "left_semi")
       .select("doc_id").distinct()

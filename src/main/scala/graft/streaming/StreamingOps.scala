@@ -267,6 +267,44 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAMING near-dup flagging against a static corpus — the
+    * continuous-ingest twin of [[graft.operators.DedupOps
+    * .dedupAgainstCorpus]]: each arriving document (doc_id, text,
+    * ts_ts) is MinHash-banded with the SAME signature/band arithmetic
+    * as every batch pipeline (the fused [[graft.plans.MinHashSig]]
+    * projection — a pure per-row expression, so the stream side is
+    * stateless up to the final dedup), then semi-joined against the
+    * persisted [[graft.operators.DedupOps.corpusBandIndex]] relation.
+    * A doc colliding with the corpus in ANY band emits once as a flag
+    * row; the numBands collision rows collapse through a
+    * watermark-bounded `dropDuplicatesWithinWatermark` (state keyed on
+    * doc_id, bounded by the horizon — never corpus-sized).
+    *
+    * Output: (doc_id, ts_ts) of flagged docs, append-safe. The caller
+    * routes flagged ids (quarantine, re-verify with the exact batch
+    * Jaccard, or drop); unflagged docs pass outside this operator —
+    * emitting the complement would need stream-stream anti-join state.
+    * 100 TB shape: the index is numBands hashes/doc deduplicated
+    * (corpus bodies never ship), the per-batch probe is one equi-join
+    * Spark re-plans per micro-batch (an index refresh is picked up
+    * between batches), stream state is O(flagged docs per horizon).
+    * Same-band probability for a pair at Jaccard j is 1-(1-j^r)^b —
+    * pick (numHashes, rowsPerBand) exactly as in the batch pipelines.
+    * Doc-for-doc batch parity with [[graft.operators.DedupOps
+    * .dedupAgainstCorpus]] is spec-pinned.
+    */
+  def flagNearDupsStream(stream: DataFrame, corpusBands: DataFrame,
+                         numHashes: Int, rowsPerBand: Int,
+                         watermark: String = "10 minutes"): DataFrame =
+    graft.operators.DedupOps
+      .bandFrame(stream, numHashes, rowsPerBand,
+        graft.operators.DedupOps.XxSeedHash, carry = Seq("ts_ts"))
+      .withWatermark("ts_ts", watermark)
+      .join(broadcast(corpusBands.select("band_idx", "band_hash")),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", "ts_ts")
+
   /** STREAMING DSIR scoring — fit offline, score online: the posterior
     * table from [[graft.operators.TextOps.importancePosteriors]] (a
     * FIXED 2^k rows at any corpus size — the bound that makes hashed

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.DedupOps
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pins [[StreamingOps.flagNearDupsStream]] against its batch twin
+  * [[DedupOps.dedupAgainstCorpus]]: the same documents probed against
+  * the same corpus index must flag the SAME doc ids in both engines —
+  * the one-hash-family no-drift contract — and the numBands collision
+  * rows must collapse to one flag row per doc.
+  */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val corpus = Seq(
+    (100L, "alpha beta gamma delta epsilon"),
+    (101L, "one two three four five"),
+    (102L, "red green blue yellow purple"))
+    .toDF("doc_id", "text")
+
+  // 1/3 near-dup the corpus (share most words), 2/4 are disjoint
+  private val incoming = Seq(
+    (1L, "alpha beta gamma delta zeta", "2024-01-01 10:00:00"),
+    (2L, "totally unrelated fresh words here", "2024-01-01 10:01:00"),
+    (3L, "one two three four six", "2024-01-01 10:02:00"),
+    (4L, "another novel document entirely new", "2024-01-01 10:03:00"))
+
+  test("stream flags exactly the docs the batch prober flags, once each") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = DedupOps.corpusBandIndex(corpus, numHashes = 16, rowsPerBand = 2)
+
+    val batchDocs = incoming.map { case (id, text, _) => (id, text) }
+      .toDF("doc_id", "text")
+    val wantFlagged = DedupOps.dedupAgainstCorpus(batchDocs, corpus, 16, 2)
+      .filter(col("matched_corpus") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(wantFlagged.nonEmpty && wantFlagged != incoming.map(_._1).toSet,
+      s"fixture must separate flagged from unflagged, got $wantFlagged")
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts_ts")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.flagNearDupsStream(stream, index, 16, 2),
+      "neardup_flags", "append")
+    try {
+      input.addData(incoming.map { case (id, text, t) => (id, text, ts(t)) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("neardup_flags").collect()
+      val got = rows.map(_.getLong(0)).toSet
+      assert(got == wantFlagged,
+        s"stream flags $got diverged from batch flags $wantFlagged")
+      assert(rows.length == got.size,
+        s"band collisions must collapse to one flag row per doc: $rows")
+    } finally q.stop()
+  }
+
+  test("a duplicate arrival within the watermark horizon flags only once") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = DedupOps.corpusBandIndex(corpus, numHashes = 16, rowsPerBand = 2)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts_ts")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.flagNearDupsStream(stream, index, 16, 2),
+      "neardup_flags_dup", "append")
+    try {
+      input.addData((1L, "alpha beta gamma delta zeta", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // same doc id again, still inside the horizon
+      input.addData((1L, "alpha beta gamma delta zeta", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      assert(spark.table("neardup_flags_dup").count() == 1L,
+        "re-arrival within the watermark must not re-flag")
+    } finally q.stop()
+  }
+}
