@@ -601,52 +601,37 @@ object DedupOps {
     * minimum, root < member — a valid undirected edge list. Nodes that
     * only ever appear in self-loops (a,a) are emitted as (a,a) so the
     * min-label engine keeps reporting them as singleton clusters
-    * (the star engine drops self-loops, as it always did). Driver/exec
-    * memory is bounded by distinct nodes per PARTITION (two longs each),
-    * which `spark.sql.files.maxPartitionBytes` already bounds at scale.
+    * (the star engine drops self-loops, as it always did).
+    *
+    * Executor memory: one [[LongUnionFind]] per partition — ~17
+    * bytes/slot open-addressed primitive arrays (review fix: the boxed
+    * HashMap draft was ~3× that), sized by DISTINCT NODES in the
+    * partition. The honest bound (review fix): the pairs frames fed
+    * here are post-shuffle join outputs, so partition row counts are
+    * governed by `spark.sql.shuffle.partitions` and join-key skew —
+    * NOT by files.maxPartitionBytes — and nodes ≤ 2·rows. At 32 GB
+    * executors that is comfortable into the billions of edge rows per
+    * partition; a pathological skew that concentrates more distinct
+    * nodes than memory should `repartition(n)` the pair frame first
+    * (any partitioning is correctness-neutral here).
     */
-  private[operators] def localSpanningForest(pairs: DataFrame): DataFrame = {
+  private[graft] def localSpanningForest(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs
       .select(col(pairs.columns(0)).cast("long"), col(pairs.columns(1)).cast("long"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x0: Long): Long = {
-          var x = x0
-          var p = parent.getOrDefault(x, x)
-          while (p != x) { x = p; p = parent.getOrDefault(x, x) }
-          var y = x0 // path-compress the walked chain
-          while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
-          x
-        }
-        it.foreach { case (a, b) =>
-          parent.putIfAbsent(a, a)
-          parent.putIfAbsent(b, b)
-          if (a != b) {
-            val ra = find(a); val rb = find(b)
-            if (ra != rb) {
-              if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-            }
-          }
-        }
-        val out = Iterator.newBuilder[(Long, Long)]
-        val keys = parent.keySet().iterator()
-        val roots = new java.util.HashSet[Long]()
-        while (keys.hasNext) {
-          val k = keys.next()
-          val r = find(k)
-          if (r != k) out += ((r, k)) else roots.add(k)
-        }
-        // every root surfaces as a (r, r) row: for size-1 components
-        // (self-loop-only nodes) it is the ONLY trace of the node; for
-        // larger ones it is one redundant self-edge per component that
-        // the engines already tolerate (min-label folds self-loops in,
-        // the star engine filters u ≠ v)
-        val rit = roots.iterator()
-        while (rit.hasNext) out += { val r = rit.next(); (r, r) }
-        out.result()
+        val uf = new LongUnionFind(1 << 10)
+        it.foreach { case (a, b) => uf.union(a, b) }
+        // one output row per tracked node: (find(k), k) — a root's own
+        // row degenerates to (r, r), which for size-1 components
+        // (self-loop-only nodes) is the ONLY trace of the node, and for
+        // larger ones is one redundant self-edge per component that the
+        // engines already tolerate (min-label folds self-loops in, the
+        // star engine filters u ≠ v). Emitted LAZILY off the table —
+        // no second output-sized buffer alongside it.
+        uf.entries
       }
       .toDF("a_id", "b_id")
   }
@@ -1585,5 +1570,99 @@ object DedupOps {
           "ELSE CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000 " +
           "div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT) END"))
       .orderBy("source")
+  }
+}
+
+/** Open-addressed primitive long→long union-find for
+  * [[DedupOps.localSpanningForest]]'s per-partition pass: linear
+  * probing over two long arrays + a presence byte (~17 bytes/slot at
+  * the 0.6 max load vs ~50 for a boxed `java.util.HashMap` entry —
+  * the structure is executor-memory-bounded by distinct nodes per
+  * partition, so constant-factor bloat is the scaling knob here).
+  * Union by MINIMUM root (so every forest root is its
+  * partition-component minimum) with two-pass path compression.
+  * Single-threaded by construction (one instance per partition task).
+  */
+private[operators] final class LongUnionFind(initialSlots: Int) {
+  private var cap = Integer.highestOneBit(math.max(16, initialSlots) - 1) << 1
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var present = new Array[Boolean](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    // finalizer from splitmix64 — long ids are often sequential, and
+    // linear probing degrades badly on clustered raw keys
+    var h = k * 0x9e3779b97f4a7c15L
+    h ^= (h >>> 32)
+    var i = (h & mask).toInt
+    while (present(i) && keys(i) != k) i = (i + 1) & mask
+    i
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val op = present; val oc = cap
+    cap <<= 1; mask = cap - 1; n = 0
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    present = new Array[Boolean](cap)
+    var i = 0
+    while (i < oc) {
+      if (op(i)) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  private def put(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (!present(i)) { present(i) = true; keys(i) = k; n += 1 }
+    vals(i) = v
+    if (n * 5 > cap * 3) grow()
+  }
+
+  /** parent(k), defaulting to k itself for unseen keys (no insert). */
+  private def parentOf(k: Long): Long = {
+    val i = slot(k)
+    if (present(i)) vals(i) else k
+  }
+
+  def find(x0: Long): Long = {
+    var x = x0
+    var p = parentOf(x)
+    while (p != x) { x = p; p = parentOf(x) }
+    var y = x0 // path-compress the walked chain
+    while (y != x) { val nxt = parentOf(y); put(y, x); y = nxt }
+    x
+  }
+
+  /** Record edge (a, b); self-loops only register the node. */
+  def union(a: Long, b: Long): Unit = {
+    val ia = slot(a)
+    if (!present(ia)) { present(ia) = true; keys(ia) = a; vals(ia) = a; n += 1; if (n * 5 > cap * 3) grow() }
+    val ib = slot(b)
+    if (!present(ib)) { present(ib) = true; keys(ib) = b; vals(ib) = b; n += 1; if (n * 5 > cap * 3) grow() }
+    if (a != b) {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) put(rb, ra) else put(ra, rb)
+      }
+    }
+  }
+
+  /** Lazy (find(k), k) rows over every tracked node — the spanning
+    * forest plus one (r, r) self-row per component root. find()'s
+    * path compression during iteration mutates parents, never
+    * membership, so the scan stays sound.
+    */
+  def entries: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    private var i = 0
+    private def advance(): Unit = { while (i < cap && !present(i)) i += 1 }
+    advance()
+    override def hasNext: Boolean = i < cap
+    override def next(): (Long, Long) = {
+      val k = keys(i)
+      i += 1; advance()
+      (LongUnionFind.this.find(k), k)
+    }
   }
 }

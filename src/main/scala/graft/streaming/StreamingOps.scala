@@ -286,21 +286,31 @@ object StreamingOps {
     * emitting the complement would need stream-stream anti-join state.
     * 100 TB shape: the index is numBands hashes/doc deduplicated
     * (corpus bodies never ship), the per-batch probe is one equi-join
-    * Spark re-plans per micro-batch (an index refresh is picked up
-    * between batches), stream state is O(flagged docs per horizon).
-    * Same-band probability for a pair at Jaccard j is 1-(1-j^r)^b —
-    * pick (numHashes, rowsPerBand) exactly as in the batch pipelines.
+    * Spark re-plans per micro-batch and sizes itself (broadcast while
+    * the index fits, shuffled hash join beyond — no hint pinned, the
+    * [[graft.operators.DedupOps.dedupAgainstCorpus]] stance, because a
+    * web-scale index is GBs and a forced broadcast would hard-fail),
+    * stream state is O(flagged docs per horizon). NOTE on refresh: a
+    * plain file-backed index frame freezes its file listing at
+    * creation — rebuilding the index in place is picked up only by
+    * transactional table sources or by re-creating the static frame
+    * (query restart); plan index refreshes accordingly. Same-band
+    * probability for a pair at Jaccard j is 1-(1-j^r)^b — pick
+    * (numHashes, rowsPerBand) AND `seedHash` exactly as the index was
+    * built with: a mismatched hash family would silently flag nothing
+    * (same fit/score-consistency contract as [[scoreDsirStream]]).
     * Doc-for-doc batch parity with [[graft.operators.DedupOps
     * .dedupAgainstCorpus]] is spec-pinned.
     */
   def flagNearDupsStream(stream: DataFrame, corpusBands: DataFrame,
                          numHashes: Int, rowsPerBand: Int,
-                         watermark: String = "10 minutes"): DataFrame =
+                         watermark: String = "10 minutes",
+                         seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                           graft.operators.DedupOps.XxSeedHash): DataFrame =
     graft.operators.DedupOps
-      .bandFrame(stream, numHashes, rowsPerBand,
-        graft.operators.DedupOps.XxSeedHash, carry = Seq("ts_ts"))
+      .bandFrame(stream, numHashes, rowsPerBand, seedHash, carry = Seq("ts_ts"))
       .withWatermark("ts_ts", watermark)
-      .join(broadcast(corpusBands.select("band_idx", "band_hash")),
+      .join(corpusBands.select("band_idx", "band_hash"),
         Seq("band_idx", "band_hash"), "left_semi")
       .dropDuplicatesWithinWatermark("doc_id")
       .select("doc_id", "ts_ts")

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
 /** Scratch stage-breakdown profiler for the near-dup clustering family
   * (q_dedup_canonical / q_cluster_cap_sample shape): times each pipeline
   * stage twice (cold then warm) so the expensive stage is attributable.
-  * Run: sbt "Test/runMain graft.ProfileClusters"
+  * Supersedes the older ClusterDebug ignored-test harness (one profiler
+  * to maintain — review fix r11). Run:
+  * sbt "Test/runMain graft.ProfileClusters"
   */
 object ProfileClusters {
   def main(args: Array[String]): Unit = {
@@ -39,6 +41,7 @@ object ProfileClusters {
       DedupOps.lshVerifiedJaccardPairsUnsorted(docs, 32, 2, 80).count())
     val pairs = DedupOps.lshVerifiedJaccardPairsUnsorted(docs, 32, 2, 80)
       .select("a_id", "b_id")
+    t("forest_only")(DedupOps.localSpanningForest(pairs).count())
     t("cc_only")(DedupOps.connectedComponents(pairs).count())
     t("canonical_full")(
       DedupOps.canonicalKeepers(docs, 32, 2, 80).count())
