@@ -1583,7 +1583,7 @@ object DedupOps {
   * partition-component minimum) with two-pass path compression.
   * Single-threaded by construction (one instance per partition task).
   */
-private[operators] final class LongUnionFind(initialSlots: Int) {
+private[graft] final class LongUnionFind(initialSlots: Int) {
   private var cap = Integer.highestOneBit(math.max(16, initialSlots) - 1) << 1
   private var mask = cap - 1
   private var keys = new Array[Long](cap)

@@ -203,6 +203,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LongUnionFind survives rehash growth: 60k nodes through a 16-slot table") {
+    // the CC property test never outgrows the default table; this
+    // drives the open-addressed grow() path through ~12 doublings and
+    // checks roots against a driver-side reference union-find
+    val rnd = new scala.util.Random(11)
+    val n = 60000
+    val edges = (1 to 90000).map(_ =>
+      (rnd.nextInt(n).toLong * 7919L, rnd.nextInt(n).toLong * 7919L))
+    val uf = new graft.operators.LongUnionFind(16)
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(k => k -> find(k)).toMap
+    val got = uf.entries.map { case (r, k) => k -> r }.toMap
+    assert(got.size == want.size, s"${got.size} tracked vs ${want.size} expected")
+    val bad = want.collect { case (k, r) if got(k) != r => (k, r, got(k)) }
+    assert(bad.isEmpty, s"root divergence on ${bad.size} nodes: ${bad.take(3)}")
+  }
+
   test("local contraction keeps self-loop-only singletons in the min-label engine") {
     // (5,5) must still surface as its own cluster after the forest prep
     val pairs = Seq((1L, 2L), (5L, 5L)).toDF("a_id", "b_id")
