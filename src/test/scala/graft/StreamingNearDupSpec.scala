@@ -76,6 +76,11 @@ class StreamingNearDupSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("neardup_flags_dup").count() == 1L,
         "re-arrival within the watermark must not re-flag")
+      // the state-boundedness contract: dedup state tracks FLAGGED docs
+      // within the horizon (1 here), never the corpus or the band rows
+      val audit = StreamingOps.progressAudit(q)
+      assert(audit("state_rows_latest") <= 2L,
+        s"dedup state must stay O(flagged docs per horizon): $audit")
     } finally q.stop()
   }
 }
