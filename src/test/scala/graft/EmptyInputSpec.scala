@@ -38,6 +38,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(DedupOps.tfidfCosinePairs(emptyDocs, 80).isEmpty)
     assert(DedupOps.minHashCandidates(emptyDocs, 12, 3).isEmpty)
     assert(DedupOps.jaccardAgainstCorpus(emptyDocs, emptyDocs, 70).isEmpty)
+    assert(DedupOps.corpusBandIndex(emptyDocs, 16, 2).isEmpty)
+    // an EMPTY index against a non-empty batch: every doc unmatched,
+    // none dropped — the cold-start shape of incremental ingest
+    val batch = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val cold = DedupOps.dedupAgainstCorpus(batch, emptyDocs, 16, 2).collect()
+    assert(cold.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
     assert(DedupOps.simHashPairs(emptyDocs).isEmpty)
   }
 
