@@ -315,6 +315,55 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select("doc_id", "ts_ts")
 
+  /** The VERIFIED tier above [[flagNearDupsStream]]: band collisions
+    * are candidates, not verdicts (two docs can share a band bucket at
+    * Jaccard far below threshold), so production ingest verifies before
+    * acting — this operator flags an arriving document only when some
+    * corpus partner it band-collides with passes the EXACT integer
+    * `jaccard ≥ minJaccardPct` test, computed with the same fused
+    * kernels as every batch verify pipeline ([[graft.plans
+    * .SortedHashedSet]] prep once per doc before the band explode,
+    * [[graft.plans.VecDot.sortedIntersectCount]] merge-walk per
+    * candidate). All stream-side stages are stateless (projections +
+    * two stream-static inner joins Spark re-plans per micro-batch);
+    * the only state is the final watermark-bounded per-doc flag dedup.
+    *
+    * Takes the raw corpus (doc_id, text) like the batch prober — the
+    * banded index and the word-set relation derive from it in-plan; a
+    * production deployment passes a persisted/cached corpus frame (the
+    * static sides re-evaluate per micro-batch otherwise; same
+    * file-listing-freeze refresh caveat as [[flagNearDupsStream]]).
+    * Recall is the LSH candidate recall (1-(1-j^r)^b per pair) — a
+    * true near-dup that never collides in any band is missed, exactly
+    * as in the batch LSH→verify pipelines; precision is exact.
+    * Output: (doc_id, ts_ts) of verified near-dup arrivals.
+    */
+  def flagNearDupsStreamVerified(stream: DataFrame, corpus: DataFrame,
+                                 numHashes: Int, rowsPerBand: Int,
+                                 minJaccardPct: Int,
+                                 watermark: String = "10 minutes",
+                                 seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                                   graft.operators.DedupOps.XxSeedHash): DataFrame = {
+    val hs = graft.plans.SortedHashedSet.sortedHashedSet(split(col("text"), " "))
+    val corpusSets = corpus.select(col("doc_id").as("corpus_id"), hs.as("cws"))
+    val corpusBands = graft.operators.DedupOps
+      .bandFrame(corpus, numHashes, rowsPerBand, seedHash)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+    graft.operators.DedupOps
+      .bandFrame(stream.withColumn("ws", hs), numHashes, rowsPerBand,
+        seedHash, carry = Seq("ts_ts", "ws"))
+      .withWatermark("ts_ts", watermark)
+      .join(corpusBands, Seq("band_idx", "band_hash"))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("common",
+        graft.plans.VecDot.sortedIntersectCount(col("ws"), col("cws")))
+      .withColumn("union_size",
+        size(col("ws")).cast("long") + size(col("cws")).cast("long") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id", "ts_ts")
+  }
+
   /** STREAMING DSIR scoring — fit offline, score online: the posterior
     * table from [[graft.operators.TextOps.importancePosteriors]] (a
     * FIXED 2^k rows at any corpus size — the bound that makes hashed

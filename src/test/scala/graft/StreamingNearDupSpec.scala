@@ -60,6 +60,48 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("verified tier rejects band-colliding candidates below the Jaccard threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 1: true near-dup of corpus 100 (4/6 shared words = 66% —
+    // passes τ=60). doc 5: SUPERSET of corpus 100's words plus four
+    // extras (Jaccard 5/9 = 55% < τ) — supersets share each seed's
+    // minimum whenever a corpus word wins (P ≈ (5/9)² per 2-row band,
+    // ~99.7% over 16 bands, deterministic under the fixed seeds and
+    // asserted below), so it band-collides while failing the verify —
+    // ONLY the verify tier separates the two outcomes.
+    val stream5 = Seq(
+      (1L, "alpha beta gamma delta zeta", "2024-01-01 10:00:00"),
+      (5L, "alpha beta gamma delta epsilon wholly fresh extra words", "2024-01-01 10:01:00"))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts_ts")
+    val q = StreamingOps.toMemorySink(
+      StreamingOps.flagNearDupsStreamVerified(df, corpus, 16, 2,
+        minJaccardPct = 60),
+      "neardup_verified", "append")
+    try {
+      input.addData(stream5.map { case (id, text, t) => (id, text, ts(t)) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_verified").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L),
+        s"verified flags must be exactly the >=60% Jaccard arrivals, got $got")
+      // cross-check the expectation against the exact batch prober
+      val exact = DedupOps.jaccardAgainstCorpus(corpus,
+        stream5.map { case (id, text, _) => (id, text) }.toDF("doc_id", "text"),
+        minJaccardPct = 60)
+        .collect().map(_.getLong(1)).toSet
+      assert(exact == Set(1L), s"fixture drifted: exact prober says $exact")
+      // and the candidate tier DOES flag doc 5 (band collision without
+      // verification) — the separation this operator exists for
+      val candTier = DedupOps.dedupAgainstCorpus(
+        stream5.map { case (id, text, _) => (id, text) }.toDF("doc_id", "text"),
+        corpus, 16, 2)
+        .filter(col("matched_corpus") === 1L)
+        .collect().map(_.getLong(0)).toSet
+      assert(candTier.contains(5L),
+        s"fixture must band-collide doc 5 for the test to bite, got $candTier")
+    } finally q.stop()
+  }
+
   test("a duplicate arrival within the watermark horizon flags only once") {
     implicit val sqlCtx = spark.sqlContext
     val index = DedupOps.corpusBandIndex(corpus, numHashes = 16, rowsPerBand = 2)
