@@ -359,6 +359,29 @@ object DedupOps {
     bandFrame(corpus, numHashes, rowsPerBand, seedHash)
       .select("band_idx", "band_hash").distinct()
 
+  /** [[corpusBandIndex]] WITH the doc ids — the persisted relation the
+    * VERIFIED streaming tier probes (it must know which corpus partner
+    * to verify against, not just that some partner collides). Columns:
+    * (corpus_id, band_idx, band_hash).
+    */
+  def corpusBandDocs(corpus: DataFrame, numHashes: Int, rowsPerBand: Int,
+                     seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                       XxSeedHash): DataFrame =
+    bandFrame(corpus, numHashes, rowsPerBand, seedHash)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+
+  /** The corpus's sorted-hashed word sets, (corpus_id, cws) — the
+    * other persisted half of the verified streaming probe (and the
+    * same per-doc prep every batch verify kernel runs). Persist both
+    * this and [[corpusBandDocs]] once per corpus state; deriving them
+    * in-plan from raw text re-runs the full-corpus MinHash banding and
+    * set prep EVERY micro-batch (review finding).
+    */
+  def corpusHashedSets(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id").as("corpus_id"),
+      graft.plans.SortedHashedSet.sortedHashedSet(
+        split(col("text"), " ")).as("cws"))
+
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
     * (#equal signature minima)/numHashes — the unbiased estimator the
     * signatures exist for (P[min_i(A) = min_i(B)] = J(A,B) per seed).
@@ -1602,6 +1625,15 @@ private[graft] final class LongUnionFind(initialSlots: Int) {
   }
 
   private def grow(): Unit = {
+    // loud ceiling, not a wrap: cap << 1 past 2^30 overflows Int and
+    // new Array[Long](negative) would kill the job mid-stage with an
+    // unactionable error (review fix — the load check below is Long
+    // arithmetic for the same reason: cap*3 wraps at cap = 2^30)
+    if (cap >= (1 << 30))
+      throw new IllegalStateException(
+        s"LongUnionFind at $n distinct nodes exceeds the 2^30-slot " +
+          "ceiling for one partition — repartition(n) the pair frame " +
+          "to spread nodes (correctness-neutral for the forest)")
     val ok = keys; val ov = vals; val op = present; val oc = cap
     cap <<= 1; mask = cap - 1; n = 0
     keys = new Array[Long](cap); vals = new Array[Long](cap)
@@ -1617,7 +1649,7 @@ private[graft] final class LongUnionFind(initialSlots: Int) {
     val i = slot(k)
     if (!present(i)) { present(i) = true; keys(i) = k; n += 1 }
     vals(i) = v
-    if (n * 5 > cap * 3) grow()
+    if (n.toLong * 5 > cap.toLong * 3) grow()
   }
 
   /** parent(k), defaulting to k itself for unseen keys (no insert). */
@@ -1638,9 +1670,9 @@ private[graft] final class LongUnionFind(initialSlots: Int) {
   /** Record edge (a, b); self-loops only register the node. */
   def union(a: Long, b: Long): Unit = {
     val ia = slot(a)
-    if (!present(ia)) { present(ia) = true; keys(ia) = a; vals(ia) = a; n += 1; if (n * 5 > cap * 3) grow() }
+    if (!present(ia)) { present(ia) = true; keys(ia) = a; vals(ia) = a; n += 1; if (n.toLong * 5 > cap.toLong * 3) grow() }
     val ib = slot(b)
-    if (!present(ib)) { present(ib) = true; keys(ib) = b; vals(ib) = b; n += 1; if (n * 5 > cap * 3) grow() }
+    if (!present(ib)) { present(ib) = true; keys(ib) = b; vals(ib) = b; n += 1; if (n.toLong * 5 > cap.toLong * 3) grow() }
     if (a != b) {
       val ra = find(a); val rb = find(b)
       if (ra != rb) {

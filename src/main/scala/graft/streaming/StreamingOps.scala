@@ -328,10 +328,13 @@ object StreamingOps {
     * two stream-static inner joins Spark re-plans per micro-batch);
     * the only state is the final watermark-bounded per-doc flag dedup.
     *
-    * Takes the raw corpus (doc_id, text) like the batch prober — the
-    * banded index and the word-set relation derive from it in-plan; a
-    * production deployment passes a persisted/cached corpus frame (the
-    * static sides re-evaluate per micro-batch otherwise; same
+    * This convenience form takes the raw corpus (doc_id, text) and
+    * derives both static relations in-plan — fine for tests and small
+    * corpora, but the derivations re-execute EVERY micro-batch (they
+    * are projections above any cache of the raw rows). A production
+    * deployment persists [[graft.operators.DedupOps.corpusBandDocs]]
+    * and [[graft.operators.DedupOps.corpusHashedSets]] once per corpus
+    * state and calls [[flagNearDupsStreamVerifiedIndexed]] (same
     * file-listing-freeze refresh caveat as [[flagNearDupsStream]]).
     * Recall is the LSH candidate recall (1-(1-j^r)^b per pair) — a
     * true near-dup that never collides in any band is missed, exactly
@@ -343,17 +346,38 @@ object StreamingOps {
                                  minJaccardPct: Int,
                                  watermark: String = "10 minutes",
                                  seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                                   graft.operators.DedupOps.XxSeedHash): DataFrame = {
+                                   graft.operators.DedupOps.XxSeedHash): DataFrame =
+    flagNearDupsStreamVerifiedIndexed(stream,
+      graft.operators.DedupOps.corpusBandDocs(corpus, numHashes, rowsPerBand, seedHash),
+      graft.operators.DedupOps.corpusHashedSets(corpus),
+      numHashes, rowsPerBand, minJaccardPct, watermark, seedHash)
+
+  /** [[flagNearDupsStreamVerified]] against PERSISTED index relations —
+    * the production form: `corpusBandDocs` (corpus_id, band_idx,
+    * band_hash) and `corpusSets` (corpus_id, cws) are read from
+    * storage, so no corpus-sized derivation runs per micro-batch.
+    * Candidate pairs dedup through a watermark-bounded
+    * `dropDuplicatesWithinWatermark(doc_id, corpus_id)` BEFORE the
+    * word-set join (review fix): a true duplicate collides in most
+    * bands, and without the dedup every colliding band would re-run
+    * the same merge-walk verify — numBands× the dominant per-candidate
+    * cost for the price of candidate-pair-per-horizon state.
+    */
+  def flagNearDupsStreamVerifiedIndexed(stream: DataFrame,
+                                        corpusBandDocs: DataFrame,
+                                        corpusSets: DataFrame,
+                                        numHashes: Int, rowsPerBand: Int,
+                                        minJaccardPct: Int,
+                                        watermark: String = "10 minutes",
+                                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                                          graft.operators.DedupOps.XxSeedHash): DataFrame = {
     val hs = graft.plans.SortedHashedSet.sortedHashedSet(split(col("text"), " "))
-    val corpusSets = corpus.select(col("doc_id").as("corpus_id"), hs.as("cws"))
-    val corpusBands = graft.operators.DedupOps
-      .bandFrame(corpus, numHashes, rowsPerBand, seedHash)
-      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
     graft.operators.DedupOps
       .bandFrame(stream.withColumn("ws", hs), numHashes, rowsPerBand,
         seedHash, carry = Seq("ts_ts", "ws"))
       .withWatermark("ts_ts", watermark)
-      .join(corpusBands, Seq("band_idx", "band_hash"))
+      .join(corpusBandDocs, Seq("band_idx", "band_hash"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
       .join(corpusSets, Seq("corpus_id"))
       .withColumn("common",
         graft.plans.VecDot.sortedIntersectCount(col("ws"), col("cws")))
