@@ -714,11 +714,19 @@ object DedupOps {
     var converged = false
     var prev: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
-      val next = edges
+      val computed = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("label"))
-        .persist()
+      // persist caches DATA but the LOGICAL plan still nests one join
+      // per round — a slow-converging graph built a ~50-deep tree whose
+      // mere stringification (Spark logs explain strings on job events)
+      // OOM'd before the loud cap exception below could fire. Truncate
+      // lineage every 8th round so plan depth stays bounded while the
+      // common 2-3-round case keeps the cheaper persist.
+      val next =
+        if (iter % 8 == 7) truncateLineage(computed, checkpointDir)
+        else computed.persist()
       // sum over an empty frame is a null cell — empty pair set ⇒
       // vacuously converged (empty result), not an NPE
       val sumRow = next.agg(sum("label")).collect()(0)

@@ -203,6 +203,39 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contraction collapses in-partition chains: a 500-node path converges in min-label CC") {
+    // min-label propagation needs O(diameter) rounds — a 500-long path
+    // exceeds the 50-round cap and USED to throw. The forest prep
+    // contracts each partition's CONTIGUOUS sub-chain to a star, so
+    // with range partitioning (the layout a sorted edge table has on
+    // disk) the residual diameter is ~#partitions and the same engine
+    // now converges. NOTE the honest boundary: hash/round-robin
+    // repartitioning fragments the chain across partitions and defeats
+    // the contraction — adversarial scattered topologies remain
+    // connectedComponentsStar territory, exactly as its scaladoc says.
+    val path = (0L until 499L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    for (df <- Seq(path.coalesce(1), path.repartitionByRange(4, col("a_id")))) {
+      val got = DedupOps.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 500 && got.forall(_._2 == 0L),
+        "path graph must collapse to one cluster labeled 0")
+    }
+  }
+
+  test("a cap-exceeding graph fails LOUDLY, not with a deep-plan OOM") {
+    // hash-fragmented chain: partitions hold scattered 1-2 edge
+    // segments, contraction barely bites, and min-label cannot close a
+    // ~250 diameter in 12 rounds — the contract is the actionable
+    // IllegalStateException; the in-loop lineage truncation (every 8th
+    // round, crossed here) is what keeps the plan shallow enough to
+    // reach it instead of OOMing on plan stringification
+    val path = (0L until 499L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path.repartition(8), maxIter = 12).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("LongUnionFind survives rehash growth: 60k nodes through a 16-slot table") {
     // the CC property test never outgrows the default table; this
     // drives the open-addressed grow() path through ~12 doublings and
