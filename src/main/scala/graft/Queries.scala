@@ -5439,7 +5439,145 @@ object Queries {
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_s2
         FROM events
         WHERE user_id BETWEEN 3 AND 9 AND value >= 20.0 AND value < 200.0
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ================= round-12 additions ===============================
+
+    // THE COMPOSED CURATION PIPELINE (VERDICT r11 #1): raw docs → exact
+    // dedup → near-dup canonical keepers → decontaminate vs a held-out
+    // slice → quality filter → DSIR select → pack, as ONE declared query
+    // emitting per-stage (rows_in, rows_out, tokens_out) accounting.
+    // Input = the %4 slice plus re-inserted %200 dupes under shifted ids
+    // (the q_dedup_exact trick — the raw corpus has no exact dups, so
+    // stage 1 must be fed some); benchmark = the %100=50 slice, which is
+    // ≡ 2 (mod 4) and therefore DISJOINT from the input by construction
+    // — a genuine held-out eval set. Stage params mirror the standalone
+    // queries (q_dedup_canonical's LSH 32×2@80, q_decontaminate's
+    // 3-gram/≥3, q_quality_filter's 30-word/10% thresholds,
+    // q_dsir_resample's 1024 buckets, q_pack_sequences' 128/100), so the
+    // oracle below reuses those queries' proven CTE bodies, chained with
+    // MATERIALIZED hints (DuckDB would otherwise re-inline the chain
+    // once per accounting reference — exponential blowup, measured).
+    // Non-vacuous at every stage and SF: sf0.01 walks
+    // 128→125→47→46→12→3 docs→3 bins. The corpus-pinned LSH recall note
+    // of q_neardup_lsh_verified applies to stage 2 (brute-force oracle,
+    // banded engine plan — exact-equal on these corpora, no all-pairs
+    // join in the engine). Composition invariant (each stage frame
+    // truncated once, both consumers read the checkpoint, nothing
+    // recomputes upstream stages) is pinned in CurationPipelineSpec.
+    Declared("q_pipeline_curate",
+      (s, d) => CurationPipeline.curate(
+        documents(s, d).filter(pmod(col("doc_id"), lit(4)) === 0)
+          .unionByName(documents(s, d)
+            .filter(pmod(col("doc_id"), lit(200)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L))),
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) === 50)),
+      Some("""WITH RECURSIVE
+        docs0 AS MATERIALIZED (
+          SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, text, lang, source FROM documents
+          WHERE doc_id % 200 = 0),
+        k1 AS (SELECT MIN(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)),
+        d1 AS MATERIALIZED (SELECT d.* FROM docs0 d JOIN k1 USING (doc_id)),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d1),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        m AS MATERIALIZED (SELECT src AS doc_id,
+               LEAST(src, MIN(dst))::BIGINT AS cluster_id
+             FROM reach GROUP BY src),
+        t1 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM d1),
+        keep2 AS (SELECT arg_max(m.doc_id,
+                    CAST(t1.n AS HUGEINT) * 18446744073709551616::HUGEINT - m.doc_id) AS doc_id
+                  FROM m JOIN t1 USING (doc_id) GROUP BY m.cluster_id),
+        d2 AS MATERIALIZED (SELECT d.* FROM d1 d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM m)
+                OR d.doc_id IN (SELECT doc_id FROM keep2)),
+        bench AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id % 100 = 50),
+        cs AS (SELECT DISTINCT doc_id, sh
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d2)
+                     WHERE len(ws) >= 3)),
+        bs AS (SELECT DISTINCT bench_id, sh
+               FROM (SELECT bench_id,
+                       unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+                     FROM bench WHERE len(ws) >= 3)),
+        flag AS (SELECT DISTINCT doc_id FROM (
+                   SELECT cs.doc_id FROM cs JOIN bs USING (sh)
+                   GROUP BY cs.doc_id, bs.bench_id HAVING COUNT(*) >= 3)),
+        d3 AS MATERIALIZED (SELECT * FROM d2
+             WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+        q AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+              FROM d3),
+        d4 AS MATERIALIZED (SELECT d.* FROM d3 d JOIN q USING (doc_id)
+             WHERE q.nw >= 30 AND q.sc * 1000000 // q.nw < 100000),
+        tok AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d4)),
+        rawc AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM d4 WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM rawc) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT rawc.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        wts AS (SELECT doc_id, CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+                FROM tok JOIN post USING (b) GROUP BY doc_id),
+        sel AS (SELECT doc_id FROM wts
+                WHERE ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < dsir_ppm),
+        d5 AS MATERIALIZED (SELECT d.* FROM d4 d JOIN sel USING (doc_id)),
+        pt AS (SELECT source, doc_id // 100 AS shard, doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n
+               FROM d5),
+        pc AS (SELECT source, shard, doc_id, n,
+                 CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+               FROM pt),
+        bins AS (SELECT source, shard, cb // 128 AS bin, COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS bin_tokens FROM pc GROUP BY 1, 2, 3),
+        acct AS (
+          SELECT 1 AS stage_idx, 'exact_dedup' AS stage,
+            (SELECT COUNT(*) FROM docs0) AS rows_in,
+            (SELECT COUNT(*) FROM d1) AS rows_out,
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d1) AS tokens_out
+          UNION ALL SELECT 2, 'neardup_canonical',
+            (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM d2),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d2)
+          UNION ALL SELECT 3, 'decontaminate',
+            (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM d3),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d3)
+          UNION ALL SELECT 4, 'quality_filter',
+            (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM d4),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d4)
+          UNION ALL SELECT 5, 'dsir_select',
+            (SELECT COUNT(*) FROM d4), (SELECT COUNT(*) FROM d5),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d5)
+          UNION ALL SELECT 6, 'pack',
+            (SELECT COUNT(*) FROM d5), (SELECT COUNT(*) FROM bins),
+            (SELECT COALESCE(SUM(bin_tokens), 0) FROM bins))
+        SELECT stage_idx::BIGINT AS stage_idx, stage, rows_in::BIGINT AS rows_in,
+               rows_out::BIGINT AS rows_out, tokens_out::BIGINT AS tokens_out
+        FROM acct ORDER BY stage_idx"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship
