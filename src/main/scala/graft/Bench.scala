@@ -26,7 +26,10 @@ object Bench {
     "q_window_tumbling", "q_upsert",
     // round-3 families
     "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
-    "q_chunk_windows", "q_stats_exact", "q_histogram",
+    // q_histogram dropped round 12 to fit q_pipeline_curate under the
+    // 1.5 KB line budget (the sketch family keeps q_cms_counts +
+    // q_hll_registers — the r7 cheap-near-duplicate rule)
+    "q_chunk_windows", "q_stats_exact",
     "q_levenshtein",
     // round-6 families
     "q_cms_counts", "q_triangles", "q_containment_prefix",
@@ -52,7 +55,11 @@ object Bench {
     "q_dsir_weights",
     // round-11: the L5 multimodal family's first declared query — the
     // one operator family previously absent from the headline
-    "q_media_fingerprint")
+    "q_media_fingerprint",
+    // round-12: the composed curation pipeline — the suite's new
+    // worst-cost query (~4 s: six chained stages over the %4 slice),
+    // which the r7 worst-cost-tier rule puts on the binding artifact
+    "q_pipeline_curate")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
@@ -89,10 +96,35 @@ object Bench {
                jsonPath: String = "target/bench.json"): String = {
     // Warm up the session (codegen, shuffle machinery, parquet reader)
     // so first-query timings measure the query, not JVM init.
+    //
+    // Round-12 widening (VERDICT r11 #2): the r11 artifact's two
+    // recurring >1.5× keys (q_agg_count2key 0.673 s, q_agg_multi
+    // 0.611 s vs r10's 0.36 s) re-measured AT their r10 anchors in
+    // IsolatedBench min-of-3 on the same committed tree
+    // (0.369 / 0.347 s, controls flat — SCALE.md r12 entry), so the
+    // inflation was suite-POSITION, not plan: the two tiny collects
+    // below left Spark's hash-aggregate / exchange / sort codegen
+    // C2-cold, and the alphabetically-first agg family paid the JIT
+    // compile inside its timed samples (visible even in IsolatedBench's
+    // own sample decay: 0.856 → 0.412 → 0.369). Touch each hot operator
+    // family once — decimal multi-agg, window rank, equi-join — so
+    // alphabetical position no longer decides who pays JIT. Untimed,
+    // ~2 s once per suite at sf0.1.
     try {
+      import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
       spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val or = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      li.select(col("l_orderkey"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy("l_orderkey")).as("rn"))
+        .filter(col("rn") === 1).collect()
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count().collect()
     } catch { case _: Throwable => () }
     // min-of-2 per query: the round-3 driver artifact recorded a 34 s
     // q_repetition that re-timed at 1.8 s on an idle host — a single
