@@ -5577,7 +5577,87 @@ object Queries {
             (SELECT COALESCE(SUM(bin_tokens), 0) FROM bins))
         SELECT stage_idx::BIGINT AS stage_idx, stage, rows_in::BIGINT AS rows_in,
                rows_out::BIGINT AS rows_out, tokens_out::BIGINT AS tokens_out
-        FROM acct ORDER BY stage_idx"""))
+        FROM acct ORDER BY stage_idx""")),
+
+    // LSH INDEX MAINTENANCE (VERDICT r11 #3): the ingest loop's upsert
+    // verb, oracle-checked by its REBUILD-EQUIVALENCE contract. Batch 1
+    // (the %3=1 slice PLUS re-crawled versions of the %30=0 corpus docs
+    // — same ids, upper-cased text, exercising the supersede path) is
+    // flagged against the %3=0 corpus index, then upserted into it;
+    // batch 2 (%3=2) is flagged against the UPSERTED index. The oracle
+    // replays batch 2's decisions against an index REBUILT from scratch
+    // on the merged corpus (old version rows dropped, new appended) —
+    // hash-equality proves upsert ≡ rebuild. Same md5-seed MinHash
+    // family and band arithmetic as q_minhash_lsh (12 hashes × 3 rows
+    // → 4 bands); the engine joins on xxhash64 band hashes, the oracle
+    // on band signature strings — equal iff the band rows are equal
+    // (the q_minhash_lsh collision argument). Exact band-relation
+    // parity (upsert vs rebuild) is additionally spec-pinned in
+    // Round12OpsSpec; the streaming ingest→flag→accept→upsert loop in
+    // StreamingNearDupSpec.
+    Declared("q_dedup_index_upsert",
+      (s, d) => {
+        val docs = documents(s, d)
+        val c0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select("doc_id", "text")
+        val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .select("doc_id", "text")
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(30)) === 0)
+            .select(col("doc_id"), upper(col("text")).as("text")))
+        val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select("doc_id", "text")
+        val idx0Bands = DedupOps.corpusBandDocs(c0, 12, 3,
+          DedupOps.Md5SeedHash60).lineageTruncate()
+        val idx0Sets = DedupOps.corpusHashedSets(c0).lineageTruncate()
+        val dec1 = DedupOps.dedupAgainstIndex(b1, idx0Bands, 12, 3,
+          DedupOps.Md5SeedHash60)
+        val (idx1Bands, _) = DedupOps.indexUpsert(idx0Bands, idx0Sets, b1,
+          12, 3, DedupOps.Md5SeedHash60)
+        val dec2 = DedupOps.dedupAgainstIndex(b2, idx1Bands.lineageTruncate(),
+          12, 3, DedupOps.Md5SeedHash60)
+        dec1.withColumn("batch_no", lit(1L))
+          .unionByName(dec2.withColumn("batch_no", lit(2L)))
+          .select("batch_no", "doc_id", "matched_corpus")
+          .orderBy("batch_no", "doc_id")
+      },
+      Some("""WITH
+        c0 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        b1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+              UNION ALL SELECT doc_id, upper(text) FROM documents WHERE doc_id % 30 = 0),
+        b2 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        c1 AS MATERIALIZED (SELECT doc_id, text FROM c0 WHERE doc_id % 30 <> 0
+              UNION ALL SELECT doc_id, text FROM b1),
+        ad AS MATERIALIZED (
+          SELECT 'c0' AS tag, doc_id, text FROM c0
+          UNION ALL SELECT 'b1', doc_id, text FROM b1
+          UNION ALL SELECT 'c1', doc_id, text FROM c1
+          UNION ALL SELECT 'b2', doc_id, text FROM b2),
+        w AS (SELECT DISTINCT tag, doc_id, unnest(string_split(text, ' ')) AS word FROM ad),
+        hx AS (SELECT tag, doc_id, s.i AS seed,
+                 MIN(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) AS mh
+               FROM w CROSS JOIN range(12) s(i)
+               GROUP BY tag, doc_id, s.i),
+        bands AS MATERIALIZED (
+          SELECT tag, doc_id, seed // 3 AS band_idx,
+            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+          FROM hx GROUP BY tag, doc_id, seed // 3),
+        m1 AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands c
+               ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+               WHERE a.tag = 'b1' AND c.tag = 'c0'),
+        m2 AS (SELECT DISTINCT a.doc_id FROM bands a JOIN bands c
+               ON a.band_idx = c.band_idx AND a.band_sig = c.band_sig
+               WHERE a.tag = 'b2' AND c.tag = 'c1'),
+        dec AS (
+          SELECT 1 AS batch_no, doc_id,
+            CASE WHEN doc_id IN (SELECT doc_id FROM m1) THEN 1 ELSE 0 END AS matched_corpus
+          FROM b1
+          UNION ALL
+          SELECT 2, doc_id,
+            CASE WHEN doc_id IN (SELECT doc_id FROM m2) THEN 1 ELSE 0 END
+          FROM b2)
+        SELECT batch_no::BIGINT AS batch_no, doc_id,
+               matched_corpus::BIGINT AS matched_corpus
+        FROM dec ORDER BY batch_no, doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

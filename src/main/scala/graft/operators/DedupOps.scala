@@ -382,6 +382,73 @@ object DedupOps {
       graft.plans.SortedHashedSet.sortedHashedSet(
         split(col("text"), " ")).as("cws"))
 
+  /** INDEX MAINTENANCE (VERDICT r11 #3) — the missing third verb of the
+    * production ingest loop `flag → accept → upsert`: fold an accepted
+    * batch of (doc_id, text) into the persisted [[corpusBandDocs]] /
+    * [[corpusHashedSets]] relations, returning the updated pair.
+    * Semantics are REBUILD-EQUIVALENT: rows of superseded doc ids (an
+    * accepted doc re-using an existing corpus id is a replacement —
+    * the re-crawl/new-version case) are dropped from both relations,
+    * then the batch's freshly derived bands and hashed sets append.
+    * `q_dedup_index_upsert` hash-checks exactly that contract: flag
+    * decisions through an upserted index equal decisions through an
+    * index rebuilt from scratch on the merged corpus.
+    *
+    * Scale shape: the supersede prune is a BROADCAST anti-join on the
+    * accepted batch's id set — a micro-batch is small by construction,
+    * so the corpus-sized index relations never shuffle; the append is
+    * shuffle-free union. Per-upsert cost is O(index scan + batch
+    * derivation), and the scan goes away entirely on storage that
+    * supports keyed MERGE/delete (the anti-join is then the sink's
+    * DELETE WHERE corpus_id IN (batch)). Callers persist the returned
+    * frames (or lineage-truncate per round in a loop — the iterative
+    * plan-depth discipline of [[connectedComponents]]); chaining
+    * upserts WITHOUT truncation grows the plan by one anti-join +
+    * union per round.
+    */
+  def indexUpsert(corpusBandDocs: DataFrame, corpusSets: DataFrame,
+                  acceptedBatch: DataFrame,
+                  numHashes: Int, rowsPerBand: Int,
+                  seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                    XxSeedHash): (DataFrame, DataFrame) = {
+    val ids = acceptedBatch.select(col("doc_id").as("corpus_id"))
+    val bands = corpusBandDocs
+      .join(broadcast(ids), Seq("corpus_id"), "left_anti")
+      .unionByName(bandFrame(acceptedBatch, numHashes, rowsPerBand, seedHash)
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash")))
+    val sets = corpusSets
+      .join(broadcast(ids), Seq("corpus_id"), "left_anti")
+      .unionByName(corpusHashedSets(acceptedBatch))
+    (bands, sets)
+  }
+
+  /** [[dedupAgainstCorpus]]'s flag decision computed from a PERSISTED
+    * index relation instead of the raw corpus — the batch prober of the
+    * `flag → accept → upsert` loop (its streaming twin probes the same
+    * relation in [[graft.streaming.StreamingOps
+    * .flagNearDupsStreamVerifiedIndexed]]). Accepts either
+    * [[corpusBandDocs]] (ids projected away) or [[corpusBandIndex]].
+    * Same left-semi shape and scale stance as [[dedupAgainstCorpus]];
+    * the index must have been built with the SAME (numHashes,
+    * rowsPerBand, seedHash) — a mismatched family silently flags
+    * nothing (the one-hash-family contract).
+    */
+  def dedupAgainstIndex(batch: DataFrame, corpusBands: DataFrame,
+                        numHashes: Int, rowsPerBand: Int,
+                        seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                          XxSeedHash): DataFrame = {
+    val matched = bandFrame(batch, numHashes, rowsPerBand, seedHash)
+      .join(corpusBands.select("band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("matched_corpus", lit(1L))
+    batch.select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched_corpus"), lit(0L)).as("matched_corpus"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
     * (#equal signature minima)/numHashes — the unbiased estimator the
     * signatures exist for (P[min_i(A) = min_i(B)] = J(A,B) per seed).
