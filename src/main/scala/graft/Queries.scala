@@ -5657,7 +5657,65 @@ object Queries {
           FROM b2)
         SELECT batch_no::BIGINT AS batch_no, doc_id,
                matched_corpus::BIGINT AS matched_corpus
-        FROM dec ORDER BY batch_no, doc_id"""))
+        FROM dec ORDER BY batch_no, doc_id""")),
+
+    // LSH BAND-PARAMETER CALIBRATION (VERDICT r11 #6): the S-curve
+    // catch probability p = 1 − (1 − τ^r)^b for every production
+    // (numHashes, rowsPerBand) config plus the nearby alternatives, at
+    // τ ∈ {50,70,80,90}% — as EXACT ppm integers (both engines replay
+    // the identical truncating fixed-point power chain, Spark via
+    // codegen'd `aggregate(sequence(...))` folds, DuckDB via recursive
+    // CTEs — an audited relation, not a float approximation). This
+    // turns the library's band constants into checked engineering:
+    // the verified tier's 32×2 config reads catch_ppm 989979 at τ=50%
+    // and ≥999980 from τ=70% up — WHY its candidate recall meets the
+    // q_ann_recall_audit floor; q_minhash_lsh's 12×3 shows the sharper
+    // knee (413820 @ 50% vs 943288 @ 80%) that makes it the
+    // low-cost/high-τ config. Pure arithmetic — no table read — so the
+    // relation is SF-invariant by construction.
+    Declared("q_lsh_calibration",
+      (s, d) => {
+        import s.implicits._
+        val rows = for {
+          (nh, rpb) <- Seq((12, 3), (16, 2), (32, 2), (32, 4), (64, 4))
+          t <- Seq(500000L, 700000L, 800000L, 900000L)
+        } yield (nh.toLong, rpb.toLong, (nh / rpb).toLong, t)
+        rows.toDF("num_hashes", "rows_per_band", "num_bands", "tau_ppm")
+          .withColumn("tau_pow_r_ppm",
+            expr("aggregate(sequence(1L, rows_per_band), 1000000L, " +
+              "(acc, i) -> (acc * tau_ppm) div 1000000L)"))
+          .withColumn("catch_ppm",
+            expr("1000000L - aggregate(sequence(1L, num_bands), 1000000L, " +
+              "(acc, i) -> (acc * (1000000L - tau_pow_r_ppm)) div 1000000L)"))
+          .orderBy("num_hashes", "rows_per_band", "tau_ppm")
+      },
+      Some("""WITH RECURSIVE
+        grid(num_hashes, rows_per_band, tau_ppm) AS (
+          SELECT g.nh, g.rpb, t.tau
+          FROM (VALUES (12, 3), (16, 2), (32, 2), (32, 4), (64, 4)) g(nh, rpb)
+          CROSS JOIN (VALUES (500000), (700000), (800000), (900000)) t(tau)),
+        pr(num_hashes, rows_per_band, tau_ppm, i, x) AS (
+          SELECT num_hashes, rows_per_band, tau_ppm, 0, CAST(1000000 AS BIGINT) FROM grid
+          UNION ALL
+          SELECT num_hashes, rows_per_band, tau_ppm, i + 1, x * tau_ppm // 1000000
+          FROM pr WHERE i < rows_per_band),
+        sr AS (SELECT num_hashes, rows_per_band, tau_ppm, x AS tau_pow_r_ppm
+               FROM pr WHERE i = rows_per_band),
+        pb(num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j, y) AS (
+          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, 0,
+                 CAST(1000000 AS BIGINT) FROM sr
+          UNION ALL
+          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j + 1,
+                 y * (1000000 - tau_pow_r_ppm) // 1000000
+          FROM pb WHERE j < num_hashes // rows_per_band)
+        SELECT CAST(num_hashes AS BIGINT) AS num_hashes,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(num_hashes // rows_per_band AS BIGINT) AS num_bands,
+               CAST(tau_ppm AS BIGINT) AS tau_ppm,
+               CAST(tau_pow_r_ppm AS BIGINT) AS tau_pow_r_ppm,
+               CAST(1000000 - y AS BIGINT) AS catch_ppm
+        FROM pb WHERE j = num_hashes // rows_per_band
+        ORDER BY num_hashes, rows_per_band, tau_ppm"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

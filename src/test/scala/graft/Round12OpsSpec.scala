@@ -68,6 +68,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(viaIndex.map(_.getLong(1)).toSet === Set(0L, 1L))
   }
 
+  test("q_lsh_calibration pins the production configs' recall claims") {
+    val rows = Queries.queries("q_lsh_calibration")(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)) -> r.getLong(5))
+      .toMap
+    // the q_neardup_lsh_verified/32x2 comment claims per-pair miss
+    // ~8e-8 at j >= 0.8 — below ppm resolution, so the calibrated
+    // catch saturates
+    assert(rows((32L, 2L, 800000L)) === 1000000L)
+    // q_minhash_lsh's 12x3 config is the high-τ/low-cost knee: strong
+    // at 80%, deliberately weak at 50%
+    assert(rows((12L, 3L, 800000L)) > 940000L)
+    assert(rows((12L, 3L, 500000L)) < 500000L)
+    // monotone in bands at fixed r: more bands can only help recall
+    assert(rows((32L, 2L, 500000L)) > rows((16L, 2L, 500000L)))
+  }
+
   test("upsert changes later decisions exactly as a rebuild does") {
     // doc 300 near-dups ACCEPTED doc 200 (5/7 shared words = 71%) —
     // invisible to the pre-upsert index, flagged by the post-upsert one.
