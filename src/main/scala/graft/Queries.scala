@@ -5377,6 +5377,58 @@ object Queries {
           WHERE bit_count(xor(a.fp, b.fp)) <= 3)
         ORDER BY kind, a_id, b_id""")),
 
+    // END-TO-END MEDIA INGEST (VERDICT r11 #5): the SAME deterministic
+    // PNG/WAV corpus, but materialized ONCE as real files (memoized on
+    // the documents.parquet fingerprint — the layout-rewrite
+    // precedent) and re-ingested through Spark's binaryFile
+    // datasource, so the declared relation exercises the full
+    // write→binaryFile-scan→decode→fingerprint loop, not just
+    // decode→fingerprint. media_id rides in the file NAME and is
+    // recovered by regexp from `path` (the manifest-free id contract
+    // writeMediaFiles documents); fingerprint math and oracle are
+    // IDENTICAL to q_media_fingerprint — any file lost, duplicated,
+    // or corrupted in the round-trip flips the hash compare.
+    Declared("q_media_ingest",
+      (s, d) => {
+        import graft.multimodal.MultimodalOps
+        val root = new java.io.File(
+          s"target/media_rb_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+        graft.sources.StorageOps.materializeCached(
+          s, s"media:$root", s"$d/documents.parquet", root) {
+          val ids = documents(s, d).filter(pmod(col("doc_id"), lit(25)) === 0)
+            .select(col("doc_id").as("media_id"))
+          // wipe any prior materialization first: a shrunken id set
+          // must not leave stale files for the directory scan to find
+          val rp = new org.apache.hadoop.fs.Path(root)
+          rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+          MultimodalOps.writeMediaFiles(
+            MultimodalOps.syntheticImages(ids), s"$root/img", "img_")
+          MultimodalOps.writeMediaFiles(
+            MultimodalOps.syntheticAudio(ids), s"$root/au", "au_")
+        }
+        def recover(df: DataFrame, re: String) =
+          df.withColumn("media_id",
+              regexp_extract(col("path"), re, 1).cast("long"))
+            .select("media_id", "payload", "meta")
+        val img = MultimodalOps.imageDHashes(recover(
+          MultimodalOps.fromBinaryFiles(s, s"$root/img", "image"),
+          "img_(\\d+)\\.png$"))
+          .select(lit("image").as("kind"), col("media_id"),
+            col("dhash").as("fp"))
+        val aud = MultimodalOps.audioFingerprints(recover(
+          MultimodalOps.fromBinaryFiles(s, s"$root/au", "audio"),
+          "au_(\\d+)\\.wav$"))
+          .select(lit("audio").as("kind"), col("media_id"),
+            col("afp").as("fp"))
+        img.unionByName(aud).orderBy("kind", "media_id")
+      },
+      Some(s"""WITH $mediaSigCtes
+        SELECT kind, media_id, fp FROM (
+          SELECT 'audio' AS kind, media_id, fp FROM aud
+          UNION ALL
+          SELECT 'image' AS kind, media_id, fp FROM img)
+        ORDER BY kind, media_id""")),
+
     // BUCKETED-LAYOUT READ-BACK (VERDICT r9 #3): the write path gets a
     // DECLARED query, not only a plan spec — both sides are re-bucketed
     // by the join key into the session catalog (8 buckets), then joined

@@ -327,6 +327,31 @@ object MultimodalOps {
       spark.sparkContext.parallelize(data), MediaSchema)
   }
 
+  /** Materialize a media frame as one REAL file per row under `dir` —
+    * the write half of the ingest loop whose read half is
+    * [[fromBinaryFiles]]. Runs on the EXECUTORS via the Hadoop
+    * FileSystem API (`file://` here; `hdfs://`/`s3a://` resolve the
+    * same way on a cluster — the task-side Configuration picks up the
+    * cluster's core-site defaults), so no corpus byte ever transits
+    * the driver. Files are named `<prefix><media_id>.<meta.format>`,
+    * which lets an id-keyed pipeline recover `media_id` from `path`
+    * after a binaryFile scan without a manifest join.
+    */
+  def writeMediaFiles(media: DataFrame, dir: String, prefix: String): Unit = {
+    media.select("media_id", "payload", "meta.format").rdd.foreachPartition { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      fs.mkdirs(base)
+      it.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(base,
+          s"$prefix${r.getLong(0)}.${r.getString(2)}")
+        val out = fs.create(p, true)
+        try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+      }
+    }
+  }
+
   /** The real at-scale ingest path: Spark's built-in `binaryFile`
     * datasource reads a directory tree of media files as (path, length,
     * content) rows — distributed, no driver materialization, partition

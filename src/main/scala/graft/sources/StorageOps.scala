@@ -358,6 +358,27 @@ object StorageOps {
     }
   }
 
+  /** Generic (session, key, source-fingerprint) memo runner for a
+    * derived on-disk artifact — the [[writeBucketedTableCached]] /
+    * [[compactZOrderCached]] pattern factored out so new derived
+    * layouts (e.g. the media corpus files) inherit the same staleness
+    * contract: `build` runs when the memoized fingerprint for `key` is
+    * missing/stale (fresh JVM, regenerated source files) or `outDir`
+    * is gone; otherwise the existing artifact is reused. `srcDir` must
+    * be the files the artifact derives from.
+    */
+  def materializeCached(spark: SparkSession, key: String, srcDir: String,
+                        outDir: String)(build: => Unit): Unit = {
+    val fp = dirFingerprint(spark, srcDir)
+    val memo = memoFor(spark)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (memo.get(key) != fp || !outFs.exists(outPath)) {
+      build
+      memo.put(key, fp)
+    }
+  }
+
   /** Run `df` to a parquet sink while OBSERVING row counts and a null
     * tally on `keyCol` — `Observation` rides the existing job (metrics
     * accumulate on the executors during the write itself), so the
