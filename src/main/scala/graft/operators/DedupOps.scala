@@ -449,6 +449,38 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The VERIFIED batch prober against PERSISTED index relations — the
+    * exact batch twin of [[graft.streaming.StreamingOps
+    * .flagNearDupsStreamVerifiedIndexed]]: band collisions against
+    * `corpusBandDocs` nominate candidates, candidate pairs dedup
+    * BEFORE the verify join (a true duplicate collides in most bands;
+    * verifying once per (doc, partner) pair, not per band), and only
+    * pairs passing the exact integer `jaccard ≥ minJaccardPct`
+    * merge-walk survive. Returns the flagged doc_ids — precision is
+    * exact, recall is the LSH candidate recall, identical to every
+    * batch verify pipeline. Same one-hash-family contract as
+    * [[dedupAgainstIndex]].
+    */
+  def flagAgainstIndexVerified(batch: DataFrame, corpusBandDocs: DataFrame,
+                               corpusSets: DataFrame,
+                               numHashes: Int, rowsPerBand: Int,
+                               minJaccardPct: Int,
+                               seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                                 XxSeedHash): DataFrame = {
+    val hs = graft.plans.SortedHashedSet.sortedHashedSet(split(col("text"), " "))
+    bandFrame(batch.withColumn("ws", hs), numHashes, rowsPerBand,
+      seedHash, carry = Seq("ws"))
+      .join(corpusBandDocs, Seq("band_idx", "band_hash"))
+      .dropDuplicates("doc_id", "corpus_id")
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("common",
+        graft.plans.VecDot.sortedIntersectCount(col("ws"), col("cws")))
+      .withColumn("union_size",
+        size(col("ws")).cast("long") + size(col("cws")).cast("long") - col("common"))
+      .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
+      .select("doc_id").distinct()
+  }
+
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
     * (#equal signature minima)/numHashes — the unbiased estimator the
     * signatures exist for (P[min_i(A) = min_i(B)] = J(A,B) per seed).

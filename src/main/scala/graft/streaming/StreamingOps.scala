@@ -388,6 +388,108 @@ object StreamingOps {
       .select("doc_id", "ts_ts")
   }
 
+  /** Per-micro-batch accounting row emitted by [[curateIngest]]:
+    * `rowsIn = rejectedQuality + rejectedExact + rejectedNearDup +
+    * accepted` — every arriving document gets exactly one decision.
+    */
+  final case class CurateBatchStats(batchId: Long, rowsIn: Long,
+      rejectedQuality: Long, rejectedExact: Long,
+      rejectedNearDup: Long, accepted: Long)
+
+  /** Handle on a running curation-ingest loop: the writer to start,
+    * plus an accessor for the CURRENT maintained index relations (for
+    * persistence between restarts, or the rebuild-parity audit).
+    */
+  final case class CurateIngest(writer: DataStreamWriter[Row],
+      index: () => (DataFrame, DataFrame))
+
+  /** CONTINUOUS CURATION INGEST (round 13) — the streaming composition
+    * of the batch curation pipeline's ingest-side stages, closing the
+    * loop the r11/r12 pieces built: each micro-batch runs
+    *
+    *   quality filter → in-batch exact dedup → VERIFIED near-dup probe
+    *   against the maintained LSH index → accept survivors →
+    *   [[graft.operators.DedupOps.indexUpsert]] of the accepted docs
+    *
+    * via `foreachBatch`, so every stage is the already-audited BATCH
+    * operator (batch-vs-stream parity by construction, not by parallel
+    * implementation) and sinks get exactly-once per micro-batch.
+    * DSIR selection stays an offline corpus-level pass by design
+    * ([[scoreDsirStream]] is the per-doc streaming scorer; RE-sampling
+    * a corpus is not an ingest decision).
+    *
+    * The maintained index lives as two lineage-truncated frames swapped
+    * per batch — executor-local blocks here; a production deployment
+    * sets `spark.graft.checkpointDir` (the one-conf [[graft.operators
+    * .Lineage]] switch) so each round's truncation lands in reliable
+    * storage, or persists `index()` to a MERGE-capable table per batch.
+    * State is bounded: index size tracks accepted-corpus size (bands +
+    * hashed word sets), never raw arrival volume — rejected docs leave
+    * nothing behind.
+    *
+    * `batch` must carry (doc_id, text); `n_chars` is derived when
+    * absent. Stats flow through `onStats` on the driver per batch (the
+    * chunked-load progress precedent) — their invariant (decisions
+    * partition arrivals) is spec-pinned.
+    */
+  def curateIngest(stream: DataFrame,
+                   initialBands: DataFrame, initialSets: DataFrame,
+                   numHashes: Int, rowsPerBand: Int, minJaccardPct: Int,
+                   stopwords: Seq[String], minWords: Long,
+                   maxStopwordPpm: Long,
+                   checkpoint: String,
+                   writeAccepted: (DataFrame, Long) => Unit,
+                   onStats: CurateBatchStats => Unit = _ => ()): CurateIngest = {
+    import graft.operators.{DedupOps, TextOps}
+    import graft.operators.Lineage.LineageOps
+    // the maintained index — truncated per round so the loop's plan
+    // depth stays O(1) across unbounded batches (the CC discipline)
+    var bands = initialBands.lineageTruncate()
+    var sets = initialSets.lineageTruncate()
+    // default trigger (continuous micro-batches) — an ingest loop runs
+    // until stopped; callers needing drain-and-stop set AvailableNow on
+    // the returned writer
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        val batch = (if (batch0.columns.contains("n_chars")) batch0
+          else batch0.withColumn("n_chars", length(col("text")).cast("long")))
+          .persist()
+        try {
+          val rowsIn = batch.count()
+          // 1 — quality: the q_quality_filter integer-ppm thresholds
+          val q = TextOps.textQuality(batch, stopwords)
+            .filter(col("n_words") >= minWords &&
+              col("stopword_ppm") < maxStopwordPpm)
+            .select("doc_id")
+          val d1 = batch.join(q, Seq("doc_id"), "left_semi")
+          // 2 — in-batch exact dedup (smallest doc_id keeps)
+          val keep = d1.groupBy(md5(col("text")).as("__fp"))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+          val d2 = d1.join(keep, Seq("doc_id"), "left_semi")
+            .lineageTruncate()  // consumed 3× below (flag, accept, upsert)
+          val n1 = d1.count(); val n2 = d2.count()
+          // 3 — verified near-dup probe against the CURRENT index
+          val flagged = DedupOps.flagAgainstIndexVerified(
+            d2, bands, sets, numHashes, rowsPerBand, minJaccardPct)
+          val accepted = d2.join(flagged, Seq("doc_id"), "left_anti")
+            .lineageTruncate()  // consumed by sink AND upsert
+          val nAcc = accepted.count()
+          // 4 — accept: exactly-once per micro-batch through the sink
+          writeAccepted(accepted, id)
+          // 5 — upsert: accepted docs join the corpus for batch k+1
+          val up = DedupOps.indexUpsert(bands, sets,
+            accepted.select("doc_id", "text"), numHashes, rowsPerBand)
+          bands = up._1.lineageTruncate()
+          sets = up._2.lineageTruncate()
+          onStats(CurateBatchStats(id, rowsIn,
+            rejectedQuality = rowsIn - n1, rejectedExact = n1 - n2,
+            rejectedNearDup = n2 - nAcc, accepted = nAcc))
+        } finally batch.unpersist()
+      }
+    CurateIngest(writer, () => (bands, sets))
+  }
+
   /** STREAMING DSIR scoring — fit offline, score online: the posterior
     * table from [[graft.operators.TextOps.importancePosteriors]] (a
     * FIXED 2^k rows at any corpus size — the bound that makes hashed
