@@ -71,75 +71,101 @@ object CurationPipeline {
     * `benchmark` must carry (doc_id, text, lang, source); `benchmark`
     * is the held-out eval slice decontamination guards against.
     */
+  /** Wall-clock a stage's eager materialization into `onStage`:
+    * truncation is eager, so each block's elapsed time IS that stage's
+    * compute cost — the per-stage timing feed a production pipeline
+    * reports next to its row accounting (and the attribution tool this
+    * round's 7 s suite-cost triage needed).
+    */
+  private def timed[A](name: String, onStage: (String, Double) => Unit)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    onStage(name, (System.nanoTime() - t0) / 1e9); r
+  }
+
   def stages(documents: DataFrame, benchmark: DataFrame,
-             p: Params = Params()): Stages = {
+             p: Params = Params(),
+             onStage: (String, Double) => Unit = (_, _) => ()): Stages = {
     // n_chars rides along for [[TextOps.textQuality]]'s
     // chars-per-word signal (part of the documents contract schema)
-    val input = documents.select("doc_id", "text", "lang", "source", "n_chars")
-      .lineageTruncate()
+    val input = timed("input", onStage) {
+      documents.select("doc_id", "text", "lang", "source", "n_chars")
+        .lineageTruncate()
+    }
 
     // 1 — exact dedup: keep the smallest doc_id per identical text
     // (the [[DedupOps.exactDedup]] keeper rule; 16-byte md5 keys
     // shuffle, bodies don't).
-    val keepExact = input
-      .groupBy(md5(col("text")).as("__fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val d1 = input.join(keepExact, Seq("doc_id"), "left_semi")
-      .lineageTruncate()
+    val d1 = timed("exact_dedup", onStage) {
+      val keepExact = input
+        .groupBy(md5(col("text")).as("__fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      input.join(keepExact, Seq("doc_id"), "left_semi")
+        .lineageTruncate()
+    }
 
     // 2 — near-dup canonical keepers: banded-LSH verified Jaccard
     // pairs → contracted connected components → keep the
     // most-token member per cluster (tie → smallest doc_id, the
     // [[DedupOps.canonicalKeepers]] policy); singletons pass through.
-    val pairs = DedupOps.lshVerifiedJaccardPairsUnsorted(
-      d1, p.numHashes, p.rowsPerBand, p.minJaccardPct)
-      .select("a_id", "b_id")
-    val clustered = DedupOps.connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-    val toks = d1.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val keeperIds = clustered.join(toks, "doc_id")
-      .groupBy("cluster_id")
-      .agg(max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id")))
-        .as("doc_id"))
-      .select("doc_id")
-    val dropNearDup = clustered.select("doc_id")
-      .join(keeperIds, Seq("doc_id"), "left_anti")
-    val d2 = d1.join(dropNearDup, Seq("doc_id"), "left_anti")
-      .lineageTruncate()
+    val d2 = timed("neardup_canonical", onStage) {
+      val pairs = DedupOps.lshVerifiedJaccardPairsUnsorted(
+        d1, p.numHashes, p.rowsPerBand, p.minJaccardPct)
+        .select("a_id", "b_id")
+      val clustered = DedupOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val toks = d1.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val keeperIds = clustered.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"), struct(col("n_tokens"), -col("doc_id")))
+          .as("doc_id"))
+        .select("doc_id")
+      val dropNearDup = clustered.select("doc_id")
+        .join(keeperIds, Seq("doc_id"), "left_anti")
+      d1.join(dropNearDup, Seq("doc_id"), "left_anti")
+        .lineageTruncate()
+    }
 
     // 3 — decontaminate vs the held-out benchmark: drop any survivor
     // sharing ≥ minSharedShingles word n-grams with ANY benchmark doc
     // ([[DedupOps.decontaminate]] — benchmark shingles broadcast).
-    val contaminated = DedupOps.decontaminate(
-      d2, benchmark, p.ngramN, p.minSharedShingles)
-      .select("doc_id").distinct()
-    val d3 = d2.join(contaminated, Seq("doc_id"), "left_anti")
-      .lineageTruncate()
+    val d3 = timed("decontaminate", onStage) {
+      val contaminated = DedupOps.decontaminate(
+        d2, benchmark, p.ngramN, p.minSharedShingles)
+        .select("doc_id").distinct()
+      d2.join(contaminated, Seq("doc_id"), "left_anti")
+        .lineageTruncate()
+    }
 
     // 4 — quality filter: the [[TextOps.textQuality]] integer-ppm
     // arithmetic with the q_quality_filter thresholds.
-    val passQuality = TextOps.textQuality(d3, p.stopwords)
-      .filter(col("n_words") >= p.minWords &&
-        col("stopword_ppm") < p.maxStopwordPpm)
-      .select("doc_id")
-    val d4 = d3.join(passQuality, Seq("doc_id"), "left_semi")
-      .lineageTruncate()
+    val d4 = timed("quality_filter", onStage) {
+      val passQuality = TextOps.textQuality(d3, p.stopwords)
+        .filter(col("n_words") >= p.minWords &&
+          col("stopword_ppm") < p.maxStopwordPpm)
+        .select("doc_id")
+      d3.join(passQuality, Seq("doc_id"), "left_semi")
+        .lineageTruncate()
+    }
 
     // 5 — DSIR selection: importance weights fitted ON THE SURVIVORS
     // (raw = d4, target = d4's en slice) — selection adapts to what
     // earlier stages kept, which is exactly the cross-stage coupling a
     // composed pipeline exists to exercise. Deterministic md5 gate.
-    val selected = TextOps.importanceResample(
-      d4, d4.filter(col("lang") === "en"), p.dsirBuckets)
-      .select("doc_id")
-    val d5 = d4.join(selected, Seq("doc_id"), "left_semi")
-      .lineageTruncate()
+    val d5 = timed("dsir_select", onStage) {
+      val selected = TextOps.importanceResample(
+        d4, d4.filter(col("lang") === "en"), p.dsirBuckets)
+        .select("doc_id")
+      d4.join(selected, Seq("doc_id"), "left_semi")
+        .lineageTruncate()
+    }
 
     // 6 — sequence packing into fixed token bins per (source, shard).
-    val bins = TextOps.packSequences(d5, p.packBudgetTokens, p.packShardDocs)
-      .lineageTruncate()
+    val bins = timed("pack", onStage) {
+      TextOps.packSequences(d5, p.packBudgetTokens, p.packShardDocs)
+        .lineageTruncate()
+    }
 
     Stages(input, d1, d2, d3, d4, d5, bins)
   }
