@@ -397,6 +397,121 @@ object Queries {
       FROM p WHERE bit_count(xor(sa, sb)) <= $maxHamming ORDER BY a_id, b_id"""
   }
 
+  /** The LSH band-parameter S-curve relation shared by
+    * q_lsh_calibration and q_lsh_autoconfig: catch probability
+    * p = 1 − (1 − τ^r)^b for the production configs and nearby
+    * alternatives, as exact truncating fixed-point ppm integers (both
+    * engines replay the identical power chain — Spark via codegen'd
+    * `aggregate(sequence(...))` folds, DuckDB via recursive CTEs).
+    * Pure arithmetic, no table read — SF-invariant by construction.
+    */
+  private def lshCalibration(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      (nh, rpb) <- Seq((12, 3), (16, 2), (32, 2), (32, 4), (64, 4))
+      t <- Seq(500000L, 700000L, 800000L, 900000L)
+    } yield (nh.toLong, rpb.toLong, (nh / rpb).toLong, t)
+    rows.toDF("num_hashes", "rows_per_band", "num_bands", "tau_ppm")
+      .withColumn("tau_pow_r_ppm",
+        expr("aggregate(sequence(1L, rows_per_band), 1000000L, " +
+          "(acc, i) -> (acc * tau_ppm) div 1000000L)"))
+      .withColumn("catch_ppm",
+        expr("1000000L - aggregate(sequence(1L, num_bands), 1000000L, " +
+          "(acc, i) -> (acc * (1000000L - tau_pow_r_ppm)) div 1000000L)"))
+  }
+
+  /** The recursive-CTE DuckDB replay of [[lshCalibration]] — the shared
+    * prefix of the q_lsh_calibration and q_lsh_autoconfig oracles,
+    * ending in a `cal` CTE with the same six columns.
+    */
+  private val lshCalibrationCtes: String =
+    """grid(num_hashes, rows_per_band, tau_ppm) AS (
+          SELECT g.nh, g.rpb, t.tau
+          FROM (VALUES (12, 3), (16, 2), (32, 2), (32, 4), (64, 4)) g(nh, rpb)
+          CROSS JOIN (VALUES (500000), (700000), (800000), (900000)) t(tau)),
+        pr(num_hashes, rows_per_band, tau_ppm, i, x) AS (
+          SELECT num_hashes, rows_per_band, tau_ppm, 0, CAST(1000000 AS BIGINT) FROM grid
+          UNION ALL
+          SELECT num_hashes, rows_per_band, tau_ppm, i + 1, x * tau_ppm // 1000000
+          FROM pr WHERE i < rows_per_band),
+        sr AS (SELECT num_hashes, rows_per_band, tau_ppm, x AS tau_pow_r_ppm
+               FROM pr WHERE i = rows_per_band),
+        pb(num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j, y) AS (
+          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, 0,
+                 CAST(1000000 AS BIGINT) FROM sr
+          UNION ALL
+          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j + 1,
+                 y * (1000000 - tau_pow_r_ppm) // 1000000
+          FROM pb WHERE j < num_hashes // rows_per_band),
+        cal AS (SELECT CAST(num_hashes AS BIGINT) AS num_hashes,
+               CAST(rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(num_hashes // rows_per_band AS BIGINT) AS num_bands,
+               CAST(tau_ppm AS BIGINT) AS tau_ppm,
+               CAST(tau_pow_r_ppm AS BIGINT) AS tau_pow_r_ppm,
+               CAST(1000000 - y AS BIGINT) AS catch_ppm
+        FROM pb WHERE j = num_hashes // rows_per_band)"""
+
+  /** DuckDB replay of [[graft.operators.TextOps.bpeFit]]: `rounds`
+    * unrolled merge rounds (the IVF-Lloyd generated-oracle precedent —
+    * the round count and vocabulary cap provably match the declared
+    * query's). Per round: adjacent-pair counts weighted by word
+    * frequency → best pair by (count DESC, left, right) → merge applied
+    * relationally with the gaps-and-islands parity rule that equals the
+    * engine's leftmost-nonoverlapping fold (see
+    * [[graft.plans.BpeMergePair]] for the equivalence argument).
+    */
+  private def bpeOracle(rounds: Int, topWords: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""p$t AS (
+        SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest([{'l': syms[i], 'r': syms[i+1]}
+                for i in range(1, len(syms))]) AS u FROM s${t - 1})
+        GROUP BY u.l, u.r),
+      b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+      e$t AS (SELECT word, freq, u.pos AS pos, u.sym AS sym
+        FROM (SELECT word, freq, unnest([{'pos': i, 'sym': syms[i]}
+                for i in range(1, len(syms) + 1)]) AS u FROM s${t - 1})),
+      c$t AS (SELECT e.word, e.freq, e.pos, e.sym, b.l, b.r,
+          (e.sym = b.l AND
+           lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) = b.r) AS cand
+        FROM e$t e CROSS JOIN b$t b),
+      g$t AS (SELECT *, CASE WHEN cand THEN
+            pos - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos)
+          END AS isl FROM c$t),
+      k$t AS (SELECT *, cand AND
+            (pos - MIN(pos) OVER (PARTITION BY word, isl)) % 2 = 0 AS strt
+        FROM g$t),
+      s$t AS (SELECT word, any_value(freq) AS freq,
+          list(sym2 ORDER BY pos) FILTER (sym2 IS NOT NULL) AS syms
+        FROM (SELECT word, freq, pos,
+                CASE WHEN strt THEN l || r
+                     WHEN lag(strt) OVER (PARTITION BY word ORDER BY pos)
+                       THEN NULL
+                     ELSE sym END AS sym2
+              FROM k$t)
+        GROUP BY word)"""
+    }.mkString(",\n      ")
+    val rows = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS merge_round, b$t.l AS lsym,
+          b$t.r AS rsym, b$t.cnt AS pair_count,
+          (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM s$t)
+            AS corpus_symbols,
+          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+           FROM (SELECT unnest(syms) AS sym FROM s$t) u) AS vocab_symbols
+        FROM b$t"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH wc AS (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY freq DESC, word LIMIT $topWords),
+      s0 AS (SELECT word, freq,
+        [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
+        FROM wc),
+      $roundCtes
+      $rows
+      ORDER BY merge_round"""
+  }
+
   val all: Seq[Declared] = Seq(
 
     // ================= 2.A / 2.F — scans, sorts, limits =================
@@ -5726,48 +5841,73 @@ object Queries {
     // low-cost/high-τ config. Pure arithmetic — no table read — so the
     // relation is SF-invariant by construction.
     Declared("q_lsh_calibration",
+      (s, d) => lshCalibration(s)
+        .orderBy("num_hashes", "rows_per_band", "tau_ppm"),
+      Some(s"""WITH RECURSIVE $lshCalibrationCtes
+        SELECT * FROM cal
+        ORDER BY num_hashes, rows_per_band, tau_ppm""")),
+
+    // BAND-PARAMETER AUTOCONFIG (round 13): close the loop the
+    // calibration opened — given (τ, recall floor) requirements, pick
+    // the CHEAPEST grid config whose S-curve catch probability meets
+    // the floor. Cost order: num_hashes first (signature compute +
+    // storage per doc), then num_bands (banded shuffle rows per doc) —
+    // fully deterministic. The four requirements are chosen so
+    // different configs win (12×3 for the loose τ=0.8 floor, 16×2 at
+    // τ=0.7/0.99, 32×2 where only a wide-band config clears 0.98 at
+    // τ=0.5 or 0.999999 at τ=0.9) — the relation that documents WHICH
+    // config a pipeline should run for a stated recall target, not
+    // just what each config would catch.
+    Declared("q_lsh_autoconfig",
       (s, d) => {
         import s.implicits._
-        val rows = for {
-          (nh, rpb) <- Seq((12, 3), (16, 2), (32, 2), (32, 4), (64, 4))
-          t <- Seq(500000L, 700000L, 800000L, 900000L)
-        } yield (nh.toLong, rpb.toLong, (nh / rpb).toLong, t)
-        rows.toDF("num_hashes", "rows_per_band", "num_bands", "tau_ppm")
-          .withColumn("tau_pow_r_ppm",
-            expr("aggregate(sequence(1L, rows_per_band), 1000000L, " +
-              "(acc, i) -> (acc * tau_ppm) div 1000000L)"))
-          .withColumn("catch_ppm",
-            expr("1000000L - aggregate(sequence(1L, num_bands), 1000000L, " +
-              "(acc, i) -> (acc * (1000000L - tau_pow_r_ppm)) div 1000000L)"))
-          .orderBy("num_hashes", "rows_per_band", "tau_ppm")
+        val reqs = Seq(
+          (500000L, 980000L), (700000L, 990000L),
+          (800000L, 900000L), (900000L, 999999L))
+          .toDF("tau_ppm", "min_catch_ppm")
+        val byCost = Window.partitionBy("tau_ppm", "min_catch_ppm")
+          .orderBy("num_hashes", "num_bands")
+        reqs.join(lshCalibration(s), Seq("tau_ppm"))
+          .filter(col("catch_ppm") >= col("min_catch_ppm"))
+          .withColumn("rn", row_number().over(byCost))
+          .filter(col("rn") === 1)
+          .select("tau_ppm", "min_catch_ppm", "num_hashes",
+            "rows_per_band", "num_bands", "catch_ppm")
+          .orderBy("tau_ppm", "min_catch_ppm")
       },
-      Some("""WITH RECURSIVE
-        grid(num_hashes, rows_per_band, tau_ppm) AS (
-          SELECT g.nh, g.rpb, t.tau
-          FROM (VALUES (12, 3), (16, 2), (32, 2), (32, 4), (64, 4)) g(nh, rpb)
-          CROSS JOIN (VALUES (500000), (700000), (800000), (900000)) t(tau)),
-        pr(num_hashes, rows_per_band, tau_ppm, i, x) AS (
-          SELECT num_hashes, rows_per_band, tau_ppm, 0, CAST(1000000 AS BIGINT) FROM grid
-          UNION ALL
-          SELECT num_hashes, rows_per_band, tau_ppm, i + 1, x * tau_ppm // 1000000
-          FROM pr WHERE i < rows_per_band),
-        sr AS (SELECT num_hashes, rows_per_band, tau_ppm, x AS tau_pow_r_ppm
-               FROM pr WHERE i = rows_per_band),
-        pb(num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j, y) AS (
-          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, 0,
-                 CAST(1000000 AS BIGINT) FROM sr
-          UNION ALL
-          SELECT num_hashes, rows_per_band, tau_ppm, tau_pow_r_ppm, j + 1,
-                 y * (1000000 - tau_pow_r_ppm) // 1000000
-          FROM pb WHERE j < num_hashes // rows_per_band)
-        SELECT CAST(num_hashes AS BIGINT) AS num_hashes,
-               CAST(rows_per_band AS BIGINT) AS rows_per_band,
-               CAST(num_hashes // rows_per_band AS BIGINT) AS num_bands,
-               CAST(tau_ppm AS BIGINT) AS tau_ppm,
-               CAST(tau_pow_r_ppm AS BIGINT) AS tau_pow_r_ppm,
-               CAST(1000000 - y AS BIGINT) AS catch_ppm
-        FROM pb WHERE j = num_hashes // rows_per_band
-        ORDER BY num_hashes, rows_per_band, tau_ppm"""))
+      Some(s"""WITH RECURSIVE $lshCalibrationCtes,
+        reqs(tau_ppm, min_catch_ppm) AS (VALUES
+          (500000, 980000), (700000, 990000),
+          (800000, 900000), (900000, 999999)),
+        pick AS (SELECT c.tau_ppm, CAST(r.min_catch_ppm AS BIGINT) AS min_catch_ppm,
+            c.num_hashes, c.rows_per_band, c.num_bands, c.catch_ppm,
+            ROW_NUMBER() OVER (PARTITION BY c.tau_ppm, r.min_catch_ppm
+                               ORDER BY c.num_hashes, c.num_bands) AS rn
+          FROM reqs r JOIN cal c ON c.tau_ppm = r.tau_ppm
+          WHERE c.catch_ppm >= r.min_catch_ppm)
+        SELECT tau_ppm, min_catch_ppm, num_hashes, rows_per_band,
+               num_bands, catch_ppm
+        FROM pick WHERE rn = 1
+        ORDER BY tau_ppm, min_catch_ppm""")),
+
+    // ================= round-13 additions ===============================
+
+    // BPE TOKENIZER-MERGE FITTING (L4): the tokenizer-training step of
+    // a training-data pipeline — 6 rounds of most-frequent-adjacent-pair
+    // merging over the corpus vocabulary (Sennrich et al., ACL'16),
+    // emitting per round the chosen pair, its frequency-weighted count,
+    // and the post-merge corpus/vocab symbol accounting (corpus_symbols
+    // strictly decreases — the compression the fitted merges buy).
+    // Engine: one corpus-sized word count, then vocab-sized rounds with
+    // the fused fold expression (plans/BpeMergePair); tie-breaks are
+    // lexicographic under binary collation in both engines. Oracle:
+    // the identical rounds unrolled as CTEs (the IVF-Lloyd precedent),
+    // with the leftmost-nonoverlapping merge replayed relationally via
+    // the gaps-and-islands window parity rule (consecutive candidates
+    // only arise for same-symbol runs; keep even offsets).
+    Declared("q_bpe_merges",
+      (s, d) => TextOps.bpeFit(documents(s, d), rounds = 6, topWords = 31),
+      Some(bpeOracle(rounds = 6, topWords = 31)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1092,4 +1092,116 @@ object TextOps {
         expr("n_docs * 1000000L div bucket_docs").as("share_ppm"))
       .orderBy("bucket", "lang")
   }
+
+  /** L4 — BPE tokenizer-merge fitting (Sennrich et al., ACL'16): the
+    * tokenizer-training step of a training-data pipeline. Count every
+    * word ONCE (the only corpus-sized pass), split each distinct word
+    * into characters, then for `rounds` rounds: count adjacent symbol
+    * pairs weighted by word frequency, pick the most frequent pair
+    * (ties → lexicographically smallest (left, right) — deterministic
+    * in both engines under binary collation), and merge it everywhere
+    * (leftmost-nonoverlapping, [[graft.plans.BpeMergePair]]).
+    *
+    * Returns one row per round: (merge_round, lsym, rsym, pair_count,
+    * corpus_symbols, vocab_symbols) where corpus_symbols =
+    * Σ freq·|syms| AFTER the merge (the token count the fitted
+    * tokenizer would emit on the corpus — strictly decreasing) and
+    * vocab_symbols = the distinct-symbol count after the merge.
+    *
+    * Scale shape: after the one corpus pass, EVERY round operates on
+    * the distinct-word table (vocab-sized — millions of rows at 100 TB,
+    * bounded regardless of corpus size), so fitting cost is
+    * O(corpus + rounds · vocab). Driver state per round is one best-pair
+    * row and two accounting scalars (the bounded-collect convention of
+    * the IVF centroid loop); the vocab frame itself stays distributed,
+    * persisted per round and released as the next round lands. Stops
+    * early (fewer output rows) only if the vocabulary runs out of
+    * adjacent pairs — the declared query's (rounds, topWords) are sized
+    * so it never does on the shipped corpora.
+    */
+  def bpeFit(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wc = documents
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(topWords)
+    var syms = wc.select(col("word"), col("freq"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"))
+      .persist()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= rounds && !exhausted) {
+      val best = syms
+        .select(col("freq"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val next = syms.withColumn("syms",
+          graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
+          .persist()
+        val corpusSymbols = next
+          .agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
+        val vocabSymbols = next
+          .select(explode(col("syms")).as("sym")).distinct().count()
+        out += ((t.toLong, l, r, cnt, corpusSymbols, vocabSymbols))
+        syms.unpersist()
+        syms = next
+        t += 1
+      }
+    }
+    syms.unpersist()
+    out.toSeq.toDF("merge_round", "lsym", "rsym", "pair_count",
+      "corpus_symbols", "vocab_symbols")
+      .orderBy("merge_round")
+  }
+
+  /** The relational twin of [[graft.plans.BpeMergePair]] — one merge
+    * pass expressed purely in windows, mirroring the DuckDB oracle's
+    * CTE shape symbol for symbol: position-explode, flag candidate
+    * starts (sym = left ∧ next = right), group CONSECUTIVE candidates
+    * into islands (gaps-and-islands: pos − row_number over candidates),
+    * keep even offsets within each island (the leftmost-nonoverlapping
+    * parity rule — consecutive candidates only arise for same-symbol
+    * runs), then rebuild each array dropping consumed positions. The
+    * independent implementation the parity spec pins the fused
+    * expression against; production code uses the expression.
+    *
+    * Input frame must carry (`word`, `freq`, `syms`).
+    */
+  def bpeMergeStepRelational(vocab: DataFrame, left: String, right: String): DataFrame = {
+    val byPos = Window.partitionBy("word").orderBy("pos")
+    val e = vocab
+      .select(col("word"), col("freq"),
+        posexplode(col("syms")).as(Seq("pos", "sym")))
+      .withColumn("cand",
+        col("sym") === lit(left) && lead(col("sym"), 1).over(byPos) === lit(right))
+    val islands = e.withColumn("isl",
+      when(col("cand"), col("pos") -
+        row_number().over(Window.partitionBy("word", "cand").orderBy("pos"))))
+    val starts = islands.withColumn("strt",
+      col("cand") &&
+        (col("pos") - min("pos").over(Window.partitionBy("word", "isl"))) % 2 === 0)
+    starts
+      .withColumn("sym2",
+        when(col("strt"), lit(left + right))
+          .when(lag(col("strt"), 1, false).over(byPos), lit(null: String))
+          .otherwise(col("sym")))
+      .filter(col("sym2").isNotNull)
+      .groupBy("word")
+      .agg(first("freq").as("freq"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sym2")))),
+          s => s.getField("sym2")).as("syms"))
+  }
 }

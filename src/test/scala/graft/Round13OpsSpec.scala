@@ -71,4 +71,108 @@ class Round13OpsSpec extends SparkSpec {
     assert(after == before,
       "unchanged source must not re-materialize the media files")
   }
+
+  // ---- BPE tokenizer-merge fitting (round-13 L4 addition) ----
+
+  private def mergeViaExpr(vocab: Seq[(String, Long, Seq[String])],
+                           l: String, r: String): Map[String, Seq[String]] =
+    vocab.toDF("word", "freq", "syms")
+      .select(col("word"),
+        graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r))
+          .as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+
+  test("BpeMergePair applies leftmost-nonoverlapping merges (incl. runs)") {
+    val vocab = Seq(
+      ("tablet", 1L, Seq("t", "a", "b", "l", "e", "t")),
+      ("aaaa", 1L, Seq("a", "a", "a", "a")),
+      ("aaa", 1L, Seq("a", "a", "a")),
+      ("preexisting", 1L, Seq("aa", "a", "a")), // original == merged symbol
+      ("nochain", 1L, Seq("a", "aa", "a")))     // (a,aa) is NOT (a,a)
+    val got = mergeViaExpr(vocab, "a", "a")
+    assert(got("aaaa") == Seq("aa", "aa"))
+    assert(got("aaa") == Seq("aa", "a"))
+    assert(got("preexisting") == Seq("aa", "aa"))
+    assert(got("nochain") == Seq("a", "aa", "a"))
+    assert(got("tablet") == Seq("t", "a", "b", "l", "e", "t"))
+    val got2 = mergeViaExpr(vocab, "t", "a")
+    assert(got2("tablet") == Seq("ta", "b", "l", "e", "t"))
+  }
+
+  test("BpeMergePair equals the windowed relational twin on the corpus vocab") {
+    // the real sf0.001 vocabulary, chars exploded — then three merge
+    // steps whose pairs are chosen to hit normal, run, and grown-symbol
+    // cases; after each step the fused fold and the gaps-and-islands
+    // window form must agree word for word
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    var vocab = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+    for ((l, r) <- Seq(("e", "r"), ("t", "t"), ("er", "e"))) {
+      val viaExpr = vocab.select(col("word"),
+          graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r))
+            .as("syms"))
+        .as[(String, Seq[String])].collect().toMap
+      val viaWindows = graft.operators.TextOps
+        .bpeMergeStepRelational(vocab, l, r)
+        .select(col("word"), col("syms"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(viaExpr == viaWindows, s"divergence applying ($l,$r)")
+      vocab = vocab.withColumn("syms",
+        graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
+    }
+  }
+
+  test("bpeFit reproduces a hand-computed merge sequence") {
+    // corpus: 'abab' x3, 'ab' x2, 'ccc' x1 → round 1: (a,b) cnt 3*2+2=8
+    // (ties (b,a) cnt 3 and (c,c) cnt 2 lose); after merge: ab-ab x3,
+    // ab x2, ccc. round 2: (ab,ab) cnt 3 vs (c,c) cnt 2 → (ab,ab).
+    val docs = Seq(
+      (1L, "abab abab ab"), (2L, "abab ab ccc")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeFit(docs, rounds = 2, topWords = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    // corpus after r1: abab→[ab,ab] (freq3), ab→[ab] (freq2), ccc (freq1)
+    //   corpus_symbols = 3*2 + 2*1 + 1*3 = 11; vocab syms {ab,c} = 2
+    // after r2: abab→[abab], corpus = 3*1 + 2 + 3 = 8; {abab,ab,c} = 3
+    assert(got == Seq(
+      (1L, "a", "b", 8L, 11L, 2L),
+      (2L, "ab", "ab", 3L, 8L, 3L)))
+  }
+
+  test("q_lsh_autoconfig picks the cheapest config meeting each floor") {
+    val cal = Queries.queries("q_lsh_calibration")(spark, "/root/testdata/sf0.001")
+      .select("tau_ppm", "num_hashes", "num_bands", "catch_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val picks = Queries.queries("q_lsh_autoconfig")(spark, "/root/testdata/sf0.001")
+      .select("tau_ppm", "min_catch_ppm", "num_hashes", "num_bands", "catch_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(picks.length == 4)
+    for ((tau, floor, nh, nb, catchPpm) <- picks) {
+      assert(catchPpm >= floor, s"winner for ($tau,$floor) misses its floor")
+      // minimality: every strictly cheaper grid config fails the floor
+      val cheaperPass = cal.filter { case (t, h, b, c) =>
+        t == tau && c >= floor && (h < nh || (h == nh && b < nb))
+      }
+      assert(cheaperPass.isEmpty,
+        s"cheaper config ${cheaperPass.toSeq} also meets ($tau,$floor)")
+    }
+    // the requirements were chosen to make different configs win
+    assert(picks.map(p => (p._3, p._4)).distinct.length >= 3)
+  }
+
+  test("bpeFit on the corpus: monotone compression, exhaustion stops early") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.TextOps.bpeFit(docs, rounds = 4, topWords = 31)
+      .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+    assert(rows.size == 4)
+    val corpus = rows.map(_._5)
+    assert(corpus == corpus.sorted.reverse && corpus.distinct == corpus,
+      "corpus_symbols must strictly decrease")
+    // exhaustion: single-char vocab runs out of pairs immediately
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(graft.operators.TextOps.bpeFit(tiny, rounds = 3, topWords = 5)
+      .count() == 0L)
+  }
 }
