@@ -461,6 +461,25 @@ object Queries {
     * [[graft.plans.BpeMergePair]] for the equivalence argument).
     */
   private def bpeOracle(rounds: Int, topWords: Int): String = {
+    val rows = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS merge_round, b$t.l AS lsym,
+          b$t.r AS rsym, b$t.cnt AS pair_count,
+          (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM s$t)
+            AS corpus_symbols,
+          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+           FROM (SELECT unnest(syms) AS sym FROM s$t) u) AS vocab_symbols
+        FROM b$t"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""WITH ${bpeOracleCtes(rounds, topWords)}
+      $rows
+      ORDER BY merge_round"""
+  }
+
+  /** The shared CTE chain of the BPE oracles: word counts, the
+    * character-split s0, and `rounds` unrolled (pairs → best → merge)
+    * rounds ending in s`rounds`.
+    */
+  private def bpeOracleCtes(rounds: Int, topWords: Int): String = {
     val roundCtes = (1 to rounds).map { t =>
       s"""p$t AS (
         SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -491,25 +510,14 @@ object Queries {
               FROM k$t)
         GROUP BY word)"""
     }.mkString(",\n      ")
-    val rows = (1 to rounds).map { t =>
-      s"""SELECT CAST($t AS BIGINT) AS merge_round, b$t.l AS lsym,
-          b$t.r AS rsym, b$t.cnt AS pair_count,
-          (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM s$t)
-            AS corpus_symbols,
-          (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
-           FROM (SELECT unnest(syms) AS sym FROM s$t) u) AS vocab_symbols
-        FROM b$t"""
-    }.mkString("\n      UNION ALL\n      ")
-    s"""WITH wc AS (
+    s"""wc AS (
         SELECT word, COUNT(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word ORDER BY freq DESC, word LIMIT $topWords),
       s0 AS (SELECT word, freq,
         [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
         FROM wc),
-      $roundCtes
-      $rows
-      ORDER BY merge_round"""
+      $roundCtes"""
   }
 
   val all: Seq[Declared] = Seq(
@@ -5907,7 +5915,27 @@ object Queries {
     // only arise for same-symbol runs; keep even offsets).
     Declared("q_bpe_merges",
       (s, d) => TextOps.bpeFit(documents(s, d), rounds = 6, topWords = 31),
-      Some(bpeOracle(rounds = 6, topWords = 31)))
+      Some(bpeOracle(rounds = 6, topWords = 31))),
+
+    // BPE ENCODE (round 13): the consumer side of q_bpe_merges — per
+    // source, the whitespace token count and the symbol count the
+    // fitted tokenizer emits on the corpus. Encoding is vocab-sized
+    // (each DISTINCT word encoded once; the corpus-sized side only
+    // joins the per-word symbol count back by word, broadcast); words
+    // beyond the vocabulary cap fall back to character count. Oracle:
+    // the same unrolled fit CTEs, then len(syms) joined to the word
+    // stream — identical tie-breaks make the fitted merges, and hence
+    // every count, bit-equal across engines.
+    Declared("q_bpe_encode",
+      (s, d) => TextOps.bpeEncode(documents(s, d), rounds = 6, topWords = 31),
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        SELECT source, COUNT(*)::BIGINT AS whitespace_tokens,
+               CAST(SUM(COALESCE(n_bpe, len(word))) AS BIGINT) AS bpe_tokens
+        FROM w LEFT JOIN wt USING (word)
+        GROUP BY source ORDER BY source"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

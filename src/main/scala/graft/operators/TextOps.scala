@@ -1122,6 +1122,45 @@ object TextOps {
   def bpeFit(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val (out, syms) = bpeFitLoop(documents, rounds, topWords)
+    syms.unpersist()
+    out.toDF("merge_round", "lsym", "rsym", "pair_count",
+      "corpus_symbols", "vocab_symbols")
+      .orderBy("merge_round")
+  }
+
+  /** L4 — encode the corpus with the merges [[bpeFit]] learns: per
+    * source, the whitespace token count and the symbol count the fitted
+    * tokenizer emits (the compression the merges buy, by source). The
+    * scale trick mirrors the fit: each DISTINCT word is encoded once on
+    * the vocab-sized frame; the corpus-sized side only joins the
+    * resulting per-word symbol count back by word (broadcast — the
+    * vocabulary is capped at `topWords`). Words beyond the cap fall
+    * back to character count (no merges were learned for them).
+    */
+  def bpeEncode(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
+    val (_, syms) = bpeFitLoop(documents, rounds, topWords)
+    val wordTokens = Lineage.truncate(
+      syms.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
+      None)
+    syms.unpersist()
+    documents.select(col("source"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("whitespace_tokens"),
+        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** The shared fit loop: returns the per-round merge rows and the
+    * PERSISTED final (word, freq, syms) vocabulary frame (caller
+    * unpersists). Driver state per round is one best-pair row and two
+    * accounting scalars — the bounded-collect convention of the IVF
+    * centroid loop.
+    */
+  private def bpeFitLoop(documents: DataFrame, rounds: Int, topWords: Int)
+      : (Seq[(Long, String, String, Long, Long, Long)], DataFrame) = {
     val wc = documents
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -1161,10 +1200,7 @@ object TextOps {
         t += 1
       }
     }
-    syms.unpersist()
-    out.toSeq.toDF("merge_round", "lsym", "rsym", "pair_count",
-      "corpus_symbols", "vocab_symbols")
-      .orderBy("merge_round")
+    (out.toSeq, syms)
   }
 
   /** The relational twin of [[graft.plans.BpeMergePair]] — one merge

@@ -141,6 +141,25 @@ class Round13OpsSpec extends SparkSpec {
       (2L, "ab", "ab", 3L, 8L, 3L)))
   }
 
+  test("bpeEncode totals reconcile with bpeFit's accounting") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fit = graft.operators.TextOps.bpeFit(docs, rounds = 6, topWords = 31)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    val enc = graft.operators.TextOps.bpeEncode(docs, rounds = 6, topWords = 31)
+      .as[(String, Long, Long)].collect()
+    // full-vocab cap ⇒ Σ bpe_tokens over sources == round-6 corpus_symbols,
+    // and Σ whitespace_tokens == the corpus word count
+    assert(enc.map(_._3).sum == fit.last._5)
+    assert(enc.map(_._2).sum ==
+      docs.select(explode(split(col("text"), " "))).count())
+    // the per-word join must broadcast (vocab-sized build side)
+    val plan = graft.operators.TextOps
+      .bpeEncode(docs, rounds = 1, topWords = 31)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bpeEncode's word join must broadcast the vocabulary")
+  }
+
   test("q_lsh_autoconfig picks the cheapest config meeting each floor") {
     val cal = Queries.queries("q_lsh_calibration")(spark, "/root/testdata/sf0.001")
       .select("tau_ppm", "num_hashes", "num_bands", "catch_ppm")
