@@ -141,6 +141,40 @@ class Round13OpsSpec extends SparkSpec {
       (2L, "ab", "ab", 3L, 8L, 3L)))
   }
 
+  private def recallAt5(got: org.apache.spark.sql.DataFrame,
+                        want: org.apache.spark.sql.DataFrame): Double = {
+    val g = got.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val w = want.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    (g & w).size.toDouble / w.size
+  }
+
+  test("PQ refine recovers recall the raw codes lose (floors pinned)") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = (0L until 8L)
+    val exact = SimilarityOps.topKDotExact(emb, qs, 5)
+    val adc = SimilarityOps.pqTopKExact(emb, "spec_pq", m = 8, kSub = 16,
+      iterations = 2, trainSampleMod = 4, qs, topK = 5)
+    val refined = SimilarityOps.pqTopKRefined(emb, "spec_pq", m = 8,
+      kSub = 16, iterations = 2, trainSampleMod = 4, qs, topK = 5,
+      refineCandidates = 100)
+    val rAdc = recallAt5(adc, exact)
+    val rRef = recallAt5(refined, exact)
+    // measured on this corpus: ADC ≈ 0.35–0.45, refined 0.80; the codes
+    // are a candidate generator, the exact re-rank is the ranker
+    assert(rRef >= 0.75, f"refined recall@5 $rRef%.2f under the 0.75 floor")
+    assert(rRef > rAdc, "refine must strictly improve on raw ADC ranking")
+    // refined scores are EXACT dots: every (q, n) pair it returns must
+    // carry the same score the exact scan assigns that pair
+    val exactScores = SimilarityOps.topKDotExact(emb, qs, 5000)
+      .select("q_id", "n_id", "score_s14").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    refined.select("q_id", "n_id", "score_s14").as[(Long, Long, Long)]
+      .collect().foreach { case (q, n, s) =>
+        assert(exactScores((q, n)) == s, s"refined score drift on ($q,$n)")
+      }
+  }
+
   test("bpeEncode totals reconcile with bpeFit's accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val fit = graft.operators.TextOps.bpeFit(docs, rounds = 6, topWords = 31)
