@@ -1122,11 +1122,42 @@ object TextOps {
   def bpeFit(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (out, syms) = bpeFitLoop(documents, rounds, topWords)
-    syms.unpersist()
-    out.toDF("merge_round", "lsym", "rsym", "pair_count",
-      "corpus_symbols", "vocab_symbols")
+    bpeFitCached(documents, rounds, topWords)
+      .toDF("merge_round", "lsym", "rsym", "pair_count",
+        "corpus_symbols", "vocab_symbols")
       .orderBy("merge_round")
+  }
+
+  /** Session-identity-keyed memo of fitted merge tables (the
+    * [[SimilarityOps]] centroid-cache discipline: a tokenizer refitted
+    * per query is no tokenizer). Values are plain driver rows —
+    * `rounds` tuples, nothing to release; stopped sessions' entries are
+    * swept on each lookup. Keyed by the semantic hash of the input
+    * frame's analyzed plan, so different corpora never share merges.
+    */
+  private final class SessionRef(val s: org.apache.spark.sql.SparkSession) {
+    override def hashCode(): Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case r: SessionRef => r.s eq s
+      case _ => false
+    }
+  }
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SessionRef, Int, Int, Int), Seq[(Long, String, String, Long, Long, Long)]]()
+
+  private def bpeFitCached(documents: DataFrame, rounds: Int, topWords: Int)
+      : Seq[(Long, String, String, Long, Long, Long)] = {
+    bpeMergeCache.forEach { (key, _) =>
+      if (key._1.s.sparkContext.isStopped) bpeMergeCache.remove(key)
+    }
+    val planKey = documents.queryExecution.analyzed.semanticHash()
+    bpeMergeCache.computeIfAbsent(
+      (new SessionRef(documents.sparkSession), planKey, rounds, topWords),
+      _ => {
+        val (out, syms) = bpeFitLoop(documents, rounds, topWords)
+        syms.unpersist()
+        out
+      })
   }
 
   /** L4 — encode the corpus with the merges [[bpeFit]] learns: per
@@ -1139,11 +1170,25 @@ object TextOps {
     * back to character count (no merges were learned for them).
     */
   def bpeEncode(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
-    val (_, syms) = bpeFitLoop(documents, rounds, topWords)
+    // apply the (memoized) fitted merge table in ONE distributed pass:
+    // rebuild the character-split vocabulary and fold the R merges over
+    // it as chained fused expressions — no per-round aggregations or
+    // driver round-trips on the encode path
+    val merges = bpeFitCached(documents, rounds, topWords)
+    val vocab0 = documents
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(topWords)
+      .select(col("word"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (_, l, r, _, _, _)) =>
+      df.withColumn("syms",
+        graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
+    }
     val wordTokens = Lineage.truncate(
-      syms.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
+      encoded.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
       None)
-    syms.unpersist()
     documents.select(col("source"), explode(words(col("text"))).as("word"))
       .join(broadcast(wordTokens), Seq("word"), "left")
       .groupBy("source")
