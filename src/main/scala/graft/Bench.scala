@@ -18,12 +18,16 @@ object Bench {
     "q_agg_multi", "q_agg_count2key", "q_grouping_sets", "q_median",
     "q_join_inner", "q_join_3way", "q_join_asof", "q_join_range",
     "q_window_rank", "q_window_session",
-    "q_pivot", "q_explode_words",
+    // q_explode_words / q_window_tumbling dropped round 13 to fit the
+    // two new family representatives under the 1.5 KB line budget
+    // (cheap near-duplicates: the text family keeps q_tfidf_topterms /
+    // q_lang_id, the window family q_chunk_windows / q_window_session)
+    "q_pivot",
     "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard",
     "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
     "q_tfidf_topterms", "q_lang_id", "q_repetition",
-    "q_window_tumbling", "q_upsert",
+    "q_upsert",
     // round-3 families
     "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
     // q_histogram dropped round 12 to fit q_pipeline_curate under the
@@ -59,7 +63,11 @@ object Bench {
     // round-12: the composed curation pipeline — the suite's new
     // worst-cost query (~4 s: six chained stages over the %4 slice),
     // which the r7 worst-cost-tier rule puts on the binding artifact
-    "q_pipeline_curate")
+    "q_pipeline_curate",
+    // round-13: one representative per new family — tokenizer fitting
+    // (the BPE merge rounds) and the PQ refine tier (its ADC-only twin
+    // prices at or under it). Line stays < 1500 B — VerifyJsonSpec.
+    "q_bpe_merges", "q_simsearch_pq_refined")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
