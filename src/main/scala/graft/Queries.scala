@@ -592,6 +592,7 @@ object Queries {
     s"""wc AS (
         SELECT word, COUNT(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) > 0
         GROUP BY word ORDER BY freq DESC, word LIMIT $topWords),
       s0 AS (SELECT word, freq,
         [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms

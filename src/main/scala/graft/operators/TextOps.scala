@@ -1177,6 +1177,7 @@ object TextOps {
     val merges = bpeFitCached(documents, rounds, topWords)
     val vocab0 = documents
       .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0) // the bpeFitLoop empty-word pin
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(topWords)
       .select(col("word"),
@@ -1206,8 +1207,14 @@ object TextOps {
     */
   private def bpeFitLoop(documents: DataFrame, rounds: Int, topWords: Int)
       : (Seq[(Long, String, String, Long, Long, Long)], DataFrame) = {
+    // empty words (doubled spaces) are excluded BEFORE the cap: they
+    // have no characters to merge, and their char-split is the one
+    // place Spark and SQL replays could diverge (sequence(1, 0) is a
+    // DESCENDING two-element range in Spark, range(1, 1) is empty in
+    // DuckDB) — pin the semantics instead of inheriting either
     val wc = documents
       .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(topWords)
     var syms = wc.select(col("word"), col("freq"),
