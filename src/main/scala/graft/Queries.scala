@@ -476,6 +476,135 @@ object Queries {
         ORDER BY q_id, rn"""
   }
 
+  /** DuckDB replay of [[graft.operators.SimilarityOps.ivfPqTopKExact]]:
+    * the IVF coarse-Lloyd chain (c0..cN), full-corpus cell assignment,
+    * RESIDUAL components (v − coarse centroid), the PQ subspace-Lloyd
+    * chain over the residuals (pc0..pcN, subspace id riding through),
+    * per-(vector, subspace) codes, probe-cell selection per query, the
+    * two-term ADC score q·c[cell] + q·recon(code), the candidate cut,
+    * and the exact re-rank — each stage the already-proven CTE shape of
+    * the IVF and PQ oracles, composed.
+    */
+  private def ivfPqExactOracle(kIvf: Int, nProbe: Int, m: Int, kSub: Int,
+                               iterations: Int, mod: Int, topK: Int,
+                               nQueries: Int, refineC: Int,
+                               dim: Int = 64): String = {
+    val subDim = dim / m
+    val coarseLloyd = (1 to iterations).map { i =>
+      s"""d${i - 1} AS (SELECT t.vec_id, c.cell, SUM(t.vi * c.c) AS dt
+             FROM tr t JOIN c${i - 1} c ON t.pos = c.pos
+             GROUP BY t.vec_id, c.cell),
+        a${i - 1} AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM d${i - 1}) WHERE rn = 1),
+        u$i AS (SELECT a.cell, e2.pos,
+               CAST(SUM(e2.vi) // COUNT(*) AS BIGINT) AS c
+             FROM a${i - 1} a JOIN tr e2 ON e2.vec_id = a.vec_id
+             GROUP BY a.cell, e2.pos),
+        c$i AS (SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+             FROM c${i - 1} p
+             LEFT JOIN u$i u ON p.cell = u.cell AND p.pos = u.pos)"""
+    }.mkString(",\n        ")
+    val pqLloyd = (1 to iterations).map { i =>
+      s"""pd${i - 1} AS (SELECT t.vec_id, t.j, c.cell, SUM(t.vi * c.c) AS dt
+             FROM rtr t JOIN pc${i - 1} c ON t.pos = c.pos
+             GROUP BY t.vec_id, t.j, c.cell),
+        pa${i - 1} AS (SELECT vec_id, j, cell FROM (
+             SELECT vec_id, j, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM pd${i - 1}) WHERE rn = 1),
+        pu$i AS (SELECT a.cell, r2.pos,
+               CAST(SUM(r2.vi) // COUNT(*) AS BIGINT) AS c
+             FROM pa${i - 1} a
+             JOIN rtr r2 ON r2.vec_id = a.vec_id AND r2.j = a.j
+             GROUP BY a.cell, r2.pos),
+        pc$i AS (SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+             FROM pc${i - 1} p
+             LEFT JOIN pu$i u ON p.cell = u.cell AND p.pos = u.pos)"""
+    }.mkString(",\n        ")
+    s"""WITH e AS (SELECT vec_id,
+             CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+             pos, pos // $subDim AS j
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range($dim)) AS pos FROM embeddings)),
+        tr AS (SELECT * FROM e WHERE vec_id % $mod = 0),
+        seed AS (SELECT vec_id, rn - 1 AS cell FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM tr)) WHERE rn <= $kIvf),
+        c0 AS (SELECT s.cell, e.pos, e.vi AS c
+             FROM seed s JOIN e ON e.vec_id = s.vec_id),
+        $coarseLloyd,
+        dful AS (SELECT v.vec_id, c.cell, SUM(v.vi * c.c) AS dt
+             FROM e v JOIN c$iterations c ON v.pos = c.pos
+             GROUP BY v.vec_id, c.cell),
+        af AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM dful) WHERE rn = 1),
+        res AS (SELECT v.vec_id, v.pos, v.j, v.vi - cc.c AS vi
+             FROM e v JOIN af a ON v.vec_id = a.vec_id
+             JOIN c$iterations cc ON cc.cell = a.cell AND cc.pos = v.pos),
+        rtr AS (SELECT * FROM res WHERE vec_id % $mod = 0),
+        pseed AS (SELECT vec_id, rn - 1 AS cell FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM rtr)) WHERE rn <= $kSub),
+        pc0 AS (SELECT s.cell, r.pos, r.vi AS c
+             FROM pseed s JOIN res r ON r.vec_id = s.vec_id),
+        $pqLloyd,
+        pdful AS (SELECT v.vec_id, v.j, c.cell, SUM(v.vi * c.c) AS dt
+             FROM res v JOIN pc$iterations c ON v.pos = c.pos
+             GROUP BY v.vec_id, v.j, c.cell),
+        code AS (SELECT vec_id, j, cell FROM (
+             SELECT vec_id, j, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM pdful) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, pos, vi FROM e
+             WHERE vec_id < $nQueries),
+        qprobe AS (SELECT q_id, cell FROM (
+             SELECT q.q_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY SUM(q.vi * c.c) DESC, c.cell) AS rn
+             FROM q JOIN c$iterations c ON q.pos = c.pos
+             GROUP BY q.q_id, c.cell) WHERE rn <= $nProbe),
+        tcoarse AS (SELECT p.q_id, n.vec_id AS n_id,
+               CAST(SUM(q.vi * cc.c) AS BIGINT) AS t1
+             FROM af n JOIN qprobe p ON p.cell = n.cell
+             JOIN c$iterations cc ON cc.cell = n.cell
+             JOIN q ON q.q_id = p.q_id AND q.pos = cc.pos
+             GROUP BY p.q_id, n.vec_id),
+        tres AS (SELECT p.q_id, n.vec_id AS n_id,
+               CAST(SUM(q.vi * pc.c) AS BIGINT) AS t2
+             FROM code n
+             JOIN af a ON a.vec_id = n.vec_id
+             JOIN qprobe p ON p.cell = a.cell
+             JOIN pc$iterations pc
+               ON pc.cell = n.cell AND pc.pos // $subDim = n.j
+             JOIN q ON q.q_id = p.q_id AND q.pos = pc.pos
+             GROUP BY p.q_id, n.vec_id),
+        cand AS (SELECT q_id, n_id FROM (
+             SELECT t.q_id, t.n_id,
+               ROW_NUMBER() OVER (PARTITION BY t.q_id
+                                  ORDER BY t.t1 + r.t2 DESC, t.n_id) AS rn
+             FROM tcoarse t JOIN tres r USING (q_id, n_id))
+             WHERE rn <= $refineC),
+        rer AS (SELECT cd.q_id, cd.n_id,
+               CAST(SUM(q.vi * b.vi) AS BIGINT) AS score_s14
+             FROM cand cd JOIN e b ON b.vec_id = cd.n_id
+                          JOIN q ON q.q_id = cd.q_id AND q.pos = b.pos
+             GROUP BY cd.q_id, cd.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM rer) WHERE rn <= $topK
+        ORDER BY q_id, rn"""
+  }
+
   /** The LSH band-parameter S-curve relation shared by
     * q_lsh_calibration and q_lsh_autoconfig: catch probability
     * p = 1 − (1 − τ^r)^b for the production configs and nearby
@@ -6046,7 +6175,23 @@ object Queries {
         kSub = 16, iterations = 2, trainSampleMod = 4,
         queryIds = (0L until 8L), topK = 5, refineCandidates = 100),
       Some(pqExactOracle(m = 8, kSub = 16, iterations = 2, mod = 4,
-        topK = 5, nQueries = 8, refine = Some(100))))
+        topK = 5, nQueries = 8, refine = Some(100)))),
+
+    // IVF-PQ (round 13): the complete FAISS-style stack as ONE declared
+    // query — coarse cells prune (the SAME memoized codebook as
+    // q_simsearch_ivf: identical cache key, trained once per suite),
+    // PQ codes over the RESIDUALS v − c[cell] score the probed cells
+    // (residual quantization — the codebooks spend their bits on what
+    // the coarse centroid leaves unexplained), and the top-50
+    // candidates per query re-rank exactly. The oracle composes the
+    // proven IVF and PQ CTE chains with a residual-component CTE
+    // between them and the two-term ADC q·c[cell] + q·recon(code).
+    Declared("q_simsearch_ivfpq",
+      (s, d) => SimilarityOps.ivfPqTopKExact(embeddings(s, d), d, kIvf = 8,
+        nProbe = 2, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4,
+        queryIds = (0L until 8L), topK = 5, refineCandidates = 50),
+      Some(ivfPqExactOracle(kIvf = 8, nProbe = 2, m = 8, kSub = 16,
+        iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -970,6 +970,109 @@ object SimilarityOps {
     Some((scores, withInts))
   }
 
+  /** ORACLE-CHECKABLE IVF-PQ (round 13) — the complete FAISS-style
+    * stack: the IVF coarse quantizer restricts each query to `nProbe`
+    * cells; within them, candidates are scored from PQ codes trained on
+    * the RESIDUALS v − c[cell] (residual quantization — the coarse
+    * centroid explains most of the vector, so the codebooks spend their
+    * bits on what remains, the standard IVF-PQ construction); the ADC
+    * identity score is q·c[cell] + q·recon(residual code), evaluated as
+    * one codegen dot against the reassembled approximation; the top
+    * `refineCandidates` per query fetch true vectors for the exact
+    * re-rank. Every stage reuses the audited pieces — the SAME memoized
+    * coarse codebook as [[ivfTopKExact]] (identical cache key, so the
+    * suite trains it once), [[intCentroids]] per residual subspace,
+    * [[graft.plans.ArgMaxDot]] assignment, [[graft.plans.VecDot]]
+    * scoring — and every number is fixed-point integer, so the oracle
+    * replays coarse Lloyd → residuals → subspace Lloyd → codes → probe
+    * → ADC → refine bit-for-bit.
+    *
+    * Scale shape: search cost is corpus·nProbe/kIvf code lookups + one
+    * dim-length dot per candidate + C full-precision fetches per query;
+    * driver state is (kIvf + kSub)·dim longs of codebooks. This is the
+    * RAM-resident billion-vector layout: cells prune, codes score,
+    * refine ranks.
+    */
+  def ivfPqTopKExact(embeddings: DataFrame, cacheKey: String, kIvf: Int,
+                     nProbe: Int, m: Int, kSub: Int, iterations: Int,
+                     trainSampleMod: Int, queryIds: Seq[Long], topK: Int,
+                     refineCandidates: Int, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subDim = dim / m
+    intCentroidCache.forEach { (key, _) =>
+      if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
+    }
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    // coarse codebook: the SAME cache entry ivfTopKExact(cacheKey, kIvf,
+    // iterations, trainSampleMod) trains — shared, not retrained
+    val coarse = intCentroidCache.computeIfAbsent(
+      (new SessionRef(embeddings.sparkSession), cacheKey, planKey, kIvf,
+        iterations, trainSampleMod),
+      _ => intCentroids(withInts, kIvf, iterations, trainSampleMod))
+    if (coarse.isEmpty) return emptyTopKFrame(embeddings)
+    val sortedCoarse = coarse.sortBy(_._1)
+    // assign cells, subtract the coarse centroid → residual frame;
+    // truncated once (codebook training + coding + stats all read it)
+    val assigned = Lineage.truncate(
+      assignCellsInt(withInts, coarse)
+        .withColumn("cvec",
+          element_at(typedLit(sortedCoarse.map(_._2)), col("cell") + 1))
+        .withColumn("rvi",
+          zip_with(col("vi"), col("cvec"), (a, b) => a - b)),
+      None)
+    val books: Seq[Array[(Int, Seq[Long])]] = (0 until m).map { j =>
+      val subbed = assigned.select(col("vec_id"),
+        slice(col("rvi"), j * subDim + 1, subDim).as("vi"))
+      intCentroidCache.computeIfAbsent(
+        (new SessionRef(embeddings.sparkSession), s"$cacheKey#ivfpq$j",
+          planKey, kSub, iterations, trainSampleMod),
+        _ => intCentroids(subbed, kSub, iterations, trainSampleMod))
+    }
+    if (books.exists(_.isEmpty)) return emptyTopKFrame(embeddings)
+    val sortedBooks = books.map(_.sortBy(_._1))
+    val coded = (0 until m).foldLeft(assigned) { (df, j) =>
+      df.withColumn(s"code_$j", graft.plans.ArgMaxDot.argMaxDotLong(
+        slice(col("rvi"), j * subDim + 1, subDim),
+        typedLit(sortedBooks(j).map(_._2))))
+    }
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(sortedBooks(j).map(_._2)), col(s"code_$j") + 1)
+    }: _*)
+    // the reassembled approximation c[cell] + recon(residual code)
+    val approx = coded.select(col("vec_id").as("n_id"), col("cell"),
+      zip_with(col("cvec"), recon, (a, b) => a + b).as("avi"))
+    val queries = withInts
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
+    val centsDf = broadcast(centroidIntDf(embeddings.sparkSession, coarse))
+    val wc = Window.partitionBy("q_id").orderBy(desc("cscore"), asc("cell"))
+    val probeCells = queries.crossJoin(centsDf)
+      .withColumn("cscore", graft.plans.VecDot.dotLong(col("qvi"), col("cvec")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nProbe)
+      .select("q_id", "cell")
+    val wAdc = Window.partitionBy("q_id").orderBy(desc("adc_s14"), asc("n_id"))
+    val cands = approx
+      .join(broadcast(probeCells.join(queries, "q_id")), Seq("cell"))
+      .withColumn("adc_s14",
+        graft.plans.VecDot.dotLong(col("qvi"), col("avi")))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= refineCandidates)
+      .select("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    cands
+      .join(withInts.select(col("vec_id").as("n_id"), col("vi").as("nvi")),
+        Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
   private def emptyTopKFrame(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     embeddings.sparkSession.createDataFrame(
