@@ -6191,7 +6191,73 @@ object Queries {
         nProbe = 2, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4,
         queryIds = (0L until 8L), topK = 5, refineCandidates = 50),
       Some(ivfPqExactOracle(kIvf = 8, nProbe = 2, m = 8, kSub = 16,
-        iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50)))
+        iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50))),
+
+    // PACKING-EFFICIENCY AUDIT (round 13): per source, how full
+    // q_pack_sequences' bins actually are — the number you tune the
+    // token budget against. One rollup over the bin frame; the oracle
+    // extends the pack CTE with the same rollup.
+    Declared("q_pack_utilization",
+      (s, d) => TextOps.packUtilization(documents(s, d), 128L, 100L),
+      Some("""WITH t AS (SELECT source, doc_id // 100 AS shard, doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n
+              FROM documents),
+        c AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t),
+        bins AS (SELECT source, shard, cb // 128 AS bin,
+                CAST(SUM(n) AS BIGINT) AS bin_tokens
+              FROM c GROUP BY 1, 2, 3)
+        SELECT source, COUNT(*)::BIGINT AS n_bins,
+          CAST(SUM(bin_tokens) AS BIGINT) AS packed_tokens,
+          MAX(bin_tokens) AS max_bin_tokens,
+          CAST(SUM(bin_tokens) * 1000000 // (COUNT(*) * 128) AS BIGINT)
+            AS fill_ppm
+        FROM bins GROUP BY source ORDER BY source""")),
+
+    // NEAR-DUP THRESHOLD SENSITIVITY (round 13): pair mass and docs
+    // involved as the Jaccard threshold tightens from the base 80% —
+    // the minJaccardPct knob audit, one banded pass for the whole grid
+    // (base kept at 80 so the band catch probability keeps the verified
+    // set provably brute-force-equal; see the scaladoc). Oracle: the
+    // brute-force pair CTE + the same conditional counts, left-joined
+    // so zero-pair thresholds still emit rows.
+    Declared("q_neardup_threshold_curve",
+      (s, d) => DedupOps.thresholdCurve(documents(s, d), 32, 2, 80,
+        Seq(800000L, 850000L, 900000L, 950000L, 1000000L)),
+      Some("""WITH w AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS s FROM w GROUP BY doc_id),
+        co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        p AS (SELECT co.a_id, co.b_id,
+                common * 1000000 // (sa.s + sb.s - common) AS j_ppm
+              FROM co JOIN sz sa ON co.a_id = sa.doc_id
+                      JOIN sz sb ON co.b_id = sb.doc_id
+              WHERE common * 100 >= (sa.s + sb.s - common) * 80),
+        grid(tau_ppm) AS (VALUES (800000), (850000), (900000),
+                (950000), (1000000)),
+        f AS (SELECT g.tau_ppm, p.a_id, p.b_id FROM grid g
+              JOIN p ON p.j_ppm >= g.tau_ppm),
+        np AS (SELECT tau_ppm, COUNT(*)::BIGINT AS n_pairs FROM f
+               GROUP BY tau_ppm),
+        nd AS (SELECT tau_ppm, COUNT(*)::BIGINT AS n_docs FROM (
+                 SELECT DISTINCT tau_ppm, d FROM (
+                   SELECT tau_ppm, a_id AS d FROM f
+                   UNION ALL SELECT tau_ppm, b_id FROM f))
+               GROUP BY tau_ppm)
+        SELECT CAST(g.tau_ppm AS BIGINT) AS tau_ppm,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(nd.n_docs, 0) AS n_docs
+        FROM grid g LEFT JOIN np ON g.tau_ppm = np.tau_ppm
+                    LEFT JOIN nd ON g.tau_ppm = nd.tau_ppm
+        ORDER BY tau_ppm"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -598,6 +598,45 @@ object DedupOps {
         expr("common * 1000000L div union_size").as("jaccard_ppm"))
   }
 
+  /** Near-dup THRESHOLD SENSITIVITY curve (round 13): how the verified
+    * pair mass and the number of documents involved move as the Jaccard
+    * threshold tightens — the knob audit for `minJaccardPct`, the same
+    * way `q_lsh_calibration` audits the band parameters. One banded
+    * verify pass at the BASE threshold (kept at ≥80%, the regime where
+    * the band config's catch probability makes the candidate set
+    * provably complete w.h.p. — see q_lsh_calibration: 32×2 reads
+    * ≥999999 ppm at τ≥0.8; dropping the base lower would put oracle
+    * exactness at the mercy of per-pair luck at corpus pair counts),
+    * then each τ in the grid is a conditional count over the SAME pair
+    * frame — the curve costs one pass regardless of grid size. Zero-pair
+    * thresholds still emit a row (left join), so the relation's shape is
+    * grid-stable across corpora.
+    */
+  def thresholdCurve(documents: DataFrame, numHashes: Int, rowsPerBand: Int,
+                     baseJaccardPct: Int, tausPpm: Seq[Long]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pairs = Lineage.truncate(
+      lshVerifiedJaccardPairsUnsorted(documents, numHashes, rowsPerBand,
+        baseJaccardPct).select("a_id", "b_id", "jaccard_ppm"),
+      None)
+    val grid = tausPpm.toDF("tau_ppm")
+    val filtered = pairs.crossJoin(broadcast(grid))
+      .filter(col("jaccard_ppm") >= col("tau_ppm"))
+    val nPairs = filtered.groupBy("tau_ppm")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = filtered
+      .select(col("tau_ppm"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .distinct()
+      .groupBy("tau_ppm").agg(count(lit(1)).as("n_docs"))
+    grid.join(nPairs, Seq("tau_ppm"), "left")
+      .join(nDocs, Seq("tau_ppm"), "left")
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("tau_ppm")
+  }
+
   /** Engine-portable 60-bit word hash: the top 15 hex chars of md5,
     * decoded to a long. Slower than xxhash64 but reproducible in ANY
     * engine with md5 (DuckDB: `('0x' || substr(md5(w), 1, 15))::BIGINT`),

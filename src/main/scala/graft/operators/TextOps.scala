@@ -668,6 +668,29 @@ object TextOps {
       .orderBy("source", "shard", "bin")
   }
 
+  /** Packing-efficiency audit over [[packSequences]]: per source, how
+    * full the bins actually are — n_bins, packed tokens, the worst
+    * single bin (bins can EXCEED the budget when a document straddles a
+    * boundary: bin assignment is by pre-document cumulative tokens, the
+    * no-document-splitting policy), and fill_ppm = packed·10⁶ ∕
+    * (n_bins·budget). This is the number you tune `budgetTokens`
+    * against: a low fill means the budget fragments against the
+    * document-length distribution. Same inputs, one extra rollup — the
+    * audit costs one aggregation over the (already tiny) bin frame.
+    */
+  def packUtilization(documents: DataFrame, budgetTokens: Long,
+                      shardDocs: Long): DataFrame =
+    packSequences(documents, budgetTokens, shardDocs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("bin_tokens").as("packed_tokens"),
+        max("bin_tokens").as("max_bin_tokens"))
+      .withColumn("fill_ppm",
+        expr(s"packed_tokens * 1000000L div (n_bins * ${budgetTokens}L)"))
+      .select("source", "n_bins", "packed_tokens", "max_bin_tokens",
+        "fill_ppm")
+      .orderBy("source")
+
   /** Vocabulary coverage curve: for each coverage threshold (in ppm of
     * all token occurrences), the number of most-frequent word types
     * needed to reach it — the "how big must the vocab be to cover 99%?"

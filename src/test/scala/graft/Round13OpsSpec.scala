@@ -175,6 +175,25 @@ class Round13OpsSpec extends SparkSpec {
       }
   }
 
+  test("packUtilization reconciles with packSequences; curve is monotone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bins = graft.operators.TextOps.packSequences(docs, 128L, 100L)
+      .agg(sum("bin_tokens"), count(lit(1))).as[(Long, Long)].collect()(0)
+    val util = graft.operators.TextOps.packUtilization(docs, 128L, 100L)
+      .agg(sum("packed_tokens"), sum("n_bins")).as[(Long, Long)].collect()(0)
+    assert(util == bins, "utilization rollup must conserve tokens and bins")
+
+    val curve = graft.operators.DedupOps.thresholdCurve(docs, 32, 2, 80,
+      Seq(800000L, 900000L, 1000000L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(800000L, 900000L, 1000000L))
+    // tightening the threshold can only shrink pair mass and doc reach
+    assert(curve.map(_._2) == curve.map(_._2).sorted.reverse)
+    assert(curve.map(_._3) == curve.map(_._3).sorted.reverse)
+    // non-vacuous on this corpus: the grid ends strictly below its start
+    assert(curve.head._2 > curve.last._2)
+  }
+
   test("IVF-PQ composes probe pruning, residual codes, and exact refine") {
     import graft.operators.SimilarityOps
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
