@@ -6223,14 +6223,24 @@ object Queries {
     // involved as the Jaccard threshold tightens from the base 80% —
     // the minJaccardPct knob audit, one banded pass for the whole grid
     // (base kept at 80 so the band catch probability keeps the verified
-    // set provably brute-force-equal; see the scaladoc). Oracle: the
-    // brute-force pair CTE + the same conditional counts, left-joined
-    // so zero-pair thresholds still emit rows.
+    // set provably brute-force-equal; see the scaladoc). Runs on the
+    // same %4 slice as q_dedup_canonical (the pair-family declared
+    // convention — the regenerated full corpus packs ~3M verified
+    // pairs whose enumeration cost belongs to a knob audit's slice,
+    // not its bench line; measured 24.6 s full vs ~2 s sliced at
+    // sf0.1), so the curve reads directly against the canonical
+    // clustering's input. Oracle: the brute-force pair CTE + the same
+    // conditional counts, left-joined so zero-pair thresholds still
+    // emit rows.
     Declared("q_neardup_threshold_curve",
-      (s, d) => DedupOps.thresholdCurve(documents(s, d), 32, 2, 80,
+      (s, d) => DedupOps.thresholdCurve(
+        documents(s, d).filter(pmod(col("doc_id"), lit(4)) === 0),
+        32, 2, 80,
         Seq(800000L, 850000L, 900000L, 950000L, 1000000L)),
-      Some("""WITH w AS (SELECT DISTINCT doc_id,
-                unnest(string_split(text, ' ')) AS word FROM documents),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 4 = 0),
+        w AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM docs),
         sz AS (SELECT doc_id, COUNT(*)::BIGINT AS s FROM w GROUP BY doc_id),
         co AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 COUNT(*)::BIGINT AS common
