@@ -6267,7 +6267,33 @@ object Queries {
                COALESCE(nd.n_docs, 0) AS n_docs
         FROM grid g LEFT JOIN np ON g.tau_ppm = np.tau_ppm
                     LEFT JOIN nd ON g.tau_ppm = nd.tau_ppm
-        ORDER BY tau_ppm"""))
+        ORDER BY tau_ppm""")),
+
+    // UNIGRAM SURPRISAL FILTER (round 13): the CCNet-style LM-bits
+    // quality signal, integer-exact — per-word floor(log2(total/cnt))
+    // via the portable `length(bin(x)) - 1` identity (both engines
+    // ship bin), per-doc q8 mean bits per token, keep = below the
+    // 1040-q8 threshold (≈4.06 bits/token — the corpus median is
+    // 1031, so the split varies; rare-word-heavy docs are dropped,
+    // exactly the perplexity-filter shape).
+    Declared("q_surprisal",
+      (s, d) => TextOps.surprisalBits(documents(s, d))
+        .withColumn("keep",
+          when(col("bits_q8") <= 1040L, 1L).otherwise(0L)),
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+               FROM wc CROSS JOIN tot)
+        SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+               CAST(SUM(wb.bits) AS BIGINT) AS sum_bits,
+               CAST(SUM(wb.bits) * 256 // COUNT(*) AS BIGINT) AS bits_q8,
+               CASE WHEN SUM(wb.bits) * 256 // COUNT(*) <= 1040
+                 THEN 1 ELSE 0 END::BIGINT AS keep
+        FROM w JOIN wb USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -668,6 +668,40 @@ object TextOps {
       .orderBy("source", "shard", "bin")
   }
 
+  /** L4 — unigram SURPRISAL scoring (round 13): the CCNet-style
+    * language-model quality filter, integer-exact. Fit = the corpus's
+    * own unigram counts (one corpus pass, vocab-sized table); score =
+    * per word, floor(log₂(total∕count)) bits — computed PORTABLY as
+    * `length(bin(total div count)) − 1` (both Spark and DuckDB ship
+    * `bin`), so the whole filter replays bit-for-bit with no
+    * transcendental float in sight; per doc, the q8 fixed-point mean
+    * bits per token. Rare-word-heavy documents score high (the
+    * perplexity-filter signal); the whole-bit quantization is the
+    * price of engine-exact replay and is honest about itself — a float
+    * production variant is one `log2()` away but not oracle-checkable.
+    * Documents with NULL text carry no words and emit no row (the
+    * unnest/explode agreement both engines share).
+    *
+    * Scale shape: one corpus explode (map-side-combined word count),
+    * the vocab-sized bits table broadcast back onto the word stream,
+    * one per-doc aggregation. The corpus total rides a broadcast
+    * one-row cross join — no driver collect.
+    */
+  def surprisalBits(documents: DataFrame): DataFrame = {
+    val w = documents.select(col("doc_id"),
+      explode(words(col("text"))).as("word"))
+    val wc = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("t"))
+    val wordBits = wc.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("t div cnt"))) - 1).cast("long").as("bits"))
+    w.join(broadcast(wordBits), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("bits").as("sum_bits"))
+      .withColumn("bits_q8", expr("sum_bits * 256L div n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Packing-efficiency audit over [[packSequences]]: per source, how
     * full the bins actually are — n_bins, packed tokens, the worst
     * single bin (bins can EXCEED the budget when a document straddles a

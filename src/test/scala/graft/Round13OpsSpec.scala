@@ -175,6 +175,31 @@ class Round13OpsSpec extends SparkSpec {
       }
   }
 
+  test("surprisal scores are exact integer bits and actually filter") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = graft.operators.TextOps.surprisalBits(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // replay the definition driver-side on the collected corpus
+    val wordsByDoc = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .filter(_._2 != null)
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val counts = wordsByDoc.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    def bits(w: String): Long =
+      java.lang.Long.toBinaryString(total / counts(w)).length - 1L
+    val want = wordsByDoc.map { case (id, ws) =>
+      val sb = ws.map(bits).sum
+      (id, ws.size.toLong, sb, sb * 256L / ws.size)
+    }.sortBy(_._1).toSeq
+    assert(scored == want, "engine surprisal must equal the driver replay")
+    // the filter threshold splits this corpus non-trivially
+    val kept = scored.count(_._4 <= 1040L)
+    assert(kept > 0 && kept < scored.size,
+      s"keep split is degenerate: $kept of ${scored.size}")
+  }
+
   test("packUtilization reconciles with packSequences; curve is monotone") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val bins = graft.operators.TextOps.packSequences(docs, 128L, 100L)
