@@ -702,6 +702,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The frozen-fit exporter for the streaming surprisal scorer: the
+    * top-`topWords` unigram bits table (the [[surprisalBits]]
+    * arithmetic, capped so driver state is bounded — the DSIR
+    * posterior-table convention) plus the unseen-word bits under
+    * count-1 smoothing, floor(log₂(total)) — the score a word outside
+    * the capped vocabulary receives. Returns (wordBits, unseenBits).
+    */
+  def surprisalFitTop(documents: DataFrame, topWords: Int)
+      : (Seq[(String, Long)], Long) = {
+    val w = documents.select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val wc = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("t"))
+    val bitsRows = wc.crossJoin(broadcast(total))
+      .orderBy(desc("cnt"), asc("word")).limit(topWords)
+      .select(col("word"),
+        (length(bin(expr("t div cnt"))) - 1).cast("long").as("bits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val totalTokens = total.collect()(0).getLong(0)
+    (bitsRows, java.lang.Long.toBinaryString(totalTokens).length - 1L)
+  }
+
   /** Packing-efficiency audit over [[packSequences]]: per source, how
     * full the bins actually are — n_bins, packed tokens, the worst
     * single bin (bins can EXCEED the budget when a document straddles a

@@ -535,6 +535,38 @@ object StreamingOps {
         expr("post_sum div n_tokens").as("dsir_ppm"))
   }
 
+  /** Streaming unigram-surprisal scorer — [[graft.operators.TextOps
+    * .surprisalBits]]'s arithmetic against a FROZEN fit (the
+    * `wordBits` table [[graft.operators.TextOps.surprisalFitTop]]
+    * exports), so a continuously-ingesting pipeline scores each
+    * micro-batch without touching the corpus: per word, the fitted
+    * integer bits (words outside the capped vocabulary take
+    * `unseenBits`, the count-1-smoothed floor(log₂(total)) — unseen ⇒
+    * maximally surprising, the conservative filter direction); per
+    * doc, the same q8 mean-bits and the stream stays stateless — pure
+    * column expressions, no aggregation state, watermark-free.
+    * Batch parity with the batch scorer when the fit's cap covers the
+    * vocabulary is pinned in the spec (the scoreDsirStream contract).
+    */
+  def scoreSurprisalStream(stream: DataFrame, wordBits: Seq[(String, Long)],
+                           unseenBits: Long): DataFrame = {
+    require(wordBits.nonEmpty, "wordBits must be non-empty — run the fit first")
+    require(wordBits.forall(p => p._2 >= 0 && p._2 <= 63),
+      "per-word bits must lie in [0, 63] — a 64-bit count can't exceed that")
+    require(unseenBits >= 0 && unseenBits <= 63,
+      s"unseenBits must lie in [0, 63], got $unseenBits")
+    val bm = map(wordBits.flatMap { case (w, b) => Seq(lit(w), lit(b)) }: _*)
+    val ws = graft.operators.TextOps.words(col("text"))
+    val bitsArr = transform(ws,
+      w => coalesce(element_at(bm, w), lit(unseenBits)))
+    stream
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(bitsArr, lit(0L), (acc, x) => acc + x).as("sum_bits"))
+      .withColumn("bits_q8", expr("sum_bits * 256L div n_words"))
+  }
+
   /** Streaming heavy hitters — per tumbling window, the keys whose
     * exact count reaches `minCount`, emitted ONCE per window when the
     * watermark closes it (append mode: a key is reported only when its
