@@ -367,11 +367,15 @@ object VecDot {
       new ExpressionInfo(classOf[FloatDoubleVecDot].getName, "vec_dot_float_double"),
       (children: Seq[Expression]) => FloatDoubleVecDot(children(0), children(1)))
 
-  /** Idempotent runtime registration into an existing session. */
+  /** Idempotent runtime registration into an existing session — the
+    * umbrella registrar for EVERY custom kernel (a fresh child session
+    * starts with an empty function registry; one call arms them all).
+    */
   def register(spark: SparkSession): Unit =
     Seq(longDescriptor, floatDescriptor, intersectDescriptor, kwDotDescriptor,
       floatDoubleDescriptor, ArgMaxDot.descriptor,
-      MinHashSig.descriptor, SortedHashedSet.descriptor)
+      MinHashSig.descriptor, SortedHashedSet.descriptor,
+      BpeMergePair.descriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

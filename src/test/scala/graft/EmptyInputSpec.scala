@@ -153,4 +153,31 @@ class EmptyInputSpec extends SparkSpec {
       Relational.distributionDrift(oneSide, emptyDocs, "lang").collect()
     }
   }
+
+  test("round-13 operators handle empty inputs") {
+    // BPE: an empty corpus has no pairs to merge → zero merge rows;
+    // encode emits no per-source rows
+    assert(TextOps.bpeFit(emptyDocs, rounds = 3, topWords = 10).isEmpty)
+    assert(TextOps.bpeEncode(emptyDocs, rounds = 3, topWords = 10).isEmpty)
+    // PQ family: no corpus → no codebook seeds → empty result frame
+    // with the declared search schema, never a throw
+    val pq = SimilarityOps.pqTopKExact(emptyEmb, "empty_pq", m = 8,
+      kSub = 16, iterations = 2, trainSampleMod = 4, Seq(0L), topK = 5)
+    assert(pq.isEmpty &&
+      pq.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
+    assert(SimilarityOps.pqTopKRefined(emptyEmb, "empty_pq", m = 8,
+      kSub = 16, iterations = 2, trainSampleMod = 4, Seq(0L), topK = 5,
+      refineCandidates = 10).isEmpty)
+    assert(SimilarityOps.ivfPqTopKExact(emptyEmb, "empty_pq", kIvf = 8,
+      nProbe = 2, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4,
+      Seq(0L), topK = 5, refineCandidates = 10).isEmpty)
+    // audits: the threshold grid still emits its rows (zeros); the
+    // utilization and surprisal frames are empty
+    val curve = DedupOps.thresholdCurve(emptyDocs, 32, 2, 80,
+      Seq(800000L, 900000L)).collect()
+    assert(curve.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((800000L, 0L, 0L), (900000L, 0L, 0L)))
+    assert(TextOps.packUtilization(emptyDocs, 128L, 100L).isEmpty)
+    assert(TextOps.surprisalBits(emptyDocs).isEmpty)
+  }
 }

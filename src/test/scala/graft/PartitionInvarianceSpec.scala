@@ -24,7 +24,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // r11: integer LSH/IVF indexes (argmax ties, probe ranking) and
     // the distributed media-fixture fingerprints must not depend on
     // partition count
-    "q_simsearch_lsh", "q_simsearch_ivf", "q_media_fingerprint")
+    "q_simsearch_lsh", "q_simsearch_ivf", "q_media_fingerprint",
+    // r13: BPE merge rounds (global best-pair argmax per round), PQ /
+    // IVF-PQ codebooks + codes + ADC ranking, the surprisal one-row
+    // total cross join, and the threshold-curve conditional counts
+    "q_bpe_merges", "q_simsearch_pq_refined", "q_simsearch_ivfpq",
+    "q_surprisal", "q_neardup_threshold_curve")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
