@@ -1212,7 +1212,10 @@ object TextOps {
     * per query is no tokenizer). Values are plain driver rows —
     * `rounds` tuples, nothing to release; stopped sessions' entries are
     * swept on each lookup. Keyed by the semantic hash of the input
-    * frame's analyzed plan, so different corpora never share merges.
+    * frame's analyzed plan, so different corpora never share merges —
+    * but, like the centroid memo, the key does NOT watch the files
+    * under the plan: if the data under the same path is rewritten
+    * mid-session, the stale merges persist until the session ends.
     */
   private final class SessionRef(val s: org.apache.spark.sql.SparkSession) {
     override def hashCode(): Int = System.identityHashCode(s)
@@ -1248,12 +1251,25 @@ object TextOps {
     * vocabulary is capped at `topWords`). Words beyond the cap fall
     * back to character count (no merges were learned for them).
     */
-  def bpeEncode(documents: DataFrame, rounds: Int, topWords: Int): DataFrame = {
-    // apply the (memoized) fitted merge table in ONE distributed pass:
-    // rebuild the character-split vocabulary and fold the R merges over
-    // it as chained fused expressions — no per-round aggregations or
-    // driver round-trips on the encode path
-    val merges = bpeFitCached(documents, rounds, topWords)
+  def bpeEncode(documents: DataFrame, rounds: Int, topWords: Int): DataFrame =
+    // apply the (memoized) fitted merge table in ONE distributed pass —
+    // no per-round aggregations or driver round-trips on the encode path
+    bpeEncodeWithMerges(documents,
+      bpeFitCached(documents, rounds, topWords).map(m => (m._2, m._3)),
+      topWords)
+
+  /** Encode against an EXPLICIT ordered merge list — the production
+    * handoff: a tokenizer fitted once (here or anywhere) ships as its
+    * merge table (exactly the (lsym, rsym) columns of q_bpe_merges,
+    * round-trippable through parquet), and any later pipeline encodes
+    * with the artifact, never refitting. Rebuild the character-split
+    * vocabulary, fold the merges over it in order as chained fused
+    * expressions, and broadcast-join the per-word symbol counts back
+    * onto the corpus word stream (out-of-vocabulary words fall back to
+    * character count).
+    */
+  def bpeEncodeWithMerges(documents: DataFrame, merges: Seq[(String, String)],
+                          topWords: Int): DataFrame = {
     val vocab0 = documents
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0) // the bpeFitLoop empty-word pin
@@ -1262,7 +1278,7 @@ object TextOps {
       .select(col("word"),
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))).as("syms"))
-    val encoded = merges.foldLeft(vocab0) { case (df, (_, l, r, _, _, _)) =>
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
       df.withColumn("syms",
         graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
     }

@@ -200,6 +200,24 @@ class Round13OpsSpec extends SparkSpec {
       s"keep split is degenerate: $kept of ${scored.size}")
   }
 
+  test("BPE merge table round-trips through parquet as the encode artifact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    // ship the tokenizer: q_bpe_merges' output IS the artifact
+    graft.operators.TextOps.bpeFit(docs, rounds = 6, topWords = 31)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    val shipped = spark.read.parquet(s"$dir/merges")
+      .orderBy("merge_round")
+      .select("lsym", "rsym").as[(String, String)].collect().toSeq
+    val viaArtifact = graft.operators.TextOps
+      .bpeEncodeWithMerges(docs, shipped, topWords = 31)
+      .as[(String, Long, Long)].collect().toSeq
+    val direct = graft.operators.TextOps.bpeEncode(docs, rounds = 6,
+      topWords = 31).as[(String, Long, Long)].collect().toSeq
+    assert(viaArtifact == direct,
+      "encoding with the shipped merge table must equal the direct encode")
+  }
+
   test("scoreSurprisalStream matches the batch scorer (fit offline, score online)") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
