@@ -1073,6 +1073,80 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Export the trained IVF-PQ index parameters — the frozen artifact
+    * a continuously-ingesting pipeline codes against ([[codeIvfPq]];
+    * the FAISS `add()` story: new vectors are assigned and coded, the
+    * codebooks are NOT refitted per batch). Reuses the SAME memoized
+    * cache entries [[ivfPqTopKExact]] trains (identical keys), so
+    * exporting after a search costs nothing. None ⟺ empty corpus.
+    */
+  def ivfPqFit(embeddings: DataFrame, cacheKey: String, kIvf: Int, m: Int,
+               kSub: Int, iterations: Int, trainSampleMod: Int,
+               dim: Int = 64)
+      : Option[(Array[(Int, Seq[Long])], Seq[Array[(Int, Seq[Long])]])] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val coarse = intCentroidCache.computeIfAbsent(
+      (new SessionRef(embeddings.sparkSession), cacheKey, planKey, kIvf,
+        iterations, trainSampleMod),
+      _ => intCentroids(withInts, kIvf, iterations, trainSampleMod))
+    if (coarse.isEmpty) return None
+    val sortedCoarse = coarse.sortBy(_._1)
+    val assigned = Lineage.truncate(
+      assignCellsInt(withInts, coarse)
+        .withColumn("cvec",
+          element_at(typedLit(sortedCoarse.map(_._2)), col("cell") + 1))
+        .withColumn("rvi",
+          zip_with(col("vi"), col("cvec"), (a, b) => a - b)),
+      None)
+    val books = (0 until m).map { j =>
+      val subbed = assigned.select(col("vec_id"),
+        slice(col("rvi"), j * subDim + 1, subDim).as("vi"))
+      intCentroidCache.computeIfAbsent(
+        (new SessionRef(embeddings.sparkSession), s"$cacheKey#ivfpq$j",
+          planKey, kSub, iterations, trainSampleMod),
+        _ => intCentroids(subbed, kSub, iterations, trainSampleMod))
+    }
+    if (books.exists(_.isEmpty)) None else Some((coarse, books))
+  }
+
+  /** Code vectors against a FROZEN IVF-PQ index — pure per-row
+    * expressions (fixed-point projection, coarse argmax, residual
+    * subtraction, m subspace argmaxes), so the same call codes a batch
+    * frame or a STREAMING micro-batch (no aggregation, no state, no
+    * watermark): the ingest side of the index, `ivf_cell` + the m-id
+    * `pq_codes` array per vector — m small ints instead of dim floats,
+    * the representation the search tier scans. Input needs (vec_id,
+    * embedding).
+    */
+  def codeIvfPq(vecs: DataFrame, coarse: Array[(Int, Seq[Long])],
+                books: Seq[Array[(Int, Seq[Long])]], dim: Int = 64): DataFrame = {
+    val m = books.length
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val sortedCoarse = coarse.sortBy(_._1)
+    val sortedBooks = books.map(_.sortBy(_._1))
+    val withInts = vecs.select(col("vec_id"),
+      transform(col("embedding"), v => fixedPoint(v)).as("vi"))
+    val coded = withInts
+      .withColumn("ivf_cell", element_at(
+        typedLit(sortedCoarse.map(_._1)),
+        graft.plans.ArgMaxDot.argMaxDotLong(col("vi"),
+          typedLit(sortedCoarse.map(_._2))) + 1))
+      .withColumn("rvi", zip_with(col("vi"),
+        element_at(typedLit(sortedCoarse.map(_._2)), col("ivf_cell") + 1),
+        (a, b) => a - b))
+    coded.select(col("vec_id"), col("ivf_cell").cast("long").as("ivf_cell"),
+      array((0 until m).map { j =>
+        element_at(typedLit(sortedBooks(j).map(_._1)),
+          graft.plans.ArgMaxDot.argMaxDotLong(
+            slice(col("rvi"), j * subDim + 1, subDim),
+            typedLit(sortedBooks(j).map(_._2))) + 1).cast("long")
+      }: _*).as("pq_codes"))
+  }
+
   private def emptyTopKFrame(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     embeddings.sparkSession.createDataFrame(

@@ -200,6 +200,42 @@ class Round13OpsSpec extends SparkSpec {
       s"keep split is degenerate: $kept of ${scored.size}")
   }
 
+  test("codeIvfPq codes streaming micro-batches against the frozen index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val Some((coarse, books)) = SimilarityOps.ivfPqFit(emb, "spec_ivfpq_add",
+      kIvf = 8, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4)
+    // batch coding of the whole corpus
+    val batch = SimilarityOps.codeIvfPq(emb, coarse, books)
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty && batch.forall { case (_, cell, codes) =>
+      cell >= 0 && cell < 8 && codes.size == 8 &&
+        codes.forall(c => c >= 0 && c < 16)
+    })
+    assert(batch.map(_._2).distinct.size > 1, "coarse cells must vary")
+    // the same rows through a REAL started stream code identically —
+    // the FAISS add() shape: frozen books, per-batch pure expressions
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingOps.toMemorySink(
+      SimilarityOps.codeIvfPq(
+        input.toDF().toDF("vec_id", "embedding"), coarse, books),
+      "ivfpq_add_test", "append")
+    try {
+      val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<float>"))
+        .as[(Long, Seq[Float])].collect()
+      input.addData(rows.take(rows.length / 2).toSeq)
+      input.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ivfpq_add_test")
+        .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(streamed == batch,
+        "streamed coding must equal batch coding vector-for-vector")
+    } finally q.stop()
+  }
+
   test("BPE merge table round-trips through parquet as the encode artifact") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
