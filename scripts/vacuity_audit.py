@@ -49,6 +49,11 @@ KNOWN_BENIGN = {
     ("q_map_funcs", "m_size"), ("q_map_funcs", "keys"),  # literal structure
     ("q_median", "p90_qty_s3"),             # uniform quantity grid
     ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
+    # every signal pair is evaluated over the SAME document domain
+    # (docs carrying ≥1 word — the three flag frames inner-join on
+    # doc_id), so n_docs is uniform across the 3 rows BY CONSTRUCTION;
+    # Round14OpsSpec asserts exactly this. The confusion cells vary.
+    ("q_quality_agreement", "n_docs"),
     # same %10 slice through the star-contraction engine: same single
     # cluster — the shared-oracle sibling of q_neardup_clusters
     ("q_neardup_clusters_star", "cluster_id"),

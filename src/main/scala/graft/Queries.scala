@@ -6293,7 +6293,357 @@ object Queries {
                CASE WHEN SUM(wb.bits) * 256 // COUNT(*) <= 1040
                  THEN 1 ELSE 0 END::BIGINT AS keep
         FROM w JOIN wb USING (word)
-        GROUP BY w.doc_id ORDER BY w.doc_id"""))
+        GROUP BY w.doc_id ORDER BY w.doc_id""")),
+
+    // ================= round-14 additions ===============================
+
+    // PERSISTED IVF-PQ CODED CORPUS (VERDICT r13 #1): the same complete
+    // FAISS-style stack as q_simsearch_ivfpq, but the search tier scans
+    // a WRITTEN (vec_id, ivf_cell, pq_codes) parquet relation — the
+    // index artifact that outlives the session, mirroring the LSH
+    // corpusBandDocs discipline — instead of re-coding raw embeddings
+    // in-plan. Codes are written once per corpus state (memoized on the
+    // source-file fingerprint), read back, and the approximation is
+    // reassembled from broadcast-literal codebooks (m array lookups per
+    // row); probe → ADC → refine is the identical shared tail. Same
+    // parameters ⇒ the SAME oracle as q_simsearch_ivfpq — hash-equality
+    // against it IS the stored-vs-fresh parity contract, additionally
+    // plan-pinned in Round14OpsSpec (the executed plan scans the codes
+    // parquet, not a re-code projection).
+    Declared("q_simsearch_ivfpq_stored",
+      (s, d) => SimilarityOps.ivfPqTopKStored(embeddings(s, d),
+        srcDir = s"$d/embeddings.parquet",
+        outDir = new java.io.File(
+          s"target/ivfpq_codes_${math.abs(d.hashCode.toLong)}").getAbsolutePath,
+        cacheKey = d, kIvf = 8, nProbe = 2, m = 8, kSub = 16,
+        iterations = 2, trainSampleMod = 4, queryIds = (0L until 8L),
+        topK = 5, refineCandidates = 50),
+      Some(ivfPqExactOracle(kIvf = 8, nProbe = 2, m = 8, kSub = 16,
+        iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50))),
+
+    // CURATION PIPELINE WITH TOKENIZER ACCOUNTING (VERDICT r13 #2):
+    // q_pipeline_curate's stages and whitespace counts verbatim (that
+    // key stays hash-pinned, untouched), PLUS per-stage
+    // bpe_tokens_out — the surviving documents' token count under the
+    // BPE artifact fitted on the FULL corpus (q_bpe_merges' 6×31
+    // tokenizer, the production "tokenizer is frozen before curation"
+    // discipline), OOV words falling back to character count (the
+    // q_bpe_encode rule). The pack row keeps packer tokens_out (the
+    // bin-budget currency) while its bpe_tokens_out is the packed
+    // documents' tokenizer total — the number a training budget
+    // actually consumes. Oracle = the proven BPE fit CTE chain (full
+    // corpus) + the proven pipeline CTE chain (exact-dedup keeper CTE
+    // renamed kd1: the fit chain owns k1..k6) + one vocab-joined word
+    // rollup per stage.
+    Declared("q_pipeline_curate_bpe",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        val wt = TextOps.bpeWordTokens(docs, merges, topWords = 31)
+        CurationPipeline.curateBpe(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(200)) === 0)
+              .withColumn("doc_id", col("doc_id") + lit(10000000L))),
+          docs.filter(pmod(col("doc_id"), lit(100)) === 50),
+          wt)
+      },
+      Some(s"""WITH RECURSIVE
+        ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS MATERIALIZED (
+          SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        docs0 AS MATERIALIZED (
+          SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, text, lang, source FROM documents
+          WHERE doc_id % 200 = 0),
+        kd1 AS (SELECT MIN(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)),
+        d1 AS MATERIALIZED (SELECT d.* FROM docs0 d JOIN kd1 USING (doc_id)),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d1),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        m AS MATERIALIZED (SELECT src AS doc_id,
+               LEAST(src, MIN(dst))::BIGINT AS cluster_id
+             FROM reach GROUP BY src),
+        t1 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM d1),
+        keep2 AS (SELECT arg_max(m.doc_id,
+                    CAST(t1.n AS HUGEINT) * 18446744073709551616::HUGEINT - m.doc_id) AS doc_id
+                  FROM m JOIN t1 USING (doc_id) GROUP BY m.cluster_id),
+        d2 AS MATERIALIZED (SELECT d.* FROM d1 d
+             WHERE d.doc_id NOT IN (SELECT doc_id FROM m)
+                OR d.doc_id IN (SELECT doc_id FROM keep2)),
+        bench AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id % 100 = 50),
+        cs AS (SELECT DISTINCT doc_id, sh
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM d2)
+                     WHERE len(ws) >= 3)),
+        bs AS (SELECT DISTINCT bench_id, sh
+               FROM (SELECT bench_id,
+                       unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+                     FROM bench WHERE len(ws) >= 3)),
+        flag AS (SELECT DISTINCT doc_id FROM (
+                   SELECT cs.doc_id FROM cs JOIN bs USING (sh)
+                   GROUP BY cs.doc_id, bs.bench_id HAVING COUNT(*) >= 3)),
+        d3 AS MATERIALIZED (SELECT * FROM d2
+             WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+        q AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+              FROM d3),
+        d4 AS MATERIALIZED (SELECT d.* FROM d3 d JOIN q USING (doc_id)
+             WHERE q.nw >= 30 AND q.sc * 1000000 // q.nw < 100000),
+        tok AS MATERIALIZED (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d4)),
+        rawc AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM d4 WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM rawc) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT rawc.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        wts AS (SELECT doc_id, CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+                FROM tok JOIN post USING (b) GROUP BY doc_id),
+        sel AS (SELECT doc_id FROM wts
+                WHERE ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < dsir_ppm),
+        d5 AS MATERIALIZED (SELECT d.* FROM d4 d JOIN sel USING (doc_id)),
+        pt AS (SELECT source, doc_id // 100 AS shard, doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n
+               FROM d5),
+        pc AS (SELECT source, shard, doc_id, n,
+                 CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+               FROM pt),
+        bins AS (SELECT source, shard, cb // 128 AS bin, COUNT(*)::BIGINT AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS bin_tokens FROM pc GROUP BY 1, 2, 3),
+        bpe1 AS (SELECT CAST(COALESCE(SUM(COALESCE(wt.n_bpe, len(wx.word))), 0) AS BIGINT) AS btok
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d1) wx
+                 LEFT JOIN wt USING (word)),
+        bpe2 AS (SELECT CAST(COALESCE(SUM(COALESCE(wt.n_bpe, len(wx.word))), 0) AS BIGINT) AS btok
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d2) wx
+                 LEFT JOIN wt USING (word)),
+        bpe3 AS (SELECT CAST(COALESCE(SUM(COALESCE(wt.n_bpe, len(wx.word))), 0) AS BIGINT) AS btok
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d3) wx
+                 LEFT JOIN wt USING (word)),
+        bpe4 AS (SELECT CAST(COALESCE(SUM(COALESCE(wt.n_bpe, len(wx.word))), 0) AS BIGINT) AS btok
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d4) wx
+                 LEFT JOIN wt USING (word)),
+        bpe5 AS (SELECT CAST(COALESCE(SUM(COALESCE(wt.n_bpe, len(wx.word))), 0) AS BIGINT) AS btok
+                 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM d5) wx
+                 LEFT JOIN wt USING (word)),
+        acct AS (
+          SELECT 1 AS stage_idx, 'exact_dedup' AS stage,
+            (SELECT COUNT(*) FROM docs0) AS rows_in,
+            (SELECT COUNT(*) FROM d1) AS rows_out,
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d1) AS tokens_out,
+            (SELECT btok FROM bpe1) AS bpe_tokens_out
+          UNION ALL SELECT 2, 'neardup_canonical',
+            (SELECT COUNT(*) FROM d1), (SELECT COUNT(*) FROM d2),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d2),
+            (SELECT btok FROM bpe2)
+          UNION ALL SELECT 3, 'decontaminate',
+            (SELECT COUNT(*) FROM d2), (SELECT COUNT(*) FROM d3),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d3),
+            (SELECT btok FROM bpe3)
+          UNION ALL SELECT 4, 'quality_filter',
+            (SELECT COUNT(*) FROM d3), (SELECT COUNT(*) FROM d4),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d4),
+            (SELECT btok FROM bpe4)
+          UNION ALL SELECT 5, 'dsir_select',
+            (SELECT COUNT(*) FROM d4), (SELECT COUNT(*) FROM d5),
+            (SELECT COALESCE(SUM(len(string_split(text, ' '))), 0) FROM d5),
+            (SELECT btok FROM bpe5)
+          UNION ALL SELECT 6, 'pack',
+            (SELECT COUNT(*) FROM d5), (SELECT COUNT(*) FROM bins),
+            (SELECT COALESCE(SUM(bin_tokens), 0) FROM bins),
+            (SELECT btok FROM bpe5))
+        SELECT stage_idx::BIGINT AS stage_idx, stage, rows_in::BIGINT AS rows_in,
+               rows_out::BIGINT AS rows_out, tokens_out::BIGINT AS tokens_out,
+               bpe_tokens_out::BIGINT AS bpe_tokens_out
+        FROM acct ORDER BY stage_idx""")),
+
+    // QUALITY-SIGNAL AGREEMENT MATRIX (VERDICT r13 #3): the three
+    // keep/drop signals the engine ships — heuristic quality filter
+    // (q_quality_filter's 30-word/10%-stopword thresholds), DSIR
+    // importance gate (q_dsir_resample's md5 selection), unigram
+    // surprisal (q_surprisal's 1040-q8 cap) — compared pairwise as
+    // exact confusion counts over every document carrying ≥1 word,
+    // plus agreement ppm. Turns three filters into an audited
+    // ensemble decision: redundant pairs read near 10⁶, orthogonal
+    // pairs near the product of the marginals. Oracle = the three
+    // queries' proven CTE bodies joined on doc_id + the same rollup.
+    Declared("q_quality_agreement",
+      (s, d) => TextOps.qualitySignalAgreement(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"),
+        stopwords = Seq("a", "the", "of", "and", "in"), minWords = 30L,
+        maxStopwordPpm = 100000L, numBuckets = 1024, maxBitsQ8 = 1040L),
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        swc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        stot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM swc),
+        swb AS (SELECT word,
+                  CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+                FROM swc CROSS JOIN stot),
+        sup AS (SELECT w.doc_id,
+                  CASE WHEN SUM(swb.bits) * 256 // COUNT(*) <= 1040
+                    THEN 1 ELSE 0 END::BIGINT AS k_surprisal
+                FROM w JOIN swb USING (word) GROUP BY w.doc_id),
+        qual AS (SELECT doc_id,
+                   CASE WHEN nw >= 30 AND sc * 1000000 // nw < 100000
+                     THEN 1 ELSE 0 END::BIGINT AS k_quality
+                 FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                         CAST(len(list_filter(string_split(text, ' '),
+                           x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+                       FROM documents)),
+        tok AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                FROM w),
+        rawc AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM rawc) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT rawc.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        wts AS (SELECT doc_id, CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+                FROM tok JOIN post USING (b) GROUP BY doc_id),
+        dsir AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < dsir_ppm
+                     THEN 1 ELSE 0 END::BIGINT AS k_dsir
+                 FROM wts),
+        f AS (SELECT q.doc_id, k_quality, k_surprisal, k_dsir
+              FROM qual q JOIN sup USING (doc_id) JOIN dsir USING (doc_id)),
+        pr AS (
+          SELECT 'dsir' AS sig_a, 'quality' AS sig_b,
+                 k_dsir AS ka, k_quality AS kb FROM f
+          UNION ALL SELECT 'dsir', 'surprisal', k_dsir, k_surprisal FROM f
+          UNION ALL SELECT 'quality', 'surprisal', k_quality, k_surprisal FROM f)
+        SELECT sig_a, sig_b,
+          CAST(SUM(ka * kb) AS BIGINT) AS both_keep,
+          CAST(SUM(ka * (1 - kb)) AS BIGINT) AS a_only_keep,
+          CAST(SUM((1 - ka) * kb) AS BIGINT) AS b_only_keep,
+          CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS both_drop,
+          COUNT(*)::BIGINT AS n_docs,
+          CAST((SUM(ka * kb) + SUM((1 - ka) * (1 - kb))) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+        FROM pr GROUP BY sig_a, sig_b ORDER BY sig_a, sig_b""")),
+
+    // SURPRISAL-GATED TOKEN BUDGET (VERDICT r13 #5): the budgeted pack
+    // consumes the quality-FILTERED stream — q_token_budget's per-source
+    // greedy selection run over only the documents the surprisal filter
+    // keeps (bits_q8 ≤ 1040, q_surprisal's cap). The composition a real
+    // curation plan runs: filter first (quality), then spend the token
+    // budget on what survives — the kept set shifts wherever a
+    // high-distinct-ratio document was also rare-word-heavy. Oracle =
+    // the surprisal CTE chain gating the proven greedy-pack SQL.
+    Declared("q_budget_surprisal",
+      (s, d) => {
+        val docs = documents(s, d)
+        val keep = TextOps.surprisalBits(docs)
+          .filter(col("bits_q8") <= 1040L).select("doc_id")
+        TextOps.tokenBudgetSelect(docs.join(keep, Seq("doc_id"), "left_semi"),
+          budgetTokens = 600L)
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+               FROM wc CROSS JOIN tot),
+        keep AS (SELECT w.doc_id FROM w JOIN wb USING (word)
+                 GROUP BY w.doc_id
+                 HAVING SUM(wb.bits) * 256 // COUNT(*) <= 1040),
+        q AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                  * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS score_ppm
+              FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM keep)),
+        r AS (SELECT source, doc_id, score_ppm, n_words,
+                CAST(SUM(n_words) OVER (PARTITION BY source
+                  ORDER BY score_ppm DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM q)
+        SELECT source, doc_id, score_ppm, n_words, cum_tokens
+        FROM r WHERE cum_tokens <= 600
+        ORDER BY source, doc_id""")),
+
+    // INCREMENTAL CONNECTED COMPONENTS (VERDICT r13 #6): the clustering
+    // half of the ingest loop, oracle-checked by REBUILD EQUIVALENCE
+    // (the q_dedup_index_upsert pattern). Stored state = the %8=0
+    // corpus's cluster labels (banded LSH verified pairs → CC); the
+    // %8=4 batch's edges (batch-internal verified pairs + batch-vs-
+    // persisted-index verified pairs) fold into those labels via
+    // star(labels) ∪ edges — no historical pair list is re-read. The
+    // oracle rebuilds from scratch on the MERGED corpus, which is
+    // exactly the proven q_dedup_canonical %4=0 slice (the two %8
+    // residues partition it), so hash-equality proves incremental ≡
+    // rebuild, near-clique bridges included. Same corpus-pinned LSH
+    // recall note as every verified-pair query (brute-force oracle,
+    // banded engine).
+    Declared("q_dedup_incremental_cc",
+      (s, d) => {
+        val docs = documents(s, d)
+        val c0 = docs.filter(pmod(col("doc_id"), lit(8)) === 0)
+          .select("doc_id", "text")
+        val b1 = docs.filter(pmod(col("doc_id"), lit(8)) === 4)
+          .select("doc_id", "text")
+        val labels0 = DedupOps.connectedComponents(
+          DedupOps.lshVerifiedJaccardPairsUnsorted(c0, 32, 2, 80)
+            .select("a_id", "b_id"))
+        val idxBands = DedupOps.corpusBandDocs(c0, 32, 2).lineageTruncate()
+        val idxSets = DedupOps.corpusHashedSets(c0).lineageTruncate()
+        val edges = DedupOps.pairsAgainstIndexVerified(b1, idxBands, idxSets,
+            32, 2, 80)
+          .select(col("doc_id").as("a_id"), col("corpus_id").as("b_id"))
+          .unionByName(DedupOps.lshVerifiedJaccardPairsUnsorted(b1, 32, 2, 80)
+            .select("a_id", "b_id"))
+        DedupOps.incrementalComponents(labels0, edges)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst))::BIGINT AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

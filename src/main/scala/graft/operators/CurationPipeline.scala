@@ -211,4 +211,55 @@ object CurationPipeline {
           coalesce(sum(col("bin_tokens")), lit(0L)).as("tokens_out"))))
     rows.reduce(_ unionByName _).orderBy("stage_idx")
   }
+
+  /** TOKENIZER-token total of a survivor frame (VERDICT r13 #2): the
+    * stage's words broadcast-joined to the fitted tokenizer's
+    * (word, n_bpe) table ([[TextOps.bpeWordTokens]]), out-of-vocabulary
+    * words falling back to character count — the q_bpe_encode rule.
+    * Production budgets are TOKENIZER tokens; the whitespace counts the
+    * base accounting reports drift from them exactly where the corpus
+    * drifts from the tokenizer's training distribution, which is why
+    * the audited pipeline reports BOTH.
+    */
+  private def bpeAgg(df: DataFrame, wordTokens: DataFrame): DataFrame =
+    df.select(explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .agg(coalesce(sum(coalesce(col("n_bpe"),
+        length(col("word")).cast("long"))), lit(0L)).as("bpe_tokens_out"))
+
+  /** [[curate]] with TOKENIZER-token accounting alongside the
+    * whitespace counts: per stage, (rows_in, rows_out, tokens_out,
+    * bpe_tokens_out) where bpe_tokens_out is the surviving documents'
+    * token count under the fitted BPE artifact `wordTokens`. The pack
+    * row keeps its packer-tokenizer tokens_out (the bin-budget
+    * currency, as in [[curate]]) while bpe_tokens_out reports the
+    * packed documents' tokenizer total — the number a training-batch
+    * budget actually consumes. Each BPE aggregate is one scan of the
+    * stage's truncated frame plus a broadcast join against the
+    * vocab-sized table: the accounting still never re-executes
+    * upstream stages.
+    */
+  def curateBpe(documents: DataFrame, benchmark: DataFrame,
+                wordTokens: DataFrame, p: Params = Params()): DataFrame = {
+    val st = stages(documents, benchmark, p)
+    def row(idx: Long, name: String, prev: DataFrame, cur: DataFrame,
+            curAgg: DataFrame): DataFrame =
+      acctRow(idx, name, prev, curAgg)
+        .crossJoin(bpeAgg(cur, wordTokens))
+    val rows = Seq(
+      row(1L, "exact_dedup", st.input, st.afterExactDedup,
+        acctAgg(st.afterExactDedup)),
+      row(2L, "neardup_canonical", st.afterExactDedup, st.afterNearDup,
+        acctAgg(st.afterNearDup)),
+      row(3L, "decontaminate", st.afterNearDup, st.afterDecontaminate,
+        acctAgg(st.afterDecontaminate)),
+      row(4L, "quality_filter", st.afterDecontaminate, st.afterQuality,
+        acctAgg(st.afterQuality)),
+      row(5L, "dsir_select", st.afterQuality, st.afterDsir,
+        acctAgg(st.afterDsir)),
+      row(6L, "pack", st.afterDsir, st.afterDsir,
+        st.packedBins.agg(count(lit(1)).as("rows_out"),
+          coalesce(sum(col("bin_tokens")), lit(0L)).as("tokens_out"))))
+    rows.reduce(_ unionByName _).orderBy("stage_idx")
+  }
 }

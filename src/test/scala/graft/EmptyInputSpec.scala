@@ -180,4 +180,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.packUtilization(emptyDocs, 128L, 100L).isEmpty)
     assert(TextOps.surprisalBits(emptyDocs).isEmpty)
   }
+
+  test("round-14 operators handle empty inputs") {
+    // stored IVF-PQ: no corpus → no codebooks → no write, and the
+    // search returns the declared empty schema, never a throw
+    val out = java.nio.file.Files.createTempDirectory("empty_codes").toString
+    val stored = SimilarityOps.ivfPqTopKStored(emptyEmb,
+      srcDir = out, outDir = s"$out/codes", cacheKey = "empty_stored",
+      kIvf = 8, nProbe = 2, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4, queryIds = Seq(0L), topK = 5,
+      refineCandidates = 10)
+    assert(stored.isEmpty &&
+      stored.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
+    // BPE word-token table over an empty corpus (empty merge list is
+    // the legitimate fit of an empty corpus)
+    assert(TextOps.bpeWordTokens(emptyDocs, Nil, 10).isEmpty)
+    // agreement matrix: no documents carry a word → zero pair rows
+    assert(TextOps.qualitySignalAgreement(emptyDocs, emptyDocs,
+      Seq("a"), 1L, 1000000L, 16, 1040L).isEmpty)
+    // incremental CC: nothing stored, nothing arriving → empty labels
+    val noLabels = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(DedupOps.incrementalComponents(noLabels, noEdges).isEmpty)
+    // … and an empty BATCH must leave the stored labels intact
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    assert(DedupOps.incrementalComponents(labels, noEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 1L), (2L, 1L)))
+  }
 }

@@ -29,7 +29,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // IVF-PQ codebooks + codes + ADC ranking, the surprisal one-row
     // total cross join, and the threshold-curve conditional counts
     "q_bpe_merges", "q_simsearch_pq_refined", "q_simsearch_ivfpq",
-    "q_surprisal", "q_neardup_threshold_curve")
+    "q_surprisal", "q_neardup_threshold_curve",
+    // r14: the stored-codes search (parquet round-trip + ADC ranking),
+    // tokenizer-accounted pipeline, signal-agreement confusion rollup,
+    // gated greedy budget, and the incremental CC label fold
+    "q_simsearch_ivfpq_stored", "q_pipeline_curate_bpe",
+    "q_quality_agreement", "q_budget_surprisal", "q_dedup_incremental_cc")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
