@@ -1174,6 +1174,82 @@ object SimilarityOps {
       refineCandidates)
   }
 
+  /** Write the TRAINED IVF-PQ parameters as parquet relations — the
+    * other half of the shippable index (codes: [[ivfPqWriteCodes]];
+    * parameters: this): `outDir/coarse` = (cell, vec) and
+    * `outDir/books` = (subspace, cell, vec), all fixed-point longs.
+    * With both halves on storage the index is fully
+    * SESSION-INDEPENDENT — a search or ingest fleet loads kIvf + m·kSub
+    * rows of codebooks ([[ivfPqReadIndex]]) and scans the codes
+    * relation; nothing retrains, nothing re-codes (the BPE merge-table
+    * artifact discipline applied to ANN). Memoized on the source
+    * fingerprint like every derived artifact.
+    */
+  def ivfPqWriteIndex(embeddings: DataFrame, srcDir: String, outDir: String,
+                      cacheKey: String, kIvf: Int, m: Int, kSub: Int,
+                      iterations: Int, trainSampleMod: Int,
+                      dim: Int = 64): Boolean = {
+    ivfPqFit(embeddings, cacheKey, kIvf, m, kSub, iterations,
+      trainSampleMod, dim) match {
+      case None => false
+      case Some((coarse, books)) =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        graft.sources.StorageOps.materializeCached(spark,
+          s"ivfpq_index:$outDir:$kIvf:$m:$kSub:$iterations:$trainSampleMod",
+          srcDir, outDir) {
+          coarse.toSeq.toDF("cell", "vec")
+            .write.mode("overwrite").parquet(s"$outDir/coarse")
+          books.zipWithIndex
+            .flatMap { case (b, j) => b.map(c => (j, c._1, c._2)) }
+            .toDF("subspace", "cell", "vec")
+            .write.mode("overwrite").parquet(s"$outDir/books")
+        }
+        true
+    }
+  }
+
+  /** Load the codebook artifact [[ivfPqWriteIndex]] wrote — kIvf +
+    * m·kSub tiny rows, the legitimate driver state of a search fleet.
+    * Returns (coarse, books) in the exact shape [[codeIvfPq]] /
+    * [[ivfPqApproxFromCodes]] consume; Round14OpsSpec pins the
+    * write→read→code round-trip against the in-session fit.
+    */
+  def ivfPqReadIndex(spark: org.apache.spark.sql.SparkSession, outDir: String)
+      : (Array[(Int, Seq[Long])], Seq[Array[(Int, Seq[Long])]]) = {
+    val coarse = spark.read.parquet(s"$outDir/coarse").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val books = spark.read.parquet(s"$outDir/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+    (coarse, books)
+  }
+
+  /** Search from ARTIFACTS ALONE — the fleet entry point: load the
+    * codebooks from `indexDir` ([[ivfPqReadIndex]]), scan the codes
+    * relation at `codesDir`, probe/ADC/refine with `embeddings` only
+    * touched by the query lookup and the bounded exact re-rank. No
+    * fit, no memo, no session state: a worker that has never seen the
+    * training session serves the same results as the trainer
+    * (Round14OpsSpec pins equality with the fresh in-plan path), which
+    * is the definition of the index being an ARTIFACT rather than a
+    * cache.
+    */
+  def ivfPqTopKFromArtifacts(embeddings: DataFrame, indexDir: String,
+                             codesDir: String, nProbe: Int,
+                             queryIds: Seq[Long], topK: Int,
+                             refineCandidates: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (coarse, books) = ivfPqReadIndex(spark, indexDir)
+    if (coarse.isEmpty) return emptyTopKFrame(embeddings)
+    val approx = ivfPqApproxFromCodes(spark.read.parquet(codesDir),
+      coarse, books)
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    ivfPqProbeSearch(approx, withInts, coarse, nProbe, queryIds, topK,
+      refineCandidates)
+  }
+
   /** Reassemble (n_id, cell, avi) from a STORED codes relation: avi =
     * coarse[cell] + concat_j(book_j[code_j]) — pure per-row lookups
     * into the broadcast-literal codebooks. Stored ints come back as

@@ -129,6 +129,54 @@ class Round14OpsSpec extends SparkSpec {
       "rewritten files under the same path must retrain the centroids")
   }
 
+  test("codebook artifact round-trips: write → read → code ≡ in-session fit") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    val Some((coarse, books)) = SimilarityOps.ivfPqFit(emb, sf,
+      kIvf = 8, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4)
+    assert(SimilarityOps.ivfPqWriteIndex(emb, s"$sf/embeddings.parquet",
+      out, sf, kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    val (rc, rb) = SimilarityOps.ivfPqReadIndex(spark, out)
+    // the parquet round-trip is lossless on the parameters themselves…
+    assert(rc.toSeq == coarse.sortBy(_._1).toSeq)
+    assert(rb.map(_.toSeq) == books.map(_.sortBy(_._1).toSeq))
+    // …and coding against the LOADED artifact is vector-for-vector the
+    // in-session coding — the full index (codebooks + codes) now lives
+    // on storage with no session state left behind
+    val a = SimilarityOps.codeIvfPq(emb, coarse, books)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SimilarityOps.codeIvfPq(emb, rc, rb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("a fresh session serves the same results from artifacts alone") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_fleet_i").toString
+    val cds = java.nio.file.Files.createTempDirectory("ivfpq_fleet_c").toString
+    assert(SimilarityOps.ivfPqWriteIndex(emb, s"$sf/embeddings.parquet",
+      idx, sf, kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    assert(SimilarityOps.ivfPqWriteCodes(emb, s"$sf/embeddings.parquet",
+      cds, sf, kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    val fresh = SimilarityOps.ivfPqTopKExact(emb, sf, kIvf = 8,
+      nProbe = 2, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4,
+      queryIds = 0L until 8L, topK = 5, refineCandidates = 50)
+      .collect().map(_.toString).toSeq
+    // a CHILD session with a fresh function registry and none of the
+    // trainer's memo entries keyed to it — the fleet worker
+    val worker = spark.newSession()
+    graft.plans.VecDot.register(worker)
+    val served = SimilarityOps.ivfPqTopKFromArtifacts(
+      Tables.embeddings(worker, sf), idx, cds, nProbe = 2,
+      queryIds = 0L until 8L, topK = 5, refineCandidates = 50)
+      .collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == fresh,
+      "artifact-only search must equal the trainer's in-plan search")
+  }
+
   // ---- VERDICT r13 #2: BPE accounting in the curation pipeline ----
 
   test("curateBpe keeps the base accounting and adds tokenizer tokens") {
