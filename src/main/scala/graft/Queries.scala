@@ -6321,6 +6321,37 @@ object Queries {
       Some(ivfPqExactOracle(kIvf = 8, nProbe = 2, m = 8, kSub = 16,
         iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50))),
 
+    // FLEET-PATH IVF-PQ SEARCH (round 14, second wave): the complete
+    // artifact story as ONE declared query — codebooks written to and
+    // LOADED from parquet (ivfPqWriteIndex/ivfPqReadIndex), the
+    // cell-clustered codes relation scanned with the probed cells
+    // pushed down as an ivf_cell IN filter, and the probe ranking run
+    // DRIVER-SIDE against the loaded codebooks (the |q|·dim-bounded
+    // request batch; identical truncating-dot/(desc, cell) tie-break,
+    // which this oracle now pins against DuckDB's replay every round).
+    // Same parameters ⇒ the SAME oracle as q_simsearch_ivfpq: fresh ≡
+    // stored ≡ fleet is a three-way oracle-checked identity. The codes
+    // relation is SHARED with q_simsearch_ivfpq_stored (same
+    // fingerprint-memoized dir) — written once per corpus state.
+    Declared("q_simsearch_ivfpq_fleet",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val src = s"$d/embeddings.parquet"
+        val idxDir = new java.io.File(
+          s"target/ivfpq_index_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+        val cdsDir = new java.io.File(
+          s"target/ivfpq_codes_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+        SimilarityOps.ivfPqWriteIndex(emb, src, idxDir, d, kIvf = 8, m = 8,
+          kSub = 16, iterations = 2, trainSampleMod = 4)
+        SimilarityOps.ivfPqWriteCodes(emb, src, cdsDir, d, kIvf = 8, m = 8,
+          kSub = 16, iterations = 2, trainSampleMod = 4)
+        SimilarityOps.ivfPqTopKFromArtifacts(emb, idxDir, cdsDir,
+          nProbe = 2, queryIds = (0L until 8L), topK = 5,
+          refineCandidates = 50)
+      },
+      Some(ivfPqExactOracle(kIvf = 8, nProbe = 2, m = 8, kSub = 16,
+        iterations = 2, mod = 4, topK = 5, nQueries = 8, refineC = 50))),
+
     // CURATION PIPELINE WITH TOKENIZER ACCOUNTING (VERDICT r13 #2):
     // q_pipeline_curate's stages and whitespace counts verbatim (that
     // key stays hash-pinned, untouched), PLUS per-stage

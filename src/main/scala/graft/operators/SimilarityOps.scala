@@ -1083,6 +1083,20 @@ object SimilarityOps {
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nProbe)
       .select("q_id", "cell")
+    ivfPqAdcRefine(approx, withInts, queries, probeCells, topK,
+      refineCandidates)
+  }
+
+  /** The ADC + exact-refine tail shared by every IVF-PQ search shape:
+    * score the probed cells' candidates from the approximation, cut,
+    * re-rank the cut against full-precision vectors. `probeCells` is
+    * (q_id, cell) — computed in-plan ([[ivfPqProbeSearch]]) or
+    * driver-side from the loaded codebooks (the pruned fleet path in
+    * [[ivfPqTopKFromArtifacts]]); same frame, same plan from here on.
+    */
+  private def ivfPqAdcRefine(approx: DataFrame, withInts: DataFrame,
+                             queries: DataFrame, probeCells: DataFrame,
+                             topK: Int, refineCandidates: Int): DataFrame = {
     val wAdc = Window.partitionBy("q_id").orderBy(desc("adc_s14"), asc("n_id"))
     val cands = approx
       .join(broadcast(probeCells.join(queries, "q_id")), Seq("cell"))
@@ -1133,8 +1147,25 @@ object SimilarityOps {
         graft.sources.StorageOps.materializeCached(embeddings.sparkSession,
           s"ivfpq_codes:$outDir:$kIvf:$m:$kSub:$iterations:$trainSampleMod",
           srcDir, outDir) {
+          // CELL-CLUSTERED layout: range-partition + sort on ivf_cell so
+          // each parquet file/row-group covers few cells and its min/max
+          // stats prune a probed-cell filter — the search tier then
+          // reads ~nProbe/kIvf of the BYTES, not just of the rows
+          // ([[ivfPqTopKFromArtifacts]] pushes the probe set down;
+          // Round14OpsSpec asserts the scan-row reduction). Clustering
+          // is layout, not semantics: row content is unchanged.
+          // one range partition per cell — EXPLICIT count, because AQE
+          // would coalesce the (tiny at test scale) shuffle into one
+          // file whose min/max covers every cell, killing the pruning.
+          // At 100 TB a cell outgrows one file; the writer then adds
+          // maxRecordsPerFile to split WITHIN cells — stats stay
+          // cell-tight either way because the sort keeps cells
+          // contiguous.
           codeIvfPq(embeddings.select("vec_id", "embedding"), coarse, books,
-            dim).write.mode("overwrite").parquet(outDir)
+            dim)
+            .repartitionByRange(math.max(coarse.length, 1), col("ivf_cell"))
+            .sortWithinPartitions("ivf_cell", "vec_id")
+            .write.mode("overwrite").parquet(outDir)
         }
         true
     }
@@ -1235,18 +1266,51 @@ object SimilarityOps {
     * (Round14OpsSpec pins equality with the fresh in-plan path), which
     * is the definition of the index being an ARTIFACT rather than a
     * cache.
+    *
+    * The probe step runs DRIVER-SIDE against the loaded codebooks —
+    * the request batch's vectors are |q|·dim longs, the ranking is the
+    * identical (dot desc, cell asc) arithmetic — so the union of
+    * probed cells is known BEFORE the scan and lands on the codes read
+    * as a pushed `ivf_cell IN (…)` filter. Against the cell-clustered
+    * layout [[ivfPqWriteCodes]] writes, parquet min/max stats then
+    * skip whole row groups: the search reads ~nProbe/kIvf of the
+    * corpus BYTES (Round14OpsSpec asserts the scan-row reduction),
+    * which at 100 TB is the difference between an indexed lookup and a
+    * full-table scan with a late filter.
     */
   def ivfPqTopKFromArtifacts(embeddings: DataFrame, indexDir: String,
                              codesDir: String, nProbe: Int,
                              queryIds: Seq[Long], topK: Int,
                              refineCandidates: Int): DataFrame = {
     val spark = embeddings.sparkSession
+    import spark.implicits._
     val (coarse, books) = ivfPqReadIndex(spark, indexDir)
     if (coarse.isEmpty) return emptyTopKFrame(embeddings)
-    val approx = ivfPqApproxFromCodes(spark.read.parquet(codesDir),
-      coarse, books)
     val withInts = withFixedInts(embeddings).lineageTruncate()
-    ivfPqProbeSearch(approx, withInts, coarse, nProbe, queryIds, topK,
+    val queries = withInts
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
+    // driver-side probe: same truncating long dot and (score desc,
+    // cell asc) tie-break as the in-plan ranking — bounded to the
+    // request batch
+    val sortedCoarse = coarse.sortBy(_._1)
+    val probe: Seq[(Long, Int)] = queries.collect().toSeq.flatMap { r =>
+      val qv = r.getSeq[Long](1)
+      sortedCoarse.toSeq
+        .map { case (cell, c) =>
+          (cell, qv.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (cell, d) => (-d, cell) }
+        .take(nProbe)
+        .map { case (cell, _) => (r.getLong(0), cell) }
+    }
+    val cells = probe.map(_._2).distinct.sorted
+    val probeCells = probe.toDF("q_id", "cell")
+    val approx = ivfPqApproxFromCodes(
+      spark.read.parquet(codesDir)
+        .filter(col("ivf_cell").isin(cells.map(_.toLong): _*)),
+      coarse, books)
+    ivfPqAdcRefine(approx, withInts, queries, probeCells, topK,
       refineCandidates)
   }
 

@@ -175,6 +175,41 @@ class Round14OpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(served.nonEmpty && served == fresh,
       "artifact-only search must equal the trainer's in-plan search")
+    // a SINGLE-query request probes 2 of the 8 cells — the pruning
+    // case a serving fleet actually runs (the 8-query batch above
+    // probes every cell, so its scan is legitimately full)
+    val df = SimilarityOps.ivfPqTopKFromArtifacts(
+      Tables.embeddings(worker, sf), idx, cds, nProbe = 2,
+      queryIds = Seq(0L), topK = 5, refineCandidates = 50)
+    assert(df.collect().map(_.toString).toSeq
+      == fresh.filter(_.startsWith("[0,")),
+      "single-query artifact search must match the fresh top-k for q=0")
+    // the probed-cell pushdown against the cell-clustered layout: the
+    // codes scan decodes STRICTLY fewer rows than the corpus (row-group
+    // min/max pruning + the pushed IN filter), and the plan carries the
+    // pushed filter on ivf_cell
+    val corpusRows = spark.read.parquet(cds).count()
+    // AQE wraps executed fragments in AdaptiveSparkPlanExec /
+    // QueryStageExec leaves — descend through both to reach the scans
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val codesScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(
+        new java.io.File(cds).getName)))
+    assert(codesScans.nonEmpty, "no codes FileSourceScan in the plan")
+    assert(codesScans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("In(ivf_cell")),
+      "probe cells must reach the codes scan as a pushed filter")
+    val scanned = codesScans.map(_.metrics("numOutputRows").value).sum
+    assert(scanned > 0 && scanned < corpusRows,
+      s"probed scan must decode fewer rows ($scanned) than corpus ($corpusRows)")
   }
 
   // ---- VERDICT r13 #2: BPE accounting in the curation pipeline ----
