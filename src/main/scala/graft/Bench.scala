@@ -33,10 +33,9 @@ object Bench {
     // q_histogram dropped round 12 to fit q_pipeline_curate under the
     // 1.5 KB line budget (the sketch family keeps q_cms_counts +
     // q_hll_registers — the r7 cheap-near-duplicate rule)
-    "q_chunk_windows", "q_stats_exact",
-    "q_levenshtein",
+    "q_stats_exact",
     // round-6 families
-    "q_cms_counts", "q_triangles", "q_containment_prefix",
+    "q_cms_counts", "q_triangles",
     // round-7 (VERDICT r6 #1): the true worst-cost queries belong on
     // the driver's binding artifact so a regression in the #1/#2/#4
     // most expensive plans is visible round-over-round, not hidden in
@@ -45,6 +44,13 @@ object Bench {
     // Line stays < 1500 B — VerifyJsonSpec bounds it.
     "q_dedup_canonical", "q_hll_registers", "q_boilerplate",
     "q_containment", "q_sql_q18",
+    // round-14 worst-cost tier (the r7 rule): the BPE-accounted
+    // pipeline (#1 most expensive) and the incremental-CC fold.
+    // Dropped to compensate (cheap family near-duplicates):
+    // q_chunk_windows (window family keeps q_window_rank/_session),
+    // q_containment_prefix (family keeps q_containment), and
+    // q_levenshtein (string-scalar family keeps q_repetition/q_lang_id).
+    "q_pipeline_curate_bpe", "q_dedup_incremental_cc",
     // round-7 additions that landed in the worst-cost tier
     "q_neardup_clusters_star", "q_kcore", "q_cluster_cap_sample",
     "q_ngram_novelty",

@@ -6510,6 +6510,44 @@ object Queries {
                bpe_tokens_out::BIGINT AS bpe_tokens_out
         FROM acct ORDER BY stage_idx""")),
 
+    // TOKENIZER-UNIT SEQUENCE PACKING (round 14): q_pack_sequences'
+    // concat-then-chunk bins, priced by the fitted BPE artifact
+    // (q_bpe_merges' 6×31 tokenizer; OOV → char count) instead of the
+    // regex heuristic — the pack frame a training budget actually
+    // consumes, completing the tokenizer's composition into both
+    // accounting (q_pipeline_curate_bpe) and layout (here). Same
+    // 128/100 constants as q_pack_sequences so the two framings
+    // compare bin for bin. Oracle = the proven BPE-fit CTEs pricing
+    // the proven pack CTEs.
+    Declared("q_pack_bpe",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        TextOps.packSequencesBpe(docs,
+          TextOps.bpeWordTokens(docs, merges, topWords = 31), 128L, 100L)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS n
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        t AS (SELECT d.source, d.doc_id // 100 AS shard, d.doc_id,
+                COALESCE(wtok.n, 0) AS n
+              FROM documents d LEFT JOIN wtok USING (doc_id)),
+        cpk AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t)
+        SELECT source, shard, cb // 128 AS bin, COUNT(*)::BIGINT AS n_docs,
+          CAST(SUM(n) AS BIGINT) AS bin_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM cpk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // QUALITY-SIGNAL AGREEMENT MATRIX (VERDICT r13 #3): the three
     // keep/drop signals the engine ships — heuristic quality filter
     // (q_quality_filter's 30-word/10%-stopword thresholds), DSIR

@@ -724,6 +724,44 @@ object TextOps {
     (bitsRows, java.lang.Long.toBinaryString(totalTokens).length - 1L)
   }
 
+  /** [[packSequences]] in TOKENIZER units (round 14): identical
+    * concat-then-chunk bin semantics, but each document is priced by
+    * the fitted BPE artifact — Σ over its words of n_bpe (OOV → char
+    * count, the [[bpeEncodeWithMerges]] rule) — instead of the regex
+    * token heuristic. Production budgets are tokenizer tokens; a pack
+    * frame priced in the wrong currency mis-sizes every training
+    * batch downstream. Documents with NULL/empty text price at 0 and
+    * still pack (they occupy no budget), matching the heuristic
+    * packer's inclusion semantics.
+    *
+    * Scale shape: ONE extra corpus explode joined to the broadcast
+    * vocab-sized table, aggregated per doc (counts shuffle, text does
+    * not); then the same bounded per-(source, shard) windows.
+    */
+  def packSequencesBpe(documents: DataFrame, wordTokens: DataFrame,
+                       budgetTokens: Long, shardDocs: Long): DataFrame = {
+    val priced = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+        .as("__n"))
+    val toks = documents.select(col("source"),
+        expr(s"doc_id div $shardDocs").as("shard"), col("doc_id"))
+      .join(priced, Seq("doc_id"), "left")
+      .select(col("source"), col("shard"), col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"))
+    val before = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(before), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budgetTokens"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard", "bin")
+  }
+
   /** Packing-efficiency audit over [[packSequences]]: per source, how
     * full the bins actually are — n_bins, packed tokens, the worst
     * single bin (bins can EXCEED the budget when a document straddles a

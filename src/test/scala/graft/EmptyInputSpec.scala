@@ -193,8 +193,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(stored.isEmpty &&
       stored.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
     // BPE word-token table over an empty corpus (empty merge list is
-    // the legitimate fit of an empty corpus)
+    // the legitimate fit of an empty corpus); the tokenizer-priced
+    // packer over it packs nothing
     assert(TextOps.bpeWordTokens(emptyDocs, Nil, 10).isEmpty)
+    assert(TextOps.packSequencesBpe(emptyDocs,
+      TextOps.bpeWordTokens(emptyDocs, Nil, 10), 128L, 100L).isEmpty)
     // agreement matrix: no documents carry a word → zero pair rows
     assert(TextOps.qualitySignalAgreement(emptyDocs, emptyDocs,
       Seq("a"), 1L, 1000000L, 16, 1040L).isEmpty)
