@@ -6548,6 +6548,75 @@ object Queries {
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM cpk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // PACK MANIFEST (round 14): the loader handoff q_pack_bpe's bins
+    // summarize — one row per document with its bin and its token
+    // OFFSET inside the bin's concatenated stream (the seek position a
+    // training data-loader reads from). Offsets are the bin-local
+    // rebase of the same tokenizer-priced prefix sum, so the oracle
+    // extends the pack CTEs with one MIN window.
+    Declared("q_pack_manifest",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        TextOps.packManifestBpe(docs,
+          TextOps.bpeWordTokens(docs, merges, topWords = 31), 128L, 100L)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS n
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        t AS (SELECT d.source, d.doc_id // 100 AS shard, d.doc_id,
+                COALESCE(wtok.n, 0) AS n
+              FROM documents d LEFT JOIN wtok USING (doc_id)),
+        cpk AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t)
+        SELECT source, shard, cb // 128 AS bin, doc_id,
+          n AS n_tokens,
+          CAST(cb - MIN(cb) OVER (PARTITION BY source, shard, cb // 128)
+            AS BIGINT) AS tok_offset
+        FROM cpk ORDER BY source, shard, bin, doc_id""")),
+
+    // CORPUS DATA CARD (round 14): the per-(source, lang) release
+    // summary — docs, tokens, chars, exact-duplicate membership count
+    // (GLOBAL md5 partition: cross-source duplicates count in both
+    // rows), corpus-level stopword ppm. Input re-inserts the %50 slice
+    // under shifted ids (the q_dedup_exact trick — the raw corpus has
+    // no exact dups, and a card whose dup column is uniformly zero
+    // audits nothing).
+    Declared("q_data_card",
+      (s, d) => TextOps.dataCard(
+        documents(s, d).unionByName(documents(s, d)
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L))),
+        Seq("a", "the", "of", "and", "in")),
+      Some("""WITH docs AS (
+          SELECT * FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 50 = 0),
+        b AS (SELECT source, lang, n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc,
+                CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+              FROM docs)
+        SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+          CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars,
+          CAST(SUM(is_dup) AS BIGINT) AS n_exact_dup,
+          CASE WHEN COALESCE(SUM(nw), 0) = 0 THEN 0
+            ELSE SUM(sc) * 1000000 // SUM(nw) END::BIGINT AS stopword_ppm
+        FROM b GROUP BY source, lang ORDER BY source, lang""")),
+
     // QUALITY-SIGNAL AGREEMENT MATRIX (VERDICT r13 #3): the three
     // keep/drop signals the engine ships — heuristic quality filter
     // (q_quality_filter's 30-word/10%-stopword thresholds), DSIR

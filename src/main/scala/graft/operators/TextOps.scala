@@ -739,7 +739,39 @@ object TextOps {
     * not); then the same bounded per-(source, shard) windows.
     */
   def packSequencesBpe(documents: DataFrame, wordTokens: DataFrame,
-                       budgetTokens: Long, shardDocs: Long): DataFrame = {
+                       budgetTokens: Long, shardDocs: Long): DataFrame =
+    bpeBinFrame(documents, wordTokens, budgetTokens, shardDocs)
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard", "bin")
+
+  /** PACK MANIFEST (round 14): the loader handoff [[packSequencesBpe]]
+    * summarizes — one row per document with its bin AND its token
+    * offset inside the bin's concatenated stream (offset = tokens of
+    * the bin's earlier documents). A training data-loader consumes
+    * exactly this relation: seek to (bin, offset), read n_tokens. The
+    * offset is the bin-local rebase of the same prefix sum that
+    * assigned the bin, so the manifest costs one extra window MIN per
+    * bin over the already-bounded (source, shard) partitions.
+    */
+  def packManifestBpe(documents: DataFrame, wordTokens: DataFrame,
+                      budgetTokens: Long, shardDocs: Long): DataFrame = {
+    val binStart = Window.partitionBy("source", "shard", "bin")
+    bpeBinFrame(documents, wordTokens, budgetTokens, shardDocs)
+      .withColumn("tok_offset",
+        col("cum_before") - min("cum_before").over(binStart))
+      .select("source", "shard", "bin", "doc_id", "n_tokens", "tok_offset")
+      .orderBy("source", "shard", "bin", "doc_id")
+  }
+
+  /** The shared tokenizer-priced prefix-sum frame behind the BPE pack
+    * family: (source, shard, doc_id, n_tokens, cum_before, bin) with
+    * n_tokens = Σ n_bpe over the document's words (OOV → char count;
+    * NULL/empty text → 0, still packed).
+    */
+  private def bpeBinFrame(documents: DataFrame, wordTokens: DataFrame,
+                          budgetTokens: Long, shardDocs: Long): DataFrame = {
     val priced = documents
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(broadcast(wordTokens), Seq("word"), "left")
@@ -756,10 +788,6 @@ object TextOps {
     toks
       .withColumn("cum_before", coalesce(sum("n_tokens").over(before), lit(0L)))
       .withColumn("bin", expr(s"cum_before div $budgetTokens"))
-      .groupBy("source", "shard", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("source", "shard", "bin")
   }
 
   /** Packing-efficiency audit over [[packSequences]]: per source, how
@@ -839,6 +867,37 @@ object TextOps {
       .withColumn("agree_ppm",
         expr("(both_keep + both_drop) * 1000000L div n_docs"))
       .orderBy("sig_a", "sig_b")
+  }
+
+  /** L4 — CORPUS DATA CARD (round 14): the per-(source, lang) summary
+    * relation a dataset release publishes — document and token and
+    * char volumes, the exact-duplicate count (documents whose md5
+    * matches ANY other document's, computed with one window over the
+    * GLOBAL fingerprint partition so cross-source duplicates count in
+    * both sources' rows), and the corpus-level stopword rate in ppm.
+    * Everything integer-exact in one pass + one fingerprint window +
+    * one rollup; text never shuffles (the md5 window moves 16-byte
+    * keys).
+    */
+  def dataCard(documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val byFp = Window.partitionBy(md5(col("text")))
+    documents
+      .withColumn("nw", size(words(col("text"))).cast("long"))
+      .withColumn("sc", stopCount(words(col("text")), stopwords))
+      .withColumn("is_dup",
+        (count(lit(1)).over(byFp) > 1).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("nw"), lit(0L)).as("n_tokens"),
+        coalesce(sum("n_chars"), lit(0L)).as("n_chars"),
+        sum("is_dup").as("n_exact_dup"),
+        coalesce(sum("sc"), lit(0L)).as("__sc"))
+      .withColumn("stopword_ppm",
+        expr("case when n_tokens = 0 then 0L " +
+          "else __sc * 1000000L div n_tokens end"))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "n_exact_dup", "stopword_ppm")
+      .orderBy("source", "lang")
   }
 
   /** Vocabulary coverage curve: for each coverage threshold (in ppm of

@@ -198,6 +198,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.bpeWordTokens(emptyDocs, Nil, 10).isEmpty)
     assert(TextOps.packSequencesBpe(emptyDocs,
       TextOps.bpeWordTokens(emptyDocs, Nil, 10), 128L, 100L).isEmpty)
+    assert(TextOps.packManifestBpe(emptyDocs,
+      TextOps.bpeWordTokens(emptyDocs, Nil, 10), 128L, 100L).isEmpty)
+    assert(TextOps.dataCard(emptyDocs, Seq("a")).isEmpty)
     // agreement matrix: no documents carry a word → zero pair rows
     assert(TextOps.qualitySignalAgreement(emptyDocs, emptyDocs,
       Seq("a"), 1L, 1000000L, 16, 1040L).isEmpty)

@@ -35,8 +35,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // gated greedy budget, and the incremental CC label fold
     "q_simsearch_ivfpq_stored", "q_pipeline_curate_bpe",
     "q_quality_agreement", "q_budget_surprisal", "q_dedup_incremental_cc",
-    // r14 second wave: driver-side probe + pushed-filter codes scan
-    "q_simsearch_ivfpq_fleet")
+    // r14 second wave: driver-side probe + pushed-filter codes scan,
+    // tokenizer-priced pack manifest, global-fingerprint data card
+    "q_simsearch_ivfpq_fleet", "q_pack_manifest", "q_data_card")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -283,6 +283,51 @@ class Round14OpsSpec extends SparkSpec {
     assert(gated.map(_.getLong(1)).toSet != ungated)
   }
 
+  test("pack manifest rebuilds the pack bins; offsets start at zero") {
+    val docs = Tables.documents(spark, sf)
+    val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+    val wt = TextOps.bpeWordTokens(docs, merges, topWords = 31)
+    val manifest = TextOps.packManifestBpe(docs, wt, 128L, 100L)
+    // rolling the manifest up reproduces the bin frame exactly — the
+    // two relations are views of one prefix sum
+    val rolled = manifest.groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "shard", "bin")
+      .collect().map(_.toString).toSeq
+    val bins = TextOps.packSequencesBpe(docs, wt, 128L, 100L)
+      .collect().map(_.toString).toSeq
+    assert(rolled.nonEmpty && rolled == bins)
+    // each bin's stream starts at offset zero and every doc sits at the
+    // sum of its predecessors — the seekable-loader contract
+    val rows = manifest.collect().map(r => ((r.getString(0), r.getLong(1),
+      r.getLong(2)), (r.getLong(3), r.getLong(4), r.getLong(5))))
+    rows.groupBy(_._1).values.foreach { bin =>
+      val docsInBin = bin.map(_._2).sortBy(_._1)
+      assert(docsInBin.head._3 == 0L, "first doc of a bin seeks to 0")
+      docsInBin.sliding(2).foreach {
+        case Array((_, n0, o0), (_, _, o1)) => assert(o1 == o0 + n0)
+        case _ => ()
+      }
+    }
+  }
+
+  test("data card counts cross-source duplicates in every member row") {
+    val docs = Tables.documents(spark, sf)
+    val withDups = docs.unionByName(docs
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(20000000L)))
+    val card = TextOps.dataCard(withDups, Seq("a", "the", "of", "and", "in"))
+      .collect()
+    assert(card.nonEmpty)
+    // injected dups: every re-inserted doc AND its original are members
+    // of a >1 fingerprint group, so the dup total is ≥ 2 × injected
+    val injected = docs.filter(pmod(col("doc_id"), lit(50)) === 0).count()
+    assert(card.map(_.getLong(5)).sum >= 2 * injected)
+    // rows partition the corpus
+    assert(card.map(_.getLong(2)).sum == withDups.count())
+  }
+
   // ---- VERDICT r13 #6: incremental connected components ----
 
   test("incrementalComponents merges, bridges, and admits new nodes") {
