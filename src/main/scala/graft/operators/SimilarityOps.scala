@@ -1240,6 +1240,29 @@ object SimilarityOps {
     }
   }
 
+  /** CODES MAINTENANCE — the ANN twin of [[graft.operators.DedupOps
+    * .indexUpsert]]: fold an ingested batch's codes into the persisted
+    * codes relation. Rows of superseded vec_ids (a re-ingested id is a
+    * replacement — the re-crawl/new-version case) drop via a BROADCAST
+    * anti-join on the batch's id set, then the batch's freshly coded
+    * rows append; the corpus-sized relation never shuffles, and the
+    * codebooks are NOT refitted (the FAISS add()/remove() economics —
+    * codebook drift is a scheduled re-train, not a per-batch event).
+    * Round14OpsSpec pins upsert ≡ re-code-from-scratch on the merged
+    * corpus. Callers persist the returned frame (or write it back to
+    * the codes parquet — on storage with keyed MERGE the anti-join is
+    * the sink's DELETE WHERE vec_id IN (batch)).
+    */
+  def codesUpsert(storedCodes: DataFrame, batch: DataFrame,
+                  coarse: Array[(Int, Seq[Long])],
+                  books: Seq[Array[(Int, Seq[Long])]],
+                  dim: Int = 64): DataFrame = {
+    val ids = batch.select(col("vec_id"))
+    storedCodes
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .unionByName(codeIvfPq(batch, coarse, books, dim))
+  }
+
   /** Load the codebook artifact [[ivfPqWriteIndex]] wrote — kIvf +
     * m·kSub tiny rows, the legitimate driver state of a search fleet.
     * Returns (coarse, books) in the exact shape [[codeIvfPq]] /

@@ -283,6 +283,39 @@ class Round14OpsSpec extends SparkSpec {
     assert(gated.map(_.getLong(1)).toSet != ungated)
   }
 
+  test("codes upsert equals re-coding the merged corpus from scratch") {
+    val emb = Tables.embeddings(spark, sf)
+    val Some((coarse, books)) = SimilarityOps.ivfPqFit(emb, sf,
+      kIvf = 8, m = 8, kSub = 16, iterations = 2, trainSampleMod = 4)
+    // stored state = the %3≠1 corpus's codes; the batch carries NEW
+    // vectors (%3=1) AND re-ingested versions of existing ids (%30=0,
+    // embeddings negated — the supersede path must drop the old rows)
+    val c0 = emb.filter(pmod(col("vec_id"), lit(3)) =!= 1)
+    val reing = emb.filter(pmod(col("vec_id"), lit(30)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => -v).as("embedding"))
+    val batch = emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+      .select("vec_id", "embedding").unionByName(reing)
+    val upserted = SimilarityOps.codesUpsert(
+      SimilarityOps.codeIvfPq(c0, coarse, books), batch, coarse, books)
+      .collect().map(_.toString).sorted.toSeq
+    // rebuild: the merged corpus (old rows of re-ingested ids replaced)
+    val mergedEmb = c0.select("vec_id", "embedding")
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+    val rebuilt = SimilarityOps.codeIvfPq(mergedEmb, coarse, books)
+      .collect().map(_.toString).sorted.toSeq
+    assert(upserted.nonEmpty && upserted == rebuilt)
+    // the supersede path genuinely moved codes: a negated vector codes
+    // differently than its original for at least one re-ingested id
+    val orig = SimilarityOps.codeIvfPq(
+      emb.filter(pmod(col("vec_id"), lit(30)) === 0), coarse, books)
+      .collect().map(_.toString).sorted.toSeq
+    val re = SimilarityOps.codeIvfPq(reing, coarse, books)
+      .collect().map(_.toString).sorted.toSeq
+    assert(orig != re, "negated re-ingest must change codes — vacuous otherwise")
+  }
+
   test("pack manifest rebuilds the pack bins; offsets start at zero") {
     val docs = Tables.documents(spark, sf)
     val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
