@@ -605,6 +605,61 @@ object Queries {
         ORDER BY q_id, rn"""
   }
 
+  /** DuckDB replay of [[graft.operators.SimilarityOps.ivfDriftMatrix]]:
+    * TWO independent coarse-Lloyd chains (prefixed o/n) differing only
+    * in their training sample modulus, full-corpus assignment under
+    * each, and the (old_cell, new_cell) transition rollup — each chain
+    * the already-proven ivfExactOracle shape.
+    */
+  private def ivfDriftOracle(k: Int, iterations: Int, modOld: Int,
+                             modNew: Int): String = {
+    def chain(p: String, mod: Int): String = {
+      val lloyd = (1 to iterations).map { i =>
+        s"""${p}d${i - 1} AS (SELECT t.vec_id, c.cell, SUM(t.vi * c.c) AS dt
+               FROM ${p}tr t JOIN ${p}c${i - 1} c ON t.pos = c.pos
+               GROUP BY t.vec_id, c.cell),
+          ${p}a${i - 1} AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dt DESC, cell) AS rn
+               FROM ${p}d${i - 1}) WHERE rn = 1),
+          ${p}u$i AS (SELECT a.cell, e2.pos,
+                 CAST(SUM(e2.vi) // COUNT(*) AS BIGINT) AS c
+               FROM ${p}a${i - 1} a JOIN ${p}tr e2 ON e2.vec_id = a.vec_id
+               GROUP BY a.cell, e2.pos),
+          ${p}c$i AS (SELECT q.cell, q.pos, COALESCE(u.c, q.c) AS c
+               FROM ${p}c${i - 1} q
+               LEFT JOIN ${p}u$i u ON q.cell = u.cell AND q.pos = u.pos)"""
+      }.mkString(",\n        ")
+      s"""${p}tr AS (SELECT * FROM e WHERE vec_id % $mod = 0),
+        ${p}seed AS (SELECT vec_id, rn - 1 AS cell FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+             FROM (SELECT DISTINCT vec_id FROM ${p}tr)) WHERE rn <= $k),
+        ${p}c0 AS (SELECT s.cell, e.pos, e.vi AS c
+             FROM ${p}seed s JOIN e ON e.vec_id = s.vec_id),
+        $lloyd,
+        ${p}dful AS (SELECT v.vec_id, c.cell, SUM(v.vi * c.c) AS dt
+             FROM e v JOIN ${p}c$iterations c ON v.pos = c.pos
+             GROUP BY v.vec_id, c.cell),
+        ${p}af AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dt DESC, cell) AS rn
+             FROM ${p}dful) WHERE rn = 1)"""
+    }
+    s"""WITH e AS (SELECT vec_id,
+             CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+           FROM (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(64)) AS pos FROM embeddings)),
+        ${chain("o", modOld)},
+        ${chain("n", modNew)}
+        SELECT CAST(o.cell AS BIGINT) AS old_cell,
+               CAST(n.cell AS BIGINT) AS new_cell,
+               COUNT(*)::BIGINT AS n_vecs
+        FROM oaf o JOIN naf n USING (vec_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** The LSH band-parameter S-curve relation shared by
     * q_lsh_calibration and q_lsh_autoconfig: catch probability
     * p = 1 − (1 − τ^r)^b for the production configs and nearby
@@ -6547,6 +6602,21 @@ object Queries {
           CAST(SUM(n) AS BIGINT) AS bin_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM cpk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // INDEX-DRIFT AUDIT (round 14): the "when to re-train" relation
+    // closing the frozen-index lifecycle — full-corpus cell assignment
+    // under an OLD coarse fit (sparse %16 training sample, the
+    // stand-in for yesterday's codebooks) vs a FRESH fit (%4, the
+    // suite's production sample), reported as the (old_cell →
+    // new_cell) transition matrix. Diagonal mass = stability;
+    // off-diagonal growth schedules the codebook re-train that
+    // codesUpsert alone cannot provide. Oracle: two independent
+    // coarse-Lloyd CTE chains + the rollup.
+    Declared("q_index_drift",
+      (s, d) => SimilarityOps.ivfDriftMatrix(embeddings(s, d), d,
+        k = 8, iterations = 2, modOld = 16, modNew = 4),
+      Some(ivfDriftOracle(k = 8, iterations = 2, modOld = 16,
+        modNew = 4))),
 
     // PACK MANIFEST (round 14): the loader handoff q_pack_bpe's bins
     // summarize — one row per document with its bin and its token

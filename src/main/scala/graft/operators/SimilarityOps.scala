@@ -1240,6 +1240,54 @@ object SimilarityOps {
     }
   }
 
+  /** INDEX-DRIFT AUDIT (round 14) — the "when to re-train" relation
+    * that closes the frozen-index lifecycle (fit → serve → upsert →
+    * THIS → refit): assign the full corpus under an OLD coarse fit
+    * (trained on the sparse `modOld` sample — the stand-in for
+    * codebooks trained on yesterday's corpus) and under a FRESH fit
+    * (`modNew`), and report the (old_cell → new_cell) transition
+    * counts. Diagonal mass = assignment stability; growing
+    * off-diagonal mass is the drift signal that schedules a codebook
+    * re-train ([[codesUpsert]] keeps codes fresh per batch, but
+    * codebooks only stay optimal while the data distribution holds).
+    * Same integer Lloyd arithmetic as every declared IVF relation, so
+    * the oracle replays both chains bit-for-bit.
+    *
+    * Scale shape: two bounded trainings (k·dim driver longs each, on
+    * the hash-deterministic samples), two zero-shuffle expression
+    * argmax assignment passes, one k×k-bounded rollup.
+    */
+  def ivfDriftMatrix(embeddings: DataFrame, cacheKey: String, k: Int,
+                     iterations: Int, modOld: Int, modNew: Int): DataFrame = {
+    intCentroidCache.forEach { (key, _) =>
+      if (key._1.s.sparkContext.isStopped) intCentroidCache.remove(key)
+    }
+    val withInts = withFixedInts(embeddings).lineageTruncate()
+    val planKey = memoPlanKey(embeddings)
+    def cents(mod: Int) = intCentroidCache.computeIfAbsent(
+      (new SessionRef(embeddings.sparkSession), s"$cacheKey#drift",
+        planKey, k, iterations, mod),
+      _ => intCentroids(withInts, k, iterations, mod))
+    val oldC = cents(modOld)
+    val newC = cents(modNew)
+    if (oldC.isEmpty || newC.isEmpty)
+      return embeddings.sparkSession.createDataFrame(
+        embeddings.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_cell", LongType),
+          org.apache.spark.sql.types.StructField("new_cell", LongType),
+          org.apache.spark.sql.types.StructField("n_vecs", LongType))))
+    assignCellsInt(withInts, oldC)
+      .select(col("vec_id"), col("cell").cast("long").as("old_cell"))
+      .join(assignCellsInt(withInts, newC)
+        .select(col("vec_id"), col("cell").cast("long").as("new_cell")),
+        Seq("vec_id"))
+      .groupBy("old_cell", "new_cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("old_cell", "new_cell")
+  }
+
   /** CODES MAINTENANCE — the ANN twin of [[graft.operators.DedupOps
     * .indexUpsert]]: fold an ingested batch's codes into the persisted
     * codes relation. Rows of superseded vec_ids (a re-ingested id is a

@@ -37,7 +37,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_quality_agreement", "q_budget_surprisal", "q_dedup_incremental_cc",
     // r14 second wave: driver-side probe + pushed-filter codes scan,
     // tokenizer-priced pack manifest, global-fingerprint data card
-    "q_simsearch_ivfpq_fleet", "q_pack_manifest", "q_data_card")
+    "q_simsearch_ivfpq_fleet", "q_pack_manifest", "q_data_card",
+    // r14 third wave: two-fit drift matrix (argmax ties in both chains)
+    "q_index_drift")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -283,6 +283,20 @@ class Round14OpsSpec extends SparkSpec {
     assert(gated.map(_.getLong(1)).toSet != ungated)
   }
 
+  test("index-drift matrix partitions the corpus and sees real drift") {
+    val emb = Tables.embeddings(spark, sf)
+    val m = SimilarityOps.ivfDriftMatrix(emb, sf, k = 8, iterations = 2,
+      modOld = 16, modNew = 4).collect()
+    assert(m.nonEmpty)
+    // every corpus vector appears in exactly one transition cell
+    assert(m.map(_.getLong(2)).sum == emb.count())
+    // the two fits genuinely differ on this corpus — off-diagonal mass
+    // exists (a zero-drift matrix audits nothing)
+    assert(m.exists(r => r.getLong(0) != r.getLong(1) && r.getLong(2) > 0))
+    // and stability exists too — some vectors keep their cell
+    assert(m.exists(r => r.getLong(0) == r.getLong(1) && r.getLong(2) > 0))
+  }
+
   test("codes upsert equals re-coding the merged corpus from scratch") {
     val emb = Tables.embeddings(spark, sf)
     val Some((coarse, books)) = SimilarityOps.ivfPqFit(emb, sf,
