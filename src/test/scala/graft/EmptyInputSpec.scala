@@ -204,6 +204,12 @@ class EmptyInputSpec extends SparkSpec {
     // agreement matrix: no documents carry a word → zero pair rows
     assert(TextOps.qualitySignalAgreement(emptyDocs, emptyDocs,
       Seq("a"), 1L, 1000000L, 16, 1040L).isEmpty)
+    // drift audit: no corpus → no fits → empty matrix with the
+    // declared schema, never a throw
+    val drift = SimilarityOps.ivfDriftMatrix(emptyEmb, "empty_drift",
+      k = 4, iterations = 1, modOld = 2, modNew = 1)
+    assert(drift.isEmpty &&
+      drift.columns.toSeq == Seq("old_cell", "new_cell", "n_vecs"))
     // incremental CC: nothing stored, nothing arriving → empty labels
     val noLabels = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
     val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
