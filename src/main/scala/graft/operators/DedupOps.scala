@@ -940,12 +940,24 @@ object DedupOps {
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
                             maxIter: Int = 50,
                             checkpointDir: Option[String] = None): DataFrame = {
+    // Columns resolved BY NAME (ADVICE r14): positional reads silently
+    // inverted the star edges on a (cluster_id, id)-ordered frame —
+    // merged labels then collapsed to the wrong minima with no error.
+    // A mis-shaped frame now fails loudly at entry.
+    require(labels.columns.contains("id") &&
+        labels.columns.contains("cluster_id"),
+      s"incrementalComponents: labels must carry (id, cluster_id), " +
+        s"got ${labels.columns.mkString(", ")}")
+    require(newEdges.columns.contains("a_id") &&
+        newEdges.columns.contains("b_id"),
+      s"incrementalComponents: newEdges must carry (a_id, b_id), " +
+        s"got ${newEdges.columns.mkString(", ")}")
     val star = labels.select(
-      col(labels.columns(1)).cast("long").as("a_id"),
-      col(labels.columns(0)).cast("long").as("b_id"))
+      col("cluster_id").cast("long").as("a_id"),
+      col("id").cast("long").as("b_id"))
     val fresh = newEdges.select(
-      col(newEdges.columns(0)).cast("long").as("a_id"),
-      col(newEdges.columns(1)).cast("long").as("b_id"))
+      col("a_id").cast("long").as("a_id"),
+      col("b_id").cast("long").as("b_id"))
     connectedComponents(star.unionByName(fresh), maxIter, checkpointDir)
   }
 

@@ -307,20 +307,47 @@ object StorageOps {
     * streams, literal ranges) fingerprint as a constant, preserving the
     * plan-hash-only behavior where no files exist to go stale.
     *
-    * Cost: one filesystem stat per input file per memo LOOKUP — the
-    * bucketed-join precedent priced this at listing cost, negligible
-    * next to the refit it guards.
+    * Cost: ONE listStatus RPC per distinct parent directory per memo
+    * LOOKUP (ADVICE r14: the first cut issued a serial getFileStatus
+    * per FILE — on an object store that is N round-trips where the
+    * directory listing is one) — genuinely listing cost, negligible
+    * next to the refit it guards. A file named by `inputFiles` but
+    * absent from its directory's listing (an external regeneration
+    * replaced the part files between plan construction and this
+    * lookup) folds into the fingerprint as a `missing` marker instead
+    * of throwing: a mid-rewrite race moves the fingerprint and forces
+    * a refit — the safe outcome — rather than failing the fit/search
+    * entry point with FileNotFoundException.
     */
   def filesFingerprint(df: DataFrame): String = {
     val files = df.inputFiles
     if (files.isEmpty) "nofiles"
     else {
       val conf = df.sparkSession.sparkContext.hadoopConfiguration
-      val entries = files.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
-      }.mkString("|")
+      val stats = files.groupBy(f =>
+          new org.apache.hadoop.fs.Path(f).getParent)
+        .flatMap { case (dir, names) =>
+          val wanted = names.map(f =>
+            new org.apache.hadoop.fs.Path(f).getName).toSet
+          val listed =
+            try {
+              dir.getFileSystem(conf).listStatus(dir).iterator
+                .filter(s => wanted(s.getPath.getName))
+                .map(s => s.getPath.getName ->
+                  s"${s.getLen}:${s.getModificationTime}")
+                .toMap
+            } catch {
+              // directory itself vanished mid-rewrite: every file in it
+              // fingerprints as missing (refit, not crash)
+              case _: java.io.FileNotFoundException =>
+                Map.empty[String, String]
+            }
+          names.toSeq.map { f =>
+            val name = new org.apache.hadoop.fs.Path(f).getName
+            f -> listed.getOrElse(name, "missing")
+          }
+        }
+      val entries = files.sorted.map(f => s"$f:${stats(f)}").mkString("|")
       java.security.MessageDigest.getInstance("MD5")
         .digest(entries.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
