@@ -7126,6 +7126,97 @@ object Queries {
                LEAST(src, MIN(dst))::BIGINT AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // INCREMENTAL INGEST PIPELINE (VERDICT r14 #3): the full two-batch
+    // ingest loop as ONE declared relation — the StreamingNearDupSpec
+    // state machine lifted to the oracle gate. Stored state starts as
+    // the %12=0 slice (cluster labels from verified pairs + band/set
+    // index); the %12=4 batch probes the index (phase m1 decisions),
+    // its edges fold into the labels via incrementalComponents, and the
+    // batch upserts into the index; the %12=8 batch then probes the
+    // UPSERTED index (phase m2 — a decision only a maintained index can
+    // make, since it must see batch-1 docs) and folds likewise. Phase
+    // 'label' is the final cluster relation over ALL merged docs
+    // (singletons self-labeled). The oracle rebuilds from scratch on
+    // the merged %4=0 corpus (the three %12 residues partition it):
+    // labels via the proven RECURSIVE reach CC, decisions via
+    // existence of a brute-force verified pair into the respective
+    // corpus state — hash-equality proves the incremental fold AND the
+    // upserted index equal the rebuild. Same corpus-pinned LSH recall
+    // note as every verified-pair key.
+    Declared("q_pipeline_incremental",
+      (s, d) => {
+        val docs = documents(s, d)
+        def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(12)) === r)
+          .select("doc_id", "text")
+        val c0 = slice(0); val b1 = slice(4); val b2 = slice(8)
+        var labels = DedupOps.connectedComponents(
+          DedupOps.lshVerifiedJaccardPairsUnsorted(c0, 32, 2, 80)
+            .select("a_id", "b_id"))
+        var bands = DedupOps.corpusBandDocs(c0, 32, 2).lineageTruncate()
+        var sets = DedupOps.corpusHashedSets(c0).lineageTruncate()
+        def decide(batch: DataFrame, phase: String): (DataFrame, DataFrame) = {
+          val hits = DedupOps.pairsAgainstIndexVerified(batch, bands, sets,
+            32, 2, 80).lineageTruncate()
+          val dec = batch.select("doc_id")
+            .join(hits.select("doc_id").distinct().withColumn("v", lit(1L)),
+              Seq("doc_id"), "left")
+            .select(lit(phase).as("phase"), col("doc_id"),
+              coalesce(col("v"), lit(0L)).as("val"))
+          val edges = hits
+            .select(col("doc_id").as("a_id"), col("corpus_id").as("b_id"))
+            .unionByName(
+              DedupOps.lshVerifiedJaccardPairsUnsorted(batch, 32, 2, 80)
+                .select("a_id", "b_id"))
+          (dec, edges)
+        }
+        val (dec1, e1) = decide(b1, "m1")
+        labels = DedupOps.incrementalComponents(labels, e1)
+        val up1 = DedupOps.indexUpsert(bands, sets, b1, 32, 2)
+        bands = up1._1.lineageTruncate(); sets = up1._2.lineageTruncate()
+        val (dec2, e2) = decide(b2, "m2")
+        labels = DedupOps.incrementalComponents(labels, e2)
+        val lab = c0.unionByName(b1).unionByName(b2).select("doc_id")
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left")
+          .select(lit("label").as("phase"), col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("val"))
+        lab.unionByName(dec1).unionByName(dec2)
+          .orderBy("phase", "doc_id")
+      },
+      Some("""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size FROM w GROUP BY doc_id),
+        c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS common
+              FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT c.a_id, c.b_id
+              FROM c JOIN sz sa ON c.a_id = sa.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+              WHERE c.common * 100 >= (sa.set_size + sb.set_size - c.common) * 80),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION SELECT b_id, a_id FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        SELECT 'label' AS phase, d.doc_id,
+               CAST(COALESCE(r.cl, d.doc_id) AS BIGINT) AS val
+        FROM docs d LEFT JOIN (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cl
+          FROM reach GROUP BY src) r USING (doc_id)
+        UNION ALL
+        SELECT 'm1', d.doc_id,
+          CASE WHEN EXISTS (SELECT 1 FROM e
+                 WHERE e.src = d.doc_id AND e.dst % 12 = 0)
+            THEN 1 ELSE 0 END::BIGINT
+        FROM docs d WHERE d.doc_id % 12 = 4
+        UNION ALL
+        SELECT 'm2', d.doc_id,
+          CASE WHEN EXISTS (SELECT 1 FROM e
+                 WHERE e.src = d.doc_id AND e.dst % 12 IN (0, 4))
+            THEN 1 ELSE 0 END::BIGINT
+        FROM docs d WHERE d.doc_id % 12 = 8
+        ORDER BY phase, doc_id""")),
+
     // ANN CODES UPSERT (VERDICT r14 #1): the production maintenance
     // path of the persisted IVF-PQ index as a declared, hash-checked
     // relation — the q_dedup_index_upsert pattern applied to ANN. The
