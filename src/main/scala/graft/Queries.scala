@@ -7126,6 +7126,69 @@ object Queries {
                LEAST(src, MIN(dst))::BIGINT AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // PACKED SHARDS ARTIFACT (VERDICT r14 #4): q_pack_manifest computed
+    // the loader seek offsets; this key WRITES the thing they point
+    // into — per-(source, shard, bin) concatenated BPE token streams as
+    // a fingerprint-memoized parquet artifact (the IVF-PQ codes
+    // discipline applied to packing) — reads it back, and slices every
+    // manifest row's [tok_offset, +n_tokens) window out of the stored
+    // stream. The declared relation is the manifest plus the md5 of
+    // each slice; the oracle recomputes every document's encoding
+    // INDEPENDENTLY (vocab syms via the proven BPE fit CTEs, OOV →
+    // characters, order by (word pos, sym pos)) — equality proves the
+    // artifact's layout, order, and offsets all hold, i.e. a data
+    // loader seeking by the manifest reads exactly each document.
+    Declared("q_pack_shards",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        val syms = TextOps.bpeWordSyms(docs, merges, topWords = 31)
+        val out = new java.io.File(
+          s"target/pack_shards_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+        TextOps.packShardsWrite(docs, syms, 128L, 100L,
+          srcDir = s"$d/documents.parquet", outDir = out)
+        TextOps.packShardsSliceAudit(docs, syms, 128L, 100L, out)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS n
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM documents) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        t AS (SELECT d.source, d.doc_id // 100 AS shard, d.doc_id,
+                COALESCE(wtok.n, 0) AS n
+              FROM documents d LEFT JOIN wtok USING (doc_id)),
+        cpk AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t),
+        ww AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wpos
+               FROM documents),
+        wtk AS (SELECT ww.doc_id, ww.wpos,
+                  COALESCE(s6.syms,
+                    list_filter(string_split(ww.word, ''),
+                      x -> x <> '')) AS syms
+                FROM ww LEFT JOIN s6 ON ww.word = s6.word),
+        flat AS (SELECT doc_id, wpos, unnest(syms) AS sym,
+                   unnest(range(len(syms))) AS spos
+                 FROM wtk),
+        dstr AS (SELECT doc_id,
+                   COALESCE(string_agg(sym, ' ' ORDER BY wpos, spos), '')
+                     AS str
+                 FROM flat GROUP BY doc_id)
+        SELECT cpk.source, cpk.shard, cpk.cb // 128 AS bin, cpk.doc_id,
+          cpk.n AS n_tokens,
+          CAST(cpk.cb - MIN(cpk.cb) OVER (PARTITION BY cpk.source,
+            cpk.shard, cpk.cb // 128) AS BIGINT) AS tok_offset,
+          COALESCE(md5(dstr.str), md5('')) AS tok_md5
+        FROM cpk LEFT JOIN dstr USING (doc_id)
+        ORDER BY source, shard, bin, doc_id""")),
+
     // INCREMENTAL INGEST PIPELINE (VERDICT r14 #3): the full two-batch
     // ingest loop as ONE declared relation — the StreamingNearDupSpec
     // state machine lifted to the oracle gate. Stored state starts as

@@ -1458,7 +1458,18 @@ object TextOps {
     * rule).
     */
   def bpeWordTokens(documents: DataFrame, merges: Seq[(String, String)],
-                    topWords: Int): DataFrame = {
+                    topWords: Int): DataFrame =
+    bpeWordSyms(documents, merges, topWords)
+      .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+
+  /** The encoded vocabulary itself — (word, syms) for the `topWords`
+    * most frequent words under the fitted merge table ([[bpeWordTokens]]
+    * is its size projection; [[docTokenStreams]] and the shard packer
+    * consume the symbols). Persisted like every tokenizer artifact:
+    * vocab-bounded rows, computed once per (corpus, merges).
+    */
+  def bpeWordSyms(documents: DataFrame, merges: Seq[(String, String)],
+                  topWords: Int): DataFrame = {
     val vocab0 = documents
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) > 0) // the bpeFitLoop empty-word pin
@@ -1471,9 +1482,89 @@ object TextOps {
       df.withColumn("syms",
         graft.plans.BpeMergePair.bpeMergePair(col("syms"), lit(l), lit(r)))
     }
-    Lineage.truncate(
-      encoded.select(col("word"), size(col("syms")).cast("long").as("n_bpe")),
-      None)
+    Lineage.truncate(encoded.select(col("word"), col("syms")), None)
+  }
+
+  /** Per-document BPE token stream — (doc_id, tokens), the document's
+    * words in order, each expanded to its vocabulary symbols (OOV →
+    * its characters, the [[bpeEncodeWithMerges]] rule; empty symbols
+    * filtered so the stream length ALWAYS equals the [[bpeWordTokens]]
+    * pricing). The reassembly is a broadcast vocab join + one groupBy
+    * whose per-key state is the document's own tokens — order restored
+    * by array_sort over (wpos, syms) structs, no window, no second
+    * shuffle. This is the relation the shard packer concatenates; at
+    * 100 TB it is one map-side-joined pass over the corpus.
+    */
+  def docTokenStreams(documents: DataFrame, wordSyms: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), posexplode(words(col("text")))
+        .as(Seq("wpos", "word")))
+      .join(broadcast(wordSyms), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"),
+        filter(split(col("word"), ""), s => s =!= "")))
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("syms")))),
+        x => x("syms"))).as("tokens"))
+
+  /** PACKED SHARDS ARTIFACT (VERDICT r14 #4): materialize the thing
+    * [[packManifestBpe]]'s offsets point INTO — one row per (source,
+    * shard, bin) holding the bin's concatenated token stream, the
+    * relation a training data-loader mmaps and seeks. Documents
+    * concatenate in doc_id order (the same total order the manifest's
+    * prefix sum ran over), so manifest row (bin, tok_offset, n_tokens)
+    * slices exactly that document's encoding back out of the stream —
+    * q_pack_shards hash-checks the round trip against per-document
+    * encodings replayed by DuckDB. Fingerprint-memoized on the source
+    * like the IVF-PQ codes: written once per corpus state.
+    *
+    * Scale shape: tokens shuffle ONCE (the groupBy to bin rows, keyed
+    * on (source, shard, bin) — bounded by budgetTokens each); bin rows
+    * are loader-page-sized by construction, so no partition holds more
+    * than a shard's bins.
+    */
+  def packShardsWrite(documents: DataFrame, wordSyms: DataFrame,
+                      budgetTokens: Long, shardDocs: Long,
+                      srcDir: String, outDir: String): Unit = {
+    val spark = documents.sparkSession
+    graft.sources.StorageOps.materializeCached(spark,
+      s"pack_shards:$outDir:$budgetTokens:$shardDocs", srcDir, outDir) {
+      val wordTokens = wordSyms
+        .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+      bpeBinFrame(documents, wordTokens, budgetTokens, shardDocs)
+        .select("source", "shard", "bin", "doc_id")
+        .join(docTokenStreams(documents, wordSyms), Seq("doc_id"), "left")
+        .withColumn("tokens",
+          coalesce(col("tokens"), array().cast("array<string>")))
+        .groupBy("source", "shard", "bin")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tokens")))),
+          x => x("tokens"))).as("tokens"))
+        .write.mode("overwrite").parquet(outDir)
+    }
+  }
+
+  /** Round-trip audit of the packed shards: for every manifest row,
+    * slice [tok_offset, tok_offset + n_tokens) out of the bin's stored
+    * stream and fingerprint it — the declared q_pack_shards relation,
+    * whose oracle recomputes each document's encoding independently.
+    * A manifest pointing at a mis-packed artifact (wrong order, wrong
+    * offset base, dropped doc) changes some row's md5.
+    */
+  def packShardsSliceAudit(documents: DataFrame, wordSyms: DataFrame,
+                           budgetTokens: Long, shardDocs: Long,
+                           outDir: String): DataFrame = {
+    val wordTokens = wordSyms
+      .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+    packManifestBpe(documents, wordTokens, budgetTokens, shardDocs)
+      .join(documents.sparkSession.read.parquet(outDir),
+        Seq("source", "shard", "bin"))
+      .select(col("source"), col("shard"), col("bin"), col("doc_id"),
+        col("n_tokens"), col("tok_offset"),
+        md5(concat_ws(" ",
+          slice(col("tokens"), (col("tok_offset") + 1).cast("int"),
+            col("n_tokens").cast("int")))).as("tok_md5"))
+      .orderBy("source", "shard", "bin", "doc_id")
   }
 
   /** The shared fit loop: returns the per-round merge rows and the
