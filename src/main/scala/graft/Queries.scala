@@ -7126,6 +7126,73 @@ object Queries {
                LEAST(src, MIN(dst))::BIGINT AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // DATA CARD v2 (VERDICT r14 #5): the release card with tokens
+    // priced by the FROZEN tokenizer (bpe_tokens — the q_pack_bpe
+    // pricing CTEs, tokenizer fitted on the ORIGINAL corpus before the
+    // dup slice re-inserts) and near-dup cluster mass (n_neardup —
+    // documents with a VERIFIED J≥80 partner; banded candidates in the
+    // engine, brute-force pairs in the oracle, the corpus-pinned
+    // recall note of every verified-pair key). Same dup-injected input
+    // as q_data_card, which stays hash-pinned untouched.
+    Declared("q_data_card_v2",
+      (s, d) => {
+        val base = documents(s, d)
+        val card = base.unionByName(base
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L)))
+        val merges = TextOps.bpeMerges(base, rounds = 6, topWords = 31)
+        TextOps.dataCardV2(card, Seq("a", "the", "of", "and", "in"),
+          TextOps.bpeWordTokens(base, merges, topWords = 31),
+          numHashes = 32, rowsPerBand = 2, minJaccardPct = 80)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        docs AS (SELECT * FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 50 = 0),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS nb
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM docs) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        wmh AS (SELECT DISTINCT doc_id,
+                  unnest(string_split(text, ' ')) AS word FROM docs),
+        sz AS (SELECT doc_id, COUNT(*)::BIGINT AS set_size
+               FROM wmh GROUP BY doc_id),
+        cmn AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  COUNT(*)::BIGINT AS common
+                FROM wmh a JOIN wmh b
+                  ON a.word = b.word AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT cmn.a_id, cmn.b_id
+              FROM cmn JOIN sz sa ON cmn.a_id = sa.doc_id
+                       JOIN sz sb ON cmn.b_id = sb.doc_id
+              WHERE cmn.common * 100 >=
+                    (sa.set_size + sb.set_size - cmn.common) * 80),
+        nd AS (SELECT a_id AS doc_id FROM p
+               UNION SELECT b_id FROM p),
+        b AS (SELECT d.source, d.lang, d.n_chars,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(d.text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc,
+                COALESCE(wtok.nb, 0) AS nb,
+                CASE WHEN COUNT(*) OVER (PARTITION BY md5(d.text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup,
+                CASE WHEN d.doc_id IN (SELECT doc_id FROM nd)
+                  THEN 1 ELSE 0 END AS is_nd
+              FROM docs d LEFT JOIN wtok ON d.doc_id = wtok.doc_id)
+        SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+          CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS bpe_tokens,
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars,
+          CAST(SUM(is_dup) AS BIGINT) AS n_exact_dup,
+          CAST(SUM(is_nd) AS BIGINT) AS n_neardup,
+          CASE WHEN COALESCE(SUM(nw), 0) = 0 THEN 0
+            ELSE SUM(sc) * 1000000 // SUM(nw) END::BIGINT AS stopword_ppm
+        FROM b GROUP BY source, lang ORDER BY source, lang""")),
+
     // PACKED SHARDS ARTIFACT (VERDICT r14 #4): q_pack_manifest computed
     // the loader seek offsets; this key WRITES the thing they point
     // into — per-(source, shard, bin) concatenated BPE token streams as

@@ -900,6 +900,64 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** L4 — DATA CARD v2 (VERDICT r14 #5): [[dataCard]] upgraded to the
+    * card a release actually publishes — token volume priced in
+    * TOKENIZER units (`bpe_tokens`: the frozen [[bpeWordTokens]]
+    * artifact, OOV → character count — the same pricing the pack
+    * family spends), and near-duplicate mass (`n_neardup`: documents
+    * with at least one VERIFIED Jaccard ≥ `minJaccardPct` partner —
+    * candidates from the banded LSH join, never all-pairs; a raw
+    * band-bucket membership saturates on a small shared vocabulary,
+    * measured at 508/510 on the card fixture, so the verify stage is
+    * what makes the column informative — a superset of the exact-dup
+    * column since identical texts verify at J=100). The original
+    * [[dataCard]] stays untouched (hash-pinned).
+    *
+    * Scale shape: one extra broadcast-vocab join + per-doc rollup for
+    * the pricing, and the banded-candidate verify pass every dedup
+    * query already runs.
+    */
+  def dataCardV2(documents: DataFrame, stopwords: Seq[String],
+                 wordTokens: DataFrame, numHashes: Int, rowsPerBand: Int,
+                 minJaccardPct: Int): DataFrame = {
+    import graft.operators.DedupOps
+    val priced = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+        .as("__nb"))
+    val pairs = DedupOps.lshVerifiedJaccardPairsUnsorted(
+      documents.select("doc_id", "text"), numHashes, rowsPerBand,
+      minJaccardPct)
+    val members = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+      .withColumn("__nd", lit(1L))
+    val byFp = Window.partitionBy(md5(col("text")))
+    documents
+      .join(priced, Seq("doc_id"), "left")
+      .join(members, Seq("doc_id"), "left")
+      .withColumn("nw", size(words(col("text"))).cast("long"))
+      .withColumn("sc", stopCount(words(col("text")), stopwords))
+      .withColumn("is_dup", (count(lit(1)).over(byFp) > 1).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("nw"), lit(0L)).as("n_tokens"),
+        coalesce(sum(coalesce(col("__nb"), lit(0L))), lit(0L))
+          .as("bpe_tokens"),
+        coalesce(sum("n_chars"), lit(0L)).as("n_chars"),
+        sum("is_dup").as("n_exact_dup"),
+        sum(coalesce(col("__nd"), lit(0L))).as("n_neardup"),
+        coalesce(sum("sc"), lit(0L)).as("__sc"))
+      .withColumn("stopword_ppm",
+        expr("case when n_tokens = 0 then 0L " +
+          "else __sc * 1000000L div n_tokens end"))
+      .select("source", "lang", "n_docs", "n_tokens", "bpe_tokens",
+        "n_chars", "n_exact_dup", "n_neardup", "stopword_ppm")
+      .orderBy("source", "lang")
+  }
+
   /** Vocabulary coverage curve: for each coverage threshold (in ppm of
     * all token occurrences), the number of most-frequent word types
     * needed to reach it — the "how big must the vocab be to cover 99%?"
