@@ -933,6 +933,57 @@ object Queries {
         SELECT config, q_id, n_hits FROM hits ORDER BY config, q_id"""
   }
 
+  /** The three quality-signal CTE bodies proven under
+    * q_quality_agreement — heuristic keep (30 words / <10% stopwords),
+    * unigram-surprisal keep (bits_q8 ≤ 1040), DSIR md5-gate keep —
+    * joined into the per-document flag frame `f`. Shared by the
+    * round-15 ensemble keys (q_quality_ensemble, q_budget_ensemble);
+    * the agreement key's inlined copy stays byte-identical and pinned.
+    */
+  private val qualityVotesCtes: String =
+    """w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        swc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        stot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM swc),
+        swb AS (SELECT word,
+                  CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+                FROM swc CROSS JOIN stot),
+        sup AS (SELECT w.doc_id,
+                  CASE WHEN SUM(swb.bits) * 256 // COUNT(*) <= 1040
+                    THEN 1 ELSE 0 END::BIGINT AS k_surprisal
+                FROM w JOIN swb USING (word) GROUP BY w.doc_id),
+        qual AS (SELECT doc_id,
+                   CASE WHEN nw >= 30 AND sc * 1000000 // nw < 100000
+                     THEN 1 ELSE 0 END::BIGINT AS k_quality
+                 FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                         CAST(len(list_filter(string_split(text, ' '),
+                           x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+                       FROM documents)),
+        tok AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                FROM w),
+        rawc AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM rawc) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT rawc.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        wts AS (SELECT doc_id, CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+                FROM tok JOIN post USING (b) GROUP BY doc_id),
+        dsir AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < dsir_ppm
+                     THEN 1 ELSE 0 END::BIGINT AS k_dsir
+                 FROM wts),
+        f AS (SELECT q.doc_id, k_quality, k_surprisal, k_dsir
+              FROM qual q JOIN sup USING (doc_id) JOIN dsir USING (doc_id))"""
+
   /** The LSH band-parameter S-curve relation shared by
     * q_lsh_calibration and q_lsh_autoconfig: catch probability
     * p = 1 − (1 − τ^r)^b for the production configs and nearby
@@ -7125,6 +7176,58 @@ object Queries {
         SELECT src AS doc_id,
                LEAST(src, MIN(dst))::BIGINT AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // ENSEMBLE QUALITY VOTE (VERDICT r14 #6): q_quality_agreement
+    // reported pairwise confusion; this key DECIDES — per document, the
+    // three audited keep signals plus the majority vote (≥2 of
+    // heuristic/DSIR/surprisal). The flag frame is the agreement key's
+    // engine path re-exposed, so the two relations can never drift.
+    Declared("q_quality_ensemble",
+      (s, d) => TextOps.qualitySignalVotes(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"),
+        stopwords = Seq("a", "the", "of", "and", "in"), minWords = 30L,
+        maxStopwordPpm = 100000L, numBuckets = 1024, maxBitsQ8 = 1040L)
+        .orderBy("doc_id"),
+      Some(s"""WITH $qualityVotesCtes
+        SELECT doc_id, k_quality, k_surprisal, k_dsir,
+          CASE WHEN k_quality + k_surprisal + k_dsir >= 2
+            THEN 1 ELSE 0 END::BIGINT AS ensemble_keep
+        FROM f ORDER BY doc_id""")),
+
+    // ENSEMBLE-GATED TOKEN BUDGET (VERDICT r14 #6, second half): the
+    // budgeted pack consuming the ENSEMBLE stream — q_budget_surprisal's
+    // greedy per-source selection run over only the documents the
+    // majority vote keeps. The composition a production curation plan
+    // actually runs once it trusts the ensemble over any single filter.
+    Declared("q_budget_ensemble",
+      (s, d) => {
+        val docs = documents(s, d)
+        val keep = TextOps.qualitySignalVotes(docs,
+          docs.filter(col("lang") === "en"),
+          stopwords = Seq("a", "the", "of", "and", "in"), minWords = 30L,
+          maxStopwordPpm = 100000L, numBuckets = 1024, maxBitsQ8 = 1040L)
+          .filter(col("ensemble_keep") === 1L).select("doc_id")
+        TextOps.tokenBudgetSelect(docs.join(keep, Seq("doc_id"), "left_semi"),
+          budgetTokens = 600L)
+      },
+      Some(s"""WITH $qualityVotesCtes,
+        keep AS (SELECT doc_id FROM f
+                 WHERE k_quality + k_surprisal + k_dsir >= 2),
+        q AS (SELECT source, doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                  * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS score_ppm
+              FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM keep)),
+        r AS (SELECT source, doc_id, score_ppm, n_words,
+                CAST(SUM(n_words) OVER (PARTITION BY source
+                  ORDER BY score_ppm DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM q)
+        SELECT source, doc_id, score_ppm, n_words, cum_tokens
+        FROM r WHERE cum_tokens <= 600
+        ORDER BY source, doc_id""")),
 
     // DATA CARD v2 (VERDICT r14 #5): the release card with tokens
     // priced by the FROZEN tokenizer (bpe_tokens — the q_pack_bpe

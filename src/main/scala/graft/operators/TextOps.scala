@@ -836,19 +836,8 @@ object TextOps {
                              stopwords: Seq[String], minWords: Long,
                              maxStopwordPpm: Long, numBuckets: Int,
                              maxBitsQ8: Long): DataFrame = {
-    val kQuality = textQuality(documents, stopwords)
-      .select(col("doc_id"),
-        (col("n_words") >= minWords && col("stopword_ppm") < maxStopwordPpm)
-          .cast("long").as("k_quality"))
-    val kSurprisal = surprisalBits(documents)
-      .select(col("doc_id"),
-        (col("bits_q8") <= maxBitsQ8).cast("long").as("k_surprisal"))
-    val kDsir = importanceWeights(documents, target, numBuckets)
-      .select(col("doc_id"),
-        (Relational.hashBucketPpm(col("doc_id"), "dsir:") < col("dsir_ppm"))
-          .cast("long").as("k_dsir"))
-    val flags = kQuality.join(kSurprisal, Seq("doc_id"))
-      .join(kDsir, Seq("doc_id"))
+    val flags = qualitySignalVotes(documents, target, stopwords, minWords,
+      maxStopwordPpm, numBuckets, maxBitsQ8)
     val pairs = flags.select(explode(array(
       struct(lit("dsir").as("sig_a"), lit("quality").as("sig_b"),
         col("k_dsir").as("ka"), col("k_quality").as("kb")),
@@ -867,6 +856,40 @@ object TextOps {
       .withColumn("agree_ppm",
         expr("(both_keep + both_drop) * 1000000L div n_docs"))
       .orderBy("sig_a", "sig_b")
+  }
+
+  /** ENSEMBLE QUALITY VOTES (VERDICT r14 #6) — the per-document flag
+    * frame behind [[qualitySignalAgreement]], now a first-class verb:
+    * (doc_id, k_quality, k_surprisal, k_dsir, ensemble_keep) over every
+    * document carrying at least one word, where `ensemble_keep` is the
+    * MAJORITY vote (≥ 2 of 3 signals keep). The agreement matrix told a
+    * pipeline whether its filters are redundant; this is the DECISION a
+    * pipeline gates on — a single filter's failure mode (heuristic
+    * fooled by listy text, DSIR fooled by on-distribution spam,
+    * surprisal fooled by rare-word soup) needs a second signal to
+    * agree before a document is kept. Three already-audited map-side
+    * passes + two doc-keyed equi-joins; text never shuffles.
+    */
+  def qualitySignalVotes(documents: DataFrame, target: DataFrame,
+                         stopwords: Seq[String], minWords: Long,
+                         maxStopwordPpm: Long, numBuckets: Int,
+                         maxBitsQ8: Long): DataFrame = {
+    val kQuality = textQuality(documents, stopwords)
+      .select(col("doc_id"),
+        (col("n_words") >= minWords && col("stopword_ppm") < maxStopwordPpm)
+          .cast("long").as("k_quality"))
+    val kSurprisal = surprisalBits(documents)
+      .select(col("doc_id"),
+        (col("bits_q8") <= maxBitsQ8).cast("long").as("k_surprisal"))
+    val kDsir = importanceWeights(documents, target, numBuckets)
+      .select(col("doc_id"),
+        (Relational.hashBucketPpm(col("doc_id"), "dsir:") < col("dsir_ppm"))
+          .cast("long").as("k_dsir"))
+    kQuality.join(kSurprisal, Seq("doc_id"))
+      .join(kDsir, Seq("doc_id"))
+      .withColumn("ensemble_keep",
+        (col("k_quality") + col("k_surprisal") + col("k_dsir") >= 2L)
+          .cast("long"))
   }
 
   /** L4 — CORPUS DATA CARD (round 14): the per-(source, lang) summary
