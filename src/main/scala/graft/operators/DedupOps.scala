@@ -939,11 +939,34 @@ object DedupOps {
     */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
                             maxIter: Int = 50,
-                            checkpointDir: Option[String] = None): DataFrame = {
-    // Columns resolved BY NAME (ADVICE r14): positional reads silently
-    // inverted the star edges on a (cluster_id, id)-ordered frame —
-    // merged labels then collapsed to the wrong minima with no error.
-    // A mis-shaped frame now fails loudly at entry.
+                            checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(starUnion(labels, newEdges), maxIter, checkpointDir)
+
+  /** [[incrementalComponents]] routed through the ALTERNATING STAR
+    * CONTRACTION engine ([[connectedComponentsStar]]) — same output
+    * contract, same star(labels) ∪ batch input, different round shape.
+    * This is the giant-cluster escape hatch (round-15 skew audit,
+    * SCALE.md): star(labels) hands a 10⁹-member cluster's hub a
+    * degree-10⁹ key, which min-label propagation re-joins EVERY round
+    * (AQE's OptimizeSkewedJoin splits the oversized partition, but the
+    * hub's rows still flow each round); large-star/small-star instead
+    * REWIRES high-degree neighborhoods toward their minima, so the hub's
+    * degree collapses geometrically after the first round. Both engines
+    * share the rebuild-equivalence contract, so either can serve the
+    * declared keys.
+    */
+  def incrementalComponentsStar(labels: DataFrame, newEdges: DataFrame,
+                                maxIter: Int = 50,
+                                checkpointDir: Option[String] = None)
+      : DataFrame =
+    connectedComponentsStar(starUnion(labels, newEdges), maxIter,
+      checkpointDir)
+
+  /** The shared star(labels) ∪ batch edge relation of the incremental
+    * CC family, columns resolved by name (ADVICE r14 — positional reads
+    * silently inverted a (cluster_id, id)-ordered frame).
+    */
+  private def starUnion(labels: DataFrame, newEdges: DataFrame): DataFrame = {
     require(labels.columns.contains("id") &&
         labels.columns.contains("cluster_id"),
       s"incrementalComponents: labels must carry (id, cluster_id), " +
@@ -952,13 +975,12 @@ object DedupOps {
         newEdges.columns.contains("b_id"),
       s"incrementalComponents: newEdges must carry (a_id, b_id), " +
         s"got ${newEdges.columns.mkString(", ")}")
-    val star = labels.select(
+    labels.select(
       col("cluster_id").cast("long").as("a_id"),
       col("id").cast("long").as("b_id"))
-    val fresh = newEdges.select(
-      col("a_id").cast("long").as("a_id"),
-      col("b_id").cast("long").as("b_id"))
-    connectedComponents(star.unionByName(fresh), maxIter, checkpointDir)
+      .unionByName(newEdges.select(
+        col("a_id").cast("long").as("a_id"),
+        col("b_id").cast("long").as("b_id")))
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (the
