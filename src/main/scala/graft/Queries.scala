@@ -7387,20 +7387,20 @@ object Queries {
             .select("a_id", "b_id"))
         var bands = DedupOps.corpusBandDocs(c0, 32, 2).lineageTruncate()
         var sets = DedupOps.corpusHashedSets(c0).lineageTruncate()
+        // one banding + one set prep per batch serves BOTH the index
+        // probe and the internal pairs (batchEdgesVerified — the r14
+        // builder-note fusion); vs_corpus=1 rows are the flag decision
         def decide(batch: DataFrame, phase: String): (DataFrame, DataFrame) = {
-          val hits = DedupOps.pairsAgainstIndexVerified(batch, bands, sets,
+          val ev = DedupOps.batchEdgesVerified(batch, bands, sets,
             32, 2, 80).lineageTruncate()
           val dec = batch.select("doc_id")
-            .join(hits.select("doc_id").distinct().withColumn("v", lit(1L)),
+            .join(ev.filter(col("vs_corpus") === 1L)
+              .select(col("a_id").as("doc_id")).distinct()
+              .withColumn("v", lit(1L)),
               Seq("doc_id"), "left")
             .select(lit(phase).as("phase"), col("doc_id"),
               coalesce(col("v"), lit(0L)).as("val"))
-          val edges = hits
-            .select(col("doc_id").as("a_id"), col("corpus_id").as("b_id"))
-            .unionByName(
-              DedupOps.lshVerifiedJaccardPairsUnsorted(batch, 32, 2, 80)
-                .select("a_id", "b_id"))
-          (dec, edges)
+          (dec, ev.select("a_id", "b_id"))
         }
         val (dec1, e1) = decide(b1, "m1")
         labels = DedupOps.incrementalComponents(labels, e1)

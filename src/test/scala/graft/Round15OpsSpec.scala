@@ -148,6 +148,27 @@ class Round15OpsSpec extends SparkSpec {
     assert(bad.isEmpty, "a manifest slice must read back exactly its document")
   }
 
+  test("batchEdgesVerified equals the two separate probes it fuses") {
+    val docs = Tables.documents(spark, sf)
+    val c0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select("doc_id", "text")
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select("doc_id", "text")
+    val bands = DedupOps.corpusBandDocs(c0, 32, 2)
+    val sets = DedupOps.corpusHashedSets(c0)
+    val fused = DedupOps.batchEdgesVerified(b1, bands, sets, 32, 2, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vsIdx = DedupOps.pairsAgainstIndexVerified(b1, bands, sets, 32, 2, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1L)).toSet
+    val internal = DedupOps.lshVerifiedJaccardPairsUnsorted(b1, 32, 2, 80)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), 0L)).toSet
+    assert(fused.nonEmpty && fused == (vsIdx ++ internal),
+      "the one-banding fusion must reproduce both probes exactly")
+    assert(vsIdx.nonEmpty && internal.nonEmpty,
+      "both halves must be exercised on the fixture")
+  }
+
   // ---- VERDICT r14 #7: giant-star skew audit (see SCALE.md) ----
 
   test("giant-star incremental fold: min-label and star contraction " +
