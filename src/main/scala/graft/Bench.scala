@@ -23,7 +23,10 @@ object Bench {
     // (cheap near-duplicates: the text family keeps q_tfidf_topterms /
     // q_lang_id, the window family q_chunk_windows / q_window_session)
     "q_pivot",
-    "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard",
+    // q_ngram_jaccard dropped round 15 to fit the two new keys under
+    // the 1.5 KB budget (near-dup family keeps q_minhash_lsh /
+    // q_neardup_lsh_verified / q_dedup_exact)
+    "q_dedup_exact", "q_minhash_lsh",
     "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
     "q_tfidf_topterms", "q_lang_id", "q_repetition",
@@ -33,7 +36,8 @@ object Bench {
     // q_histogram dropped round 12 to fit q_pipeline_curate under the
     // 1.5 KB line budget (the sketch family keeps q_cms_counts +
     // q_hll_registers — the r7 cheap-near-duplicate rule)
-    "q_stats_exact",
+    // q_stats_exact dropped round 15 (same budget rule: the agg family
+    // keeps q_agg_multi / q_agg_count2key / q_grouping_sets / q_median)
     // round-6 families
     "q_cms_counts", "q_triangles",
     // round-7 (VERDICT r6 #1): the true worst-cost queries belong on
@@ -73,7 +77,12 @@ object Bench {
     // round-13: one representative per new family — tokenizer fitting
     // (the BPE merge rounds) and the PQ refine tier (its ADC-only twin
     // prices at or under it). Line stays < 1500 B — VerifyJsonSpec.
-    "q_bpe_merges", "q_simsearch_pq_refined")
+    "q_bpe_merges", "q_simsearch_pq_refined",
+    // round-15: the two-batch ingest fold is the round's worst-cost
+    // key (#3 suite-wide, 4.5 s — the r7 rule); the ANN maintenance
+    // family's representative is q_ann_codes_upsert (retrain/shards/
+    // card price under it)
+    "q_pipeline_incremental", "q_ann_codes_upsert")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
