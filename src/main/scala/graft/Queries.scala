@@ -7515,7 +7515,51 @@ object Queries {
           queryIds = (0L until 80L by 10L), topK = 5)
       },
       Some(ivfRetrainOracle(k = 8, iterations = 2, mod = 4, nProbe = 2,
-        topK = 5, nQueries = 8)))
+        topK = 5, nQueries = 8))),
+
+    // CODES COMPACTION (round 15) — the step that completes the index
+    // lifecycle (fit → serve → upsert → compact → drift → retrain):
+    // codesUpsert's merged relation is a session-local PLAN; compaction
+    // writes it back cell-clustered (SimilarityOps.ivfPqCompactWrite)
+    // so the ARTIFACT path — ivfPqTopKFromArtifacts, codebooks loaded
+    // from parquet, probed cells pushed onto the codes scan — serves
+    // the post-ingest corpus to workers that never saw the batch.
+    // Same drifted corpus as q_ann_codes_upsert; deliberately different
+    // request shape (6 queries, nProbe 3, top-4, refine 40) so this
+    // relation is not a byte-duplicate of the upsert key's. Oracle =
+    // the from-scratch train/serve-split replay (compaction is layout,
+    // not semantics — row content is the upsert relation's).
+    Declared("q_ann_compact",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+          .unionByName(emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+              col("embedding")))
+        val src = s"$d/embeddings.parquet"
+        val h = math.abs(d.hashCode.toLong)
+        val cdsDir = new java.io.File(s"target/ivfpq_codes_$h")
+          .getAbsolutePath
+        val cmpDir = new java.io.File(s"target/ivfpq_compact_$h")
+          .getAbsolutePath
+        val idxDir = new java.io.File(s"target/ivfpq_index_$h")
+          .getAbsolutePath
+        SimilarityOps.ivfPqCompactWrite(emb, batch, src, cdsDir, cmpDir,
+          cacheKey = d, batchKey = "recrawl10_new7s3", kIvf = 8, m = 8,
+          kSub = 16, iterations = 2, trainSampleMod = 4)
+        SimilarityOps.ivfPqWriteIndex(emb, src, idxDir, d, kIvf = 8,
+          m = 8, kSub = 16, iterations = 2, trainSampleMod = 4)
+        val merged = emb.select("vec_id", "embedding")
+          .join(broadcast(batch.select("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .unionByName(batch)
+        SimilarityOps.ivfPqTopKFromArtifacts(merged, idxDir, cmpDir,
+          nProbe = 3, queryIds = (0L until 6L), topK = 4,
+          refineCandidates = 40)
+      },
+      Some(ivfPqUpsertOracle(kIvf = 8, nProbe = 3, m = 8, kSub = 16,
+        iterations = 2, mod = 4, topK = 4, nQueries = 6, refineC = 40)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1438,6 +1438,50 @@ object SimilarityOps {
       refineCandidates)
   }
 
+  /** COMPACTION (round 15) — the artifact-maintenance step that closes
+    * the upsert loop: [[codesUpsert]] produces the merged codes as a
+    * PLAN (stored rows minus replacements, plus the freshly coded
+    * batch), which only the session that ran the upsert can search.
+    * This writes that merged relation back to storage in the SAME
+    * cell-clustered layout [[ivfPqWriteCodes]] uses (explicit
+    * range-partition per cell + sort, so parquet min/max stats prune a
+    * probed-cell filter again), making the post-ingest corpus state
+    * servable by [[ivfPqTopKFromArtifacts]] workers that never saw the
+    * batch. Without it, every upsert either stays session-local or
+    * appends files whose cell ranges overlap the base files' — and an
+    * appended layout degrades the fleet path's row-group pruning back
+    * toward a full codes scan as batches accumulate (the LSM-compaction
+    * economics, FAISS `add()` followed by a periodic rebuild of the
+    * inverted lists).
+    *
+    * Memoized like every derived artifact; `batchKey` is the batch's
+    * identity contribution (the batch is a caller-side derivation, so
+    * the source fingerprint alone can't distinguish two different
+    * derivations over the same base corpus).
+    */
+  def ivfPqCompactWrite(base: DataFrame, batch: DataFrame, srcDir: String,
+                        codesDir: String, compactDir: String,
+                        cacheKey: String, batchKey: String, kIvf: Int,
+                        m: Int, kSub: Int, iterations: Int,
+                        trainSampleMod: Int, dim: Int = 64): Boolean = {
+    if (!ivfPqWriteCodes(base, srcDir, codesDir, cacheKey, kIvf, m, kSub,
+        iterations, trainSampleMod, dim))
+      return false
+    val Some((coarse, books)) = ivfPqFit(base, cacheKey, kIvf, m, kSub,
+      iterations, trainSampleMod, dim)
+    graft.sources.StorageOps.materializeCached(base.sparkSession,
+      s"ivfpq_compact:$compactDir:$cacheKey:$batchKey:$kIvf:$m:$kSub:" +
+        s"$iterations:$trainSampleMod:$dim",
+      srcDir, compactDir) {
+      codesUpsert(base.sparkSession.read.parquet(codesDir),
+        batch.select("vec_id", "embedding"), coarse, books, dim)
+        .repartitionByRange(math.max(coarse.length, 1), col("ivf_cell"))
+        .sortWithinPartitions("ivf_cell", "vec_id")
+        .write.mode("overwrite").parquet(compactDir)
+    }
+    true
+  }
+
   /** Load the codebook artifact [[ivfPqWriteIndex]] wrote — kIvf +
     * m·kSub tiny rows, the legitimate driver state of a search fleet.
     * Returns (coarse, books) in the exact shape [[codeIvfPq]] /

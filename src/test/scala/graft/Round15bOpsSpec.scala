@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Round-15 second wave: codes COMPACTION — the artifact-maintenance
+  * step that makes a codesUpsert durable. The declared key
+  * (q_ann_compact) hash-checks the searched relation against the
+  * from-scratch DuckDB replay; this spec pins the engine properties the
+  * oracle can't see: the compacted ARTIFACT serves byte-identical
+  * results to the session that ran the upsert (from a fresh worker
+  * session with no memo/registry state), the cell-clustered rewrite
+  * restores probed-cell row-group pruning on the post-ingest corpus,
+  * and the memo discipline keys on the batch identity.
+  */
+class Round15bOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val src = s"$sf/embeddings.parquet"
+
+  private def driftBatch(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+
+  private def mergedRaw(emb: org.apache.spark.sql.DataFrame,
+                        batch: org.apache.spark.sql.DataFrame) =
+    emb.select("vec_id", "embedding")
+      .join(broadcast(batch.select("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(batch)
+
+  test("compacted artifact serves the upsert session's results to a " +
+    "fresh worker") {
+    val cds = java.nio.file.Files.createTempDirectory("cmp_codes").toString
+    val cmp = java.nio.file.Files.createTempDirectory("cmp_out").toString
+    val idx = java.nio.file.Files.createTempDirectory("cmp_idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    val batch = driftBatch(emb)
+    // the session that ingested the batch: upsert is a session-local plan
+    val fresh = SimilarityOps.ivfPqTopKUpserted(emb, batch, src, cds, sf,
+      kIvf = 8, nProbe = 2, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4, queryIds = 0L until 8L, topK = 5,
+      refineCandidates = 50).collect().map(_.toString).toSeq
+    assert(SimilarityOps.ivfPqCompactWrite(emb, batch, src, cds, cmp, sf,
+      batchKey = "drift", kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    assert(SimilarityOps.ivfPqWriteIndex(emb, src, idx, sf, kIvf = 8,
+      m = 8, kSub = 16, iterations = 2, trainSampleMod = 4))
+    // a worker session with a fresh registry and none of the trainer's
+    // memo entries: artifacts alone must reproduce the upsert search
+    val worker = spark.newSession()
+    graft.plans.VecDot.register(worker)
+    val served = SimilarityOps.ivfPqTopKFromArtifacts(
+      mergedRaw(Tables.embeddings(worker, sf),
+        driftBatch(Tables.embeddings(worker, sf))),
+      idx, cmp, nProbe = 2, queryIds = 0L until 8L, topK = 5,
+      refineCandidates = 50).collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == fresh,
+      "compacted-artifact search must equal the upsert session's search")
+  }
+
+  test("compacted layout restores probed-cell pruning on the merged " +
+    "corpus") {
+    val cds = java.nio.file.Files.createTempDirectory("cmp2_codes").toString
+    val cmp = java.nio.file.Files.createTempDirectory("cmp2_out").toString
+    val idx = java.nio.file.Files.createTempDirectory("cmp2_idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    val batch = driftBatch(emb)
+    assert(SimilarityOps.ivfPqCompactWrite(emb, batch, src, cds, cmp, sf,
+      batchKey = "drift", kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    assert(SimilarityOps.ivfPqWriteIndex(emb, src, idx, sf, kIvf = 8,
+      m = 8, kSub = 16, iterations = 2, trainSampleMod = 4))
+    val df = SimilarityOps.ivfPqTopKFromArtifacts(mergedRaw(emb, batch),
+      idx, cmp, nProbe = 2, queryIds = Seq(0L), topK = 5,
+      refineCandidates = 50)
+    assert(df.collect().nonEmpty)
+    val corpusRows = spark.read.parquet(cmp).count()
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val codesScans = allScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(
+        new java.io.File(cmp).getName)))
+    assert(codesScans.nonEmpty, "no compacted-codes scan in the plan")
+    assert(codesScans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("In(ivf_cell")),
+      "probe cells must reach the compacted scan as a pushed filter")
+    val scanned = codesScans.map(_.metrics("numOutputRows").value).sum
+    assert(scanned > 0 && scanned < corpusRows,
+      s"probed scan must decode fewer rows ($scanned) than the merged " +
+        s"corpus ($corpusRows)")
+  }
+
+  test("compaction memo keys on the batch identity and is idempotent") {
+    val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
+    val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
+    val cmpB = java.nio.file.Files.createTempDirectory("cmp3_b").toString
+    val emb = Tables.embeddings(spark, sf)
+    val batch = driftBatch(emb)
+    assert(SimilarityOps.ivfPqCompactWrite(emb, batch, src, cds, cmpA, sf,
+      batchKey = "drift", kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    val first = spark.read.parquet(cmpA)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    // idempotent: a second call over the same (source, batchKey) memo-hits
+    // and the relation is unchanged
+    assert(SimilarityOps.ivfPqCompactWrite(emb, batch, src, cds, cmpA, sf,
+      batchKey = "drift", kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    assert(spark.read.parquet(cmpA).orderBy("vec_id")
+      .collect().map(_.toString).toSeq == first)
+    // a DIFFERENT batch under a different batchKey writes different rows
+    // (same base fingerprint — the batchKey is what splits the identity)
+    val other = emb.filter(pmod(col("vec_id"), lit(10)) === 1)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    assert(SimilarityOps.ivfPqCompactWrite(emb, other, src, cds, cmpB, sf,
+      batchKey = "other", kIvf = 8, m = 8, kSub = 16, iterations = 2,
+      trainSampleMod = 4))
+    assert(spark.read.parquet(cmpB).orderBy("vec_id")
+      .collect().map(_.toString).toSeq != first)
+  }
+}
