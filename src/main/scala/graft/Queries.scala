@@ -1066,7 +1066,8 @@ object Queries {
     * character-split s0, and `rounds` unrolled (pairs → best → merge)
     * rounds ending in s`rounds`.
     */
-  private def bpeOracleCtes(rounds: Int, topWords: Int): String = {
+  private def bpeOracleCtes(rounds: Int, topWords: Int,
+                            corpus: String = "documents"): String = {
     val roundCtes = (1 to rounds).map { t =>
       s"""p$t AS (
         SELECT u.l AS l, u.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -1099,7 +1100,7 @@ object Queries {
     }.mkString(",\n      ")
     s"""wc AS (
         SELECT word, COUNT(*)::BIGINT AS freq
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $corpus)
         WHERE len(word) > 0
         GROUP BY word ORDER BY freq DESC, word LIMIT $topWords),
       s0 AS (SELECT word, freq,
@@ -7559,7 +7560,61 @@ object Queries {
           refineCandidates = 40)
       },
       Some(ivfPqUpsertOracle(kIvf = 8, nProbe = 3, m = 8, kSub = 16,
-        iterations = 2, mod = 4, topK = 4, nQueries = 6, refineC = 40)))
+        iterations = 2, mod = 4, topK = 4, nQueries = 6, refineC = 40))),
+
+    // TOKENIZER-DRIFT AUDIT (round 15): q_index_drift's discipline
+    // applied to the other frozen artifact. The tokenizer fits on the
+    // %3=0 slice (yesterday's corpus); the audit prices the fit slice
+    // itself ('base' — the control rows) and a drifted ingest stream
+    // ('new' — the %3=2 slice with every odd-position word REVERSED,
+    // the vocabulary-shift stand-in mirroring the embeddings' re-crawl
+    // reversal) under the FROZEN merges. Rising new-phase oov_ppm
+    // against base is the "re-fit the tokenizer" signal; without it the
+    // BPE artifact's no-refit economics have no shelf-life check.
+    // Oracle = the proven fit CTE chain parameterized on the fit slice
+    // + one positioned-word reversal CTE + the q_bpe_encode rollup.
+    Declared("q_tokenizer_drift",
+      (s, d) => {
+        val docs = documents(s, d)
+        val fit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val base = fit.select(col("source"),
+          explode(TextOps.words(col("text"))).as("word"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .select(col("source"),
+            posexplode(TextOps.words(col("text"))).as(Seq("wpos", "word")))
+          .select(col("source"),
+            when(pmod(col("wpos"), lit(2)) === 1, reverse(col("word")))
+              .otherwise(col("word")).as("word"))
+        TextOps.tokenizerDrift(fit, Seq("base" -> base, "new" -> fresh),
+          rounds = 6, topWords = 31)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31,
+          corpus = "(SELECT * FROM documents WHERE doc_id % 3 = 0)")},
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        w AS (
+          SELECT 'base' AS phase, source, word FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE doc_id % 3 = 0)
+          UNION ALL
+          SELECT 'new' AS phase, source,
+            CASE WHEN u.pos % 2 = 0 THEN reverse(u.word)
+                 ELSE u.word END AS word
+          FROM (
+            SELECT source, unnest([{'pos': i, 'word': ws[i]}
+                     for i in range(1, len(ws) + 1)]) AS u
+            FROM (SELECT source, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id % 3 = 2)))
+        SELECT phase, source,
+          COUNT(*)::BIGINT AS whitespace_tokens,
+          CAST(SUM(COALESCE(n_bpe, len(word))) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(CASE WHEN n_bpe IS NULL AND len(word) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+          CAST(SUM(CASE WHEN n_bpe IS NULL AND len(word) > 0
+                        THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+            AS oov_ppm
+        FROM w LEFT JOIN wt USING (word)
+        GROUP BY phase, source
+        ORDER BY phase, source"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1543,6 +1543,43 @@ object TextOps {
     bpeWordSyms(documents, merges, topWords)
       .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
 
+  /** TOKENIZER-DRIFT AUDIT (round 15) — the q_index_drift discipline
+    * applied to the OTHER frozen artifact: a tokenizer fitted on
+    * yesterday's corpus (`fitDocs`) is priced against labeled word
+    * streams (`streams`: (phase, (source, word)) relations — the fit
+    * corpus itself as the "base" control and an ingest batch as the
+    * drifted phase). Per (phase, source): whitespace and tokenizer
+    * token totals, OOV word occurrences (absent from the fitted vocab,
+    * empty split artifacts excluded), and the OOV rate in ppm. Rising
+    * new-phase oov_ppm / token fertility against the base rows is the
+    * "re-fit the tokenizer" signal, exactly as off-diagonal mass in
+    * the IVF drift matrix schedules a codebook re-train — without it
+    * the BPE artifact's no-refit economics ([[bpeEncodeWithMerges]])
+    * have no shelf-life check.
+    *
+    * Scale shape: one capped fit (driver state = merge table), then
+    * per phase ONE broadcast vocab join + map-side-combined rollup
+    * over the word stream — no corpus shuffle.
+    */
+  def tokenizerDrift(fitDocs: DataFrame, streams: Seq[(String, DataFrame)],
+                     rounds: Int, topWords: Int): DataFrame = {
+    val wt = bpeWordTokens(fitDocs, bpeMerges(fitDocs, rounds, topWords),
+      topWords)
+    streams.map { case (tag, ws) =>
+      ws.select(lit(tag).as("phase"), col("source"), col("word"))
+    }.reduce(_.unionByName(_))
+      .join(broadcast(wt), Seq("word"), "left")
+      .groupBy("phase", "source")
+      .agg(count(lit(1)).as("whitespace_tokens"),
+        sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+          .as("bpe_tokens"),
+        sum(when(col("n_bpe").isNull && length(col("word")) > 0, 1L)
+          .otherwise(0L)).as("oov_words"))
+      .withColumn("oov_ppm",
+        expr("oov_words * 1000000L div whitespace_tokens"))
+      .orderBy("phase", "source")
+  }
+
   /** The encoded vocabulary itself — (word, syms) for the `topWords`
     * most frequent words under the fitted merge table ([[bpeWordTokens]]
     * is its size projection; [[docTokenStreams]] and the shard packer

@@ -100,6 +100,39 @@ class Round15bOpsSpec extends SparkSpec {
         s"corpus ($corpusRows)")
   }
 
+  test("tokenizer drift: the frozen vocab covers its fit corpus and " +
+    "the drifted stream's OOV mass is the retrain signal") {
+    import org.apache.spark.sql.functions.{explode, posexplode, when}
+    val docs = Tables.documents(spark, sf)
+    val fit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val base = fit.select(col("source"),
+      explode(graft.operators.TextOps.words(col("text"))).as("word"))
+    val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("source"), posexplode(
+        graft.operators.TextOps.words(col("text"))).as(Seq("wpos", "word")))
+      .select(col("source"),
+        when(pmod(col("wpos"), lit(2)) === 1, reverse(col("word")))
+          .otherwise(col("word")).as("word"))
+    val audit = graft.operators.TextOps.tokenizerDrift(fit,
+      Seq("base" -> base, "new" -> fresh), rounds = 6, topWords = 31)
+      .collect()
+    val (b, n) = audit.partition(_.getString(0) == "base")
+    assert(b.nonEmpty && n.nonEmpty)
+    // the 31-word cap covers the synthetic vocabulary: the fit corpus
+    // prices itself with ZERO OOV — the control rows
+    assert(b.forall(_.getLong(4) == 0L),
+      "fit corpus must be fully in-vocab under its own tokenizer")
+    // the drifted stream's reversed words are (mostly) out of vocab:
+    // positive OOV mass on every source, and the corpus-wide
+    // char-fallback fertility strictly above the base phase's
+    assert(n.forall(_.getLong(4) > 0L),
+      "drifted stream must show OOV mass on every source")
+    def fert(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(3)).sum.toDouble / rows.map(_.getLong(2)).sum
+    assert(fert(n) > fert(b),
+      "char-fallback must raise the drifted phase's fertility")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
