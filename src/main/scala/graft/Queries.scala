@@ -7614,7 +7614,56 @@ object Queries {
             AS oov_ppm
         FROM w LEFT JOIN wt USING (word)
         GROUP BY phase, source
-        ORDER BY phase, source"""))
+        ORDER BY phase, source""")),
+
+    // BIGRAM-CONDITIONAL SURPRISAL (round 15): the fluency tier above
+    // q_surprisal's unigram model — first word at unigram bits, every
+    // later word at floor(log₂(ctx(prev) div cnt₂(prev, w))), the
+    // corpus bigram model's conditional code length. Low bi_q8 with
+    // normal unigram mass is the templated-transition signature the
+    // unigram filter can't see; gain_q8 is the per-word mass context
+    // explains. Engine builds pairs by zip_with over each document's
+    // own word array (no per-doc window shuffle); oracle replays with
+    // positioned array indexing. Threshold keeps the fluent tail.
+    Declared("q_surprisal_bigram",
+      (s, d) => TextOps.surprisalBigramBits(documents(s, d),
+        keepBitsQ8 = 1104L),
+      Some("""WITH dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+        w AS (SELECT doc_id, unnest(ws) AS word FROM dw),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS ubits
+               FROM wc CROSS JOIN tot),
+        pr AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS word
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM dw)),
+        bc AS (SELECT prev, word, COUNT(*)::BIGINT AS cnt2
+               FROM pr GROUP BY prev, word),
+        cx AS (SELECT prev, CAST(SUM(cnt2) AS BIGINT) AS ctx
+               FROM bc GROUP BY prev),
+        pb AS (SELECT p.doc_id,
+                 CAST(length(bin(cx.ctx // bc.cnt2)) - 1 AS BIGINT) AS bits
+               FROM pr p JOIN bc USING (prev, word) JOIN cx USING (prev)),
+        fb AS (SELECT d.doc_id, wb.ubits AS bits
+               FROM (SELECT doc_id, ws[1] AS word FROM dw
+                     WHERE len(ws) >= 1) d
+               JOIN wb USING (word)),
+        uni AS (SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+                  CAST(SUM(wb.ubits) AS BIGINT) AS sum_uni_bits
+                FROM w JOIN wb USING (word) GROUP BY w.doc_id),
+        bi AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sum_bi_bits
+               FROM (SELECT * FROM fb UNION ALL SELECT * FROM pb)
+               GROUP BY doc_id)
+        SELECT u.doc_id, u.n_words, u.sum_uni_bits, b.sum_bi_bits,
+          CAST(b.sum_bi_bits * 256 // u.n_words AS BIGINT) AS bi_q8,
+          CAST((u.sum_uni_bits - b.sum_bi_bits) * 256 // u.n_words
+            AS BIGINT) AS gain_q8,
+          CASE WHEN b.sum_bi_bits * 256 // u.n_words <= 1104
+            THEN 1 ELSE 0 END::BIGINT AS keep
+        FROM uni u JOIN bi b USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -702,6 +702,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BIGRAM-CONDITIONAL SURPRISAL (round 15) — the fluency tier above
+    * [[surprisalBits]]: a document's first word prices at its unigram
+    * bits, every later word at floor(log₂(ctx(prev) div cnt₂(prev, w)))
+    * — the corpus bigram model's conditional code length. Templated /
+    * boilerplate text with predictable transitions scores LOW bigram
+    * bits even when its unigram mix looks normal (each transition is
+    * near-deterministic), which is exactly the repetition signature the
+    * unigram filter can't see; `gain = sum_uni − sum_bi` is the per-doc
+    * mass the context explains. All integer floor-log₂ arithmetic (the
+    * [[surprisalBits]] price of engine-exact replay); `keep` flags docs
+    * whose q8 conditional bits stay under `keepBitsQ8`.
+    *
+    * Bigram pairs come from zip_with over the document's OWN word
+    * array (slice vs slice-shifted) — no per-doc window, no extra
+    * shuffle to order words. The bigram table is corpus-derived and
+    * joins back by (prev, word) — at 100 TB you'd cap it top-B with a
+    * backoff penalty (the [[surprisalFitTop]] discipline); here it is
+    * exact because the oracle replays it exactly.
+    */
+  def surprisalBigramBits(documents: DataFrame,
+                          keepBitsQ8: Long): DataFrame = {
+    val docsW = documents.select(col("doc_id"), words(col("text")).as("ws"))
+    val w = docsW.select(col("doc_id"), explode(col("ws")).as("word"))
+    val wc = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("t"))
+    val wb = wc.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("t div cnt"))) - 1).cast("long").as("ubits"))
+    val pairs = docsW.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("word")))).as("pr"))
+      .select(col("doc_id"), col("pr.prev").as("prev"),
+        col("pr.word").as("word"))
+    val bc = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
+    val cx = bc.groupBy("prev").agg(sum(col("cnt2")).as("ctx"))
+    val pairBits = pairs
+      .join(bc.join(cx, Seq("prev")), Seq("prev", "word"))
+      .select(col("doc_id"),
+        (length(bin(expr("ctx div cnt2"))) - 1).cast("long").as("bits"))
+    val firstBits = docsW.filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(broadcast(wb), Seq("word"))
+      .select(col("doc_id"), col("ubits").as("bits"))
+    val uni = w.join(broadcast(wb), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ubits").as("sum_uni_bits"))
+    val bi = firstBits.unionByName(pairBits)
+      .groupBy("doc_id").agg(sum("bits").as("sum_bi_bits"))
+    uni.join(bi, Seq("doc_id"))
+      .withColumn("bi_q8", expr("sum_bi_bits * 256L div n_words"))
+      .withColumn("gain_q8",
+        expr("(sum_uni_bits - sum_bi_bits) * 256L div n_words"))
+      .withColumn("keep",
+        when(col("bi_q8") <= lit(keepBitsQ8), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** The frozen-fit exporter for the streaming surprisal scorer: the
     * top-`topWords` unigram bits table (the [[surprisalBits]]
     * arithmetic, capped so driver state is bounded — the DSIR

@@ -133,6 +133,25 @@ class Round15bOpsSpec extends SparkSpec {
       "char-fallback must raise the drifted phase's fertility")
   }
 
+  test("bigram surprisal separates templated transitions from varied " +
+    "ones under identical unigram mass") {
+    import spark.implicits._
+    // same word MULTISET per doc (identical unigram pricing); doc 0
+    // cycles a deterministic template, doc 1 spreads its transitions
+    val template = Seq.fill(6)("a b c d").mkString(" ")
+    val varied = "a a b b c c d d a b d c a c b d a d b c c a d b"
+    val docs = Seq((0L, template), (1L, varied)).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.surprisalBigramBits(docs, 10000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 == out(1L)._1, "same word count")
+    assert(out(0L)._2 == out(1L)._2,
+      "same multiset must price identically under the unigram model")
+    assert(out(0L)._3 < out(1L)._3,
+      "templated transitions must price below varied ones — the " +
+        "signature the unigram filter cannot see")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
