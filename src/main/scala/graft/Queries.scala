@@ -7663,7 +7663,73 @@ object Queries {
           CASE WHEN b.sum_bi_bits * 256 // u.n_words <= 1104
             THEN 1 ELSE 0 END::BIGINT AS keep
         FROM uni u JOIN bi b USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // RELEASE CARD DIFF (round 15): the relation a release publishes
+    // beside its data card — per (source, lang) deltas vs the previous
+    // release. Old = the corpus as published; new = the corpus after a
+    // release cycle (doc_id %9=1 taken down, the %50 slice re-crawled
+    // under new ids — the q_data_card dup trick, so exact_dup_delta
+    // audits something). Dup status is WITHIN-release (a takedown can
+    // turn yesterday's duplicate into today's unique); sides are
+    // zero-coalesced through a full outer join so wholesale source
+    // appearance/disappearance still reports. Oracle = two copies of
+    // the proven card CTE joined.
+    Declared("q_card_diff",
+      (s, d) => {
+        val docs = documents(s, d)
+        val newRel = docs.filter(pmod(col("doc_id"), lit(9)) =!= 1)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+            .withColumn("doc_id", col("doc_id") + lit(20000000L)))
+        TextOps.dataCardDiff(docs, newRel,
+          Seq("a", "the", "of", "and", "in"))
+      },
+      Some("""WITH newd AS (
+          SELECT * FROM documents WHERE doc_id % 9 <> 1
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 50 = 0),
+        ob AS (SELECT source, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc,
+                CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+              FROM documents),
+        oc AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+                CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS nt,
+                CAST(SUM(is_dup) AS BIGINT) AS nd,
+                CASE WHEN COALESCE(SUM(nw), 0) = 0 THEN 0
+                  ELSE SUM(sc) * 1000000 // SUM(nw) END::BIGINT AS ppm
+              FROM ob GROUP BY source, lang),
+        nb AS (SELECT source, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split(text, ' '),
+                  x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc,
+                CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+              FROM newd),
+        nc AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+                CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS nt,
+                CAST(SUM(is_dup) AS BIGINT) AS nd,
+                CASE WHEN COALESCE(SUM(nw), 0) = 0 THEN 0
+                  ELSE SUM(sc) * 1000000 // SUM(nw) END::BIGINT AS ppm
+              FROM nb GROUP BY source, lang)
+        SELECT COALESCE(o.source, n.source) AS source,
+          COALESCE(o.lang, n.lang) AS lang,
+          CAST(COALESCE(o.n_docs, 0) AS BIGINT) AS docs_old,
+          CAST(COALESCE(n.n_docs, 0) AS BIGINT) AS docs_new,
+          CAST(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS BIGINT)
+            AS docs_delta,
+          CAST(COALESCE(n.nt, 0) - COALESCE(o.nt, 0) AS BIGINT)
+            AS tokens_delta,
+          CAST(COALESCE(n.nd, 0) - COALESCE(o.nd, 0) AS BIGINT)
+            AS exact_dup_delta,
+          CAST(COALESCE(n.ppm, 0) - COALESCE(o.ppm, 0) AS BIGINT)
+            AS stopword_ppm_delta
+        FROM oc o FULL OUTER JOIN nc n
+          ON o.source = n.source AND o.lang = n.lang
+        ORDER BY source, lang"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

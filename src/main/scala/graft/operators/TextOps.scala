@@ -982,6 +982,45 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** RELEASE CARD DIFF (round 15) — the relation a corpus RELEASE
+    * publishes beside its card: per (source, lang), what changed since
+    * the previous release. Old and new releases each build their own
+    * [[dataCard]] (duplicate status is within-release by definition —
+    * a takedown can turn yesterday's duplicate into today's unique),
+    * then full-outer-join on (source, lang) with zero-coalesced sides
+    * so a source that appears or vanishes wholesale still reports.
+    * Negative deltas are takedown mass; a rising exact_dup_delta says
+    * the ingest re-crawled content the release already carried — the
+    * audit that catches a mis-configured ingest before training does.
+    *
+    * Scale shape: two card passes (each one rollup + one 16-byte
+    * fingerprint window) + one card-sized join — the diff itself is
+    * bounded by |sources × langs|, never by the corpus.
+    */
+  def dataCardDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   stopwords: Seq[String]): DataFrame = {
+    def side(docs: DataFrame, tag: String) = dataCard(docs, stopwords)
+      .select(col("source"), col("lang"),
+        col("n_docs").as(s"docs_$tag"),
+        col("n_tokens").as(s"tokens_$tag"),
+        col("n_exact_dup").as(s"dup_$tag"),
+        col("stopword_ppm").as(s"ppm_$tag"))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"),
+        coalesce(col("docs_old"), lit(0L)).as("docs_old"),
+        coalesce(col("docs_new"), lit(0L)).as("docs_new"),
+        (coalesce(col("docs_new"), lit(0L))
+          - coalesce(col("docs_old"), lit(0L))).as("docs_delta"),
+        (coalesce(col("tokens_new"), lit(0L))
+          - coalesce(col("tokens_old"), lit(0L))).as("tokens_delta"),
+        (coalesce(col("dup_new"), lit(0L))
+          - coalesce(col("dup_old"), lit(0L))).as("exact_dup_delta"),
+        (coalesce(col("ppm_new"), lit(0L))
+          - coalesce(col("ppm_old"), lit(0L))).as("stopword_ppm_delta"))
+      .orderBy("source", "lang")
+  }
+
   /** L4 — DATA CARD v2 (VERDICT r14 #5): [[dataCard]] upgraded to the
     * card a release actually publishes — token volume priced in
     * TOKENIZER units (`bpe_tokens`: the frozen [[bpeWordTokens]]

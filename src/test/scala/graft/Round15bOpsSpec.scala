@@ -152,6 +152,27 @@ class Round15bOpsSpec extends SparkSpec {
         "signature the unigram filter cannot see")
   }
 
+  test("card diff reports wholesale source appearance and takedown " +
+    "through the zero-coalesced full outer join") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val old = mk(Seq((1L, "a b c", "en", "s_gone", 5L),
+      (2L, "a b c d", "en", "s_both", 7L)))
+    val neu = mk(Seq((2L, "a b c d", "en", "s_both", 7L),
+      (3L, "x y", "en", "s_new", 3L), (4L, "x y", "en", "s_new", 3L)))
+    val diff = graft.operators.TextOps
+      .dataCardDiff(old, neu, Seq("a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    // vanished source: old side populated, new side zero-coalesced
+    assert(diff("s_gone") == ((1L, 0L, -1L, 0L)))
+    // unchanged source: zero deltas
+    assert(diff("s_both") == ((1L, 1L, 0L, 0L)))
+    // new source arriving as two identical docs: +2 docs, +2 exact dups
+    assert(diff("s_new") == ((0L, 2L, 2L, 2L)))
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
