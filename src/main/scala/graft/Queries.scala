@@ -7360,6 +7360,78 @@ object Queries {
         FROM cpk LEFT JOIN dstr USING (doc_id)
         ORDER BY source, shard, bin, doc_id""")),
 
+    // INCREMENTAL SHARD PACK (round 15): the codesUpsert economics
+    // applied to the training-shard artifact — an ingest batch (the
+    // %6=3 slice re-crawled under +20000000 ids, landing beyond every
+    // stored shard) packs into its OWN bins under the FROZEN tokenizer
+    // and appends to the stored bin streams; the base corpus is never
+    // re-encoded. The declared relation is the slice audit of the
+    // MERGED corpus's manifest against the upserted artifact, and the
+    // oracle recomputes every merged document's encoding from scratch —
+    // hash equality IS the pack(base ∪ batch) ≡ pack(base) ∪
+    // pack(batch) identity the append-only discipline claims (sound
+    // because bins prefix-sum within (source, shard) and the batch adds
+    // only new shards; an interleaving batch fails loudly engine-side).
+    Declared("q_pack_shards_upsert",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        val syms = TextOps.bpeWordSyms(docs, merges, topWords = 31)
+        val batch = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L))
+        val h = math.abs(d.hashCode.toLong)
+        val out = new java.io.File(s"target/pack_shards_$h").getAbsolutePath
+        val up = new java.io.File(s"target/pack_upsert_$h").getAbsolutePath
+        TextOps.packShardsUpsert(docs, batch, syms, 128L, 100L,
+          srcDir = s"$d/documents.parquet", outDir = out, upsertDir = up,
+          batchKey = "recrawl6s3")
+        TextOps.packShardsSliceAudit(docs.unionByName(batch), syms,
+          128L, 100L, up)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        docs AS (SELECT * FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 6 = 3),
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS n
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM docs) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        t AS (SELECT d.source, d.doc_id // 100 AS shard, d.doc_id,
+                COALESCE(wtok.n, 0) AS n
+              FROM docs d LEFT JOIN wtok USING (doc_id)),
+        cpk AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t),
+        ww AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wpos
+               FROM docs),
+        wtk AS (SELECT ww.doc_id, ww.wpos,
+                  COALESCE(s6.syms,
+                    list_filter(string_split(ww.word, ''),
+                      x -> x <> '')) AS syms
+                FROM ww LEFT JOIN s6 ON ww.word = s6.word),
+        flat AS (SELECT doc_id, wpos, unnest(syms) AS sym,
+                   unnest(range(len(syms))) AS spos
+                 FROM wtk),
+        dstr AS (SELECT doc_id,
+                   COALESCE(string_agg(sym, ' ' ORDER BY wpos, spos), '')
+                     AS str
+                 FROM flat GROUP BY doc_id)
+        SELECT cpk.source, cpk.shard, cpk.cb // 128 AS bin, cpk.doc_id,
+          cpk.n AS n_tokens,
+          CAST(cpk.cb - MIN(cpk.cb) OVER (PARTITION BY cpk.source,
+            cpk.shard, cpk.cb // 128) AS BIGINT) AS tok_offset,
+          COALESCE(md5(dstr.str), md5('')) AS tok_md5
+        FROM cpk LEFT JOIN dstr USING (doc_id)
+        ORDER BY source, shard, bin, doc_id""")),
+
     // INCREMENTAL INGEST PIPELINE (VERDICT r14 #3): the full two-batch
     // ingest loop as ONE declared relation — the StreamingNearDupSpec
     // state machine lifted to the oracle gate. Stored state starts as

@@ -1745,18 +1745,73 @@ object TextOps {
     val spark = documents.sparkSession
     graft.sources.StorageOps.materializeCached(spark,
       s"pack_shards:$outDir:$budgetTokens:$shardDocs", srcDir, outDir) {
-      val wordTokens = wordSyms
-        .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
-      bpeBinFrame(documents, wordTokens, budgetTokens, shardDocs)
-        .select("source", "shard", "bin", "doc_id")
-        .join(docTokenStreams(documents, wordSyms), Seq("doc_id"), "left")
-        .withColumn("tokens",
-          coalesce(col("tokens"), array().cast("array<string>")))
-        .groupBy("source", "shard", "bin")
-        .agg(flatten(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("tokens")))),
-          x => x("tokens"))).as("tokens"))
+      packBinStreams(documents, wordSyms, budgetTokens, shardDocs)
         .write.mode("overwrite").parquet(outDir)
+    }
+  }
+
+  /** The (source, shard, bin, tokens) bin-stream frame both shard
+    * writers materialize — [[packShardsWrite]] over the full corpus,
+    * [[packShardsUpsert]] over an ingest batch alone.
+    */
+  private def packBinStreams(documents: DataFrame, wordSyms: DataFrame,
+                             budgetTokens: Long,
+                             shardDocs: Long): DataFrame = {
+    val wordTokens = wordSyms
+      .select(col("word"), size(col("syms")).cast("long").as("n_bpe"))
+    bpeBinFrame(documents, wordTokens, budgetTokens, shardDocs)
+      .select("source", "shard", "bin", "doc_id")
+      .join(docTokenStreams(documents, wordSyms), Seq("doc_id"), "left")
+      .withColumn("tokens",
+        coalesce(col("tokens"), array().cast("array<string>")))
+      .groupBy("source", "shard", "bin")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("tokens")))),
+        x => x("tokens"))).as("tokens"))
+  }
+
+  /** INCREMENTAL SHARD PACK (round 15) — the codesUpsert economics
+    * applied to the packed-shards artifact: an ingest batch's documents
+    * are encoded under the FROZEN tokenizer and packed into THEIR OWN
+    * bins, and the stored bin streams are carried over untouched —
+    * the base corpus is never re-encoded. Sound because shard identity
+    * is `doc_id div shardDocs` per source and the prefix sum that
+    * assigns bins runs WITHIN (source, shard): a batch whose doc_ids
+    * lie beyond every stored shard adds only new (source, shard) keys,
+    * so pack(base ∪ batch) ≡ pack(base) ∪ pack(batch) exactly —
+    * q_pack_shards_upsert hash-checks that identity every round via
+    * the from-scratch oracle over the merged corpus. A batch that
+    * INTERLEAVES stored shards would shift existing offsets; this
+    * fails loudly (one card-bounded driver check) rather than serving
+    * a silently mis-offset manifest — that ingest must repack.
+    */
+  def packShardsUpsert(baseDocs: DataFrame, batchDocs: DataFrame,
+                       wordSyms: DataFrame, budgetTokens: Long,
+                       shardDocs: Long, srcDir: String, outDir: String,
+                       upsertDir: String, batchKey: String): Unit = {
+    packShardsWrite(baseDocs, wordSyms, budgetTokens, shardDocs, srcDir,
+      outDir)
+    val spark = baseDocs.sparkSession
+    graft.sources.StorageOps.materializeCached(spark,
+      s"pack_upsert:$upsertDir:$batchKey:$budgetTokens:$shardDocs",
+      srcDir, upsertDir) {
+      val stored = spark.read.parquet(outDir)
+      // append-only guard: bounded by |sources|, one scalar to the driver
+      val overlapping = stored
+        .groupBy("source").agg(max("shard").as("max_shard"))
+        .join(batchDocs.select(col("source"),
+            expr(s"doc_id div $shardDocs").as("shard"))
+          .groupBy("source").agg(min("shard").as("min_shard")),
+          Seq("source"))
+        .filter(col("min_shard") <= col("max_shard")).count()
+      require(overlapping == 0,
+        s"packShardsUpsert: batch shards interleave stored shards for " +
+          s"$overlapping source(s) — append-only packing needs batch " +
+          "doc_ids beyond every stored shard; repack from scratch")
+      stored
+        .unionByName(
+          packBinStreams(batchDocs, wordSyms, budgetTokens, shardDocs))
+        .write.mode("overwrite").parquet(upsertDir)
     }
   }
 

@@ -173,6 +173,39 @@ class Round15bOpsSpec extends SparkSpec {
     assert(diff("s_new") == ((0L, 2L, 2L, 2L)))
   }
 
+  test("shard-pack upsert carries stored bins byte-identical and " +
+    "refuses an interleaving batch") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+    val syms = TextOps.bpeWordSyms(docs, merges, topWords = 31)
+    val out = java.nio.file.Files.createTempDirectory("ps_base").toString
+    val up = java.nio.file.Files.createTempDirectory("ps_up").toString
+    val batch = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+      .withColumn("doc_id", col("doc_id") + lit(20000000L))
+    TextOps.packShardsUpsert(docs, batch, syms, 128L, 100L,
+      s"$sf/documents.parquet", out, up, batchKey = "b1")
+    val base = spark.read.parquet(out)
+      .selectExpr("source", "shard", "bin", "md5(concat_ws(' ', tokens))")
+      .collect().map(_.toString).toSet
+    val merged = spark.read.parquet(up)
+      .selectExpr("source", "shard", "bin", "md5(concat_ws(' ', tokens))")
+      .collect().map(_.toString).toSet
+    // append-only: every stored bin stream survives byte-identical, and
+    // the batch added strictly new (source, shard, bin) streams
+    assert(base.subsetOf(merged) && merged.size > base.size,
+      "upsert must append batch bins to untouched stored bins")
+    // a batch whose ids land INSIDE stored shards would shift existing
+    // offsets — the engine must refuse, not serve a mis-offset manifest
+    val bad = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+    val upBad = java.nio.file.Files.createTempDirectory("ps_bad").toString
+    val e = intercept[IllegalArgumentException] {
+      TextOps.packShardsUpsert(docs, bad, syms, 128L, 100L,
+        s"$sf/documents.parquet", out, upBad, batchKey = "bad")
+    }
+    assert(e.getMessage.contains("interleave"))
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
