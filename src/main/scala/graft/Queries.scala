@@ -7360,6 +7360,43 @@ object Queries {
         FROM cpk LEFT JOIN dstr USING (doc_id)
         ORDER BY source, shard, bin, doc_id""")),
 
+    // MATRYOSHKA PREFIX SEARCH (round 15): the dimension-truncation ANN
+    // tier — candidates from the dot over the first 32 of 64
+    // components, exact re-rank on the survivors. Orthogonal to IVF/PQ
+    // (no training, the layout IS the index): at 100 TB the prefix tier
+    // reads half the bytes and only 80 rows per query fetch full
+    // vectors. Same fixed-point grid as q_simsearch_fast, so both
+    // stages replay exactly; recall floor vs the exact scan is
+    // spec-pinned (Round15bOpsSpec, the pq_refined convention).
+    Declared("q_simsearch_matryoshka",
+      (s, d) => SimilarityOps.matryoshkaTopK(embeddings(s, d),
+        queryIds = (0L until 8L), prefixDim = 32, candidates = 80, k = 5),
+      Some("""WITH e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi,
+                pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        q AS (SELECT vec_id AS q_id, vi, pos FROM e WHERE vec_id < 8),
+        pre AS (SELECT q.q_id, c.vec_id AS n_id, SUM(q.vi * c.vi) AS ps
+                FROM q JOIN e c ON q.pos = c.pos WHERE q.pos < 32
+                GROUP BY q.q_id, c.vec_id),
+        cand AS (SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY ps DESC, n_id) AS crn
+                 FROM pre) WHERE crn <= 80),
+        fl AS (SELECT cd.q_id, cd.n_id,
+                 CAST(SUM(q.vi * c.vi) AS BIGINT) AS score_s14
+               FROM cand cd JOIN q ON q.q_id = cd.q_id
+               JOIN e c ON c.vec_id = cd.n_id AND c.pos = q.pos
+               GROUP BY cd.q_id, cd.n_id)
+        SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM fl) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
     // INCREMENTAL SHARD PACK (round 15): the codesUpsert economics
     // applied to the training-shard artifact — an ingest batch (the
     // %6=3 slice re-crawled under +20000000 ids, landing beyond every

@@ -539,6 +539,44 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** MATRYOSHKA PREFIX SEARCH (round 15) — the dimension-truncation
+    * ANN tier (Kusupati et al., NeurIPS'22: embeddings trained so
+    * information concentrates in the leading coordinates): stage 1
+    * scores every corpus vector by the dot over only the first
+    * `prefixDim` components and keeps `candidates` per query; stage 2
+    * re-ranks the survivors by the full-dimension dot. Orthogonal to
+    * the IVF/PQ family: no training, no codebooks — the index IS the
+    * layout. At 100 TB the prefix tier scans prefixDim/dim of the
+    * BYTES (store the leading block as its own narrow column/file, the
+    * codes-relation discipline), and only `candidates` rows per query
+    * fetch full vectors. Same fixed-point grid as every search key, so
+    * the oracle replays both stages exactly; the recall floor vs the
+    * exact scan rides Round15bOpsSpec (the pq_refined convention).
+    */
+  def matryoshkaTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                     prefixDim: Int, candidates: Int, k: Int): DataFrame = {
+    val toInts = transform(col("embedding"), v => fixedPoint(v))
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), toInts.as("qi"))
+    val pre = embeddings
+      .select(col("vec_id").as("n_id"), toInts.as("ci"))
+      .crossJoin(broadcast(queries))
+      .withColumn("pre_s14", graft.plans.VecDot.dotLong(
+        slice(col("qi"), 1, prefixDim), slice(col("ci"), 1, prefixDim)))
+    val wc = Window.partitionBy("q_id").orderBy(desc("pre_s14"), asc("n_id"))
+    val wk = Window.partitionBy("q_id").orderBy(desc("score_s14"),
+      asc("n_id"))
+    pre.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= candidates)
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qi"), col("ci")))
+      .withColumn("rn", row_number().over(wk).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer over the
     * corpus; queries probe only the `nProbe` nearest centroid cells.
     *

@@ -206,6 +206,26 @@ class Round15bOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("interleave"))
   }
 
+  test("matryoshka prefix search holds a recall floor against the " +
+    "exact scan and degenerates to it at full prefix") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = SimilarityOps.topKDotFastExact(emb, 0L until 8L, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pref = SimilarityOps.matryoshkaTopK(emb, 0L until 8L,
+      prefixDim = 32, candidates = 80, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pref).size.toDouble / exact.size
+    assert(recall >= 0.7,
+      s"prefix-32/candidates-80 recall@5 floor: got $recall")
+    // degeneracy identity: full prefix + corpus-wide candidate pool IS
+    // the exact scan (the IVF-PQ full-probe convention)
+    val full = SimilarityOps.matryoshkaTopK(emb, 0L until 8L,
+      prefixDim = 64, candidates = Int.MaxValue, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(full == SimilarityOps.topKDotFastExact(emb, 0L until 8L, 5)
+      .collect().map(_.toString).toSeq)
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
