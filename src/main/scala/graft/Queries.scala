@@ -7360,6 +7360,108 @@ object Queries {
         FROM cpk LEFT JOIN dstr USING (doc_id)
         ORDER BY source, shard, bin, doc_id""")),
 
+    // FOUR-SIGNAL AGREEMENT MATRIX (round 15): q_quality_agreement
+    // extended with the bigram fluency flag (q_surprisal_bigram's 1104
+    // cap) — all six pairwise confusion rows. The (surprisal, bigram)
+    // row directly measures how much fluency information the fourth
+    // signal adds over the unigram filter; near-10⁶ agreement would
+    // call it redundant. The 3-signal key stays hash-pinned untouched.
+    // Oracle = the proven agreement CTEs + the proven bigram chain
+    // (b-prefixed, reusing the shared unigram bits table) + the 6-pair
+    // rollup.
+    Declared("q_quality_agreement4",
+      (s, d) => TextOps.qualitySignalAgreement4(
+        documents(s, d), documents(s, d).filter(col("lang") === "en"),
+        stopwords = Seq("a", "the", "of", "and", "in"), minWords = 30L,
+        maxStopwordPpm = 100000L, numBuckets = 1024, maxBitsQ8 = 1040L,
+        maxBiQ8 = 1104L),
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        swc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        stot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM swc),
+        swb AS (SELECT word,
+                  CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+                FROM swc CROSS JOIN stot),
+        sup AS (SELECT w.doc_id,
+                  CASE WHEN SUM(swb.bits) * 256 // COUNT(*) <= 1040
+                    THEN 1 ELSE 0 END::BIGINT AS k_surprisal
+                FROM w JOIN swb USING (word) GROUP BY w.doc_id),
+        qual AS (SELECT doc_id,
+                   CASE WHEN nw >= 30 AND sc * 1000000 // nw < 100000
+                     THEN 1 ELSE 0 END::BIGINT AS k_quality
+                 FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                         CAST(len(list_filter(string_split(text, ' '),
+                           x -> x = 'a' OR x = 'the' OR x = 'of' OR x = 'and' OR x = 'in')) AS BIGINT) AS sc
+                       FROM documents)),
+        tok AS (SELECT doc_id,
+                  ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                FROM w),
+        rawc AS (SELECT b, COUNT(*)::BIGINT AS r_c FROM tok GROUP BY b),
+        tgt AS (SELECT b, COUNT(*)::BIGINT AS t_c
+                FROM (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT % 1024 AS b
+                      FROM (SELECT unnest(string_split(text, ' ')) AS word
+                            FROM documents WHERE lang = 'en')) GROUP BY b),
+        tot AS (SELECT (SELECT SUM(r_c) FROM rawc) AS r_tot,
+                       (SELECT COALESCE(SUM(t_c), 0) FROM tgt) AS t_tot),
+        bt AS (SELECT rawc.b,
+                 CAST(COALESCE(t_c, 0) + 1 AS HUGEINT) * (r_tot + 1024) AS num,
+                 CAST(r_c + 1 AS HUGEINT) * (t_tot + 1024) AS den
+               FROM rawc LEFT JOIN tgt ON rawc.b = tgt.b CROSS JOIN tot),
+        post AS (SELECT b, CAST(num * 1000000 // (num + den) AS BIGINT) AS post_ppm FROM bt),
+        wts AS (SELECT doc_id, CAST(SUM(post_ppm) // COUNT(*) AS BIGINT) AS dsir_ppm
+                FROM tok JOIN post USING (b) GROUP BY doc_id),
+        dsir AS (SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 < dsir_ppm
+                     THEN 1 ELSE 0 END::BIGINT AS k_dsir
+                 FROM wts),
+        dw AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+        bpr AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS word
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM dw)),
+        bbc AS (SELECT prev, word, COUNT(*)::BIGINT AS cnt2
+                FROM bpr GROUP BY prev, word),
+        bcx AS (SELECT prev, CAST(SUM(cnt2) AS BIGINT) AS ctx
+                FROM bbc GROUP BY prev),
+        bpb AS (SELECT p.doc_id,
+                  CAST(length(bin(bcx.ctx // bbc.cnt2)) - 1 AS BIGINT)
+                    AS bits
+                FROM bpr p JOIN bbc USING (prev, word)
+                JOIN bcx USING (prev)),
+        bfb AS (SELECT d.doc_id, swb.bits AS bits
+                FROM (SELECT doc_id, ws[1] AS word FROM dw
+                      WHERE len(ws) >= 1) d
+                JOIN swb USING (word)),
+        bnw AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words
+                FROM w GROUP BY doc_id),
+        bflag AS (SELECT n.doc_id,
+                    CASE WHEN s.sb * 256 // n.n_words <= 1104
+                      THEN 1 ELSE 0 END::BIGINT AS k_bigram
+                  FROM bnw n JOIN (
+                    SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sb
+                    FROM (SELECT * FROM bfb UNION ALL SELECT * FROM bpb)
+                    GROUP BY doc_id) s USING (doc_id)),
+        f AS (SELECT q.doc_id, k_quality, k_surprisal, k_dsir, k_bigram
+              FROM qual q JOIN sup USING (doc_id)
+              JOIN dsir USING (doc_id) JOIN bflag USING (doc_id)),
+        pr AS (
+          SELECT 'bigram' AS sig_a, 'dsir' AS sig_b,
+                 k_bigram AS ka, k_dsir AS kb FROM f
+          UNION ALL SELECT 'bigram', 'quality', k_bigram, k_quality FROM f
+          UNION ALL SELECT 'bigram', 'surprisal', k_bigram, k_surprisal FROM f
+          UNION ALL SELECT 'dsir', 'quality', k_dsir, k_quality FROM f
+          UNION ALL SELECT 'dsir', 'surprisal', k_dsir, k_surprisal FROM f
+          UNION ALL SELECT 'quality', 'surprisal', k_quality, k_surprisal FROM f)
+        SELECT sig_a, sig_b,
+          CAST(SUM(ka * kb) AS BIGINT) AS both_keep,
+          CAST(SUM(ka * (1 - kb)) AS BIGINT) AS a_only_keep,
+          CAST(SUM((1 - ka) * kb) AS BIGINT) AS b_only_keep,
+          CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT) AS both_drop,
+          COUNT(*)::BIGINT AS n_docs,
+          CAST((SUM(ka * kb) + SUM((1 - ka) * (1 - kb))) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+        FROM pr GROUP BY sig_a, sig_b ORDER BY sig_a, sig_b""")),
+
     // MATRYOSHKA PREFIX SEARCH (round 15): the dimension-truncation ANN
     // tier — candidates from the dot over the first 32 of 64
     // components, exact re-rank on the survivors. Orthogonal to IVF/PQ

@@ -917,6 +917,46 @@ object TextOps {
       .orderBy("sig_a", "sig_b")
   }
 
+  /** FOUR-SIGNAL AGREEMENT MATRIX (round 15) —
+    * [[qualitySignalAgreement]] extended with the bigram fluency
+    * signal ([[surprisalBigramBits]]' keep flag at `maxBiQ8`): all six
+    * pairwise confusion rows over heuristic / DSIR / unigram-surprisal
+    * / bigram-fluency. The bigram column is the one that can DISAGREE
+    * with unigram surprisal on templated text (same word mix,
+    * deterministic transitions) — its (surprisal, bigram) row is the
+    * direct measure of how much fluency information the ensemble
+    * gains; near-10⁶ agreement there would say the fourth signal is
+    * redundant and not worth its pass. Same one-explode rollup as the
+    * 3-signal matrix; the original key stays hash-pinned untouched.
+    */
+  def qualitySignalAgreement4(documents: DataFrame, target: DataFrame,
+                              stopwords: Seq[String], minWords: Long,
+                              maxStopwordPpm: Long, numBuckets: Int,
+                              maxBitsQ8: Long, maxBiQ8: Long): DataFrame = {
+    val flags = qualitySignalVotes(documents, target, stopwords, minWords,
+      maxStopwordPpm, numBuckets, maxBitsQ8)
+      .join(surprisalBigramBits(documents, maxBiQ8)
+        .select(col("doc_id"), col("keep").as("k_bigram")), Seq("doc_id"))
+    def pair(a: String, b: String) =
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        col(s"k_$a").as("ka"), col(s"k_$b").as("kb"))
+    flags.select(explode(array(
+        pair("bigram", "dsir"), pair("bigram", "quality"),
+        pair("bigram", "surprisal"), pair("dsir", "quality"),
+        pair("dsir", "surprisal"), pair("quality", "surprisal"))).as("p"))
+      .select(col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"),
+        col("p.ka").as("ka"), col("p.kb").as("kb"))
+      .groupBy("sig_a", "sig_b")
+      .agg(sum(col("ka") * col("kb")).as("both_keep"),
+        sum(col("ka") * (lit(1L) - col("kb"))).as("a_only_keep"),
+        sum((lit(1L) - col("ka")) * col("kb")).as("b_only_keep"),
+        sum((lit(1L) - col("ka")) * (lit(1L) - col("kb"))).as("both_drop"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("agree_ppm",
+        expr("(both_keep + both_drop) * 1000000L div n_docs"))
+      .orderBy("sig_a", "sig_b")
+  }
+
   /** ENSEMBLE QUALITY VOTES (VERDICT r14 #6) — the per-document flag
     * frame behind [[qualitySignalAgreement]], now a first-class verb:
     * (doc_id, k_quality, k_surprisal, k_dsir, ensemble_keep) over every
