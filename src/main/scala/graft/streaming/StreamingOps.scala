@@ -567,6 +567,38 @@ object StreamingOps {
       .withColumn("bits_q8", expr("sum_bits * 256L div n_words"))
   }
 
+  /** Streaming tokenizer pricing against the FROZEN BPE artifact
+    * (round 15) — the online half of
+    * [[graft.operators.TextOps.tokenizerDrift]]: each arriving document
+    * is priced per word from the literal vocab map (n_bpe; OOV →
+    * character count, the bpeEncodeWithMerges rule) as a STATELESS
+    * projection — no aggregation, no state store, safe in append mode
+    * at any watermark. Downstream rolls (doc_id, source, n_words,
+    * bpe_tokens, oov_words) however it likes; a monitor watching
+    * oov_words rise across micro-batches is the online tokenizer
+    * retrain signal, exactly as the batch audit's 'new'-phase rows.
+    * `wordTokens` is the vocab-bounded merge-table projection — the
+    * same bounded-driver-state contract as [[scoreSurprisalStream]]'s
+    * bits table.
+    */
+  def scoreTokenizerStream(stream: DataFrame,
+                           wordTokens: Seq[(String, Long)]): DataFrame = {
+    require(wordTokens.nonEmpty,
+      "wordTokens must be non-empty — fit the tokenizer first")
+    val tm = map(wordTokens.flatMap { case (w, n) => Seq(lit(w), lit(n)) }: _*)
+    val ws = graft.operators.TextOps.words(col("text"))
+    stream
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) =>
+          acc + coalesce(element_at(tm, w), length(w).cast("long")))
+          .as("bpe_tokens"),
+        aggregate(ws, lit(0L), (acc, w) =>
+          acc + when(element_at(tm, w).isNull && length(w) > 0, 1L)
+            .otherwise(0L)).as("oov_words"))
+  }
+
   /** Streaming heavy hitters — per tumbling window, the keys whose
     * exact count reaches `minCount`, emitted ONCE per window when the
     * watermark closes it (append mode: a key is reported only when its

@@ -226,6 +226,55 @@ class Round15bOpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq)
   }
 
+  test("streaming tokenizer pricing matches the batch audit and flags " +
+    "the drifted micro-batch online") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val fit = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val merges = TextOps.bpeMerges(fit, rounds = 6, topWords = 31)
+    val wt = TextOps.bpeWordTokens(fit, merges, topWords = 31)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingOps.toMemorySink(
+      graft.streaming.StreamingOps.scoreTokenizerStream(
+        input.toDF().toDF("doc_id", "source", "text"), wt),
+      "tok_stream_test", "append")
+    try {
+      // micro-batch 1: in-distribution docs; 2: the word-reversed drift
+      val base = fit.select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+      input.addData(base)
+      input.addData((900001L, "s0",
+        base.head._3.split(" ").map(_.reverse).mkString(" ")))
+      q.processAllAvailable()
+      val out = spark.table("tok_stream_test").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // batch parity: the stream prices the fit slice exactly as the
+      // batch audit's base phase (zero OOV, same bpe totals per doc)
+      val batchSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .join(broadcast(TextOps.bpeWordTokens(fit, merges, 31)),
+          Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"),
+          sum(coalesce(col("n_bpe"), length(col("word")).cast("long")))
+            .as("nb"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      batchSide.foreach { case (id, (nw, nb)) =>
+        assert(out(id) == ((nw, nb, 0L)), s"doc $id stream/batch parity")
+      }
+      // the drifted doc carries OOV mass — the online retrain signal
+      assert(out(900001L)._3 > 0L,
+        "reversed-word micro-batch must price OOV online")
+    } finally q.stop()
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
