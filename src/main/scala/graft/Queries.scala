@@ -47,8 +47,14 @@ object Queries {
     * sample modulus, and probe/k parameters provably match the
     * declared query's.
     */
+  /** `candFilter` (round 15, q_simsearch_filtered): a SQL predicate
+    * over `lab.label` restricting which assigned corpus rows become
+    * candidates — the metadata-filtered search case. None ⇒ the
+    * original unfiltered chain byte-for-byte.
+    */
   private def ivfExactOracle(k: Int, iterations: Int, mod: Int,
-                             nProbe: Int, topK: Int): String = {
+                             nProbe: Int, topK: Int,
+                             candFilter: Option[String] = None): String = {
     val lloyd = (1 to iterations).map { i =>
       s"""d${i - 1} AS (SELECT t.vec_id, c.cell, SUM(t.vi * c.c) AS dt
              FROM tr t JOIN c${i - 1} c ON t.pos = c.pos
@@ -91,7 +97,11 @@ object Queries {
                                   ORDER BY dt DESC, cell) AS rn
              FROM dful WHERE vec_id < 8) WHERE rn <= $nProbe),
         cand AS (SELECT pc.q_id, af.vec_id AS n_id
-             FROM pc JOIN af ON af.cell = pc.cell),
+             FROM pc JOIN af ON af.cell = pc.cell${candFilter
+               .map(f => s"""
+             JOIN (SELECT vec_id, label FROM embeddings) lab
+               ON lab.vec_id = af.vec_id
+             WHERE $f""").getOrElse("")}),
         s AS (SELECT c.q_id, c.n_id,
                CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
              FROM cand c JOIN e a ON a.vec_id = c.q_id
@@ -7461,6 +7471,22 @@ object Queries {
           COUNT(*)::BIGINT AS n_docs,
           CAST((SUM(ka * kb) + SUM((1 - ka) * (1 - kb))) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
         FROM pr GROUP BY sig_a, sig_b ORDER BY sig_a, sig_b""")),
+
+    // FILTERED ANN SEARCH (round 15): metadata-restricted top-k through
+    // the SHARED IVF index (the FAISS IDSelector case — "nearest
+    // vectors with label ∈ {2,5,7}"): same memoized centroids as
+    // q_simsearch_ivf (identical cacheKey/params — one index serves
+    // every predicate), queries from the full corpus, candidates only
+    // from the ~28% slice, the label filter pushed onto the embeddings
+    // scan so selectivity MULTIPLIES with the cell pruning. Oracle =
+    // the proven IVF chain with the label join on the candidate set.
+    Declared("q_simsearch_filtered",
+      (s, d) => SimilarityOps.ivfTopKFiltered(embeddings(s, d),
+        corpusFilter = col("label").isin(2, 5, 7), cacheKey = d, k = 8,
+        iterations = 2, trainSampleMod = 4, queryIds = (0L until 8L),
+        topK = 5, nProbe = 2),
+      Some(ivfExactOracle(k = 8, iterations = 2, mod = 4, nProbe = 2,
+        topK = 5, candFilter = Some("lab.label IN (2, 5, 7)")))),
 
     // MATRYOSHKA PREFIX SEARCH (round 15): the dimension-truncation ANN
     // tier — candidates from the dot over the first 32 of 64

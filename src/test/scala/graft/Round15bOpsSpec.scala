@@ -275,6 +275,47 @@ class Round15bOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filtered IVF search honors the predicate and degenerates to " +
+    "the filtered brute force at full probe") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, transform => xform}
+    val emb = Tables.embeddings(spark, sf)
+    val keep = Set(2, 5, 7)
+    val res = SimilarityOps.ivfTopKFiltered(emb,
+      corpusFilter = col("label").isin(2, 5, 7), cacheKey = sf, k = 8,
+      iterations = 2, trainSampleMod = 4, queryIds = 0L until 8L,
+      topK = 5, nProbe = 2).collect()
+    assert(res.nonEmpty)
+    val allowed = emb.filter(col("label").isin(2, 5, 7))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res.forall(r => allowed(r.getLong(2))),
+      "every filtered result must satisfy the predicate")
+    // full probe ⇒ every filtered row is a candidate ⇒ the result IS
+    // the brute-force top-k over the slice (queries from the full
+    // corpus — they need not satisfy the predicate themselves)
+    val full = SimilarityOps.ivfTopKFiltered(emb,
+      corpusFilter = col("label").isin(2, 5, 7), cacheKey = sf, k = 8,
+      iterations = 2, trainSampleMod = 4, queryIds = 0L until 8L,
+      topK = 5, nProbe = 8).collect().map(_.toString).toSeq
+    val toInts = xform(col("embedding"),
+      v => round(v.cast("double") * 1e7).cast("long"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), toInts.as("qi"))
+    val c = emb.filter(col("label").isin(2, 5, 7))
+      .select(col("vec_id").as("n_id"), toInts.as("ci"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("score_s14"), asc("n_id"))
+    val brute = c.crossJoin(broadcast(q))
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qi"), col("ci")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn").collect().map(_.toString).toSeq
+    assert(full == brute,
+      "full-probe filtered search must equal the filtered brute force")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
