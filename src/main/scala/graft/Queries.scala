@@ -7472,6 +7472,38 @@ object Queries {
           CAST((SUM(ka * kb) + SUM((1 - ka) * (1 - kb))) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
         FROM pr GROUP BY sig_a, sig_b ORDER BY sig_a, sig_b""")),
 
+    // SPAN-LEVEL DUPLICATE COVERAGE (round 15): the sliding-window
+    // complement of q_passage_dedup's fixed chunks — the Lee et al.
+    // exact-substring-dedup measurement in 13-gram units. Every
+    // overlapping 13-gram hashes; a doc's dup_span_tokens is the UNION
+    // of its corpus-duplicated grams' token windows (distinct
+    // positions, so overlapping grams don't double-count and a shared
+    // block straddling any chunk boundary — invisible to fixed chunks —
+    // is fully counted). dup_ppm is the span-cleaner's trim/drop gate.
+    Declared("q_span_dedup",
+      (s, d) => DedupOps.spanDupCoverage(documents(s, d), 13),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+        g AS (SELECT doc_id, unnest(range(0, len(ws) - 12)) AS gi, ws
+              FROM t WHERE len(ws) >= 13),
+        hg AS (SELECT doc_id, gi,
+                 md5(array_to_string(ws[gi + 1:gi + 13], ' ')) AS hh
+               FROM g),
+        dup AS (SELECT hh FROM (SELECT hh, COUNT(*) AS c FROM hg
+                GROUP BY hh) WHERE c > 1),
+        cov AS (SELECT DISTINCT doc_id, pos FROM (
+                 SELECT doc_id, unnest(range(gi, gi + 13)) AS pos
+                 FROM hg WHERE hh IN (SELECT hh FROM dup))),
+        cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_span_tokens
+                FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(cnt.dup_span_tokens, 0) AS BIGINT)
+            AS dup_span_tokens,
+          CAST(COALESCE(cnt.dup_span_tokens, 0) * 1000000 // len(t.ws)
+            AS BIGINT) AS dup_ppm
+        FROM t LEFT JOIN cnt USING (doc_id)
+        ORDER BY doc_id""")),
+
     // FILTERED ANN SEARCH (round 15): metadata-restricted top-k through
     // the SHARED IVF index (the FAISS IDSelector case — "nearest
     // vectors with label ∈ {2,5,7}"): same memoized centroids as

@@ -1792,6 +1792,52 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** SPAN-LEVEL DUPLICATE COVERAGE (round 15) — the SLIDING-window
+    * complement of [[passageDedup]]'s fixed chunks, i.e. the exact
+    * substring-dedup measurement of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (ACL'22), in n-gram units:
+    * every overlapping `n`-gram is hashed; a gram whose hash occurs
+    * more than once in the CORPUS is a duplicated span occurrence, and
+    * a document's `dup_span_tokens` is the size of the UNION of its
+    * duplicated grams' token windows (distinct positions — overlapping
+    * dup grams don't double-count, so a shared 50-token block scores
+    * 50, not 38·n). Fixed chunks miss a shared block that straddles a
+    * chunk boundary at any unaligned offset; the sliding window can't.
+    * dup_ppm is the trim-or-drop signal a span-level cleaner gates on.
+    *
+    * Scale shape: one corpus explode to (doc, gi, hash) — ~n_words
+    * rows, 16-byte hashes; ONE map-side-combined groupBy on the hash;
+    * the coverage union is an n-fold position explode over only the
+    * DUPLICATED grams (901 of 20k at sf0.01) followed by a distinct
+    * bounded per doc by its own length. Text itself never shuffles.
+    */
+  def spanDupCoverage(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "a span is at least a bigram")
+    val t = documents.select(col("doc_id"),
+      graft.operators.TextOps.words(col("text")).as("ws"))
+    val grams = t.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => struct(i.as("gi"),
+          md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))
+            .as("hh")))).as("g"))
+      .select(col("doc_id"), col("g.gi").as("gi"), col("g.hh").as("hh"))
+    val dupH = grams.groupBy("hh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("hh")
+    val covered = grams.join(dupH, Seq("hh"))
+      .select(col("doc_id"),
+        explode(sequence(col("gi"), col("gi") + lit(n - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_span_tokens"))
+    t.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_span_tokens",
+        coalesce(col("dup_span_tokens"), lit(0L)))
+      .withColumn("dup_ppm",
+        expr("dup_span_tokens * 1000000L div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** L2/L4 — corpus-wide passage-level dedup (the CCNet/C4 line-dedup
     * shape, on `passageWords`-token passages since this corpus has no
     * newlines): cut each document into consecutive non-overlapping

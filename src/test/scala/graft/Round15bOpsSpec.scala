@@ -316,6 +316,26 @@ class Round15bOpsSpec extends SparkSpec {
       "full-probe filtered search must equal the filtered brute force")
   }
 
+  test("span coverage counts a shared block once, at its exact length, " +
+    "across any alignment") {
+    import spark.implicits._
+    // a 15-token block shared by two docs at DIFFERENT offsets (7 vs 0)
+    // — the unaligned case fixed-chunk passage dedup misses; with n=13
+    // the block contributes 3 overlapping dup grams whose position
+    // union is exactly the 15 block tokens, in both docs
+    val block = (1 to 15).map(i => s"s$i").mkString(" ")
+    val a = (1 to 7).map(i => s"u$i").mkString(" ") + " " + block
+    val b = block + " " + (1 to 9).map(i => s"v$i").mkString(" ")
+    val c = (1 to 20).map(i => s"w$i").mkString(" ")
+    val out = graft.operators.DedupOps.spanDupCoverage(
+      Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text"), 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(0L) == ((22L, 15L)), "block tokens counted once in doc 0")
+    assert(out(1L) == ((24L, 15L)), "same block found at offset 0 too")
+    assert(out(2L) == ((20L, 0L)), "unshared doc carries no dup span")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
