@@ -7504,6 +7504,51 @@ object Queries {
         FROM t LEFT JOIN cnt USING (doc_id)
         ORDER BY doc_id""")),
 
+    // SPAN TRIM (round 15): the RESPONSE to q_span_dedup — every
+    // duplicated 13-gram keeps its corpus-wide first occurrence
+    // (lexicographic (doc_id, gi) keeper, the passage-dedup
+    // discipline); a token is removed iff some non-keeper dup window
+    // covers it. kept_md5 fingerprints the actually reconstructed
+    // trimmed text, so the hash check proves the cleaner emits the
+    // right STRING, not just the right counts.
+    Declared("q_span_trim",
+      (s, d) => DedupOps.spanTrim(documents(s, d), 13),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+        g AS (SELECT doc_id, unnest(range(0, len(ws) - 12)) AS gi, ws
+              FROM t WHERE len(ws) >= 13),
+        hg AS (SELECT doc_id, gi,
+                 md5(array_to_string(ws[gi + 1:gi + 13], ' ')) AS hh
+               FROM g),
+        kp AS (SELECT hh, doc_id AS kd, gi AS kg FROM (
+                 SELECT hh, doc_id, gi,
+                   COUNT(*) OVER (PARTITION BY hh) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY hh
+                                      ORDER BY doc_id, gi) AS rn
+                 FROM hg) WHERE c > 1 AND rn = 1),
+        rem AS (SELECT DISTINCT doc_id, pos FROM (
+                 SELECT h.doc_id, unnest(range(h.gi, h.gi + 13)) AS pos
+                 FROM hg h JOIN kp ON h.hh = kp.hh
+                 WHERE NOT (h.doc_id = kp.kd AND h.gi = kp.kg))),
+        w AS (SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+                SELECT doc_id, unnest([{'pos': i - 1, 'word': ws[i]}
+                         for i in range(1, len(ws) + 1)]) AS u
+                FROM t)),
+        kw AS (SELECT w.doc_id, w.pos, w.word
+               FROM w LEFT JOIN rem
+                 ON w.doc_id = rem.doc_id AND w.pos = rem.pos
+               WHERE rem.pos IS NULL),
+        ks AS (SELECT doc_id, COUNT(*)::BIGINT AS kept_tokens,
+                 string_agg(word, ' ' ORDER BY pos) AS s
+               FROM kw GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+          CAST(len(t.ws) - COALESCE(ks.kept_tokens, 0) AS BIGINT)
+            AS removed_tokens,
+          CAST(COALESCE(ks.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          md5(COALESCE(ks.s, '')) AS kept_md5
+        FROM t LEFT JOIN ks USING (doc_id)
+        ORDER BY doc_id""")),
+
     // FILTERED ANN SEARCH (round 15): metadata-restricted top-k through
     // the SHARED IVF index (the FAISS IDSelector case — "nearest
     // vectors with label ∈ {2,5,7}"): same memoized centroids as

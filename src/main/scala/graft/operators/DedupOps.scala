@@ -1838,6 +1838,62 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** SPAN TRIM (round 15) — the RESPONSE to [[spanDupCoverage]]'s
+    * measurement, Lee et al.'s actual cleaning step: every duplicated
+    * `n`-gram keeps exactly its corpus-wide FIRST occurrence
+    * (lexicographic min (doc_id, gi) — deterministic, not arrival
+    * order, the [[passageDedup]] keeper discipline) and a token is
+    * REMOVED iff it lies in the window of some non-keeper occurrence.
+    * The relation returns the per-document trim accounting plus the
+    * md5 of the actually reconstructed kept text (words re-assembled
+    * in position order), so the oracle proves the trim produced the
+    * right STRING, not just the right counts.
+    *
+    * Scale shape: [[spanDupCoverage]]'s gram pass + one hash-keyed
+    * keeper argmin (16-byte keys, map-side combined) + the bounded
+    * position explode over non-keeper dup occurrences; the rebuild is
+    * one per-doc rollup whose state is the document's own words.
+    */
+  def spanTrim(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "a span is at least a bigram")
+    val t = documents.select(col("doc_id"),
+      graft.operators.TextOps.words(col("text")).as("ws"))
+    val grams = t.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => struct(i.as("gi"),
+          md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))
+            .as("hh")))).as("g"))
+      .select(col("doc_id"), col("g.gi").as("gi"), col("g.hh").as("hh"))
+    val keepers = grams.groupBy("hh")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("gi"))).as("k"))
+      .filter(col("cnt") > 1)
+      .select(col("hh"), col("k.doc_id").as("kd"), col("k.gi").as("kg"))
+    val removed = grams.join(keepers, Seq("hh"))
+      .filter(!(col("doc_id") === col("kd") && col("gi") === col("kg")))
+      .select(col("doc_id"),
+        explode(sequence(col("gi"), col("gi") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = t
+      .select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+      .join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x("word"))).as("kept_str"))
+    t.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        md5(coalesce(col("kept_str"), lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** L2/L4 — corpus-wide passage-level dedup (the CCNet/C4 line-dedup
     * shape, on `passageWords`-token passages since this corpus has no
     * newlines): cut each document into consecutive non-overlapping

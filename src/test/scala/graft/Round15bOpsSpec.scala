@@ -336,6 +336,28 @@ class Round15bOpsSpec extends SparkSpec {
     assert(out(2L) == ((20L, 0L)), "unshared doc carries no dup span")
   }
 
+  test("span trim keeps the corpus-wide first occurrence and rebuilds " +
+    "the exact trimmed string") {
+    import spark.implicits._
+    val block = (1 to 15).map(i => s"s$i").mkString(" ")
+    val aTail = (1 to 7).map(i => s"u$i").mkString(" ")
+    val a = aTail + " " + block
+    val bTail = (1 to 9).map(i => s"v$i").mkString(" ")
+    val b = block + " " + bTail
+    val out = graft.operators.DedupOps.spanTrim(
+      Seq((0L, a), (1L, b)).toDF("doc_id", "text"), 13)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 0 owns the keeper occurrences (lower doc_id): nothing removed
+    assert(out(0L) == ((22L, 0L, 22L, md5(a))),
+      "keeper document must survive untrimmed")
+    // doc 1's copy of the block is fully removed; its tail survives
+    assert(out(1L) == ((24L, 15L, 9L, md5(bTail))),
+      "non-keeper occurrence must trim to exactly the unshared tail")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
