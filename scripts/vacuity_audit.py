@@ -54,6 +54,10 @@ KNOWN_BENIGN = {
     # doc_id), so n_docs is uniform across the 3 rows BY CONSTRUCTION;
     # Round14OpsSpec asserts exactly this. The confusion cells vary.
     ("q_quality_agreement", "n_docs"),
+    # same construction over the four-signal matrix (round 15 wave 2):
+    # all six pairs inner-join the SAME ≥1-word document domain, so
+    # n_docs is uniform across the 6 rows; the confusion cells vary
+    ("q_quality_agreement4", "n_docs"),
     # same %10 slice through the star-contraction engine: same single
     # cluster — the shared-oracle sibling of q_neardup_clusters
     ("q_neardup_clusters_star", "cluster_id"),

@@ -16,7 +16,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q_scan_limit", "q_filter_conj", "q_topk",
     "q_agg_multi", "q_agg_count2key", "q_grouping_sets", "q_median",
-    "q_join_inner", "q_join_3way", "q_join_asof", "q_join_range",
+    // q_join_range dropped round 15 wave 2 to fit q_quality_agreement4
+    // under the 1.5 KB budget (join family keeps inner/3way/asof)
+    "q_join_inner", "q_join_3way", "q_join_asof",
     "q_window_rank", "q_window_session",
     // q_explode_words / q_window_tumbling dropped round 13 to fit the
     // two new family representatives under the 1.5 KB line budget
@@ -29,7 +31,9 @@ object Bench {
     "q_dedup_exact", "q_minhash_lsh",
     "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
-    "q_tfidf_topterms", "q_lang_id", "q_repetition",
+    // q_lang_id dropped round 15 wave 2 (same budget rule: text family
+    // keeps q_tfidf_topterms / q_repetition)
+    "q_tfidf_topterms", "q_repetition",
     "q_upsert",
     // round-3 families
     "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
@@ -82,7 +86,12 @@ object Bench {
     // key (#3 suite-wide, 4.5 s — the r7 rule); the ANN maintenance
     // family's representative is q_ann_codes_upsert (retrain/shards/
     // card price under it)
-    "q_pipeline_incremental", "q_ann_codes_upsert")
+    "q_pipeline_incremental", "q_ann_codes_upsert",
+    // round-15 second wave: the four-signal agreement matrix is the
+    // wave's worst-cost key (~2.6 s isolated — three signal passes +
+    // the bigram chain); the other nine wave keys price at or under
+    // the family representatives already on the line
+    "q_quality_agreement4")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
