@@ -220,4 +220,30 @@ class EmptyInputSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       == Set((1L, 1L), (2L, 1L)))
   }
+
+  test("round-15 wave-2 operators handle empty inputs") {
+    // span family: no docs → no grams → empty accounting frames
+    assert(DedupOps.spanDupCoverage(emptyDocs, 13).isEmpty)
+    val trim = DedupOps.spanTrim(emptyDocs, 13)
+    assert(trim.isEmpty && trim.columns.toSeq == Seq("doc_id", "n_tokens",
+      "removed_tokens", "kept_tokens", "kept_md5"))
+    // bigram surprisal: no words → no rows, never a throw
+    assert(TextOps.surprisalBigramBits(emptyDocs, 1104L).isEmpty)
+    // tokenizer drift over empty streams: empty audit (the fit over an
+    // empty corpus yields the legitimate empty merge list)
+    val noWords = Seq.empty[(String, String)].toDF("source", "word")
+    assert(TextOps.tokenizerDrift(emptyDocs,
+      Seq("base" -> noWords, "new" -> noWords), 2, 10).isEmpty)
+    // card diff of two empty releases: no (source, lang) keys → empty
+    assert(TextOps.dataCardDiff(emptyDocs, emptyDocs, Seq("a")).isEmpty)
+    // matryoshka / filtered search over an empty corpus: declared empty
+    // schema, never a throw
+    val mat = SimilarityOps.matryoshkaTopK(emptyEmb, Seq(0L), 16, 10, 5)
+    assert(mat.isEmpty &&
+      mat.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
+    val filt = SimilarityOps.ivfTopKFiltered(emptyEmb,
+      col("label") === 1, "empty_filt", 4, 1, 1, Seq(0L), 5, 2)
+    assert(filt.isEmpty &&
+      filt.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
+  }
 }

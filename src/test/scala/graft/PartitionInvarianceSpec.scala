@@ -39,7 +39,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // tokenizer-priced pack manifest, global-fingerprint data card
     "q_simsearch_ivfpq_fleet", "q_pack_manifest", "q_data_card",
     // r14 third wave: two-fit drift matrix (argmax ties in both chains)
-    "q_index_drift")
+    "q_index_drift",
+    // r15 wave 2: compacted-artifact search (range-partitioned rewrite
+    // + ADC), bigram surprisal (two-level count joins), keeper-argmin
+    // span trim, filtered IVF, the four-signal rollup, and the
+    // appended shard artifact's slice audit
+    "q_ann_compact", "q_surprisal_bigram", "q_span_trim",
+    "q_simsearch_filtered", "q_quality_agreement4",
+    "q_pack_shards_upsert")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
