@@ -7472,6 +7472,79 @@ object Queries {
           CAST((SUM(ka * kb) + SUM((1 - ka) * (1 - kb))) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
         FROM pr GROUP BY sig_a, sig_b ORDER BY sig_a, sig_b""")),
 
+    // RECURSIVE SQL SURFACE (round 15): Spark 4 ships WITH RECURSIVE
+    // (UNION ALL form), and this key exercises it on a real recursion —
+    // per-user session chains walked event-by-event: anchors are the
+    // events with no predecessor within the 4 h gap, the recursive term
+    // follows each user's rn+1 successor while the gap holds (depth =
+    // session length, measured ≤ 11 at sf0.1, far under the engine's
+    // recursion limit; UNION ALL is safe because every event extends
+    // exactly one chain). The 4 h gap sits at the data's first-quartile
+    // inter-event time so sessions genuinely chain (mean 1.45 events) —
+    // the 30 min q_window_session gap would leave recursion untouched.
+    // session_id = the anchor's event_id, so the relation is decided by
+    // the recursion, not by a window rewrite. Oracle = the same
+    // recursive SQL in DuckDB (µs grid both sides).
+    Declared("q_sql_recursive",
+      (s, d) => {
+        // the rn-spine is LINEAGE-TRUNCATED before the recursion: each
+        // recursive iteration re-reads the anchor relations, and
+        // without the truncation the per-user window (and the 220k-row
+        // scan under it) re-executes once per depth level — measured
+        // 5.8 s → ~2 s at sf0.1. The recursion is the operator under
+        // test; its inputs are materialized once like any other frame.
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        events(s, d)
+          .selectExpr("user_id", "event_id", "ts div 1000 as us")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("prev_us", lag("us", 1).over(w))
+          .lineageTruncate()
+          .createOrReplaceTempView("events_rec_ev")
+        // prev_us rides the spine so the anchor is a FILTER (no
+        // 220k×220k self-join) and the recursive gap test reads only
+        // the joined successor's own columns: n.us − n.prev_us is by
+        // construction the gap to the chain's current tail (rn+1)
+        s.sql("""WITH RECURSIVE
+          ev AS (SELECT * FROM events_rec_ev),
+          starts AS (
+            SELECT user_id, event_id AS session_id, rn, us FROM ev
+            WHERE prev_us IS NULL OR us - prev_us > 14400000000),
+          chain(user_id, session_id, rn, us) AS (
+            SELECT user_id, session_id, rn, us FROM starts
+            UNION ALL
+            SELECT c.user_id, c.session_id, n.rn, n.us
+            FROM chain c JOIN ev n
+              ON n.user_id = c.user_id AND n.rn = c.rn + 1
+            WHERE n.us - n.prev_us <= 14400000000)
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 CAST(MIN(us) AS BIGINT) AS session_start_us,
+                 CAST(MAX(us) AS BIGINT) AS session_end_us
+          FROM chain GROUP BY user_id, session_id
+          ORDER BY user_id, session_id""")
+      },
+      Some("""WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        starts AS (
+          SELECT e.user_id, e.event_id AS session_id, e.rn, e.us
+          FROM ev e LEFT JOIN ev p
+            ON p.user_id = e.user_id AND p.rn = e.rn - 1
+          WHERE p.event_id IS NULL OR e.us - p.us > 14400000000),
+        chain(user_id, session_id, rn, us) AS (
+          SELECT user_id, session_id, rn, us FROM starts
+          UNION ALL
+          SELECT c.user_id, c.session_id, n.rn, n.us
+          FROM chain c JOIN ev n
+            ON n.user_id = c.user_id AND n.rn = c.rn + 1
+          WHERE n.us - c.us <= 14400000000)
+        SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+               CAST(MIN(us) AS BIGINT) AS session_start_us,
+               CAST(MAX(us) AS BIGINT) AS session_end_us
+        FROM chain GROUP BY user_id, session_id
+        ORDER BY user_id, session_id""")),
+
     // SPAN-LEVEL DUPLICATE COVERAGE (round 15): the sliding-window
     // complement of q_passage_dedup's fixed chunks — the Lee et al.
     // exact-substring-dedup measurement in 13-gram units. Every
