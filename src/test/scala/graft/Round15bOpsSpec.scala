@@ -358,6 +358,27 @@ class Round15bOpsSpec extends SparkSpec {
       "non-keeper occurrence must trim to exactly the unshared tail")
   }
 
+  test("recursive session chains partition events exactly as the " +
+    "window sessionizer at the same gap") {
+    // two independent formulations of the same semantics — the
+    // recursive CTE (q_sql_recursive) and the lag/running-sum window
+    // (EventOps.sessionizeOn) — must agree on every session's
+    // (user, start, end, size); ids differ by construction (anchor
+    // event_id vs ordinal), so compare the id-free projection
+    val dir = sf
+    val rec = Queries.queries("q_sql_recursive")(spark, dir)
+      .select("user_id", "n_events", "session_start_us", "session_end_us")
+      .collect().map(_.toString).sorted.toSeq
+    val win = graft.operators.EventOps.sessionizeOn(
+      Tables.events(spark, dir), expr("ts div 1000"), 14400000000L)
+      .select(col("user_id"), col("n_events"),
+        col("session_start").as("session_start_us"),
+        col("session_end").as("session_end_us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rec.nonEmpty && rec == win,
+      "recursion and window sessionization must partition identically")
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
