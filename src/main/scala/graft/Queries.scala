@@ -7504,7 +7504,7 @@ object Queries {
         // 220k×220k self-join) and the recursive gap test reads only
         // the joined successor's own columns: n.us − n.prev_us is by
         // construction the gap to the chain's current tail (rn+1)
-        s.sql("""WITH RECURSIVE
+        val out = s.sql("""WITH RECURSIVE
           ev AS (SELECT * FROM events_rec_ev),
           starts AS (
             SELECT user_id, event_id AS session_id, rn, us FROM ev
@@ -7521,6 +7521,12 @@ object Queries {
                  CAST(MAX(us) AS BIGINT) AS session_end_us
           FROM chain GROUP BY user_id, session_id
           ORDER BY user_id, session_id""")
+        // analysis has resolved the view into the plan; DROP it so the
+        // catalog does not pin the checkpointed spine for the session's
+        // lifetime (StorageReleaseSpec: blocks must be reclaimable once
+        // the caller drops the result)
+        s.catalog.dropTempView("events_rec_ev")
+        out
       },
       Some("""WITH RECURSIVE ev AS (
           SELECT user_id, event_id, epoch_us(ts) AS us,
