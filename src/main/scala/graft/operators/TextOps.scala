@@ -1781,10 +1781,17 @@ object TextOps {
     */
   def packShardsWrite(documents: DataFrame, wordSyms: DataFrame,
                       budgetTokens: Long, shardDocs: Long,
-                      srcDir: String, outDir: String): Unit = {
+                      srcDir: String, outDir: String,
+                      tokKey: String = "bpe6x31"): Unit = {
     val spark = documents.sparkSession
+    // tokKey is the TOKENIZER's identity contribution (the ADVICE-r14
+    // memo-key discipline: wordSyms is a caller-side derivation, so the
+    // source fingerprint alone cannot distinguish two tokenizers over
+    // the same corpus — a 6x31 and a 12x64 fit writing the same outDir
+    // must not memo-collide)
     graft.sources.StorageOps.materializeCached(spark,
-      s"pack_shards:$outDir:$budgetTokens:$shardDocs", srcDir, outDir) {
+      s"pack_shards:$outDir:$tokKey:$budgetTokens:$shardDocs",
+      srcDir, outDir) {
       packBinStreams(documents, wordSyms, budgetTokens, shardDocs)
         .write.mode("overwrite").parquet(outDir)
     }
@@ -1828,12 +1835,13 @@ object TextOps {
   def packShardsUpsert(baseDocs: DataFrame, batchDocs: DataFrame,
                        wordSyms: DataFrame, budgetTokens: Long,
                        shardDocs: Long, srcDir: String, outDir: String,
-                       upsertDir: String, batchKey: String): Unit = {
+                       upsertDir: String, batchKey: String,
+                       tokKey: String = "bpe6x31"): Unit = {
     packShardsWrite(baseDocs, wordSyms, budgetTokens, shardDocs, srcDir,
-      outDir)
+      outDir, tokKey)
     val spark = baseDocs.sparkSession
     graft.sources.StorageOps.materializeCached(spark,
-      s"pack_upsert:$upsertDir:$batchKey:$budgetTokens:$shardDocs",
+      s"pack_upsert:$upsertDir:$batchKey:$tokKey:$budgetTokens:$shardDocs",
       srcDir, upsertDir) {
       val stored = spark.read.parquet(outDir)
       // append-only guard: bounded by |sources|, one scalar to the driver
