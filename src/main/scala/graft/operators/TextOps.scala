@@ -1701,6 +1701,8 @@ object TextOps {
     */
   def tokenizerDrift(fitDocs: DataFrame, streams: Seq[(String, DataFrame)],
                      rounds: Int, topWords: Int): DataFrame = {
+    require(streams.nonEmpty,
+      "tokenizerDrift needs at least one labeled word stream")
     val wt = bpeWordTokens(fitDocs, bpeMerges(fitDocs, rounds, topWords),
       topWords)
     streams.map { case (tag, ws) =>

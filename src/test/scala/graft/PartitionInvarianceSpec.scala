@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // appended shard artifact's slice audit
     "q_ann_compact", "q_surprisal_bigram", "q_span_trim",
     "q_simsearch_filtered", "q_quality_agreement4",
-    "q_pack_shards_upsert")
+    "q_pack_shards_upsert",
+    // r15 wave 3: the recursive CTE (per-iteration joins over the
+    // truncated spine must not depend on partition count)
+    "q_sql_recursive")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
