@@ -761,6 +761,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Frozen-fit exporter for the streaming BIGRAM scorer — the
+    * [[surprisalFitTop]] discipline one order up: the top-`topWords`
+    * unigram bits table, the top-`topPairs` bigram conditional-bits
+    * table (keyed "prev word" — words are space-split so the composite
+    * key is unambiguous), and the count-1-smoothed unseen-word bits.
+    * Driver state is bounded by the two caps; a streaming scorer
+    * prices seen pairs at their conditional bits and backs off to the
+    * word's unigram bits (unseen word → unseenBits) — with caps
+    * covering the full tables the stream equals [[surprisalBigramBits]]
+    * doc-for-doc (Round15bOpsSpec pins it).
+    */
+  def surprisalBigramFitTop(documents: DataFrame, topWords: Int,
+                            topPairs: Int)
+      : (Seq[(String, Long)], Seq[(String, Long)], Long) = {
+    val docsW = documents.select(words(col("text")).as("ws"))
+    val w = docsW.select(explode(col("ws")).as("word"))
+    val wc = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("t"))
+    val wordBits = wc.crossJoin(broadcast(total))
+      .orderBy(desc("cnt"), asc("word")).limit(topWords)
+      .select(col("word"),
+        (length(bin(expr("t div cnt"))) - 1).cast("long").as("bits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pairs = docsW.select(
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("word")))).as("pr"))
+      .select(col("pr.prev").as("prev"), col("pr.word").as("word"))
+    val bc = pairs.groupBy("prev", "word").agg(count(lit(1)).as("cnt2"))
+    val cx = bc.groupBy("prev").agg(sum(col("cnt2")).as("ctx"))
+    val pairBits = bc.join(cx, Seq("prev"))
+      .orderBy(desc("cnt2"), asc("prev"), asc("word")).limit(topPairs)
+      .select(concat(col("prev"), lit(" "), col("word")).as("pair"),
+        (length(bin(expr("ctx div cnt2"))) - 1).cast("long").as("bits"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val totalTokens = total.collect()(0).getLong(0)
+    (wordBits, pairBits,
+      java.lang.Long.toBinaryString(math.max(totalTokens, 1L)).length - 1L)
+  }
+
   /** The frozen-fit exporter for the streaming surprisal scorer: the
     * top-`topWords` unigram bits table (the [[surprisalBits]]
     * arithmetic, capped so driver state is bounded — the DSIR

@@ -599,6 +599,48 @@ object StreamingOps {
             .otherwise(0L)).as("oov_words"))
   }
 
+  /** Streaming BIGRAM surprisal against a frozen fit (round 15) — the
+    * online twin of [[graft.operators.TextOps.surprisalBigramBits]],
+    * completing the every-batch-filter-has-a-stream-twin symmetry for
+    * the fluency tier: per arriving document, the first word prices at
+    * its unigram bits, each later word at the FROZEN pair table's
+    * conditional bits, backing off to the word's unigram bits (unseen
+    * word → `unseenBits`) when the pair never made the capped fit —
+    * the [[scoreSurprisalStream]] smoothing discipline one order up.
+    * Stateless projection over literal maps (driver state = the two
+    * caps of [[graft.operators.TextOps.surprisalBigramFitTop]]), safe
+    * in append mode; with caps covering the full tables the stream
+    * equals the batch scorer doc-for-doc (Round15bOpsSpec).
+    */
+  def scoreBigramStream(stream: DataFrame, wordBits: Seq[(String, Long)],
+                        pairBits: Seq[(String, Long)],
+                        unseenBits: Long): DataFrame = {
+    require(wordBits.nonEmpty, "wordBits must be non-empty — fit first")
+    require(unseenBits >= 0 && unseenBits <= 63,
+      s"unseenBits must lie in [0, 63], got $unseenBits")
+    val wbm = map(wordBits.flatMap { case (w, b) => Seq(lit(w), lit(b)) }: _*)
+    // an empty pair table is a legitimate frozen fit (single-word
+    // corpus): every later word then backs off to unigram bits
+    val pbm = if (pairBits.isEmpty) map()
+      else map(pairBits.flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*)
+    val ws = graft.operators.TextOps.words(col("text"))
+    def uni(word: org.apache.spark.sql.Column) =
+      coalesce(element_at(wbm, word), lit(unseenBits))
+    val bitsArr = transform(sequence(lit(0), size(ws) - 1), i =>
+      when(i === 0, uni(element_at(ws, 1)))
+        .otherwise(coalesce(
+          element_at(pbm,
+            concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))),
+          uni(element_at(ws, i + 1)))))
+    stream
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(bitsArr, lit(0L), (acc, x) => acc + x)
+          .as("sum_bi_bits"))
+      .withColumn("bi_q8", expr("sum_bi_bits * 256L div n_words"))
+  }
+
   /** Streaming heavy hitters — per tumbling window, the keys whose
     * exact count reaches `minCount`, emitted ONCE per window when the
     * watermark closes it (append mode: a key is reported only when its

@@ -379,6 +379,45 @@ class Round15bOpsSpec extends SparkSpec {
       "recursion and window sessionization must partition identically")
   }
 
+  test("streaming bigram scorer matches the batch scorer under a " +
+    "full-coverage frozen fit and backs off on unseen pairs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    // caps past the 31-word vocab and its ≤961 pairs: the frozen fit
+    // covers everything, so streaming must equal surprisalBigramBits
+    val (wb, pb, unseen) =
+      TextOps.surprisalBigramFitTop(docs, topWords = 2000, topPairs = 5000)
+    val batch = TextOps.surprisalBigramBits(docs, 1104L)
+      .select("doc_id", "n_words", "sum_bi_bits", "bi_q8")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.toMemorySink(
+      graft.streaming.StreamingOps.scoreBigramStream(
+        input.toDF().toDF("doc_id", "text"), wb, pb, unseen),
+      "bigram_stream_test", "append")
+    try {
+      val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      input.addData(rows.take(rows.length / 2).toSeq)
+      input.addData(rows.drop(rows.length / 2).toSeq)
+      // a doc of unseen words: every word prices at unseenBits (the
+      // pair lookup misses, the unigram backoff misses too)
+      input.addData((888888L, "zzq zzr zzs"))
+      q.processAllAvailable()
+      val out = spark.table("bigram_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(out.filter(_._1 != 888888L) == batch,
+        "streaming bigram bits must equal the batch scorer doc-for-doc")
+      val ovv = out.find(_._1 == 888888L).get
+      assert(ovv._3 == 3 * unseen && ovv._4 == unseen * 256L,
+        "fully unseen text must price at the smoothed unseen bits")
+    } finally q.stop()
+  }
+
   test("compaction memo keys on the batch identity and is idempotent") {
     val cds = java.nio.file.Files.createTempDirectory("cmp3_codes").toString
     val cmpA = java.nio.file.Files.createTempDirectory("cmp3_a").toString
