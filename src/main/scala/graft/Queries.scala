@@ -38,6 +38,18 @@ object Queries {
     */
   private val semDedupProbeIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
 
+  /** The literal keyword queries q_bm25_topk scores — defined ONCE so
+    * the oracle's VALUES list interpolates the exact (query_id, term)
+    * rows the engine receives. 'dup' is the corpus's one genuinely rare
+    * word (df ≈ 5% vs ≈ 77% for everything else in the 31-word
+    * synthetic vocabulary), so the three queries exercise the idf
+    * spread: rare-dominated, common-only, and mixed.
+    */
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_rare" -> Seq("dup", "merge"),
+    "q_common" -> Seq("spark", "join", "window"),
+    "q_mixed" -> Seq("dup", "the"))
+
   /** DuckDB replay of [[graft.operators.SimilarityOps.ivfTopKExact]]:
     * `iterations` unrolled integer Lloyd rounds (seed → assign →
     * truncating-mean update, emptied cells carried via COALESCE), then
@@ -122,6 +134,48 @@ object Queries {
     * 8 planes → 256 buckets; multi-probe hamming ≤ 1 probes 9.
     */
   private val lshProbeIds: Seq[Long] = (0L until 8L)
+
+  /** DuckDB replay of [[graft.operators.SimilarityOps.knnGraphExact]]
+    * (round 15): the q_simsearch_lsh sign-bucket CTEs with the query
+    * side widened to the WHOLE corpus (every vector probes its own
+    * bucket plus the |planes| one-bit flips), self-pairs excluded, and
+    * the per-vector integer-dot ranking cut at `k`. Generated in code so
+    * the three kNN-graph consumers (`q_knn_join`, `q_knn_label`,
+    * `q_knn_mutual_cc`) provably share one candidate/ranking definition
+    * with the engine's.  Ends with CTE `g(q_id, rn, n_id, score_s14)`.
+    */
+  private def knnGraphCtes(k: Int): String =
+    s"""e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM e
+               WHERE vec_id IN (${lshProbeIds.mkString(", ")})),
+        dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
+               FROM e JOIN pr USING (pos) GROUP BY e.vec_id, pr.p_id),
+        bkt AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN dt <= 0 THEN 0 ${lshProbeIds.zipWithIndex
+      .map { case (pid, i) => s"WHEN p_id = $pid THEN ${1L << i}" }
+      .mkString(" ")}
+                         ELSE 0 END) AS BIGINT) AS bucket
+              FROM dp GROUP BY vec_id),
+        qb AS (SELECT q.vec_id AS q_id,
+                 CASE WHEN f.f = 0 THEN q.bucket
+                      ELSE xor(q.bucket, (1::BIGINT << (f.f - 1))) END AS bucket
+               FROM bkt q
+               CROSS JOIN (SELECT unnest(range(${lshProbeIds.size + 1})) AS f) f),
+        cand AS (SELECT qb.q_id, b.vec_id AS n_id
+                 FROM qb JOIN bkt b ON qb.bucket = b.bucket
+                 WHERE b.vec_id <> qb.q_id),
+        sc AS (SELECT c.q_id, c.n_id, CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
+              FROM cand c JOIN e a ON a.vec_id = c.q_id
+                          JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+              GROUP BY c.q_id, c.n_id),
+        g AS (SELECT q_id, rn, n_id, score_s14 FROM (
+          SELECT q_id, n_id, score_s14,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score_s14 DESC, n_id) AS BIGINT) AS rn
+          FROM sc) WHERE rn <= $k)"""
 
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
@@ -8122,7 +8176,182 @@ object Queries {
             AS stopword_ppm_delta
         FROM oc o FULL OUTER JOIN nc n
           ON o.source = n.source AND o.lang = n.lang
-        ORDER BY source, lang"""))
+        ORDER BY source, lang""")),
+
+    // ───────────────────────── round-15 wave 4 ─────────────────────────
+
+    // CORPUS-WIDE kNN GRAPH (SimilarityOps.knnGraphExact): every vector's
+    // top-3 neighbors from hamming≤1 multi-probe sign-LSH candidates —
+    // the SemDeDup / kNN-retrieval precursor relation. Unlike the
+    // query-batch q_simsearch_lsh, the query side is the corpus itself:
+    // nothing broadcasts; candidates come from ONE bucket-keyed shuffle
+    // self-join (fan-in n²·9/256, linear per vector), ranked by a
+    // per-vec_id window. All bits and scores exact int64.
+    Declared("q_knn_join",
+      (s, d) => SimilarityOps.knnGraphExact(embeddings(s, d),
+        probeIds = lshProbeIds, k = 3),
+      Some(s"""WITH ${knnGraphCtes(3)}
+        SELECT q_id, rn, n_id, score_s14 FROM g ORDER BY q_id, rn""")),
+
+    // kNN LABEL VOTE (SimilarityOps.knnLabelVote): majority label of the
+    // k=5 neighbors, ties to the smaller label — the auto-labeling /
+    // embedding-quality (kNN accuracy) pass; `correct` makes the output
+    // double as the accuracy audit relation.
+    Declared("q_knn_label",
+      (s, d) => SimilarityOps.knnLabelVote(embeddings(s, d),
+        probeIds = lshProbeIds, k = 5),
+      Some(s"""WITH ${knnGraphCtes(5)},
+        lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                FROM embeddings),
+        v AS (SELECT g.q_id, lab.label AS n_label,
+                COUNT(*)::BIGINT AS votes
+              FROM g JOIN lab ON g.n_id = lab.vec_id
+              GROUP BY g.q_id, lab.label),
+        p AS (SELECT q_id, n_label, votes FROM (
+                SELECT q_id, n_label, votes,
+                  ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY votes DESC, n_label) AS vr
+                FROM v) WHERE vr = 1)
+        SELECT p.q_id AS vec_id, p.n_label AS pred_label, p.votes,
+          lab.label AS true_label,
+          (p.n_label = lab.label) AS correct
+        FROM p JOIN lab ON p.q_id = lab.vec_id
+        ORDER BY vec_id""")),
+
+    // MUTUAL-kNN CLUSTERS (SimilarityOps.mutualKnnClusters): undirected
+    // edges only where BOTH endpoints list each other in their top-3
+    // (mutuality prunes non-reciprocating hub vectors), components via
+    // the audited CC engine; singletons survive as their own cluster.
+    // Oracle: transitive closure over the mutual edge set, min-label per
+    // node, LEFT-joined to the full vector list (q_neardup_clusters
+    // pattern).
+    Declared("q_knn_mutual_cc",
+      (s, d) => SimilarityOps.mutualKnnClusters(embeddings(s, d),
+        probeIds = lshProbeIds, k = 3),
+      Some(s"""WITH RECURSIVE ${knnGraphCtes(3)},
+        m AS (SELECT a.q_id AS a_id, a.n_id AS b_id
+              FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
+              WHERE a.q_id < a.n_id),
+        ed AS (SELECT a_id AS src, b_id AS dst FROM m
+               UNION SELECT b_id, a_id FROM m),
+        reach(src, dst) AS (
+          SELECT src, dst FROM ed
+          UNION
+          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src)
+        SELECT v.vec_id,
+          LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
+            AS cluster_id
+        FROM (SELECT vec_id FROM embeddings) v
+        LEFT JOIN reach r ON r.src = v.vec_id
+        GROUP BY v.vec_id ORDER BY vec_id""")),
+
+    // INTEGER-EXACT BM25 (RetrievalOps.bm25TopK): top-10 documents per
+    // literal keyword query. k1=1.2 / b=0.75 cleared to integer ratios;
+    // avgdl enters as the q8 scalar A = 256L div N so magnitudes are
+    // document-bounded at any corpus size; idf is Robertson's odds
+    // WITHOUT the log (the tfIdfTopTerms ln-free precedent), saturated
+    // at 10^9 ppm. df/N/L are map-side-combined corpus stats; query
+    // terms broadcast; bodies never shuffle.
+    Declared("q_bm25_topk",
+      (s, d) => RetrievalOps.bm25TopK(documents(s, d), bm25Queries, k = 10),
+      Some(s"""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               GROUP BY doc_id, word),
+        dl AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        scs AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS l_total,
+                  (CAST(SUM(dl) AS BIGINT) * 256) // COUNT(*) AS a_q8
+                FROM dl),
+        q(query_id, word) AS (VALUES ${bm25Queries
+          .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
+          .mkString(", ")}),
+        t AS (SELECT q.query_id, tf.doc_id,
+                (1000000 * 22 * scs.a_q8 * tf.tf) //
+                  (10 * scs.a_q8 * tf.tf + 3 * scs.a_q8 + 2304 * dl.dl)
+                  AS tf_sat,
+                least(1000000000, (1000000 *
+                  (2 * scs.n_docs - 2 * dfq.df + 1)) // (2 * dfq.df + 1))
+                  AS idf
+              FROM tf JOIN q USING (word) JOIN dfq USING (word)
+                   JOIN dl USING (doc_id) CROSS JOIN scs),
+        sm AS (SELECT query_id, doc_id,
+                 CAST(SUM(idf * tf_sat // 1000000) AS BIGINT) AS score_ppm,
+                 COUNT(*)::BIGINT AS n_terms
+               FROM t GROUP BY query_id, doc_id)
+        SELECT query_id, rn, doc_id, score_ppm, n_terms FROM (
+          SELECT query_id, doc_id, score_ppm, n_terms,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn
+          FROM sm) WHERE rn <= 10
+        ORDER BY query_id, rn""")),
+
+    // HYBRID RETRIEVAL BY RECIPROCAL-RANK FUSION
+    // (RetrievalOps.hybridRrfTopK): tf·idf-dot and 3-gram-Jaccard
+    // rankings of each probe doc's neighbors (top-10 each, self
+    // excluded), fused by Σ 10^6 div (60 + rank), fused top-5 emitted.
+    // The two-retriever hybrid-search shape with both rankers
+    // oracle-replayable, so the fusion arithmetic itself is
+    // hash-checked; the production variant swaps ranker 2 for the ANN
+    // top-k through the same rrfFuse.
+    Declared("q_rank_fusion",
+      (s, d) => RetrievalOps.hybridRrfTopK(documents(s, d), probeMod = 50,
+        kPerRanker = 10, topK = 5),
+      Some("""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               GROUP BY doc_id, word),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        wt AS (SELECT tf.doc_id, tf.word, tf.tf * (1000000 // dfq.df) AS w
+               FROM tf JOIN dfq USING (word)),
+        dts AS (SELECT p.doc_id AS q_id, c.doc_id,
+                  CAST(SUM(c.w * p.w) AS BIGINT) AS dot_s
+                FROM wt p JOIN wt c ON p.word = c.word
+                  AND c.doc_id <> p.doc_id
+                WHERE p.doc_id % 50 = 0 GROUP BY 1, 2),
+        r1 AS (SELECT q_id, doc_id, rank FROM (
+                 SELECT q_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY dot_s DESC, doc_id) AS BIGINT) AS rank
+                 FROM dts) WHERE rank <= 10),
+        gr AS (SELECT DISTINCT doc_id, gram
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, len(w) - 1)]) AS gram
+                     FROM (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents)
+                     WHERE len(w) >= 3)),
+        gsz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM gr
+                GROUP BY doc_id),
+        gcm AS (SELECT p.doc_id AS q_id, c.doc_id,
+                  COUNT(*)::BIGINT AS common
+                FROM gr p JOIN gr c ON p.gram = c.gram
+                  AND c.doc_id <> p.doc_id
+                WHERE p.doc_id % 50 = 0 GROUP BY 1, 2),
+        jac AS (SELECT gcm.q_id, gcm.doc_id,
+                  gcm.common * 1000000 // (qs.sz + cs.sz - gcm.common)
+                    AS jac_ppm
+                FROM gcm JOIN gsz qs ON gcm.q_id = qs.doc_id
+                         JOIN gsz cs ON gcm.doc_id = cs.doc_id),
+        r2 AS (SELECT q_id, doc_id, rank FROM (
+                 SELECT q_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY jac_ppm DESC, doc_id) AS BIGINT) AS rank
+                 FROM jac) WHERE rank <= 10),
+        fused AS (SELECT q_id, doc_id,
+                    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+                    COUNT(*)::BIGINT AS n_rankers
+                  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+                  GROUP BY q_id, doc_id)
+        SELECT q_id, rn, doc_id, rrf_ppm, n_rankers FROM (
+          SELECT q_id, doc_id, rrf_ppm, n_rankers,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn
+          FROM fused) WHERE rn <= 5
+        ORDER BY q_id, rn"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

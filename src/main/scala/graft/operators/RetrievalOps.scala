@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.operators.Lineage.LineageOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Lexical retrieval over the documents table (round 15, wave 4):
+  * integer-exact BM25 scoring and reciprocal-rank fusion of
+  * heterogeneous rankers — the keyword half of a hybrid
+  * (lexical + vector) search stack, and the scoring pass a curation
+  * pipeline runs to mine topic-targeted training slices from a raw
+  * corpus ("find the k best documents for each seed query").
+  *
+  * Arithmetic discipline (SURVEY §7.4): every score is integer. BM25's
+  * two float knobs are cleared to integer ratios — k1 = 1.2 and
+  * b = 0.75 multiply through as small rationals, and the average
+  * document length enters as the q8 fixed-point scalar
+  * `A = (256·L) div N` so no product ever scales with corpus token
+  * count L (see [[bm25TopK]]). The idf keeps Robertson's odds
+  * `(N − df + ½)/(df + ½)` WITHOUT the log — `ln` on doubles differs in
+  * the last ulp across libm implementations (the
+  * [[TextOps.tfIdfTopTerms]] precedent), and the odds are strictly
+  * decreasing in df, so per-term ranking is preserved; the documented
+  * deviation is that multi-term sums weight rare terms more steeply
+  * than log-idf BM25. A `min(·, 10⁹ ppm)` saturation bounds the
+  * rare-term boost so idf·tf products stay far inside int64 at any
+  * corpus size (Lucene similarly bounds idf in float32).
+  */
+object RetrievalOps {
+
+  /** Deterministic per-(doc, word) term frequencies + per-doc length. */
+  private def tfDl(documents: DataFrame): (DataFrame, DataFrame) = {
+    val tf = documents
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dl = documents
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast(LongType).as("dl"))
+    (tf, dl)
+  }
+
+  /** BM25 top-k documents per literal keyword query.
+    *
+    * Integer formulation (k1 = 1.2, b = 0.75, avgdl = L/N):
+    * {{{
+    *   A            = (256·L) div N                       // q8 avgdl
+    *   tf_sat_ppm   = 10⁶·22·A·tf div (10·A·tf + 3·A + 2304·dl)
+    *   idf_ppm      = min(10⁹, 10⁶·(2N − 2df + 1) div (2df + 1))
+    *   term_score   = idf_ppm·tf_sat_ppm div 10⁶          // ppm units
+    *   score_ppm    = Σ term_score over query terms present in the doc
+    * }}}
+    * `tf_sat_ppm` is BM25's saturating tf exactly (both sides of the
+    * fraction multiplied by 10·A; the only quantization is avgdl at
+    * 1/256 resolution), so magnitudes are bounded by DOCUMENT length,
+    * never corpus size: 10⁶·22·A·tf ≤ 10⁶·22·(256·maxdl)·maxdl ≈ 6·10¹⁷
+    * at maxdl = 10⁴ « Long.MaxValue — safe at 100 TB.
+    *
+    * Scale shape: df and (N, L, A) are corpus statistics from
+    * map-side-combined rollups; the query-term table broadcasts (a
+    * handful of literal rows); scoring is one word-keyed join of the tf
+    * relation against the broadcast terms — document bodies never
+    * shuffle; the final top-k is a per-query window over matched rows
+    * only.
+    */
+  def bm25TopK(documents: DataFrame,
+               queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopK needs at least one query with at least one term")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (tf, dl) = tfDl(documents)
+    val tfT = tf.lineageTruncate() // 2 consumers: df rollup + scoring join
+    val df = tfT.groupBy("word")
+      .agg(count(lit(1)).cast(LongType).as("df"))
+    val scalars = dl.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      sum(col("dl")).cast(LongType).as("l_total"))
+      .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
+    val terms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "word")
+    val scored = tfT
+      .join(broadcast(terms), Seq("word"))
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("tf_sat_ppm",
+        expr("1000000L * 22L * avgdl_q8 * tf div " +
+          "(10L * avgdl_q8 * tf + 3L * avgdl_q8 + 2304L * dl)"))
+      .withColumn("idf_ppm",
+        expr("least(1000000000L, " +
+          "1000000L * (2L * n_docs - 2L * df + 1L) div (2L * df + 1L))"))
+      .withColumn("term_score", expr("idf_ppm * tf_sat_ppm div 1000000L"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).cast(LongType).as("score_ppm"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score_ppm"), asc("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("query_id", "rn", "doc_id", "score_ppm", "n_terms")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-probe tf·idf-dot ranking: neighbors of each probe document by
+    * the integer dot product of `tf·(10⁶ div df)` weight vectors (the
+    * [[DedupOps.tfidfCosinePairs]] weight grid), self excluded, top
+    * `k` by (dot desc, doc_id). The LEXICAL ranker of [[hybridRrfTopK]].
+    */
+  def tfidfDotRanks(documents: DataFrame, probeMod: Int,
+                    k: Int): DataFrame = {
+    val (tf, _) = tfDl(documents)
+    val df = tf.groupBy("word").agg(count(lit(1)).cast(LongType).as("df"))
+    val wt = tf.join(broadcast(df), Seq("word"))
+      .withColumn("w", expr("tf * (1000000L div df)"))
+      .select("doc_id", "word", "w")
+      .lineageTruncate() // 2 consumers: probe slice + candidate side
+    val probes = wt.filter(pmod(col("doc_id"), lit(probeMod)) === 0)
+      .select(col("doc_id").as("q_id"), col("word"), col("w").as("qw"))
+    val dots = wt.join(probes, Seq("word"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("w") * col("qw")).cast(LongType).as("dot_s"))
+    val w = Window.partitionBy("q_id").orderBy(desc("dot_s"), asc("doc_id"))
+    dots.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "rank")
+  }
+
+  /** Per-probe 3-gram Jaccard ranking: neighbors by
+    * `|A∩B|·10⁶ div |A∪B|` over DISTINCT word trigrams, self excluded,
+    * top `k` by (jaccard desc, doc_id). The SURFACE-OVERLAP ranker of
+    * [[hybridRrfTopK]] — near-verbatim copies rank high here even when
+    * their word-frequency profiles diverge.
+    */
+  def ngramJaccardRanks(documents: DataFrame, probeMod: Int, n: Int,
+                        k: Int): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(TextOps.wordNgrams(col("ws"), n))
+        .as("gram"))
+      .distinct()
+      .lineageTruncate() // 3 consumers: sizes + probe slice + join
+    val sizes = grams.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("sz"))
+    val probes = grams.filter(pmod(col("doc_id"), lit(probeMod)) === 0)
+      .select(col("doc_id").as("q_id"), col("gram"))
+    val common = grams.join(probes, Seq("gram"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).cast(LongType).as("common"))
+    val jac = common
+      .join(sizes.select(col("doc_id").as("q_id"), col("sz").as("q_sz")),
+        Seq("q_id"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("jac_ppm",
+        expr("common * 1000000L div (q_sz + sz - common)"))
+    val w = Window.partitionBy("q_id").orderBy(desc("jac_ppm"), asc("doc_id"))
+    jac.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "rank")
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al.): fuse ranker outputs
+    * `(q_id, doc_id, rank)` by `Σ 10⁶ div (c + rank)` (integer; a
+    * document absent from a ranker's top list contributes 0), emit the
+    * fused top `topK` per probe. `c = 60` is the published constant.
+    *
+    * Scale shape: inputs are already rank-truncated (|probes|·k rows
+    * each) — the fusion is a union + one (q_id, doc_id) rollup + a
+    * per-probe window; negligible next to the rankers themselves.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings
+      .map(_.select(col("q_id"), col("doc_id"),
+        expr(s"1000000L div (${c}L + rank)").as("contrib")))
+      .reduce(_ unionByName _)
+    val fused = contrib
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("contrib")).cast(LongType).as("rrf_ppm"),
+        count(lit(1)).cast(LongType).as("n_rankers"))
+    val w = Window.partitionBy("q_id").orderBy(desc("rrf_ppm"), asc("doc_id"))
+    fused.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select("q_id", "rn", "doc_id", "rrf_ppm", "n_rankers")
+      .orderBy("q_id", "rn")
+  }
+
+  /** HYBRID RETRIEVAL: tf·idf-dot and 3-gram-Jaccard rankings of each
+    * probe document's neighbors, fused by reciprocal rank — the
+    * standard two-retriever hybrid shape (in production the second
+    * ranker is the ANN top-k; here both rankers are oracle-replayable
+    * so the FUSION arithmetic itself is hash-checked, and the ANN
+    * variant composes from the same [[rrfFuse]]).
+    */
+  def hybridRrfTopK(documents: DataFrame, probeMod: Int, kPerRanker: Int,
+                    topK: Int): DataFrame =
+    rrfFuse(Seq(
+      tfidfDotRanks(documents, probeMod, kPerRanker),
+      ngramJaccardRanks(documents, probeMod, n = 3, k = kPerRanker)), topK)
+}

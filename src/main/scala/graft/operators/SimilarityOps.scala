@@ -1839,4 +1839,118 @@ object SimilarityOps {
       .select("q_id", "rn", "n_id", "score")
       .orderBy("q_id", "rn")
   }
+
+  /** Corpus-wide k-NN GRAPH (round 15): EVERY vector gets its k nearest
+    * neighbors, the precursor relation of SemDeDup-style semantic dedup,
+    * kNN-retrieval dataset construction, and the mutual-kNN clustering
+    * below. Candidates come from the same hamming≤1 multi-probe sign-LSH
+    * as [[lshBucketTopKExact]] — hyperplanes are the corpus's OWN
+    * `probeIds` vectors after fixed-point rounding, so bucket bits and
+    * scores are exact int64 arithmetic any SQL engine replays
+    * bit-identically. Self-edges are excluded (a vector is trivially its
+    * own nearest neighbor); ties rank by ascending `n_id`.
+    *
+    * Scale shape — the difference from the query-batch variant: here the
+    * "query" side is the whole corpus, so nothing broadcasts. The probe
+    * fan-out explodes each vector to `1+|planes|` (bucket, flip) rows and
+    * the candidate relation is ONE bucket-keyed shuffle self-join —
+    * fan-in ≈ n²·(1+planes)/2^planes rows total, linear per vector for
+    * fixed planes, never the all-pairs n². At 100 TB pick |planes| ≈
+    * log₂(n / target-bucket-size) so per-bucket joins stay executor-sized;
+    * bucket-size skew is AQE skew-join territory (the bits are
+    * data-derived, near-uniform for centered embeddings). The final
+    * ranking is a per-vec_id window over the candidate rows — partitioned
+    * by the graph's natural key, no global sort.
+    */
+  def knnGraphExact(embeddings: DataFrame, probeIds: Seq[Long],
+                    k: Int): DataFrame = {
+    // 2 consumers (both sides of the bucket self-join) — the usual
+    // truncation discipline so sign assignment runs once
+    val bucketed = signBuckets(withFixedInts(embeddings), probeIds)
+      .lineageTruncate()
+    val numPlanes = probeIds.size
+    val probeBuckets = array((col("bucket") +: (0 until numPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val queries = bucketed
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
+        explode(probeBuckets).as("bucket"))
+    val cands = bucketed
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket"))
+      .join(queries, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    cands
+      .withColumn("score_s14", graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  /** kNN LABEL VOTE (round 15): classify every vector by the majority
+    * label of its [[knnGraphExact]] neighbors — the
+    * label-propagation / auto-labeling pass a curation pipeline runs to
+    * extend a small labeled seed set over an unlabeled corpus, and the
+    * standard embedding-quality probe (kNN accuracy). Vote ties break to
+    * the SMALLER label; `correct` compares against the vector's own
+    * stored label so the output doubles as the accuracy audit relation.
+    *
+    * Scale shape: the graph is n·k rows; the vote is one (q_id, label)
+    * map-side-combined rollup plus a per-q_id argmax window; labels join
+    * back by vec_id equi-key. Nothing beyond the graph's own cost.
+    */
+  def knnLabelVote(embeddings: DataFrame, probeIds: Seq[Long],
+                   k: Int): DataFrame = {
+    val labels = embeddings
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+      .lineageTruncate() // 2 consumers: neighbor labels + truth join-back
+    val graph = knnGraphExact(embeddings, probeIds, k)
+    val votes = graph
+      .join(labels.select(col("vec_id").as("n_id"),
+        col("label").as("n_label")), Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).cast(LongType).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(desc("votes"), asc("n_label"))
+    votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label")), Seq("q_id"))
+      .select(col("q_id").as("vec_id"), col("n_label").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** MUTUAL-kNN CLUSTERS (round 15): undirected edges where BOTH
+    * endpoints list each other in their [[knnGraphExact]] top-k, fed to
+    * the audited [[DedupOps.connectedComponents]] engine — the
+    * density-robust clustering a semantic-dedup or topic-discovery pass
+    * uses (mutuality prunes hub vectors that appear in everyone's
+    * neighbor list without reciprocating, the classic failure of raw
+    * kNN-graph components).
+    *
+    * Scale shape: mutuality is ONE self-join of the n·k graph on the
+    * reversed key pair; the CC engine contributes its usual
+    * forest-contraction rounds over ≤ n·k edges.
+    */
+  def mutualKnnClusters(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    // 2 consumers (both sides of the mutuality self-join)
+    val graph = knnGraphExact(embeddings, probeIds, k)
+      .select(col("q_id"), col("n_id")).lineageTruncate()
+    val mutual = graph
+      .join(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .filter(col("q_id") < col("n_id"))
+      .select(col("q_id").as("a_id"), col("n_id").as("b_id"))
+    // every vector appears in the output, singletons as their own
+    // cluster: union the self-loop so isolated vectors survive CC
+    val nodes = withFixedInts(embeddings)
+      .select(col("vec_id").as("a_id"), col("vec_id").as("b_id"))
+    DedupOps.connectedComponents(mutual.unionByName(nodes),
+      checkpointDir = checkpointDir)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
 }
