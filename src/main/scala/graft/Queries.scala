@@ -8351,7 +8351,104 @@ object Queries {
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rn
           FROM fused) WHERE rn <= 5
-        ORDER BY q_id, rn"""))
+        ORDER BY q_id, rn""")),
+
+    // BLOCKED FUZZY JOIN (DedupOps.blockedFuzzyPairs): the entity-
+    // resolution candidate step — distinct part names blocked on the
+    // last token (surname/noun blocking), Levenshtein <= 2 within
+    // block. Blocking IS the scale trick: the quadratic comparison
+    // never leaves a block; levenshtein is codegen'd on both engines.
+    Declared("q_fuzzy_join",
+      (s, d) => DedupOps.blockedFuzzyPairs(part(s, d), "p_name", tau = 2),
+      Some("""WITH n AS (SELECT p_name AS name, COUNT(*)::BIGINT AS n_rows,
+                string_split(p_name, ' ')[-1] AS block
+              FROM part GROUP BY p_name)
+        SELECT a.name AS name_a, b.name AS name_b,
+          CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+          a.n_rows AS rows_a, b.n_rows AS rows_b
+        FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b""")),
+
+    // ENTITY RESOLUTION (DedupOps.fuzzyEntityResolve): fuzzy pairs →
+    // CC over 60-bit portable name hashes → survivorship (cluster
+    // resolves to its lexicographically smallest name); unmatched names
+    // survive as their own entity via self-loops. Oracle: transitive
+    // closure over the NAME pair relation (hash-free — the hash is
+    // injective on this vocabulary, so the partitions coincide).
+    Declared("q_entity_resolve",
+      (s, d) => DedupOps.fuzzyEntityResolve(part(s, d), "p_name", tau = 2),
+      Some("""WITH RECURSIVE n AS (SELECT p_name AS name,
+                COUNT(*)::BIGINT AS n_rows,
+                string_split(p_name, ' ')[-1] AS block
+              FROM part GROUP BY p_name),
+        p AS (SELECT a.name AS a_name, b.name AS b_name
+              FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+              WHERE levenshtein(a.name, b.name) <= 2),
+        ed AS (SELECT a_name AS src, b_name AS dst FROM p
+               UNION SELECT b_name, a_name FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM ed
+          UNION
+          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src),
+        lab AS (SELECT n.name, n.n_rows,
+                  LEAST(n.name, COALESCE(MIN(r.dst), n.name)) AS canon
+                FROM n LEFT JOIN reach r ON r.src = n.name
+                GROUP BY n.name, n.n_rows)
+        SELECT canon AS canonical, COUNT(*)::BIGINT AS n_names,
+          CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+          string_agg(name, ',' ORDER BY name) AS members
+        FROM lab GROUP BY canon ORDER BY canonical""")),
+
+    // LATERAL correlated subquery (Spark 4 SQL surface): top-2 orders
+    // by value per sampled customer — the "top-n per outer row" idiom
+    // spelled as LATERAL instead of a window. Catalyst decorrelates the
+    // LIMIT into a per-customer rank; DuckDB runs the same text
+    // natively, so the decorrelation itself is what the hash compare
+    // checks. Raw-double passthrough (o_totalprice) is fine — no
+    // aggregation touches it.
+    Declared("q_lateral_join",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          WHERE c.c_custkey % 10 = 0
+          ORDER BY c.c_custkey, o.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey, o.o_orderkey""")),
+
+    // CURRICULUM-ORDERED SHARDING (TextOps.curriculumShards): shard by
+    // the pure md5 bucket function (q_shard_assign discipline), band by
+    // token-count decile off ONE corpus scalar, position within shard by
+    // (band, doc_id) — the deterministic easy-first stream a data loader
+    // replays per shard. The only window partitions by SHARD (count
+    // grows with the cluster), never a band-global rank.
+    Declared("q_curriculum_order",
+      (s, d) => TextOps.curriculumShards(documents(s, d), nShards = 8,
+        nBands = 10),
+      Some("""WITH t AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+        mx AS (SELECT MAX(n_tokens) AS max_tok FROM t),
+        b AS (SELECT t.doc_id, t.n_tokens,
+                least(9, t.n_tokens * 10 // (mx.max_tok + 1)) AS band,
+                CAST(('0x' || substr(md5('shard:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+              FROM t CROSS JOIN mx)
+        SELECT doc_id, n_tokens, CAST(band AS BIGINT) AS band,
+          CAST(shard AS BIGINT) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY band, doc_id) AS BIGINT) AS pos
+        FROM b ORDER BY doc_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

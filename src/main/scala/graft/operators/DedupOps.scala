@@ -915,8 +915,11 @@ object DedupOps {
     // Convergence probe without a prev-vs-next comparison join: label
     // updates are monotone decreasing, so sum(label) strictly decreases
     // until the fixpoint — an unchanged checksum ⟺ converged. One scalar
-    // aggregation per round.
-    var checksum = Long.MinValue
+    // aggregation per round. The sum runs in DECIMAL(38,0): node ids may
+    // be 60-bit portable hashes (fuzzyEntityResolve), whose int64 sum
+    // overflows under ANSI after a few dozen rows — exact decimal keeps
+    // the monotone-decrease argument intact at any id magnitude.
+    var checksum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     var prev: Option[DataFrame] = None
@@ -936,9 +939,14 @@ object DedupOps {
         else computed.persist()
       // sum over an empty frame is a null cell — empty pair set ⇒
       // vacuously converged (empty result), not an NPE
-      val sumRow = next.agg(sum("label")).collect()(0)
-      val nextSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-      converged = sumRow.isNullAt(0) || nextSum == checksum
+      val sumRow = next.agg(
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      ).collect()(0)
+      val nextSum =
+        if (sumRow.isNullAt(0)) java.math.BigDecimal.ZERO
+        else sumRow.getDecimal(0)
+      converged = sumRow.isNullAt(0) ||
+        (checksum != null && nextSum.compareTo(checksum) == 0)
       checksum = nextSum
       prev.foreach(_.unpersist())  // only the latest round's cache stays live
       prev = Some(next)
@@ -1980,6 +1988,81 @@ object DedupOps {
           "ELSE CAST(CAST(dup_tokens AS DECIMAL(38,0)) * 1000000 " +
           "div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT) END"))
       .orderBy("source")
+  }
+
+  /** BLOCKED FUZZY PAIRS (round 15, wave 4) — the candidate step of
+    * entity resolution over a name-like string column: names sharing a
+    * BLOCK key (the last whitespace token — surname/noun blocking, the
+    * classic ER choice) are compared by Levenshtein edit distance and
+    * kept at `lev ≤ tau`. The name relation is first collapsed to
+    * DISTINCT names with support counts, so the pair space is over
+    * entities, not rows.
+    *
+    * Scale shape: blocking IS the scale trick — the quadratic comparison
+    * runs only inside blocks (one equi-join on the block key), never
+    * corpus-wide; `levenshtein` is a codegen'd built-in on both engines.
+    * A hot block (a very common surname) is join-key skew: AQE splits
+    * it, or pre-salt the block key with a name-prefix second component.
+    */
+  def blockedFuzzyPairs(rows: DataFrame, nameCol: String,
+                        tau: Int): DataFrame = {
+    val names = rows
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+      .lineageTruncate() // 2 consumers: both sides of the block self-join
+    names.select(col("block"), col("name").as("name_a"),
+        col("n_rows").as("rows_a"))
+      .join(names.select(col("block"), col("name").as("name_b"),
+        col("n_rows").as("rows_b")), Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .filter(col("lev") <= tau)
+      .select("name_a", "name_b", "lev", "rows_a", "rows_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  /** ENTITY RESOLUTION (round 15, wave 4): fuzzy-pair candidates →
+    * connected components → survivorship. Each fuzzy cluster resolves to
+    * its lexicographically smallest name (deterministic survivorship
+    * rule); the output is the resolved entity table with member roll-up
+    * — names that matched nothing survive as their own entity.
+    *
+    * Scale shape: the CC engine runs over the (tiny, entity-level) fuzzy
+    * pair relation on 60-bit portable name hashes; members roll up as a
+    * sorted concat within cluster — cluster sizes are fuzzy-match
+    * bounded (a handful of spelling variants), never corpus-scale.
+    */
+  def fuzzyEntityResolve(rows: DataFrame, nameCol: String,
+                         tau: Int): DataFrame = {
+    val names = rows
+      .groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("__h", md5Hash60(col("name")))
+      .lineageTruncate() // 3 consumers: pair sides + label join-back
+    val pairs = names.select(
+        element_at(split(col("name"), " "), -1).as("block"),
+        col("name").as("name_a"), col("__h").as("a_id"))
+      .join(names.select(
+        element_at(split(col("name"), " "), -1).as("block"),
+        col("name").as("name_b"), col("__h").as("b_id")), Seq("block"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= tau)
+      .select("a_id", "b_id")
+    // self-loops keep unmatched names alive through CC
+    val labels = connectedComponents(
+      pairs.unionByName(names.select(col("__h").as("a_id"),
+        col("__h").as("b_id"))))
+    names.join(labels, names("__h") === labels("id"))
+      .groupBy("cluster_id")
+      .agg(min(col("name")).as("canonical"),
+        count(lit(1)).cast("long").as("n_names"),
+        sum(col("n_rows")).cast("long").as("n_rows"),
+        concat_ws(",", sort_array(collect_list(col("name"))))
+          .as("members"))
+      .select("canonical", "n_names", "n_rows", "members")
+      .orderBy("canonical")
   }
 }
 

@@ -2022,4 +2022,44 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("pos"), col("sym2")))),
           s => s.getField("sym2")).as("syms"))
   }
+
+  /** CURRICULUM-ORDERED SHARDING (round 15, wave 4): assign every
+    * document a training shard and a WITHIN-SHARD curriculum position —
+    * short documents first (length is the classic difficulty proxy; swap
+    * the band expression for any integer difficulty score). Shard
+    * membership is the same pure `md5('shard:'||id)` bucket function as
+    * [[Relational.shardAssign]] (partition/retry invariant, every shard
+    * statistically balanced per band); the position orders each shard's
+    * stream by (band, doc_id), so a data loader reading shard files in
+    * `pos` order replays the curriculum deterministically.
+    *
+    * Scale shape: the band needs ONE corpus scalar (max token count —
+    * a map-side-combined agg, broadcast back); shard assignment is
+    * embarrassingly parallel; the only window partitions by SHARD, whose
+    * count grows with the cluster — each partition holds n/nShards rows,
+    * never a global sort. (A band-partitioned global rank would put each
+    * band in one task; this formulation deliberately avoids it.)
+    */
+  def curriculumShards(documents: DataFrame, nShards: Int,
+                       nBands: Int): DataFrame = {
+    require(nShards >= 1 && nBands >= 1,
+      s"nShards/nBands must be >= 1, got $nShards/$nBands")
+    val toks = documents.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val maxTok = toks.agg(max(col("n_tokens")).as("max_tok"))
+    val banded = toks.crossJoin(broadcast(maxTok))
+      .withColumn("band",
+        least(lit(nBands - 1L),
+          expr(s"n_tokens * ${nBands}L div (max_tok + 1L)")))
+      .withColumn("shard",
+        pmod(DedupOps.md5Hash60(
+          concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("band"), col("doc_id"))
+    banded
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "n_tokens", "band", "shard", "pos")
+      .orderBy("doc_id")
+  }
 }
