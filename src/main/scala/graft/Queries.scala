@@ -50,6 +50,49 @@ object Queries {
     "q_common" -> Seq("spark", "join", "window"),
     "q_mixed" -> Seq("dup", "the"))
 
+  /** DuckDB replay of [[graft.operators.RetrievalOps.bm25TopK]] —
+    * generated once and shared VERBATIM by `q_bm25_topk` (in-plan) and
+    * `q_bm25_stored` (served from the persisted postings/df/scalars
+    * artifacts): identical parameters ⇒ identical oracle, so
+    * hash-equality between the two declared rows IS the stored-vs-fresh
+    * parity contract (the q_simsearch_ivfpq_stored pattern).
+    */
+  private def bm25Oracle(k: Int): String =
+    s"""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               GROUP BY doc_id, word),
+        dl AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
+        scs AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS l_total,
+                  (CAST(SUM(dl) AS BIGINT) * 256) // COUNT(*) AS a_q8
+                FROM dl),
+        q(query_id, word) AS (VALUES ${bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
+      .mkString(", ")}),
+        t AS (SELECT q.query_id, tf.doc_id,
+                (1000000 * 22 * scs.a_q8 * tf.tf) //
+                  (10 * scs.a_q8 * tf.tf + 3 * scs.a_q8 + 2304 * dl.dl)
+                  AS tf_sat,
+                least(1000000000, (1000000 *
+                  (2 * scs.n_docs - 2 * dfq.df + 1)) // (2 * dfq.df + 1))
+                  AS idf
+              FROM tf JOIN q USING (word) JOIN dfq USING (word)
+                   JOIN dl USING (doc_id) CROSS JOIN scs),
+        sm AS (SELECT query_id, doc_id,
+                 CAST(SUM(idf * tf_sat // 1000000) AS BIGINT) AS score_ppm,
+                 COUNT(*)::BIGINT AS n_terms
+               FROM t GROUP BY query_id, doc_id)
+        SELECT query_id, rn, doc_id, score_ppm, n_terms FROM (
+          SELECT query_id, doc_id, score_ppm, n_terms,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn
+          FROM sm) WHERE rn <= $k
+        ORDER BY query_id, rn"""
+
   /** DuckDB replay of [[graft.operators.SimilarityOps.ivfTopKExact]]:
     * `iterations` unrolled integer Lloyd rounds (seed → assign →
     * truncating-mean update, emptied cells carried via COALESCE), then
@@ -8254,40 +8297,7 @@ object Queries {
     // terms broadcast; bodies never shuffle.
     Declared("q_bm25_topk",
       (s, d) => RetrievalOps.bm25TopK(documents(s, d), bm25Queries, k = 10),
-      Some(s"""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
-               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                     FROM documents)
-               GROUP BY doc_id, word),
-        dl AS (SELECT doc_id,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-               FROM documents),
-        dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
-        scs AS (SELECT COUNT(*)::BIGINT AS n_docs,
-                  CAST(SUM(dl) AS BIGINT) AS l_total,
-                  (CAST(SUM(dl) AS BIGINT) * 256) // COUNT(*) AS a_q8
-                FROM dl),
-        q(query_id, word) AS (VALUES ${bm25Queries
-          .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
-          .mkString(", ")}),
-        t AS (SELECT q.query_id, tf.doc_id,
-                (1000000 * 22 * scs.a_q8 * tf.tf) //
-                  (10 * scs.a_q8 * tf.tf + 3 * scs.a_q8 + 2304 * dl.dl)
-                  AS tf_sat,
-                least(1000000000, (1000000 *
-                  (2 * scs.n_docs - 2 * dfq.df + 1)) // (2 * dfq.df + 1))
-                  AS idf
-              FROM tf JOIN q USING (word) JOIN dfq USING (word)
-                   JOIN dl USING (doc_id) CROSS JOIN scs),
-        sm AS (SELECT query_id, doc_id,
-                 CAST(SUM(idf * tf_sat // 1000000) AS BIGINT) AS score_ppm,
-                 COUNT(*)::BIGINT AS n_terms
-               FROM t GROUP BY query_id, doc_id)
-        SELECT query_id, rn, doc_id, score_ppm, n_terms FROM (
-          SELECT query_id, doc_id, score_ppm, n_terms,
-            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rn
-          FROM sm) WHERE rn <= 10
-        ORDER BY query_id, rn""")),
+      Some(bm25Oracle(10))),
 
     // HYBRID RETRIEVAL BY RECIPROCAL-RANK FUSION
     // (RetrievalOps.hybridRrfTopK): tf·idf-dot and 3-gram-Jaccard
@@ -8448,7 +8458,50 @@ object Queries {
           CAST(shard AS BIGINT) AS shard,
           CAST(ROW_NUMBER() OVER (PARTITION BY shard
             ORDER BY band, doc_id) AS BIGINT) AS pos
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    // STORED LEXICAL SEARCH (RetrievalOps.bm25TopKStored): BM25 served
+    // from the persisted inverted-index artifacts alone — word-clustered
+    // postings with the DENORMALIZED length norm, df table, one-row
+    // corpus scalars; the query terms reach the postings scan as a
+    // pushed `word IN` filter (RetrievalOpsSpec pins the pushed filter
+    // + scan-row reduction + fresh-worker parity). SAME parameters ⇒
+    // the SAME oracle as q_bm25_topk: hash-equality against it IS the
+    // stored-vs-fresh parity contract.
+    Declared("q_bm25_stored",
+      (s, d) => RetrievalOps.bm25TopKStored(documents(s, d),
+        srcDir = s"$d/documents.parquet",
+        outDir = new java.io.File(
+          s"target/bm25_index_${math.abs(d.hashCode.toLong)}")
+          .getAbsolutePath,
+        queries = bm25Queries, k = 10),
+      Some(bm25Oracle(10))),
+
+    // DETERMINISTIC PRIORITY SAMPLING (Relational.prioritySample, the
+    // Duffield-Lund-Thorup selection in integer form): 3 docs per
+    // source, token count as the weight — rows rank ascending by the
+    // exact u div w priority on the pure md5 draw, so membership is
+    // partition/retry invariant and growing k extends the sample
+    // without reshuffling earlier picks.
+    Declared("q_weighted_sample",
+      (s, d) => Relational.prioritySample(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens")),
+        keyCol = "doc_id", strataCol = "source",
+        weightCol = "n_tokens", k = 3),
+      Some("""WITH t AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(('0x' || substr(md5('wsamp:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+              FROM documents),
+        p AS (SELECT source, doc_id, n_tokens,
+                u // n_tokens AS prio FROM t)
+        SELECT source, rn, doc_id, n_tokens, prio FROM (
+          SELECT source, doc_id, n_tokens, prio,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY prio, doc_id) AS BIGINT) AS rn
+          FROM p) WHERE rn <= 3
+        ORDER BY source, rn"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -660,4 +660,45 @@ object Relational {
       .filter(col("_prev_max").isNull || col(yCol) > col("_prev_max"))
       .drop("_prev_max")
   }
+
+  /** DETERMINISTIC PRIORITY SAMPLING (round 15, wave 4 — Duffield,
+    * Lund & Thorup's priority sampling, integer form): per stratum,
+    * keep the k rows with the largest effective priority `w/u`, where
+    * `u` is the row's pure 60-bit `md5('wsamp:'||key)` uniform draw —
+    * rows rank ASCENDING by the exact integer `u div w`, so heavier
+    * rows are proportionally more likely to survive, membership is a
+    * pure function of the key (partition/retry/epoch invariant, the
+    * [[shardAssign]] hash discipline), and re-running with a larger k
+    * EXTENDS the sample without reshuffling earlier picks (priorities
+    * don't change — the property reservoir sampling lacks).
+    *
+    * The weight-proportional corpus subsample a data pipeline draws
+    * when "sample 1k docs per source, long docs proportionally more
+    * often" — and the DLT estimator's selection step, should callers
+    * want Horvitz-Thompson totals.
+    *
+    * Scale shape: one map pass for (u, prio) + a per-stratum top-k
+    * window — no sort beyond the stratum partitions, no driver state.
+    */
+  def prioritySample(rows: DataFrame, keyCol: String, strataCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = DedupOps.md5Hash60(
+      concat(lit("wsamp:"), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("prio"), col(keyCol))
+    rows
+      .withColumn("__u", u)
+      // weight 0 rows are unsampleable by definition — fail loudly
+      // rather than divide by zero or silently rank them first
+      .withColumn("prio", expr(
+        s"CASE WHEN $weightCol <= 0L THEN " +
+          s"raise_error('prioritySample: non-positive weight') " +
+          s"ELSE __u div $weightCol END"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col(strataCol), col("rn"), col(keyCol), col(weightCol),
+        col("prio"))
+      .orderBy(col(strataCol), col("rn"))
+  }
 }

@@ -81,11 +81,21 @@ object RetrievalOps {
       .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
     val terms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "word")
-    val scored = tfT
+    val matched = tfT
       .join(broadcast(terms), Seq("word"))
       .join(broadcast(df), Seq("word"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
+    bm25ScoreRank(matched, k)
+  }
+
+  /** The BM25 scoring + ranking tail, defined ONCE so the in-plan
+    * ([[bm25TopK]]) and artifact-serving ([[bm25TopKFromIndex]]) paths
+    * cannot drift. Input needs columns (query_id, doc_id, tf, dl, df,
+    * n_docs, avgdl_q8).
+    */
+  private def bm25ScoreRank(matched: DataFrame, k: Int): DataFrame = {
+    val scored = matched
       .withColumn("tf_sat_ppm",
         expr("1000000L * 22L * avgdl_q8 * tf div " +
           "(10L * avgdl_q8 * tf + 3L * avgdl_q8 + 2304L * dl)"))
@@ -103,6 +113,96 @@ object RetrievalOps {
       .filter(col("rn") <= k)
       .select("query_id", "rn", "doc_id", "score_ppm", "n_terms")
       .orderBy("query_id", "rn")
+  }
+
+  /** Write the PERSISTED lexical index (round 15, wave 4) — the
+    * [[SimilarityOps.ivfPqWriteCodes]]-discipline artifact for keyword
+    * search:
+    *
+    *  - `$outDir/postings` — (word, doc_id, tf, dl): the inverted index
+    *    with the length norm DENORMALIZED into each posting (the
+    *    classic norms channel — one extra long per row buys the scorer
+    *    a join-free scan). WORD-CLUSTERED layout: range-partitioned +
+    *    sorted on word with an EXPLICIT partition count (AQE would
+    *    coalesce the tiny test-scale shuffle into one file whose
+    *    min/max covers the whole vocabulary, killing row-group
+    *    pruning), so a `word IN (query terms)` filter prunes file and
+    *    row-group stats and a search reads ~|terms|/|vocab| of the
+    *    bytes.
+    *  - `$outDir/df` — (word, df): the document-frequency table.
+    *  - `$outDir/scalars` — one row (n_docs, l_total, avgdl_q8).
+    *
+    * Memoized on the source-directory fingerprint + outDir (the codes
+    * writer's key discipline): corpus mutation forces a rebuild, a
+    * same-corpus re-run is free.
+    */
+  def bm25WriteIndex(documents: DataFrame, srcDir: String,
+                     outDir: String, rangeParts: Int = 32): Boolean = {
+    graft.sources.StorageOps.materializeCached(documents.sparkSession,
+      s"bm25_index:$outDir:$rangeParts", srcDir, outDir) {
+      val (tf, dl) = tfDl(documents)
+      val tfT = tf.lineageTruncate() // 2 consumers: postings + df
+      val dlT = dl.lineageTruncate() // 2 consumers: postings + scalars
+      tfT.join(dlT, Seq("doc_id"))
+        .select("word", "doc_id", "tf", "dl")
+        .repartitionByRange(rangeParts, col("word"))
+        .sortWithinPartitions("word", "doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/postings")
+      tfT.groupBy("word").agg(count(lit(1)).cast(LongType).as("df"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/df")
+      dlT.agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("dl")).cast(LongType).as("l_total"))
+        .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
+        .write.mode("overwrite").parquet(s"$outDir/scalars")
+    }
+    true
+  }
+
+  /** BM25 search from the PERSISTED index alone — the fleet path: a
+    * worker session with no memo state reads the three artifacts and
+    * serves the query batch. The query terms reach the postings scan as
+    * a pushed `word IN (…)` filter against the word-clustered layout
+    * (RetrievalOpsSpec pins the pushed filter and the scan-row
+    * reduction), so at 100 TB a search touches the matched posting
+    * lists, not the corpus: this is an indexed lookup, not a
+    * late-filtered full scan. df rows for the terms and the one-row
+    * scalar table broadcast; scoring is the shared [[bm25ScoreRank]]
+    * tail — fresh ≡ stored is the declared key's oracle identity.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String,
+                        queries: Seq[(String, Seq[String])],
+                        k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopKFromIndex needs at least one query with at least one term")
+    import spark.implicits._
+    val termList = queries.flatMap(_._2).distinct
+      .map(_.asInstanceOf[Any])
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("word").isin(termList: _*))
+    val dfRel = spark.read.parquet(s"$indexDir/df")
+      .filter(col("word").isin(termList: _*))
+    val scalars = spark.read.parquet(s"$indexDir/scalars")
+    val terms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "word")
+    val matched = postings
+      .join(broadcast(terms), Seq("word"))
+      .join(broadcast(dfRel), Seq("word"))
+      .crossJoin(broadcast(scalars))
+    bm25ScoreRank(matched, k)
+  }
+
+  /** Build-if-needed + serve: the declared-key entry point for the
+    * stored lexical search (the [[SimilarityOps.ivfPqTopKStored]]
+    * shape). Same parameters as [[bm25TopK]] ⇒ the SAME oracle —
+    * hash-equality against it IS the stored-vs-fresh parity contract.
+    */
+  def bm25TopKStored(documents: DataFrame, srcDir: String, outDir: String,
+                     queries: Seq[(String, Seq[String])],
+                     k: Int): DataFrame = {
+    bm25WriteIndex(documents, srcDir, outDir)
+    bm25TopKFromIndex(documents.sparkSession, outDir, queries, k)
   }
 
   /** Per-probe tf·idf-dot ranking: neighbors of each probe document by

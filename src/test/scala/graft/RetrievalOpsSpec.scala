@@ -97,4 +97,58 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("doc_id") == 1L)
     assert(top.getAs[Long]("n_rankers") == 2L)
   }
+
+  test("bm25 stored index: a fresh worker serves byte-identical results " +
+    "from the artifacts alone, with the query terms pushed to the " +
+    "postings scan") {
+    val sf = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    val queries = Seq("qa" -> Seq("dup", "merge"), "qb" -> Seq("spark"))
+    val docs = Tables.documents(spark, sf)
+    val fresh = RetrievalOps.bm25TopK(docs, queries, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(RetrievalOps.bm25WriteIndex(docs, s"$sf/documents.parquet", idx))
+    // worker session: no memo state, artifacts only
+    val worker = spark.newSession()
+    val served = RetrievalOps.bm25TopKFromIndex(worker, idx, queries, k = 5)
+    val servedRows = served.collect().map(_.toString).toSeq
+    assert(servedRows.nonEmpty && servedRows == fresh,
+      "stored search must equal the in-plan search")
+    // the terms reach the postings scan as a pushed In filter and the
+    // scan decodes fewer rows than the full postings relation
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val postingScans = allScans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "no postings FileSourceScan in the plan")
+    assert(postingScans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("In(word")),
+      "query terms must reach the postings scan as a pushed filter")
+    val scanned = postingScans.map(_.metrics("numOutputRows").value).sum
+    val total = worker.read.parquet(s"$idx/postings").count()
+    assert(scanned > 0 && scanned < total,
+      s"term-filtered scan must decode fewer rows ($scanned) than the " +
+        s"postings relation ($total)")
+  }
+
+  test("bm25WriteIndex memoizes on the corpus fingerprint: a same-" +
+    "corpus rebuild leaves the artifact mtime untouched") {
+    val sf = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("bm25_memo").toString
+    val docs = Tables.documents(spark, sf)
+    assert(RetrievalOps.bm25WriteIndex(docs, s"$sf/documents.parquet", idx))
+    val stamp = new java.io.File(s"$idx/postings").lastModified()
+    Thread.sleep(1100)
+    assert(RetrievalOps.bm25WriteIndex(docs, s"$sf/documents.parquet", idx))
+    assert(new java.io.File(s"$idx/postings").lastModified() == stamp,
+      "unchanged corpus must be a memo hit, not a rewrite")
+  }
 }

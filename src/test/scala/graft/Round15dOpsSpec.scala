@@ -61,4 +61,38 @@ class Round15dOpsSpec extends SparkSpec {
     // bands actually spread (the fixture has length variance)
     assert(out.map(_.getAs[Long]("band")).distinct.length >= 3)
   }
+
+  test("prioritySample: growing k extends the sample without " +
+    "reshuffling earlier picks; membership is a pure key function") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def picks(k: Int) = graft.operators.Relational
+      .prioritySample(docs, "doc_id", "source", "n_tokens", k)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rn")) ->
+        r.getAs[Long]("doc_id")).toMap
+    val k3 = picks(3)
+    assert(k3 == picks(3), "re-run must reproduce the sample exactly")
+    val k5 = picks(5)
+    k3.foreach { case (key, id) =>
+      assert(k5(key) == id, s"k=5 must extend k=3 at $key") }
+    // heavier rows are favored: the sampled docs' mean weight exceeds
+    // the corpus mean (weight-proportional selection, DLT property)
+    val meanAll = docs.agg(avg("n_tokens")).collect()(0).getDouble(0)
+    val meanPicked = graft.operators.Relational
+      .prioritySample(docs, "doc_id", "source", "n_tokens", 3)
+      .agg(avg("n_tokens")).collect()(0).getDouble(0)
+    assert(meanPicked > meanAll,
+      s"sampled mean $meanPicked not above corpus mean $meanAll")
+    // non-positive weights fail loudly
+    val bad = docs.withColumn("n_tokens",
+      when(col("doc_id") === 0L, lit(0L)).otherwise(col("n_tokens")))
+    val ex = intercept[Exception] {
+      graft.operators.Relational
+        .prioritySample(bad, "doc_id", "source", "n_tokens", 3).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
