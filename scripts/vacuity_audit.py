@@ -54,6 +54,10 @@ KNOWN_BENIGN = {
     # doc_id), so n_docs is uniform across the 3 rows BY CONSTRUCTION;
     # Round14OpsSpec asserts exactly this. The confusion cells vary.
     ("q_quality_agreement", "n_docs"),
+    # every vector carries all 64 dimensions, so each dimension's sample
+    # count is the corpus size BY CONSTRUCTION (a varying n would mean
+    # ragged embeddings); mean/var/rank vary (round 15 wave 6)
+    ("q_emb_dim_audit", "n"),
     # same construction over the four-signal matrix (round 15 wave 2):
     # all six pairs inner-join the SAME ≥1-word document domain, so
     # n_docs is uniform across the 6 rows; the confusion cells vary

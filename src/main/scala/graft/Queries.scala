@@ -93,6 +93,76 @@ object Queries {
           FROM sm) WHERE rn <= $k
         ORDER BY query_id, rn"""
 
+  /** DuckDB replay of [[graft.operators.DedupOps.decontaminate]] —
+    * shared VERBATIM by `q_decontaminate` (in-plan) and `q_decon_stored`
+    * (served from the persisted benchmark-shingle artifact): identical
+    * parameters ⇒ identical oracle, so hash-equality between the two
+    * declared rows IS the stored-vs-fresh parity contract (the
+    * q_bm25_stored pattern). The oracle joins on the shingle STRING;
+    * the engine joins on its xxhash64 — same result absent a cross-side
+    * 64-bit collision (see the decontaminate Scaladoc).
+    */
+  private val deconOracle: String =
+    """WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 100 <> 0),
+        b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 100 = 0),
+        cs AS (SELECT DISTINCT doc_id, sh
+               FROM (SELECT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                     FROM c WHERE len(w) >= 3)),
+        bs AS (SELECT DISTINCT bench_id, sh
+               FROM (SELECT bench_id,
+                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
+                     FROM b WHERE len(w) >= 3))
+        SELECT cs.doc_id, bs.bench_id, COUNT(*)::BIGINT AS n_shared
+        FROM cs JOIN bs USING (sh)
+        GROUP BY cs.doc_id, bs.bench_id
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id"""
+
+  /** DuckDB replay of [[graft.operators.TextOps.domainReweight]] —
+    * `iters` unrolled multiplicative-weight rounds over the per-source
+    * unigram-loss table (the q_surprisal bits CTEs rolled up by source
+    * instead of doc), each round a (weighted-avg, raw-update,
+    * renormalize) CTE triple. Generated in code so the round count and
+    * step constants provably match the declared query's.
+    */
+  private def domainReweightOracle(iters: Int, scaleQ: Long,
+                                   etaQ: Long): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""a$t AS (SELECT CAST(SUM(w_ppm * loss_q8) // SUM(w_ppm) AS BIGINT) AS avg_q8
+               FROM i${t - 1}),
+        r$t AS (SELECT source, loss_q8,
+                 w_ppm * ($scaleQ + $etaQ * greatest(0, loss_q8 - avg_q8)) AS wr
+               FROM i${t - 1} CROSS JOIN a$t),
+        i$t AS (SELECT source, loss_q8,
+                 CAST(wr * 1000000 // (SELECT SUM(wr) FROM r$t) AS BIGINT) AS w_ppm
+               FROM r$t)"""
+    }.mkString(",\n        ")
+    val unions = (0 to iters)
+      .map(t => s"SELECT $t AS it, source, loss_q8, w_ppm FROM i$t")
+      .mkString("\n          UNION ALL ")
+    s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+               FROM wc CROSS JOIN tot),
+        dom AS (SELECT source,
+                 CAST(SUM(wb.bits) * 256 // COUNT(*) AS BIGINT) AS loss_q8
+               FROM w JOIN wb USING (word) GROUP BY source),
+        nd AS (SELECT COUNT(*)::BIGINT AS d FROM dom),
+        i0 AS (SELECT source, loss_q8,
+                 CAST(1000000 // d AS BIGINT) AS w_ppm
+               FROM dom CROSS JOIN nd),
+        $iterCtes
+        SELECT CAST(it AS BIGINT) AS iter, source, loss_q8, w_ppm FROM (
+          $unions)
+        ORDER BY iter, source"""
+  }
+
   /** DuckDB replay of [[graft.operators.SimilarityOps.ivfTopKExact]]:
     * `iterations` unrolled integer Lloyd rounds (seed → assign →
     * truncating-mean update, emptied cells carried via COALESCE), then
@@ -219,6 +289,32 @@ object Queries {
                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                    ORDER BY score_s14 DESC, n_id) AS BIGINT) AS rn
           FROM sc) WHERE rn <= $k)"""
+
+  /** DuckDB replay of [[graft.operators.SimilarityOps.mutualKnnClusters]]
+    * — [[knnGraphCtes]] + mutuality + transitive closure + min-label —
+    * shared VERBATIM by `q_knn_mutual_cc` (in-plan graph) and
+    * `q_knn_graph_stored` (the graph served from the persisted edge
+    * artifact): identical parameters ⇒ identical oracle, so
+    * hash-equality between the two declared rows IS the stored-vs-fresh
+    * parity contract (the q_bm25_stored pattern).
+    */
+  private def knnMutualOracle(k: Int): String =
+    s"""WITH RECURSIVE ${knnGraphCtes(k)},
+        m AS (SELECT a.q_id AS a_id, a.n_id AS b_id
+              FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
+              WHERE a.q_id < a.n_id),
+        ed AS (SELECT a_id AS src, b_id AS dst FROM m
+               UNION SELECT b_id, a_id FROM m),
+        reach(src, dst) AS (
+          SELECT src, dst FROM ed
+          UNION
+          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src)
+        SELECT v.vec_id,
+          LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
+            AS cluster_id
+        FROM (SELECT vec_id FROM embeddings) v
+        LEFT JOIN reach r ON r.src = v.vec_id
+        GROUP BY v.vec_id ORDER BY vec_id"""
 
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
@@ -2516,23 +2612,7 @@ object Queries {
         documents(s, d).filter(pmod(col("doc_id"), lit(100)) =!= 0),
         documents(s, d).filter(pmod(col("doc_id"), lit(100)) === 0),
         n = 3, minShared = 3),
-      Some("""WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
-                FROM documents WHERE doc_id % 100 <> 0),
-        b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w
-              FROM documents WHERE doc_id % 100 = 0),
-        cs AS (SELECT DISTINCT doc_id, sh
-               FROM (SELECT doc_id,
-                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
-                     FROM c WHERE len(w) >= 3)),
-        bs AS (SELECT DISTINCT bench_id, sh
-               FROM (SELECT bench_id,
-                       unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
-                     FROM b WHERE len(w) >= 3))
-        SELECT cs.doc_id, bs.bench_id, COUNT(*)::BIGINT AS n_shared
-        FROM cs JOIN bs USING (sh)
-        GROUP BY cs.doc_id, bs.bench_id
-        HAVING COUNT(*) >= 3
-        ORDER BY doc_id, bench_id""")),
+      Some(deconOracle)),
 
     Declared("q_fingerprint",
       (s, d) => TextOps.fingerprints(documents(s, d)),
@@ -8271,22 +8351,7 @@ object Queries {
     Declared("q_knn_mutual_cc",
       (s, d) => SimilarityOps.mutualKnnClusters(embeddings(s, d),
         probeIds = lshProbeIds, k = 3),
-      Some(s"""WITH RECURSIVE ${knnGraphCtes(3)},
-        m AS (SELECT a.q_id AS a_id, a.n_id AS b_id
-              FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
-              WHERE a.q_id < a.n_id),
-        ed AS (SELECT a_id AS src, b_id AS dst FROM m
-               UNION SELECT b_id, a_id FROM m),
-        reach(src, dst) AS (
-          SELECT src, dst FROM ed
-          UNION
-          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src)
-        SELECT v.vec_id,
-          LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
-            AS cluster_id
-        FROM (SELECT vec_id FROM embeddings) v
-        LEFT JOIN reach r ON r.src = v.vec_id
-        GROUP BY v.vec_id ORDER BY vec_id""")),
+      Some(knnMutualOracle(3))),
 
     // INTEGER-EXACT BM25 (RetrievalOps.bm25TopK): top-10 documents per
     // literal keyword query. k1=1.2 / b=0.75 cleared to integer ratios;
@@ -8501,7 +8566,223 @@ object Queries {
             CAST(ROW_NUMBER() OVER (PARTITION BY source
               ORDER BY prio, doc_id) AS BIGINT) AS rn
           FROM p) WHERE rn <= 3
-        ORDER BY source, rn"""))
+        ORDER BY source, rn""")),
+
+    // ================= round-15 wave-5 additions ========================
+
+    // INTERVAL-OVERLAP JOIN (Relational.intervalOverlapPairs): per pair
+    // of users, how many of their padded activity sessions overlapped in
+    // time and for how long — the co-occurrence join shape (ad
+    // attribution windows, incident correlation, co-session mining).
+    // Engine: grid-bucketed self-join (explode onto 4 h cells, equi-join
+    // on the cell, later-start-cell unique attribution, exact bound
+    // check) — never an inequality-only or all-pairs join. Oracle: the
+    // proven q_window_session CTE chain + DuckDB's native inequality
+    // join. Sessions are 30-min-gap (the q_window_session gap) with the
+    // end padded +2 h into an activity window, so distinct users
+    // genuinely co-occur; the 150-user pool caps output rows while
+    // overlap counts/durations grow with SF.
+    Declared("q_interval_join",
+      (s, d) => {
+        val iv = EventOps.sessionizeOn(events(s, d), expr("ts div 1000"),
+            30L * 60L * 1000L * 1000L)
+          .select(
+            (col("user_id") * lit(1000000L) + col("session_id")).as("iv_id"),
+            col("session_start").as("s_start"),
+            (col("session_end") + lit(7200000000L)).as("s_end"))
+        Relational.intervalOverlapPairs(iv, cellUs = 14400000000L)
+          .withColumn("user_a", expr("a_id div 1000000L"))
+          .withColumn("user_b", expr("b_id div 1000000L"))
+          .filter(col("user_a") =!= col("user_b"))
+          .groupBy("user_a", "user_b")
+          .agg(count(lit(1)).cast(LongType).as("n_overlaps"),
+            sum(col("ov_us")).cast(LongType).as("ov_us_total"))
+          .orderBy("user_a", "user_b")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+        g AS (SELECT user_id, tsn, event_id,
+                CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                       OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e),
+        sess AS (SELECT user_id, tsn,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g),
+        iv AS (SELECT user_id, session_id, MIN(tsn) AS s_start,
+                      MAX(tsn) + 7200000000 AS s_end
+               FROM sess GROUP BY user_id, session_id),
+        p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                     least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS ov_us
+              FROM iv a JOIN iv b
+                ON a.user_id < b.user_id
+               AND a.s_start <= b.s_end AND b.s_start <= a.s_end)
+        SELECT user_a, user_b, COUNT(*)::BIGINT AS n_overlaps,
+               CAST(SUM(ov_us) AS BIGINT) AS ov_us_total
+        FROM p GROUP BY user_a, user_b
+        ORDER BY user_a, user_b""")),
+
+    // STORED DECONTAMINATION INDEX (DedupOps.decontaminateViaIndex):
+    // the benchmark-shingle relation written once (memoized on the
+    // benchmark source fingerprint), then the corpus probed against the
+    // artifact alone — how a 100 TB ingest guards leakage without
+    // re-shingling the eval suites per batch. SAME parameters ⇒ the
+    // SAME oracle as q_decontaminate: hash-equality against it IS the
+    // stored-vs-fresh parity contract (the q_bm25_stored pattern).
+    Declared("q_decon_stored",
+      (s, d) => DedupOps.decontaminateViaIndex(
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) =!= 0),
+        documents(s, d).filter(pmod(col("doc_id"), lit(100)) === 0),
+        srcDir = s"$d/documents.parquet",
+        outDir = new java.io.File(
+          s"target/decon_index_${math.abs(d.hashCode.toLong)}")
+          .getAbsolutePath,
+        n = 3, minShared = 3, benchKey = "docmod100"),
+      Some(deconOracle)),
+
+    // HARD-NEGATIVE MINING (SimilarityOps.hardNegativesTopK): per probe
+    // vector, the 5 nearest WRONG-label vectors by exact fixed-point
+    // dot — the contrastive-training pair generator. Oracle extends the
+    // q_simsearch_topk replay with the label ride-along and the
+    // wrong-label / self exclusions.
+    Declared("q_hard_negatives",
+      (s, d) => SimilarityOps.hardNegativesTopK(
+        embeddings(s, d), (0L until 8L), 5),
+      Some("""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                     unnest(embedding) AS qv, unnest(range(64)) AS pos
+              FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS n_id, label AS n_label,
+                     unnest(embedding) AS cv, unnest(range(64)) AS pos
+              FROM embeddings),
+        s AS (SELECT q.q_id, c.n_id, CAST(c.n_label AS BIGINT) AS n_label,
+                SUM(CAST(round(CAST(q.qv AS DOUBLE) * 10000000) AS BIGINT)
+                    * CAST(round(CAST(c.cv AS DOUBLE) * 10000000) AS BIGINT)) AS score_s14
+              FROM q JOIN c ON q.pos = c.pos
+              WHERE c.n_label <> q.q_label AND c.n_id <> q.q_id
+              GROUP BY q.q_id, c.n_id, c.n_label)
+        SELECT q_id, rn, n_id, n_label, score_s14 FROM (
+          SELECT q_id, n_id, n_label, CAST(score_s14 AS BIGINT) AS score_s14,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score_s14 DESC, n_id) AS rn
+          FROM s) WHERE rn <= 5
+        ORDER BY q_id, rn""")),
+
+    // DOMAIN REWEIGHTING (TextOps.domainReweight): DoReMi-shaped
+    // multiplicative weights over per-source unigram loss — the full
+    // (iter, source) trajectory declared so every avg/update/renorm
+    // step is hash-checked, not just the endpoint. Corpus work is one
+    // explode + two rollups; the iteration itself is a domain-bounded
+    // driver loop (the Lloyd-fit collect discipline).
+    Declared("q_domain_reweight",
+      (s, d) => TextOps.domainReweight(documents(s, d),
+        iters = 5, scaleQ = 4096L, etaQ = 64L),
+      Some(domainReweightOracle(iters = 5, scaleQ = 4096L, etaQ = 64L))),
+
+    // K-ANONYMITY / L-DIVERSITY AUDIT (Relational.lDiversityAudit):
+    // quasi-identifiers (lang, 100-char length bucket), sensitive
+    // attribute = source. Group sizes and distinct-sensitive counts
+    // both vary at sf0.01 (n 2..45, l_distinct 2..20), so both flags
+    // genuinely split.
+    Declared("q_l_diversity",
+      (s, d) => Relational.lDiversityAudit(
+        documents(s, d).withColumn("len_bucket",
+          expr("n_chars div 100L")),
+        quasiCols = Seq("lang", "len_bucket"), sensitiveCol = "source",
+        k = 10L, l = 8L),
+      Some("""SELECT lang, n_chars // 100 AS len_bucket,
+               COUNT(*)::BIGINT AS n,
+               COUNT(DISTINCT source)::BIGINT AS l_distinct,
+               (CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END)::BIGINT AS k_anon_ok,
+               (CASE WHEN COUNT(DISTINCT source) >= 8 THEN 1 ELSE 0 END)::BIGINT AS l_div_ok
+        FROM documents
+        GROUP BY lang, len_bucket
+        ORDER BY lang, len_bucket""")),
+
+    // EMBEDDING DIMENSION-HEALTH AUDIT (SimilarityOps.dimensionAudit):
+    // per dimension, exact integer population mean/variance at s4/s8
+    // fixed point plus the ascending variance rank — the collapsed-
+    // dimension detector run before trusting ANN distances. The window
+    // runs over dim-many rows (64), never corpus rows.
+    Declared("q_emb_dim_audit",
+      (s, d) => SimilarityOps.dimensionAudit(embeddings(s, d)),
+      Some("""WITH e AS (SELECT unnest(embedding) AS v,
+                     unnest(range(64)) AS pos
+              FROM embeddings),
+        q AS (SELECT pos, CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS vi
+              FROM e),
+        s AS (SELECT pos, COUNT(*)::BIGINT AS n,
+                CAST(SUM(vi) AS BIGINT) AS sm,
+                CAST(SUM(vi * vi) AS BIGINT) AS sq
+              FROM q GROUP BY pos)
+        SELECT CAST(pos AS BIGINT) AS pos, n,
+               sm // n AS mean_s4,
+               (n * sq - sm * sm) // (n * n) AS var_s8,
+               CAST(ROW_NUMBER() OVER (ORDER BY (n * sq - sm * sm) // (n * n), pos)
+                 AS BIGINT) AS var_rank
+        FROM s ORDER BY pos""")),
+
+    // INTERVAL COVERAGE (Relational.intervalCoverage): per user, padded
+    // activity sessions merged into overlap-free islands — interval
+    // count, island count, total covered µs. The within-key merge
+    // complement of q_interval_join's cross-key pairing; one per-user
+    // window (incremental frame) + two rollups.
+    Declared("q_interval_coverage",
+      (s, d) => {
+        val iv = EventOps.sessionizeOn(events(s, d), expr("ts div 1000"),
+            30L * 60L * 1000L * 1000L)
+          .select(col("user_id"),
+            col("session_start").as("s_start"),
+            (col("session_end") + lit(7200000000L)).as("s_end"))
+        Relational.intervalCoverage(iv, "user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+        g AS (SELECT user_id, tsn, event_id,
+                CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+                       OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e),
+        sess AS (SELECT user_id, tsn,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM g),
+        iv AS (SELECT user_id, MIN(tsn) AS s_start,
+                      MAX(tsn) + 7200000000 AS s_end
+               FROM sess GROUP BY user_id, session_id),
+        mx AS (SELECT user_id, s_start, s_end,
+                MAX(s_end) OVER (PARTITION BY user_id ORDER BY s_start, s_end
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+              FROM iv),
+        ni AS (SELECT user_id, s_start, s_end,
+                CASE WHEN prev_max_end IS NULL OR s_start > prev_max_end
+                     THEN 1 ELSE 0 END AS new_island
+              FROM mx),
+        isl AS (SELECT user_id, s_start, s_end,
+                CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_start, s_end
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              FROM ni),
+        grp AS (SELECT user_id, island, COUNT(*)::BIGINT AS n_iv,
+                  MIN(s_start) AS i_start, MAX(s_end) AS i_end
+                FROM isl GROUP BY user_id, island)
+        SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+               COUNT(*)::BIGINT AS n_islands,
+               CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+        FROM grp GROUP BY user_id ORDER BY user_id""")),
+
+    // STORED kNN GRAPH (SimilarityOps.mutualKnnClustersStored): the
+    // knnGraphExact edge relation written once as a q_id-clustered
+    // parquet artifact (memoized on the embeddings fingerprint), then
+    // mutual-kNN clustering served from the stored edges through the
+    // shared mutuality + CC tail. SAME parameters ⇒ the SAME oracle as
+    // q_knn_mutual_cc: hash-equality against it IS the stored-vs-fresh
+    // parity contract.
+    Declared("q_knn_graph_stored",
+      (s, d) => SimilarityOps.mutualKnnClustersStored(embeddings(s, d),
+        srcDir = s"$d/embeddings.parquet",
+        outDir = new java.io.File(
+          s"target/knn_graph_${math.abs(d.hashCode.toLong)}")
+          .getAbsolutePath,
+        probeIds = lshProbeIds, k = 3),
+      Some(knnMutualOracle(3)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

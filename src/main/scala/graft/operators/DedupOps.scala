@@ -1769,27 +1769,83 @@ object DedupOps {
     * shingle count; no all-pairs comparison at any scale.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
-                    minShared: Int): DataFrame = {
-    def shingles(df: DataFrame, idAs: String): DataFrame =
-      // tokenize-once: split is its own projection; the `size < n` guard
-      // is a null-producing `when` (explode drops nulls), so no Filter
-      // pushes a second `size(split(…))` evaluation into the scan —
-      // PushdownSpec pins one split per side in the executed plan
-      df.select(col("doc_id").as(idAs), split(col("text"), " ").as("__ws"))
-        .select(col(idAs),
-          // join on the shingle's xxhash64, not the n-word string: 8-byte
-          // keys shrink the broadcast and the probe-side hashing; a false
-          // share needs a cross-side 64-bit collision (~|corpus shingles|
-          // × |bench shingles| / 2⁶⁴ ≈ 1e-9 — corpus-pinned negligible)
-          explode(array_distinct(transform(
-            when(size(col("__ws")) >= n, TextOps.wordNgrams(col("__ws"), n)),
-            sh => xxhash64(sh)))).as("sh"))
-    shingles(corpus, "doc_id")
-      .join(broadcast(shingles(benchmark, "bench_id")), "sh")
+                    minShared: Int): DataFrame =
+    deconTail(deconShingles(corpus, "doc_id", n),
+      deconShingles(benchmark, "bench_id", n), minShared)
+
+  /** Distinct hashed word n-gram shingles per document — the
+    * decontamination unit, factored so the in-plan and artifact-serving
+    * paths cannot drift.
+    */
+  private def deconShingles(df: DataFrame, idAs: String, n: Int): DataFrame =
+    // tokenize-once: split is its own projection; the `size < n` guard
+    // is a null-producing `when` (explode drops nulls), so no Filter
+    // pushes a second `size(split(…))` evaluation into the scan —
+    // PushdownSpec pins one split per side in the executed plan
+    df.select(col("doc_id").as(idAs), split(col("text"), " ").as("__ws"))
+      .select(col(idAs),
+        // join on the shingle's xxhash64, not the n-word string: 8-byte
+        // keys shrink the broadcast and the probe-side hashing; a false
+        // share needs a cross-side 64-bit collision (~|corpus shingles|
+        // × |bench shingles| / 2⁶⁴ ≈ 1e-9 — corpus-pinned negligible)
+        explode(array_distinct(transform(
+          when(size(col("__ws")) >= n, TextOps.wordNgrams(col("__ws"), n)),
+          sh => xxhash64(sh)))).as("sh"))
+
+  /** The shared scoring tail: shingle equi-join (benchmark side
+    * broadcast — it is the small side by construction), distinct-shared
+    * count per (corpus doc, benchmark doc), threshold.
+    */
+  private def deconTail(corpusSh: DataFrame, benchSh: DataFrame,
+                        minShared: Int): DataFrame =
+    corpusSh.join(broadcast(benchSh), "sh")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id", "bench_id")
+
+  /** Write the PERSISTED decontamination index (round 15, wave 5) —
+    * the benchmark side's distinct `(sh, bench_id)` hashed shingles as
+    * a parquet artifact, shingle-clustered. The benchmark suite is the
+    * STABLE side of decontamination (it changes when a new eval ships,
+    * not per crawl), so a 100 TB ingest should probe a written index,
+    * not re-shingle the benchmarks per batch — the
+    * [[graft.operators.RetrievalOps.bm25WriteIndex]] discipline applied
+    * to leakage guarding. Memoized on the benchmark source fingerprint
+    * + shingle width + the caller's benchmark-slice key: benchmark
+    * mutation forces a rebuild, a same-suite re-run is free.
+    */
+  def deconWriteIndex(benchmark: DataFrame, srcDir: String, outDir: String,
+                      n: Int, benchKey: String): Boolean = {
+    graft.sources.StorageOps.materializeCached(benchmark.sparkSession,
+      s"decon_index:$outDir:n=$n:$benchKey", srcDir, outDir) {
+      deconShingles(benchmark, "bench_id", n)
+        .repartitionByRange(8, col("sh"))
+        .sortWithinPartitions("sh", "bench_id")
+        .write.mode("overwrite").parquet(s"$outDir/shingles")
+    }
+    true
+  }
+
+  /** Decontaminate against the PERSISTED index alone — the ingest-path
+    * entry point: a worker session holding no benchmark state reads the
+    * shingle artifact and flags the arriving corpus slice. Same scoring
+    * tail as [[decontaminate]], so fresh ≡ stored is the declared key's
+    * oracle identity.
+    */
+  def decontaminateStored(corpus: DataFrame, indexDir: String, n: Int,
+                          minShared: Int): DataFrame =
+    deconTail(deconShingles(corpus, "doc_id", n),
+      corpus.sparkSession.read.parquet(s"$indexDir/shingles"), minShared)
+
+  /** Build-if-needed + serve: the declared-key entry point for stored
+    * decontamination (the bm25TopKStored shape).
+    */
+  def decontaminateViaIndex(corpus: DataFrame, benchmark: DataFrame,
+                            srcDir: String, outDir: String, n: Int,
+                            minShared: Int, benchKey: String): DataFrame = {
+    deconWriteIndex(benchmark, srcDir, outDir, n, benchKey)
+    decontaminateStored(corpus, outDir, n, minShared)
   }
 
   /** Deterministic "keep one row per key" for arbitrary tables: first row

@@ -326,6 +326,74 @@ object Relational {
       .orderBy(idCol)
   }
 
+  /** INTERVAL COVERAGE (round 15, wave 6) — the merge-overlapping-
+    * intervals sweep, per key: overlapping-or-touching intervals
+    * coalesce into ISLANDS (a new island starts when an interval's
+    * start exceeds the running max of all previous ends), and the
+    * output is one row per key with the interval count, island count,
+    * and total covered length `Σ (island_end − island_start)`. The
+    * classic "how much wall-clock was this user actually active"
+    * rollup — the complement of [[intervalOverlapPairs]] (which pairs
+    * ACROSS keys; this merges WITHIN a key).
+    *
+    * Scale shape: one window over the per-key partition (running max +
+    * running island sum in a single incremental frame — never a
+    * forward-looking or O(m²) frame) and two map-side-combined rollups.
+    * One shuffle on the key, O(1) state per row. Tie order among
+    * identical (start, end) rows cannot change island boundaries or
+    * any aggregate, so the relation is deterministic without a unique
+    * tiebreak column.
+    *
+    * Input: (keyCol, s_start, s_end) longs with `s_start <= s_end`.
+    */
+  def intervalCoverage(iv: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("s_start"), col("s_end"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("__prev_max_end", max(col("s_end")).over(wPrev))
+      .withColumn("__new_island",
+        when(col("__prev_max_end").isNull ||
+          col("s_start") > col("__prev_max_end"), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new_island")).over(wRun))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).cast(LongType).as("n_iv"),
+        min(col("s_start")).as("i_start"), max(col("s_end")).as("i_end"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_iv")).cast(LongType).as("n_intervals"),
+        count(lit(1)).cast(LongType).as("n_islands"),
+        sum(col("i_end") - col("i_start")).cast(LongType).as("covered_us"))
+      .orderBy(keyCol)
+  }
+
+  /** K-ANONYMITY / L-DIVERSITY AUDIT (round 15, wave 5) — the
+    * measurement side of [[kAnonymize]]: per quasi-identifier group,
+    * the group size (k-anonymity of every row in it) and the number of
+    * DISTINCT sensitive values (its l-diversity). A group can be large
+    * yet disclose its sensitive attribute exactly (n = 500, l = 1 —
+    * the homogeneity attack k-anonymity alone misses); this relation is
+    * the release-gate audit that catches both. Rows with NULL sensitive
+    * values count toward n but not l (count(distinct) ignores NULLs —
+    * an unknown sensitive value disclosed nothing).
+    *
+    * Scale shape: one map-side-combined aggregate over the QI key;
+    * distinct-counting rides the same shuffle. Flags are 0/1 longs so
+    * the relation is engine-portable.
+    */
+  def lDiversityAudit(rows: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"thresholds must be >= 1, got k=$k l=$l")
+    rows.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        countDistinct(col(sensitiveCol)).cast(LongType).as("l_distinct"))
+      .withColumn("k_anon_ok",
+        when(col("n") >= k, 1L).otherwise(0L))
+      .withColumn("l_div_ok",
+        when(col("l_distinct") >= l, 1L).otherwise(0L))
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** DETERMINISTIC training-shard assignment — the "global shuffle" a
     * training pipeline runs last: every row gets a shard (uniform by
     * the portable 60-bit md5, so shard sizes balance at any corpus
@@ -700,5 +768,57 @@ object Relational {
       .select(col(strataCol), col("rn"), col(keyCol), col(weightCol),
         col("prio"))
       .orderBy(col(strataCol), col("rn"))
+  }
+
+  /** INTERVAL-OVERLAP SELF-JOIN by grid bucketing (round 15, wave 5) —
+    * the two-sided-range sibling of [[bandJoin]]: find every pair of
+    * intervals `[s_start, s_end]` (inclusive, non-negative longs) that
+    * overlap, WITHOUT an inequality-only join. Each interval explodes
+    * onto the fixed-width `cellUs` grid cells it covers; candidates
+    * equi-join on the cell (the shuffle key), and each overlapping pair
+    * is kept exactly ONCE — at the cell containing the LATER of the two
+    * starts. That attribution needs no `distinct`: if two intervals
+    * overlap, the later start lies inside BOTH, so its cell appears in
+    * both explode sets, and no other cell satisfies the equality.
+    * Candidates sharing a cell without truly overlapping are dropped by
+    * the exact bound check after the join.
+    *
+    * Scale shape: work is Σ over cells of |a∩cell|·|b∩cell| — the LOCAL
+    * interval density, never n²; the explode factor is bounded by
+    * interval_length/cellUs + 1, so pick `cellUs` at or above the
+    * typical interval length (a skewed hot cell is an AQE skew-join
+    * split, not a plan change). This is how a 100 TB co-occurrence /
+    * overlap join runs: grid-partition time, join within cells.
+    *
+    * Input: one row per interval, columns (iv_id UNIQUE long, s_start,
+    * s_end) with `0 <= s_start <= s_end`. Output: (a_id, b_id, ov_us)
+    * for `a_id < b_id`, `ov_us = min(ends) − max(starts) >= 0`
+    * (touching intervals overlap with ov_us = 0).
+    */
+  def intervalOverlapPairs(iv: DataFrame, cellUs: Long): DataFrame = {
+    require(cellUs > 0, s"cellUs must be positive, got $cellUs")
+    import graft.operators.Lineage.LineageOps
+    val cells = iv
+      .select(col("iv_id"), col("s_start").cast(LongType).as("s_start"),
+        col("s_end").cast(LongType).as("s_end"))
+      .withColumn("cell", explode(sequence(
+        expr(s"s_start div ${cellUs}L"), expr(s"s_end div ${cellUs}L"))))
+      .lineageTruncate() // both sides of the self-join below
+    val a = cells.select(col("iv_id").as("a_id"),
+      col("s_start").as("a_start"), col("s_end").as("a_end"),
+      col("cell").as("a_cell"))
+    val b = cells.select(col("iv_id").as("b_id"),
+      col("s_start").as("b_start"), col("s_end").as("b_end"),
+      col("cell").as("b_cell"))
+    a.join(b, col("a_cell") === col("b_cell") && col("a_id") < col("b_id"))
+      // unique attribution: only the later start's cell survives
+      .filter(col("a_cell") ===
+        expr(s"greatest(a_start, b_start) div ${cellUs}L"))
+      // exact overlap check (cell sharing is necessary, not sufficient)
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("ov_us"))
   }
 }

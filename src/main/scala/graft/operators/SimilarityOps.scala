@@ -62,6 +62,85 @@ object SimilarityOps {
       .orderBy("q_id", "rn")
   }
 
+  /** HARD-NEGATIVE MINING (round 15, wave 5) — per probe, the `k`
+    * nearest vectors carrying a DIFFERENT label: the contrastive-pair
+    * generator of a retrieval/embedding training pipeline ("the most
+    * confusable wrong answers"). Same exact fixed-point dot arithmetic
+    * as [[topKDotExact]]; labels ride the corpus explode (one extra long
+    * per position row — no second corpus shuffle), the wrong-label
+    * filter lands BEFORE the score aggregation so excluded candidates
+    * never reach the rollup, and the probe's own row is excluded.
+    *
+    * Scale shape: identical to the exact scan — broadcast query side,
+    * one corpus-sized position join + rollup; at 100 TB the candidate
+    * generation swaps to the IVF/PQ index tier (same tail: filter
+    * label, rank), which is why the exact form is the declared oracle
+    * anchor.
+    */
+  def hardNegativesTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                        k: Int): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("q_id"), col("label").cast(LongType)
+        .as("q_label"), posexplode(col("embedding")).as(Seq("pos", "qv")))
+      .withColumn("qi", fixedPoint(col("qv")))
+    val corpus = embeddings
+      .select(col("vec_id").as("n_id"), col("label").cast(LongType)
+        .as("n_label"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .withColumn("ci", fixedPoint(col("cv")))
+    val scores = corpus
+      .join(broadcast(queries), Seq("pos"))
+      .filter(col("n_label") =!= col("q_label") &&
+        col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id", "n_label")
+      .agg(sum(col("qi") * col("ci")).as("score_s14"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    scores.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "n_label", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  /** EMBEDDING DIMENSION-HEALTH AUDIT (round 15, wave 6) — per
+    * dimension, count / fixed-point mean / fixed-point variance, ranked
+    * ascending by variance: the "collapsed dimension" detector an
+    * embedding pipeline runs before trusting ANN distances (a dimension
+    * whose variance ≈ 0 carries no information but still costs
+    * bandwidth in every dot product; anisotropy/collapse is the classic
+    * failure of under-trained or truncated encoders). The ranking IS
+    * the audit — the bottom ranks are the prune/retrain candidates —
+    * so no data-dependent threshold flag that could go constant.
+    *
+    * Arithmetic: values quantize at s4 (×10⁴) so `n·Σv²` and `(Σv)²`
+    * stay inside int64 up to ~10⁷ unit-normalized rows — fine for the
+    * declared scales; a 100 TB run keeps the same relation but sums in
+    * decimal(38,0) per shard before the merge (one-line swap,
+    * documented rather than paid here because int64 is what DuckDB
+    * replays exactly). `var_s8 = (n·Σv² − (Σv)²) div n²` — the exact
+    * integer population variance in s8 units, no sqrt, no doubles.
+    *
+    * Scale shape: one position explode + one map-side-combined
+    * aggregate on the (dim-bounded) position key; the rank window runs
+    * over `dim` rows. Never collects, never broadcasts the corpus.
+    */
+  def dimensionAudit(embeddings: DataFrame): DataFrame = {
+    val e = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast(LongType).as("pos"),
+        round(col("v").cast(DoubleType) * 10000).cast(LongType).as("vi"))
+    val stats = e.groupBy("pos").agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(col("vi")).cast(LongType).as("sm"),
+      sum(col("vi") * col("vi")).cast(LongType).as("sq"))
+    stats
+      .withColumn("mean_s4", expr("sm div n"))
+      .withColumn("var_s8", expr("(n * sq - sm * sm) div (n * n)"))
+      .withColumn("var_rank", row_number().over(
+        Window.orderBy(asc("var_s8"), asc("pos"))).cast(LongType))
+      .select("pos", "n", "mean_s4", "var_s8", "var_rank")
+      .orderBy("pos")
+  }
+
   /** L2/L3 — embedding-cosine near-duplicate pairs with exact fixed-point
     * arithmetic: `cos(a,b) ≥ τ` tested as `dot² · 10⁴ ≥ τ²·10⁴ · |a|²·|b|²`
     * on integer dot/norms (the squares go through identical IEEE double
@@ -1935,10 +2014,22 @@ object SimilarityOps {
     * forest-contraction rounds over ≤ n·k edges.
     */
   def mutualKnnClusters(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-                        checkpointDir: Option[String] = None): DataFrame = {
-    // 2 consumers (both sides of the mutuality self-join)
-    val graph = knnGraphExact(embeddings, probeIds, k)
-      .select(col("q_id"), col("n_id")).lineageTruncate()
+                        checkpointDir: Option[String] = None): DataFrame =
+    mutualClustersFromGraph(
+      // 2 consumers (both sides of the mutuality self-join)
+      knnGraphExact(embeddings, probeIds, k)
+        .select(col("q_id"), col("n_id")).lineageTruncate(),
+      embeddings, checkpointDir)
+
+  /** The shared mutuality + CC tail of [[mutualKnnClusters]] and
+    * [[mutualKnnClustersStored]] — factored so the in-plan and
+    * artifact-serving paths cannot drift. `graph` carries (q_id, n_id),
+    * already safe to consume twice.
+    */
+  private def mutualClustersFromGraph(graph: DataFrame,
+                                      embeddings: DataFrame,
+                                      checkpointDir: Option[String])
+      : DataFrame = {
     val mutual = graph
       .join(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
         Seq("q_id", "n_id"), "left_semi")
@@ -1952,5 +2043,44 @@ object SimilarityOps {
       checkpointDir = checkpointDir)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
+  }
+
+  /** Write the PERSISTED kNN graph (round 15, wave 6) — the
+    * [[knnGraphExact]] edge relation (q_id, rn, n_id, score_s14) as a
+    * q_id-clustered parquet artifact, memoized on the embeddings source
+    * fingerprint (the bm25/decon index-writer discipline). The graph is
+    * the expensive product (one banded self-join over the corpus);
+    * everything downstream — mutual clustering, label voting, hub
+    * audits — is a cheap consumer, so at 100 TB the graph is built once
+    * per corpus state and every analysis reads the artifact.
+    */
+  def knnGraphWrite(embeddings: DataFrame, srcDir: String, outDir: String,
+                    probeIds: Seq[Long], k: Int): Boolean = {
+    graft.sources.StorageOps.materializeCached(embeddings.sparkSession,
+      s"knn_graph:$outDir:k=$k:p=${probeIds.mkString("_")}",
+      srcDir, outDir) {
+      knnGraphExact(embeddings, probeIds, k)
+        .repartitionByRange(8, col("q_id"))
+        .sortWithinPartitions("q_id", "rn")
+        .write.mode("overwrite").parquet(s"$outDir/edges")
+    }
+    true
+  }
+
+  /** Mutual-kNN clustering served from the PERSISTED graph — build the
+    * edge artifact if needed, then run the shared mutuality + CC tail
+    * over the stored relation. Same parameters ⇒ the SAME oracle as
+    * the in-plan [[mutualKnnClusters]]: hash-equality between the two
+    * declared keys IS the stored-vs-fresh parity contract.
+    */
+  def mutualKnnClustersStored(embeddings: DataFrame, srcDir: String,
+                              outDir: String, probeIds: Seq[Long], k: Int,
+                              checkpointDir: Option[String] = None)
+      : DataFrame = {
+    knnGraphWrite(embeddings, srcDir, outDir, probeIds, k)
+    mutualClustersFromGraph(
+      embeddings.sparkSession.read.parquet(s"$outDir/edges")
+        .select(col("q_id"), col("n_id")),
+      embeddings, checkpointDir)
   }
 }

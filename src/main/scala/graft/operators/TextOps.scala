@@ -702,6 +702,79 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DOMAIN REWEIGHTING by multiplicative weights (round 15, wave 5) —
+    * the DoReMi shape (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining"): start from a
+    * uniform domain mixture and iteratively shift sampling weight
+    * toward domains whose per-token loss EXCEEDS the current
+    * mixture-weighted average (`w′ᵢ ∝ wᵢ·(1 + η·excessᵢ)` — the
+    * standard linearized MW update). The loss proxy here is the
+    * [[surprisalBits]] unigram code length per token (q8), so the whole
+    * trajectory is integer-exact and DuckDB-replayable; a production
+    * run swaps in proxy-model losses through the identical update.
+    *
+    * Returns the FULL trajectory — one row per (iteration, domain) with
+    * the domain loss and the ppm weight after that iteration — because
+    * the trajectory is the audit: weight mass should drain from
+    * below-average domains monotonically under a fixed step.
+    *
+    * Arithmetic (all long): `avg_q8 = Σwᵢ·lossᵢ div Σwᵢ`;
+    * `rawᵢ = wᵢ·(scaleQ + etaQ·max(0, lossᵢ − avg_q8))`;
+    * `w′ᵢ = rawᵢ·10⁶ div Σraw`. With w ≤ 10⁶, loss_q8 ≤ ~10⁴ and
+    * domain counts in the thousands, every product stays far inside
+    * int64.
+    *
+    * Scale shape: the corpus-sized work is ONE explode + two map-side
+    * combined aggregations (word counts, per-domain bits rollup); the
+    * MW iteration runs driver-side over the collected per-domain table
+    * — bounded by the DOMAIN count (sources: tens to thousands), the
+    * same bounded-collect discipline as the Lloyd centroid fit. No
+    * per-iteration corpus pass: losses are frozen, only weights move.
+    */
+  def domainReweight(documents: DataFrame, iters: Int = 5,
+                     scaleQ: Long = 4096L, etaQ: Long = 64L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val w = documents.select(col("source"),
+      explode(words(col("text"))).as("word"))
+    val wc = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = wc.agg(sum(col("cnt")).as("t"))
+    val wordBits = wc.crossJoin(broadcast(total))
+      .select(col("word"),
+        (length(bin(expr("t div cnt"))) - 1).cast("long").as("bits"))
+    val dom = w.join(broadcast(wordBits), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum("bits").as("sum_bits"))
+      .withColumn("loss_q8", expr("sum_bits * 256L div n_words"))
+      .select("source", "loss_q8")
+      // bounded collect: one row per DOMAIN (source), not per document —
+      // the mixture table a training job holds anyway
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(dom.nonEmpty, "domainReweight: no domains in input")
+    val d = dom.length.toLong
+    var weights: Seq[Long] = Seq.fill(dom.length)(1000000L / d)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, Long, Long)]
+    dom.zip(weights).foreach { case ((s, l), wp) => trace += ((0L, s, l, wp)) }
+    (1 to iters).foreach { t =>
+      val sumW = weights.sum
+      val avg = dom.zip(weights).map { case ((_, l), wp) => wp * l }.sum / sumW
+      val raw = dom.zip(weights).map { case ((_, l), wp) =>
+        wp * (scaleQ + etaQ * math.max(0L, l - avg))
+      }
+      val sumRaw = raw.sum
+      weights = raw.map(r => r * 1000000L / sumRaw)
+      dom.zip(weights).foreach { case ((s, l), wp) =>
+        trace += ((t.toLong, s, l, wp))
+      }
+    }
+    trace.toSeq.toDF("iter", "source", "loss_q8", "w_ppm")
+      .orderBy("iter", "source")
+  }
+
   /** BIGRAM-CONDITIONAL SURPRISAL (round 15) — the fluency tier above
     * [[surprisalBits]]: a document's first word prices at its unigram
     * bits, every later word at floor(log₂(ctx(prev) div cnt₂(prev, w)))
