@@ -298,23 +298,37 @@ object Queries {
     * hash-equality between the two declared rows IS the stored-vs-fresh
     * parity contract (the q_bm25_stored pattern).
     */
-  private def knnMutualOracle(k: Int): String =
-    s"""WITH RECURSIVE ${knnGraphCtes(k)},
+  /** [[knnGraphCtes]] + mutuality + both-direction edges — ends with
+    * CTE `ed(src, dst)`, the shared graph base of the mutual-CC,
+    * BFS-depth, and purity oracles.
+    */
+  private def knnMutualEdgeCtes(k: Int): String =
+    s"""${knnGraphCtes(k)},
         m AS (SELECT a.q_id AS a_id, a.n_id AS b_id
               FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
               WHERE a.q_id < a.n_id),
         ed AS (SELECT a_id AS src, b_id AS dst FROM m
-               UNION SELECT b_id, a_id FROM m),
+               UNION SELECT b_id, a_id FROM m)"""
+
+  /** [[knnMutualEdgeCtes]] + transitive closure — adds CTE
+    * `cl(vec_id, cluster_id)`, the per-vector cluster assignment.
+    */
+  private def knnMutualClusterCtes(k: Int): String =
+    s"""${knnMutualEdgeCtes(k)},
         reach(src, dst) AS (
           SELECT src, dst FROM ed
           UNION
-          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src)
-        SELECT v.vec_id,
-          LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
-            AS cluster_id
-        FROM (SELECT vec_id FROM embeddings) v
-        LEFT JOIN reach r ON r.src = v.vec_id
-        GROUP BY v.vec_id ORDER BY vec_id"""
+          SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src),
+        cl AS (SELECT v.vec_id,
+                 LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
+                   AS cluster_id
+               FROM (SELECT vec_id FROM embeddings) v
+               LEFT JOIN reach r ON r.src = v.vec_id
+               GROUP BY v.vec_id)"""
+
+  private def knnMutualOracle(k: Int): String =
+    s"""WITH RECURSIVE ${knnMutualClusterCtes(k)}
+        SELECT vec_id, cluster_id FROM cl ORDER BY vec_id"""
 
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
@@ -8782,7 +8796,56 @@ object Queries {
           s"target/knn_graph_${math.abs(d.hashCode.toLong)}")
           .getAbsolutePath,
         probeIds = lshProbeIds, k = 3),
-      Some(knnMutualOracle(3)))
+      Some(knnMutualOracle(3))),
+
+    // BFS REACH DEPTHS (DedupOps.bfsDepths): minimum hop count from the
+    // probe seed set over the mutual-kNN edges, bounded at 4 — the
+    // blast-radius / propagation primitive (components say "connected";
+    // this says "how far"). Engine: frontier expansion, one
+    // anti-joined round per depth. Oracle: depth-bounded recursive walk
+    // (UNION dedups (id, depth) pairs so cycles terminate), MIN(depth)
+    // per reached vertex.
+    Declared("q_graph_bfs",
+      (s, d) => DedupOps.bfsDepths(
+        SimilarityOps.mutualKnnEdges(embeddings(s, d), lshProbeIds, k = 3),
+        seeds = lshProbeIds, maxDepth = 4)
+        .select(col("id").as("vec_id"), col("depth")),
+      Some(s"""WITH RECURSIVE ${knnMutualEdgeCtes(3)},
+        walk(id, depth) AS (
+          SELECT unnest([${lshProbeIds.mkString(", ")}])::BIGINT AS id,
+                 0::BIGINT AS depth
+          UNION
+          SELECT ed.dst, w.depth + 1 FROM walk w
+          JOIN ed ON w.id = ed.src WHERE w.depth < 4)
+        SELECT id AS vec_id, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY id ORDER BY vec_id""")),
+
+    // CLUSTER-PURITY AUDIT (SimilarityOps.mutualClusterPurity): per
+    // non-singleton mutual-kNN cluster, member count / majority label /
+    // purity ppm against the reference labels — the "is the big cluster
+    // one topic?" evaluation. Oracle: the shared cluster CTEs + label
+    // join + argmax window.
+    Declared("q_cluster_purity",
+      (s, d) => SimilarityOps.mutualClusterPurity(embeddings(s, d),
+        probeIds = lshProbeIds, k = 3, minSize = 2L),
+      Some(s"""WITH RECURSIVE ${knnMutualClusterCtes(3)},
+        j AS (SELECT cl.cluster_id, e.label
+              FROM cl JOIN embeddings e ON cl.vec_id = e.vec_id),
+        vt AS (SELECT cluster_id, label, COUNT(*)::BIGINT AS votes
+               FROM j GROUP BY cluster_id, label),
+        sz AS (SELECT cluster_id, CAST(SUM(votes) AS BIGINT) AS n
+               FROM vt GROUP BY cluster_id),
+        mj AS (SELECT cluster_id, CAST(label AS BIGINT) AS maj_label,
+                 votes AS maj_votes
+               FROM (SELECT cluster_id, label, votes,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                         ORDER BY votes DESC, label) AS rn
+                     FROM vt) WHERE rn = 1)
+        SELECT s.cluster_id, s.n, mj.maj_label, mj.maj_votes,
+               mj.maj_votes * 1000000 // s.n AS purity_ppm
+        FROM sz s JOIN mj USING (cluster_id)
+        WHERE s.n >= 2
+        ORDER BY cluster_id"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1306,6 +1306,61 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** BFS REACH DEPTHS (round 15, wave 7) — minimum hop count from a
+    * seed set over an undirected (a_id, b_id) edge relation, bounded at
+    * `maxDepth`: the propagation / influence-radius primitive the CC
+    * engines deliberately lack (components answer "connected at all?";
+    * this answers "how far?" — contamination spread from flagged seeds,
+    * provenance blast radius, neighborhood audits around a takedown).
+    *
+    * Classic frontier expansion: each round joins ONLY the frontier
+    * (the rows discovered last round, shrinking fast on sparse graphs)
+    * against the edge list, anti-joins the visited set, and stamps the
+    * round number — BFS's first-visit depth IS the minimum depth, so no
+    * re-relaxation is ever needed. `maxDepth` rounds of (frontier ⋈
+    * edges) with one early-exit count per round; visited/frontier are
+    * lineage-truncated per round (the [[kCoreFixedRounds]] discipline),
+    * so round r never re-executes rounds 1..r−1.
+    *
+    * Unreached vertices are absent from the output — callers left-join
+    * if they want NULL depths. Seeds appear at depth 0 whether or not
+    * they touch any edge.
+    */
+  def bfsDepths(pairs: DataFrame, seeds: Seq[Long], maxDepth: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "bfsDepths needs at least one seed")
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val fwd = pairs.select(col("a_id").cast("long").as("src"),
+      col("b_id").cast("long").as("dst"))
+    val edges = truncateLineage(
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      checkpointDir) // consumed once per round
+    var visited = seeds.distinct.sorted.toDF("id")
+      .withColumn("depth", lit(0L))
+    var frontier = visited.select("id")
+    var d = 1
+    var frontierNonEmpty = true
+    while (d <= maxDepth && frontierNonEmpty) {
+      val next = truncateLineage(
+        frontier.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti"),
+        checkpointDir)
+      frontierNonEmpty = !next.isEmpty
+      if (frontierNonEmpty) {
+        visited = truncateLineage(
+          visited.unionByName(next.withColumn("depth", lit(d.toLong))),
+          checkpointDir)
+        frontier = next
+      }
+      d += 1
+    }
+    visited.orderBy("id")
+  }
+
   /** L4 — FUZZY test-set decontamination: corpus documents whose
     * word-set Jaccard against ANY held-out benchmark document reaches
     * `minJaccardPct` — the near-duplicate sibling of [[decontaminate]]

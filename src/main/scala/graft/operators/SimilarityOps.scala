@@ -2030,11 +2030,7 @@ object SimilarityOps {
                                       embeddings: DataFrame,
                                       checkpointDir: Option[String])
       : DataFrame = {
-    val mutual = graph
-      .join(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
-        Seq("q_id", "n_id"), "left_semi")
-      .filter(col("q_id") < col("n_id"))
-      .select(col("q_id").as("a_id"), col("n_id").as("b_id"))
+    val mutual = mutualEdgesFromGraph(graph)
     // every vector appears in the output, singletons as their own
     // cluster: union the self-loop so isolated vectors survive CC
     val nodes = withFixedInts(embeddings)
@@ -2043,6 +2039,60 @@ object SimilarityOps {
       checkpointDir = checkpointDir)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
+  }
+
+  /** The mutuality reduction alone: undirected (a_id < b_id) edges
+    * where BOTH endpoints list each other in the top-k `graph`.
+    */
+  private def mutualEdgesFromGraph(graph: DataFrame): DataFrame =
+    graph
+      .join(graph.select(col("n_id").as("q_id"), col("q_id").as("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .filter(col("q_id") < col("n_id"))
+      .select(col("q_id").as("a_id"), col("n_id").as("b_id"))
+
+  /** The mutual-kNN EDGE relation (round 15, wave 7) — the graph input
+    * [[mutualKnnClusters]] clusters over, exposed for other graph
+    * consumers (BFS reach, purity audits). One banded self-join + one
+    * semi-join; ≤ n·k candidate rows.
+    */
+  def mutualKnnEdges(embeddings: DataFrame, probeIds: Seq[Long],
+                     k: Int): DataFrame =
+    mutualEdgesFromGraph(
+      knnGraphExact(embeddings, probeIds, k)
+        .select(col("q_id"), col("n_id")).lineageTruncate())
+
+  /** CLUSTER-PURITY AUDIT (round 15, wave 7) — per non-singleton
+    * mutual-kNN cluster: member count, majority label, its vote count,
+    * and purity in ppm. The evaluation a semantic-dedup / topic pass
+    * runs against reference labels before trusting its clusters ("is
+    * the big cluster one topic or a hub artifact?"). Work beyond the
+    * clustering itself: one label equi-join + two label-keyed rollups +
+    * a per-cluster argmax window.
+    */
+  def mutualClusterPurity(embeddings: DataFrame, probeIds: Seq[Long],
+                          k: Int, minSize: Long): DataFrame = {
+    val labels = embeddings
+      .select(col("vec_id"), col("label").cast(LongType).as("label"))
+    val votes = mutualKnnClusters(embeddings, probeIds, k)
+      .join(labels, Seq("vec_id"))
+      .groupBy("cluster_id", "label")
+      .agg(count(lit(1)).cast(LongType).as("votes"))
+      .lineageTruncate() // 2 consumers: size rollup + majority window
+    val sizes = votes.groupBy("cluster_id")
+      .agg(sum(col("votes")).cast(LongType).as("n"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("votes"), asc("label"))
+    val majority = votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("label").as("maj_label"),
+        col("votes").as("maj_votes"))
+    sizes.join(majority, Seq("cluster_id"))
+      .withColumn("purity_ppm", expr("maj_votes * 1000000L div n"))
+      .filter(col("n") >= minSize)
+      .select("cluster_id", "n", "maj_label", "maj_votes", "purity_ppm")
+      .orderBy("cluster_id")
   }
 
   /** Write the PERSISTED kNN graph (round 15, wave 6) — the

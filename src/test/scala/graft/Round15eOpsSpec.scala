@@ -246,4 +246,50 @@ class Round15eOpsSpec extends SparkSpec {
     assert(clusters.exists(_ > 1),
       "fixture produced only singletons — parity would be vacuous")
   }
+
+  test("bfsDepths: first-visit depths on a known graph — path, branch, " +
+    "cycle, depth bound, and disconnected vertices excluded") {
+    import spark.implicits._
+    // 1-2-3-4-5-6 path, 2-10 branch, 3-4-11-3 cycle, 20-21 disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 10L), (4L, 11L), (11L, 3L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val got = DedupOps.bfsDepths(edges, seeds = Seq(1L), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 10L -> 2L, 3L -> 2L,
+      4L -> 3L, 11L -> 3L), s"got $got")
+    // raising the bound reaches deeper; the cycle never re-relaxes 3
+    val deeper = DedupOps.bfsDepths(edges, Seq(1L), maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deeper(5L) == 4L && deeper(6L) == 5L && deeper(3L) == 2L)
+    assert(!deeper.contains(20L), "disconnected vertex must be absent")
+    // multi-seed: min over seeds wins
+    val two = DedupOps.bfsDepths(edges, Seq(1L, 5L), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(4L) == 1L && two(6L) == 1L && two(3L) == 2L)
+  }
+
+  test("mutualClusterPurity: rows agree with a driver-side recount of " +
+    "the clustering + labels, singletons excluded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Seq(0L, 1L, 2L, 3L)
+    val purity = SimilarityOps.mutualClusterPurity(emb, probes, k = 3,
+      minSize = 2L).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val clusters = SimilarityOps.mutualKnnClusters(emb, probes, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val want = clusters.collect { case (cid, members) if members.length >= 2 =>
+      val votes = members.map(labels).groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+      val (majLabel, majVotes) = votes.minBy { case (l, v) => (-v, l) }
+      cid -> (members.length.toLong, majLabel, majVotes,
+        majVotes * 1000000L / members.length)
+    }
+    val got = purity.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"purity diverged:\n got=$got\nwant=$want")
+    assert(want.nonEmpty, "no non-singleton clusters — vacuous fixture")
+  }
 }
