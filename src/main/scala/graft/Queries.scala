@@ -128,8 +128,12 @@ object Queries {
     * renormalize) CTE triple. Generated in code so the round count and
     * step constants provably match the declared query's.
     */
-  private def domainReweightOracle(iters: Int, scaleQ: Long,
-                                   etaQ: Long): String = {
+  /** The CTE body alone (per-source loss + `iters` MW rounds) — ends
+    * with CTE `i{iters}(source, loss_q8, w_ppm)`, shared by the
+    * trajectory oracle and the mixture-schedule oracle.
+    */
+  private def domainReweightCtes(iters: Int, scaleQ: Long,
+                                 etaQ: Long): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""a$t AS (SELECT CAST(SUM(w_ppm * loss_q8) // SUM(w_ppm) AS BIGINT) AS avg_q8
                FROM i${t - 1}),
@@ -140,10 +144,7 @@ object Queries {
                  CAST(wr * 1000000 // (SELECT SUM(wr) FROM r$t) AS BIGINT) AS w_ppm
                FROM r$t)"""
     }.mkString(",\n        ")
-    val unions = (0 to iters)
-      .map(t => s"SELECT $t AS it, source, loss_q8, w_ppm FROM i$t")
-      .mkString("\n          UNION ALL ")
-    s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+    s"""w AS (SELECT source, unnest(string_split(text, ' ')) AS word
                 FROM documents),
         wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
@@ -157,7 +158,15 @@ object Queries {
         i0 AS (SELECT source, loss_q8,
                  CAST(1000000 // d AS BIGINT) AS w_ppm
                FROM dom CROSS JOIN nd),
-        $iterCtes
+        $iterCtes"""
+  }
+
+  private def domainReweightOracle(iters: Int, scaleQ: Long,
+                                   etaQ: Long): String = {
+    val unions = (0 to iters)
+      .map(t => s"SELECT $t AS it, source, loss_q8, w_ppm FROM i$t")
+      .mkString("\n          UNION ALL ")
+    s"""WITH ${domainReweightCtes(iters, scaleQ, etaQ)}
         SELECT CAST(it AS BIGINT) AS iter, source, loss_q8, w_ppm FROM (
           $unions)
         ORDER BY iter, source"""
@@ -8845,7 +8854,48 @@ object Queries {
                mj.maj_votes * 1000000 // s.n AS purity_ppm
         FROM sz s JOIN mj USING (cluster_id)
         WHERE s.n >= 2
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    // MIXTURE SCHEDULE (TextOps.mixtureSchedule): q_domain_reweight's
+    // converged weights turned into executable training numbers — per
+    // domain, tokens allocated from a 100k budget and the q8
+    // oversampling factor vs the tokens actually available. Oracle:
+    // the shared reweight CTEs' final iteration + one token rollup.
+    Declared("q_mixture_schedule",
+      (s, d) => TextOps.mixtureSchedule(documents(s, d),
+        budgetTokens = 100000L, iters = 5),
+      Some(s"""WITH ${domainReweightCtes(5, 4096L, 64L)},
+        av AS (SELECT source, COUNT(*)::BIGINT AS avail_tokens
+               FROM w GROUP BY source),
+        al AS (SELECT i5.source, i5.loss_q8, i5.w_ppm, av.avail_tokens,
+                 i5.w_ppm * 100000 // 1000000 AS alloc_tokens
+               FROM i5 JOIN av USING (source))
+        SELECT source, loss_q8, w_ppm, avail_tokens, alloc_tokens,
+               alloc_tokens * 256 // avail_tokens AS epochs_q8
+        FROM al ORDER BY source""")),
+
+    // ZIPF RANK-FREQUENCY AUDIT (TextOps.zipfAudit): vocabulary health
+    // in doubling rank buckets — word count, occurrence mass, min/max
+    // frequency, mean floor(log2 cnt) q8 per bucket. The rank window
+    // runs over the vocabulary, never corpus rows.
+    Declared("q_zipf_audit",
+      (s, d) => TextOps.zipfAudit(documents(s, d)),
+      Some("""WITH wc AS (SELECT word, COUNT(*)::BIGINT AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              GROUP BY word),
+        r AS (SELECT word, cnt,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rnk
+              FROM wc),
+        b AS (SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS rank_bucket,
+                cnt, CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_bits
+              FROM r)
+        SELECT rank_bucket, COUNT(*)::BIGINT AS n_words,
+               CAST(SUM(cnt) AS BIGINT) AS occurrences,
+               CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(freq_bits) * 256 // COUNT(*) AS BIGINT) AS mean_freq_bits_q8
+        FROM b GROUP BY rank_bucket ORDER BY rank_bucket"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -775,6 +775,74 @@ object TextOps {
       .orderBy("iter", "source")
   }
 
+  /** MIXTURE SCHEDULE (round 15, wave 8) — the operational consumer of
+    * [[domainReweight]]: the converged weights turned into the numbers
+    * a training run actually executes on. Per domain: the final ppm
+    * weight, the tokens AVAILABLE in the corpus, the tokens ALLOCATED
+    * out of `budgetTokens` (`w_ppm·B div 10⁶`), and the implied
+    * oversampling factor `epochs_q8 = alloc·256 div avail` — epochs_q8
+    * above 256 means the schedule repeats that domain's data (the
+    * up-weighted, high-loss domains), below means it subsamples. This
+    * closes the reweight → schedule loop the same way q_budget_* keys
+    * close filter → pack.
+    *
+    * Scale shape: [[domainReweight]]'s one corpus pass + one more
+    * map-side-combined per-domain token rollup + a domain-sized join.
+    */
+  def mixtureSchedule(documents: DataFrame, budgetTokens: Long,
+                      iters: Int = 5, scaleQ: Long = 4096L,
+                      etaQ: Long = 64L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val finalW = domainReweight(documents, iters, scaleQ, etaQ)
+      .filter(col("iter") === iters.toLong)
+      .select("source", "loss_q8", "w_ppm")
+    val avail = documents
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(sum(col("nt")).cast("long").as("avail_tokens"))
+    finalW.join(avail, Seq("source"))
+      .withColumn("alloc_tokens",
+        expr(s"w_ppm * ${budgetTokens}L div 1000000L"))
+      .withColumn("epochs_q8",
+        expr("alloc_tokens * 256L div avail_tokens"))
+      .select("source", "loss_q8", "w_ppm", "avail_tokens",
+        "alloc_tokens", "epochs_q8")
+      .orderBy("source")
+  }
+
+  /** ZIPF RANK-FREQUENCY AUDIT (round 15, wave 8) — vocabulary health
+    * in log₂-log₂ buckets: words ranked by frequency (ties broken by
+    * word), grouped into doubling rank buckets (`floor(log₂ rank)`),
+    * each bucket reporting word count, total occurrences, min/max
+    * count, and the mean `floor(log₂ cnt)` in q8. A natural-language
+    * corpus shows mean frequency bits falling ≈ linearly per bucket
+    * (Zipf slope ≈ −1); a flat profile means templated/synthetic text,
+    * a cliff means boilerplate dominating — the cheap whole-corpus
+    * sanity check before spending on per-doc quality scoring.
+    *
+    * Scale shape: one word rollup; the rank window runs over the
+    * VOCABULARY (≪ corpus — the capped-fit collect discipline's
+    * bound, but distributed), then a bucket-count rollup.
+    */
+  def zipfAudit(documents: DataFrame): DataFrame = {
+    val wc = documents.select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+    val ranked = wc
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cnt"), asc("word"))).cast("long"))
+      .withColumn("rank_bucket", (length(bin(col("rank"))) - 1).cast("long"))
+      .withColumn("freq_bits", (length(bin(col("cnt"))) - 1).cast("long"))
+    ranked.groupBy("rank_bucket")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("cnt")).cast("long").as("occurrences"),
+        min(col("cnt")).cast("long").as("min_cnt"),
+        max(col("cnt")).cast("long").as("max_cnt"),
+        sum(col("freq_bits")).cast("long").as("__sfb"))
+      .withColumn("mean_freq_bits_q8", expr("__sfb * 256L div n_words"))
+      .drop("__sfb")
+      .orderBy("rank_bucket")
+  }
+
   /** BIGRAM-CONDITIONAL SURPRISAL (round 15) — the fluency tier above
     * [[surprisalBits]]: a document's first word prices at its unigram
     * bits, every later word at floor(log₂(ctx(prev) div cnt₂(prev, w)))

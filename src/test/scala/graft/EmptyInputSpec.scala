@@ -246,4 +246,33 @@ class EmptyInputSpec extends SparkSpec {
     assert(filt.isEmpty &&
       filt.columns.toSeq == Seq("q_id", "rn", "n_id", "score_s14"))
   }
+
+  test("round-15 wave-5/6/7 operators handle empty inputs") {
+    // interval algebra: no intervals → no pairs, no coverage rows
+    val emptyIv = Seq.empty[(Long, Long, Long)]
+      .toDF("iv_id", "s_start", "s_end")
+    assert(Relational.intervalOverlapPairs(emptyIv, 10L).isEmpty)
+    val emptyIvK = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "s_start", "s_end")
+    assert(Relational.intervalCoverage(emptyIvK, "user_id").isEmpty)
+    // hard negatives / dimension audit / purity over an empty corpus
+    assert(SimilarityOps.hardNegativesTopK(emptyEmb, Seq(0L), 5).isEmpty)
+    assert(SimilarityOps.dimensionAudit(emptyEmb).isEmpty)
+    assert(SimilarityOps.mutualClusterPurity(emptyEmb, Seq(0L), 3, 2L)
+      .isEmpty)
+    // l-diversity: no rows → no QI groups
+    assert(Relational.lDiversityAudit(emptyDocs, Seq("lang"), "source",
+      2L, 2L).isEmpty)
+    // domain reweighting over an empty corpus has no mixture to return
+    // — pinned as a LOUD failure (the distributionDrift discipline)
+    intercept[IllegalArgumentException] {
+      TextOps.domainReweight(emptyDocs, iters = 2)
+    }
+    // BFS over an empty edge list is the cold-start shape: the seeds
+    // themselves at depth 0, nothing else
+    val emptyPairsLocal = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val bfs = DedupOps.bfsDepths(emptyPairsLocal, Seq(7L, 3L), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bfs == Seq((3L, 0L), (7L, 0L)))
+  }
 }

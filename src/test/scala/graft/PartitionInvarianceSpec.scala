@@ -49,7 +49,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_pack_shards_upsert",
     // r15 wave 3: the recursive CTE (per-iteration joins over the
     // truncated spine must not depend on partition count)
-    "q_sql_recursive")
+    "q_sql_recursive",
+    // r15 wave 4: stored-postings BM25 (pushed term filter + score
+    // window), CC over 60-bit name hashes with argmin survivorship,
+    // and the priority sample's per-stratum top-k
+    "q_bm25_stored", "q_entity_resolve", "q_weighted_sample",
+    // r15 waves 5-7: grid-bucketed interval self-join (later-start-cell
+    // dedup), collected-domain MW trajectory, wrong-label filtered dot
+    // ranking, iterative BFS frontier, cluster-purity argmax, and the
+    // dimension-variance rank over a single window
+    "q_interval_join", "q_domain_reweight", "q_hard_negatives",
+    "q_graph_bfs", "q_cluster_purity", "q_emb_dim_audit")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -292,4 +292,41 @@ class Round15eOpsSpec extends SparkSpec {
     assert(got == want, s"purity diverged:\n got=$got\nwant=$want")
     assert(want.nonEmpty, "no non-singleton clusters — vacuous fixture")
   }
+
+  test("mixtureSchedule: every domain scheduled once, allocation mass " +
+    "equals the budget up to ppm truncation, per-row arithmetic exact") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 50000L
+    val out = TextOps.mixtureSchedule(docs, budgetTokens = budget,
+      iters = 3).collect()
+    val nDomains = docs.select("source").distinct().count()
+    assert(out.length == nDomains, "one schedule row per domain")
+    out.foreach { r =>
+      val (w, avail, alloc, ep) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(alloc == w * budget / 1000000L)
+      assert(ep == alloc * 256L / avail)
+      assert(avail > 0)
+    }
+    val total = out.map(_.getLong(4)).sum
+    assert(total <= budget && total > budget - nDomains * (budget / 1000000L + 1),
+      s"allocated $total of $budget")
+  }
+
+  test("zipfAudit: doubling rank buckets with exact counts on a " +
+    "constructed frequency profile") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // frequencies: a=8, b=4, c=2, d=1, e=1 → ranks 1..5, buckets 0,1,1,2,2
+    val docs = Seq("a a a a a a a a b b b b c c d e")
+      .toDF("text")
+    val got = TextOps.zipfAudit(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got(0L) == (1L, 8L, 8L, 8L, 3L * 256L), s"bucket 0: ${got(0L)}")
+    assert(got(1L) == (2L, 6L, 2L, 4L, (2L + 1L) * 256L / 2L),
+      s"bucket 1: ${got(1L)}")
+    assert(got(2L) == (2L, 2L, 1L, 1L, 0L), s"bucket 2: ${got(2L)}")
+  }
 }
