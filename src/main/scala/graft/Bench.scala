@@ -15,7 +15,9 @@ object Bench {
     */
   val headline: Seq[String] = Seq(
     "q_scan_limit", "q_filter_conj", "q_topk",
-    "q_agg_multi", "q_agg_count2key", "q_grouping_sets", "q_median",
+    // q_median dropped round 15 wave 8 to fit q_interval_join under
+    // the 1.5 KB budget (agg family keeps multi/count2key/grouping_sets)
+    "q_agg_multi", "q_agg_count2key", "q_grouping_sets",
     // q_join_range dropped round 15 wave 2 to fit q_quality_agreement4
     // under the 1.5 KB budget (join family keeps inner/3way/asof)
     "q_join_inner", "q_join_3way", "q_join_asof",
@@ -35,8 +37,10 @@ object Bench {
     // keeps q_tfidf_topterms / q_repetition)
     "q_tfidf_topterms", "q_repetition",
     "q_upsert",
-    // round-3 families
-    "q_sql_q3", "q_skew_join_salted", "q_pagerank", "q_simhash_pairs",
+    // round-3 families (q_simhash_pairs dropped round 15 wave 8 to fit
+    // q_knn_graph_stored — the near-dup family keeps q_minhash_lsh /
+    // q_neardup_lsh_verified / q_dedup_exact)
+    "q_sql_q3", "q_skew_join_salted", "q_pagerank",
     // q_histogram dropped round 12 to fit q_pipeline_curate under the
     // 1.5 KB line budget (the sketch family keeps q_cms_counts +
     // q_hll_registers — the r7 cheap-near-duplicate rule)
@@ -91,7 +95,12 @@ object Bench {
     // wave's worst-cost key (~2.6 s isolated — three signal passes +
     // the bigram chain); the other nine wave keys price at or under
     // the family representatives already on the line
-    "q_quality_agreement4")
+    "q_quality_agreement4",
+    // round-15 waves 5-8 worst-cost tier (the r7 rule): the grid-
+    // bucketed interval self-join (output-bound pair growth at sf0.1)
+    // and the persisted kNN-graph build + mutual-CC serve; the other
+    // twelve wave keys price at or under existing representatives
+    "q_interval_join", "q_knn_graph_stored")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

@@ -653,4 +653,42 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"corpus must not shuffle or cross-join in the IVF search:\n$plan")
   }
+
+  test("q_decon_stored prunes the corpus scan to (doc_id, text) and " +
+    "broadcasts the read shingle artifact (r15 w5)") {
+    val plan = executedPlan("q_decon_stored")
+    val docScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("documents"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$plan")
+    docScans.foreach { rs =>
+      assert(rs.contains("doc_id") && rs.contains("text") &&
+        !rs.contains("n_chars") && !rs.contains("source"),
+        s"corpus scan reads more than (doc_id, text): $rs")
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shingle artifact side must broadcast:\n$plan")
+  }
+
+  test("q_emb_dim_audit prunes the scan to the embedding column and " +
+    "never cross-joins (r15 w6)") {
+    val plan = executedPlan("q_emb_dim_audit")
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("embedding") && !rs.contains("label") &&
+      !rs.contains("vec_id"),
+      s"scan reads more than the embedding column: $rs")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("q_interval_join: the pair join keys on the grid cell — one " +
+    "equi-join, never a cartesian or BNLJ (r15 w5)") {
+    val plan = executedPlan("q_interval_join")
+    // the exploded cell frame is lineage-truncated (self-joined), so
+    // the final plan starts at the checkpointed RDD — the pin here is
+    // the JOIN SHAPE: a cell-keyed equi-join, never pair enumeration
+    // by cartesian/BNLJ
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay a cell equi-join:\n$plan")
+  }
 }
