@@ -98,22 +98,30 @@ class Round15ePropertySpec extends SparkSpec {
 
   test("hardNegativesTopK is exactly topKDotExact run on the wrong-label " +
     "slice, for random probe choices over the fixture corpus") {
+    // cache for the repeated forAll cases, but UNPERSIST before leaving:
+    // the test JVM shares one session, and a lingering cached embeddings
+    // relation turns other suites' parquet scans into InMemoryTableScans
+    // (PushdownSpec's ReadSchema pins would read an empty plan line)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
-    val labels = emb.select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val ids = labels.keys.toSeq.sorted
-    val genProbe = Gen.oneOf(ids)
-    check(Prop.forAll(genProbe) { probe =>
-      val hard = SimilarityOps.hardNegativesTopK(emb, Seq(probe), k = 3)
-        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
-      import org.apache.spark.sql.functions.col
-      val slice = emb.filter(col("label") =!= labels(probe))
-        .unionByName(emb.filter(col("vec_id") === probe))
-      val ref = SimilarityOps.topKDotExact(slice, Seq(probe), k = 4)
-        .collect()
-        .filter(_.getLong(2) != probe).take(3)
-        .zipWithIndex.map { case (r, i) => (i + 1L, r.getLong(2), r.getLong(3)) }
-      hard.toSeq == ref.toSeq
-    })
+    try {
+      val labels = emb.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val ids = labels.keys.toSeq.sorted
+      val genProbe = Gen.oneOf(ids)
+      check(Prop.forAll(genProbe) { probe =>
+        val hard = SimilarityOps.hardNegativesTopK(emb, Seq(probe), k = 3)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+        import org.apache.spark.sql.functions.col
+        val slice = emb.filter(col("label") =!= labels(probe))
+          .unionByName(emb.filter(col("vec_id") === probe))
+        val ref = SimilarityOps.topKDotExact(slice, Seq(probe), k = 4)
+          .collect()
+          .filter(_.getLong(2) != probe).take(3)
+          .zipWithIndex.map { case (r, i) =>
+            (i + 1L, r.getLong(2), r.getLong(3))
+          }
+        hard.toSeq == ref.toSeq
+      })
+    } finally emb.unpersist()
   }
 }
