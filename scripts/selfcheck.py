@@ -7,7 +7,7 @@ Reads verifyOut/oracle_sql.json, runs each oracle in DuckDB against the
 sfDir parquet tables, reads the Spark result parquet, sorts columns by
 name, and compares exact cell values. Reports per-query PASS/FAIL.
 """
-import datetime, glob, json, math, sys
+import datetime, glob, json, math, sys, time
 from decimal import Decimal
 
 import duckdb
@@ -15,6 +15,20 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Oracle-cost budget (round-16 gate, VERDICT r15 "Next round" #2): the
+# driver's DuckDB-compare phase has a finite window (~10 min observed —
+# CORRECTNESS_r15 came back EMPTY because two oracles alone took 750 s).
+# Budget to half that window so host drift and suite growth can't push
+# us over: no single oracle > 15 s and suite total <= 300 s at sf0.01.
+# Enforced only for sf0.01 dirs (sf0.1 oracles are legitimately ~10x).
+PER_ORACLE_BUDGET_S = 15.0
+SUITE_BUDGET_S = 300.0
+
+# Pin the oracle engine: the MATERIALIZED CTE rewrite (Queries.normalize)
+# and the suite's CTE-evaluation cost model are validated on this exact
+# DuckDB line; an engine bump can silently change CTE semantics/costs.
+EXPECTED_DUCKDB = "1.0."
 
 
 class NonScalar(Exception):
@@ -54,17 +68,26 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3:])
 
+    if not duckdb.__version__.startswith(EXPECTED_DUCKDB):
+        print(f"FAIL gate: duckdb {duckdb.__version__} != pinned "
+              f"{EXPECTED_DUCKDB}x — revalidate oracle costs/semantics "
+              f"before trusting this gate")
+        sys.exit(1)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     failures = 0
+    oracle_secs = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         try:
+            t0 = time.time()
             exp = con.execute(sql).df()
+            oracle_secs[name] = time.time() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
@@ -115,6 +138,25 @@ def main():
             failures += 1
         else:
             print(f"PASS {name} ({exp.shape[0]} rows x {exp.shape[1]} cols)")
+
+    # Oracle-cost budget report + gate (full-suite sf0.01 runs only; a
+    # partial run or a bigger SF prints the table without enforcing).
+    total = sum(oracle_secs.values())
+    print(f"\noracle cost: {total:.1f}s total over {len(oracle_secs)} "
+          f"oracles (duckdb {duckdb.__version__}); top 10:")
+    for n, s in sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {s:7.2f}s {n}")
+    if not only and "sf0.01" in sf:
+        over = {n: s for n, s in oracle_secs.items()
+                if s > PER_ORACLE_BUDGET_S}
+        for n, s in sorted(over.items(), key=lambda kv: -kv[1]):
+            print(f"FAIL budget: oracle {n} took {s:.1f}s "
+                  f"(> {PER_ORACLE_BUDGET_S:.0f}s at sf0.01)")
+        if total > SUITE_BUDGET_S:
+            print(f"FAIL budget: oracle suite took {total:.1f}s "
+                  f"(> {SUITE_BUDGET_S:.0f}s at sf0.01)")
+        failures += len(over) + (1 if total > SUITE_BUDGET_S else 0)
+
     print(f"\n{'ALL PASS' if failures == 0 else str(failures) + ' FAILURES'}")
     sys.exit(1 if failures else 0)
 

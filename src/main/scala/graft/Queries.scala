@@ -141,7 +141,7 @@ object Queries {
                  w_ppm * ($scaleQ + $etaQ * greatest(0, loss_q8 - avg_q8)) AS wr
                FROM i${t - 1} CROSS JOIN a$t),
         i$t AS (SELECT source, loss_q8,
-                 CAST(wr * 1000000 // (SELECT SUM(wr) FROM r$t) AS BIGINT) AS w_ppm
+                 CAST(wr * 1000000 // SUM(wr) OVER () AS BIGINT) AS w_ppm
                FROM r$t)"""
     }.mkString(",\n        ")
     s"""w AS (SELECT source, unnest(string_split(text, ' ')) AS word
@@ -8607,15 +8607,23 @@ object Queries {
     // overlap counts/durations grow with SF.
     Declared("q_interval_join",
       (s, d) => {
+        // iv_id radix 2³² (ADVICE r15: the old ·10⁶ radix silently
+        // violated intervalOverlapPairs' iv_id-UNIQUE precondition once
+        // a user exceeded 1e6 sessions). 2³² sessions/user is ruled out
+        // by TIME, not data volume: sessions are disjoint ≥30-min spans,
+        // so 2³² of them need >245,000 years of wall clock. Remaining
+        // precondition — user_id < 2³¹ — holds for any dense id space;
+        // a corpus keyed by 64-bit hash ids must dense-rank users first.
         val iv = EventOps.sessionizeOn(events(s, d), expr("ts div 1000"),
             30L * 60L * 1000L * 1000L)
           .select(
-            (col("user_id") * lit(1000000L) + col("session_id")).as("iv_id"),
+            (col("user_id") * lit(4294967296L) + col("session_id"))
+              .as("iv_id"),
             col("session_start").as("s_start"),
             (col("session_end") + lit(7200000000L)).as("s_end"))
         Relational.intervalOverlapPairs(iv, cellUs = 14400000000L)
-          .withColumn("user_a", expr("a_id div 1000000L"))
-          .withColumn("user_b", expr("b_id div 1000000L"))
+          .withColumn("user_a", expr("a_id div 4294967296L"))
+          .withColumn("user_b", expr("b_id div 4294967296L"))
           .filter(col("user_a") =!= col("user_b"))
           .groupBy("user_a", "user_b")
           .agg(count(lit(1)).cast(LongType).as("n_overlaps"),
@@ -8930,8 +8938,33 @@ object Queries {
     all.flatMap(q => q.oracle.map(o => q.name -> normalize(o))).toMap
 
   /** Collapse the triple-quoted SQL to single-line (defensive against
-    * JSON-escaping surprises in the driver round-trip).
+    * JSON-escaping surprises in the driver round-trip), then pin every
+    * CTE to `AS MATERIALIZED`.
+    *
+    * The MATERIALIZED hint is the round-16 oracle-cost fix: DuckDB 1.0
+    * INLINES every CTE reference, so an unrolled iteration chain (Lloyd,
+    * MW-reweight, BPE rounds, k-core peel) where level t references
+    * level t-1 more than once re-evaluates the whole chain below it per
+    * reference — exponential re-execution that put single oracles at
+    * 400+ s and blew the driver's ~10-min compare window in round 15
+    * (CORRECTNESS_r15 came back empty). Forcing materialization makes
+    * each CTE evaluate exactly once: measured suite total at sf0.01
+    * dropped 164 s → 10.7 s with all 272 oracles hash-identical.
+    *
+    * Rewrite contract (regex on the whitespace-collapsed string):
+    * `name AS (` ⇒ `name AS MATERIALIZED (`. Column aliases (`expr AS
+    * name`) have no following paren; subquery aliases (`) AS t(c…)`) and
+    * column-list CTEs (`q(a, b) AS (…)`) have no bare identifier
+    * immediately before AS, so neither matches. The one non-CTE
+    * collision in the corpus — `WINDOW w AS (PARTITION …)` — is
+    * excluded by the lookbehind. selfcheck.py's per-oracle run catches
+    * any future collision as a parse error before the driver sees it.
     */
   private def normalize(sql: String): String =
-    sql.replaceAll("\\s+", " ").trim
+    sql
+      .replaceAll("\\s+", " ")
+      .trim
+      .replaceAll(
+        "(?<!WINDOW )\\b([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+        "$1 AS MATERIALIZED (")
 }

@@ -111,13 +111,19 @@ object SimilarityOps {
     * the audit — the bottom ranks are the prune/retrain candidates —
     * so no data-dependent threshold flag that could go constant.
     *
-    * Arithmetic: values quantize at s4 (×10⁴) so `n·Σv²` and `(Σv)²`
-    * stay inside int64 up to ~10⁷ unit-normalized rows — fine for the
-    * declared scales; a 100 TB run keeps the same relation but sums in
+    * Arithmetic: values quantize at s4 (×10⁴). Worst case a dimension
+    * carries the FULL unit mass of every row (vi = 10⁴, vi² = 10⁸), so
+    * `n·Σv²` = n²·10⁸ and `(Σv)²` = n²·10⁸ leave int64 near n ≈ 3·10⁵
+    * rows — that pathological bound, not the ~10⁷ typical-anisotropy
+    * one, is the contract (ADVICE r15). Beyond it the engines DIVERGE
+    * silently: non-ANSI Spark wraps the int64 product while DuckDB
+    * widens to HUGEINT/raises, so overflow surfaces as wrong var ranks
+    * on the Spark side only. A 100 TB run therefore sums `sq`/`sm` in
     * decimal(38,0) per shard before the merge (one-line swap,
-    * documented rather than paid here because int64 is what DuckDB
-    * replays exactly). `var_s8 = (n·Σv² − (Σv)²) div n²` — the exact
-    * integer population variance in s8 units, no sqrt, no doubles.
+    * documented rather than paid here because int64 at the declared
+    * scales — ≤ 10⁴ rows, never near 3·10⁵ — is what DuckDB replays
+    * exactly). `var_s8 = (n·Σv² − (Σv)²) div n²` — the exact integer
+    * population variance in s8 units, no sqrt, no doubles.
     *
     * Scale shape: one position explode + one map-side-combined
     * aggregate on the (dim-bounded) position key; the rank window runs

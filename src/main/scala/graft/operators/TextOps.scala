@@ -793,6 +793,14 @@ object TextOps {
                       iters: Int = 5, scaleQ: Long = 4096L,
                       etaQ: Long = 64L): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    // w_ppm reaches 10⁶, so alloc = w_ppm·B wraps int64 (silently, under
+    // non-ANSI Spark) once B > Long.MaxValue/10⁶ ≈ 9.2·10¹² tokens —
+    // a plausible 100 TB-scale budget (ADVICE r15). Fail loud here; a
+    // run that genuinely needs a bigger budget computes alloc in
+    // decimal(38,0) before the div (same one-line swap as dimensionAudit).
+    require(budgetTokens <= Long.MaxValue / 1000000L,
+      s"budgetTokens $budgetTokens would overflow w_ppm*B in int64; " +
+        "cap at Long.MaxValue/1e6 or switch alloc to decimal(38,0)")
     val finalW = domainReweight(documents, iters, scaleQ, etaQ)
       .filter(col("iter") === iters.toLong)
       .select("source", "loss_q8", "w_ppm")
