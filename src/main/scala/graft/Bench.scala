@@ -31,7 +31,10 @@ object Bench {
     // the 1.5 KB budget (near-dup family keeps q_minhash_lsh /
     // q_neardup_lsh_verified / q_dedup_exact)
     "q_dedup_exact", "q_minhash_lsh",
-    "q_neardup_lsh_verified", "q_neardup_clusters", "q_decontaminate",
+    // q_neardup_clusters dropped round 16 to fit q_knn_upsert_cc under
+    // the 1.5 KB budget (the CC-cluster family keeps
+    // q_neardup_clusters_star — the production star-fold variant)
+    "q_neardup_lsh_verified", "q_decontaminate",
     "q_simsearch_fast", "q_simsearch_ivf",
     // q_lang_id dropped round 15 wave 2 (same budget rule: text family
     // keeps q_tfidf_topterms / q_repetition)
@@ -100,7 +103,11 @@ object Bench {
     // bucketed interval self-join (output-bound pair growth at sf0.1)
     // and the persisted kNN-graph build + mutual-CC serve; the other
     // twelve wave keys price at or under existing representatives
-    "q_interval_join", "q_knn_graph_stored")
+    "q_interval_join", "q_knn_graph_stored",
+    // round-16: the incremental graph-upsert + CC serve is the round's
+    // worst-cost key (4.6 s isolated; q_knn_edges_upsert and
+    // q_schedule_price price under existing family representatives)
+    "q_knn_upsert_cc")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under

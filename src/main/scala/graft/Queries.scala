@@ -132,32 +132,40 @@ object Queries {
     * with CTE `i{iters}(source, loss_q8, w_ppm)`, shared by the
     * trajectory oracle and the mixture-schedule oracle.
     */
-  private def domainReweightCtes(iters: Int, scaleQ: Long,
-                                 etaQ: Long): String = {
+  /** `corpus` (round 16, default preserves the prior string modulo the
+    * harmless alias forms): the (source, text) relation the loss table
+    * derives from — the drift key refits on a different corpus. `p`
+    * prefixes every CTE name so the frozen and refit chains can share
+    * one WITH clause (the churn-oracle namespacing trick).
+    */
+  private def domainReweightCtes(iters: Int, scaleQ: Long, etaQ: Long,
+                                 corpus: String = "documents",
+                                 p: String = ""): String = {
     val iterCtes = (1 to iters).map { t =>
-      s"""a$t AS (SELECT CAST(SUM(w_ppm * loss_q8) // SUM(w_ppm) AS BIGINT) AS avg_q8
-               FROM i${t - 1}),
-        r$t AS (SELECT source, loss_q8,
+      s"""${p}a$t AS (SELECT CAST(SUM(w_ppm * loss_q8) // SUM(w_ppm) AS BIGINT) AS avg_q8
+               FROM ${p}i${t - 1}),
+        ${p}r$t AS (SELECT source, loss_q8,
                  w_ppm * ($scaleQ + $etaQ * greatest(0, loss_q8 - avg_q8)) AS wr
-               FROM i${t - 1} CROSS JOIN a$t),
-        i$t AS (SELECT source, loss_q8,
+               FROM ${p}i${t - 1} CROSS JOIN ${p}a$t),
+        ${p}i$t AS (SELECT source, loss_q8,
                  CAST(wr * 1000000 // SUM(wr) OVER () AS BIGINT) AS w_ppm
-               FROM r$t)"""
+               FROM ${p}r$t)"""
     }.mkString(",\n        ")
-    s"""w AS (SELECT source, unnest(string_split(text, ' ')) AS word
-                FROM documents),
-        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
-        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
-        wb AS (SELECT word,
+    s"""${p}w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM $corpus),
+        ${p}wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM ${p}w
+               GROUP BY word),
+        ${p}tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM ${p}wc),
+        ${p}wb AS (SELECT word,
                  CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
-               FROM wc CROSS JOIN tot),
-        dom AS (SELECT source,
+               FROM ${p}wc CROSS JOIN ${p}tot),
+        ${p}dom AS (SELECT w.source,
                  CAST(SUM(wb.bits) * 256 // COUNT(*) AS BIGINT) AS loss_q8
-               FROM w JOIN wb USING (word) GROUP BY source),
-        nd AS (SELECT COUNT(*)::BIGINT AS d FROM dom),
-        i0 AS (SELECT source, loss_q8,
+               FROM ${p}w w JOIN ${p}wb wb USING (word) GROUP BY w.source),
+        ${p}nd AS (SELECT COUNT(*)::BIGINT AS d FROM ${p}dom),
+        ${p}i0 AS (SELECT source, loss_q8,
                  CAST(1000000 // d AS BIGINT) AS w_ppm
-               FROM dom CROSS JOIN nd),
+               FROM ${p}dom CROSS JOIN ${p}nd),
         $iterCtes"""
   }
 
@@ -266,38 +274,61 @@ object Queries {
     * `q_knn_mutual_cc`) provably share one candidate/ranking definition
     * with the engine's.  Ends with CTE `g(q_id, rn, n_id, score_s14)`.
     */
-  private def knnGraphCtes(k: Int): String =
-    s"""e AS (SELECT vec_id,
+  /** `corpus`/`planes` (round 16, defaults preserve the r15 strings
+    * byte-for-byte): `corpus` is the relation being graphed; `planes`
+    * the relation whose probe-id vectors serve as hyperplanes. They
+    * differ only for the upsert keys, where the index buckets the
+    * POST-upsert corpus under the planes the BASE build froze. `p`
+    * prefixes every CTE name so TWO graph instantiations (old/new in
+    * the churn oracle) can share one WITH clause without collision.
+    */
+  private def knnGraphCtes(k: Int, corpus: String = "embeddings",
+                           planes: String = "embeddings",
+                           p: String = ""): String = {
+    val planeCtes =
+      if (planes == corpus)
+        s"""${p}pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM ${p}e
+               WHERE vec_id IN (${lshProbeIds.mkString(", ")}))"""
+      else
+        s"""${p}pe AS (SELECT vec_id,
                 CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
               FROM (SELECT vec_id, unnest(embedding) AS v,
-                      unnest(range(64)) AS pos FROM embeddings)),
-        pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM e
-               WHERE vec_id IN (${lshProbeIds.mkString(", ")})),
-        dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
-               FROM e JOIN pr USING (pos) GROUP BY e.vec_id, pr.p_id),
-        bkt AS (SELECT vec_id,
+                      unnest(range(64)) AS pos FROM $planes)),
+        ${p}pr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM ${p}pe
+               WHERE vec_id IN (${lshProbeIds.mkString(", ")}))"""
+    s"""${p}e AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM $corpus)),
+        $planeCtes,
+        ${p}dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
+               FROM ${p}e e JOIN ${p}pr pr USING (pos)
+               GROUP BY e.vec_id, pr.p_id),
+        ${p}bkt AS (SELECT vec_id,
                 CAST(SUM(CASE WHEN dt <= 0 THEN 0 ${lshProbeIds.zipWithIndex
       .map { case (pid, i) => s"WHEN p_id = $pid THEN ${1L << i}" }
       .mkString(" ")}
                          ELSE 0 END) AS BIGINT) AS bucket
-              FROM dp GROUP BY vec_id),
-        qb AS (SELECT q.vec_id AS q_id,
+              FROM ${p}dp GROUP BY vec_id),
+        ${p}qb AS (SELECT q.vec_id AS q_id,
                  CASE WHEN f.f = 0 THEN q.bucket
                       ELSE xor(q.bucket, (1::BIGINT << (f.f - 1))) END AS bucket
-               FROM bkt q
+               FROM ${p}bkt q
                CROSS JOIN (SELECT unnest(range(${lshProbeIds.size + 1})) AS f) f),
-        cand AS (SELECT qb.q_id, b.vec_id AS n_id
-                 FROM qb JOIN bkt b ON qb.bucket = b.bucket
+        ${p}cand AS (SELECT qb.q_id, b.vec_id AS n_id
+                 FROM ${p}qb qb JOIN ${p}bkt b ON qb.bucket = b.bucket
                  WHERE b.vec_id <> qb.q_id),
-        sc AS (SELECT c.q_id, c.n_id, CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
-              FROM cand c JOIN e a ON a.vec_id = c.q_id
-                          JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+        ${p}sc AS (SELECT c.q_id, c.n_id,
+                CAST(SUM(a.vi * b.vi) AS BIGINT) AS score_s14
+              FROM ${p}cand c JOIN ${p}e a ON a.vec_id = c.q_id
+                          JOIN ${p}e b ON b.vec_id = c.n_id AND a.pos = b.pos
               GROUP BY c.q_id, c.n_id),
-        g AS (SELECT q_id, rn, n_id, score_s14 FROM (
+        ${p}g AS (SELECT q_id, rn, n_id, score_s14 FROM (
           SELECT q_id, n_id, score_s14,
                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                    ORDER BY score_s14 DESC, n_id) AS BIGINT) AS rn
-          FROM sc) WHERE rn <= $k)"""
+          FROM ${p}sc) WHERE rn <= $k)"""
+  }
 
   /** DuckDB replay of [[graft.operators.SimilarityOps.mutualKnnClusters]]
     * — [[knnGraphCtes]] + mutuality + transitive closure + min-label —
@@ -311,8 +342,9 @@ object Queries {
     * CTE `ed(src, dst)`, the shared graph base of the mutual-CC,
     * BFS-depth, and purity oracles.
     */
-  private def knnMutualEdgeCtes(k: Int): String =
-    s"""${knnGraphCtes(k)},
+  private def knnMutualEdgeCtes(k: Int, corpus: String = "embeddings",
+                                planes: String = "embeddings"): String =
+    s"""${knnGraphCtes(k, corpus, planes)},
         m AS (SELECT a.q_id AS a_id, a.n_id AS b_id
               FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
               WHERE a.q_id < a.n_id),
@@ -322,8 +354,9 @@ object Queries {
   /** [[knnMutualEdgeCtes]] + transitive closure — adds CTE
     * `cl(vec_id, cluster_id)`, the per-vector cluster assignment.
     */
-  private def knnMutualClusterCtes(k: Int): String =
-    s"""${knnMutualEdgeCtes(k)},
+  private def knnMutualClusterCtes(k: Int, corpus: String = "embeddings",
+                                   planes: String = "embeddings"): String =
+    s"""${knnMutualEdgeCtes(k, corpus, planes)},
         reach(src, dst) AS (
           SELECT src, dst FROM ed
           UNION
@@ -331,13 +364,51 @@ object Queries {
         cl AS (SELECT v.vec_id,
                  LEAST(v.vec_id, COALESCE(MIN(r.dst), v.vec_id))::BIGINT
                    AS cluster_id
-               FROM (SELECT vec_id FROM embeddings) v
+               FROM (SELECT vec_id FROM $corpus) v
                LEFT JOIN reach r ON r.src = v.vec_id
                GROUP BY v.vec_id)"""
 
-  private def knnMutualOracle(k: Int): String =
-    s"""WITH RECURSIVE ${knnMutualClusterCtes(k)}
+  private def knnMutualOracle(k: Int, corpus: String = "embeddings",
+                              planes: String = "embeddings"): String =
+    s"""WITH RECURSIVE ${knnMutualClusterCtes(k, corpus, planes)}
         SELECT vec_id, cluster_id FROM cl ORDER BY vec_id"""
+
+  /** The kNN-upsert ingest fixture (round 16), defined ONCE for the two
+    * upsert keys AND the oracle corpus below so engine and oracle
+    * provably ingest the same batch: %10=0 re-crawled with new content
+    * (element-reversed, same id — except ids also taken down), %7=3
+    * inserted under +10⁶ ids (original content, unconditionally — a
+    * copy of a taken-down row under a new id is a legitimate insert).
+    */
+  private def knnUpsertBatch(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(9)) =!= 5 &&
+        pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+
+  /** The takedown list (%9=5) as a BOUNDED driver-side id list — the
+    * shape a legal takedown actually arrives in (and plane id 5 is on
+    * it, so the frozen-plane distinction is exercised).
+    */
+  private def knnUpsertDeletes(emb: DataFrame): Seq[Long] =
+    emb.filter(pmod(col("vec_id"), lit(9)) === 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  /** The post-upsert corpus as oracle SQL — MUST mirror
+    * [[knnUpsertBatch]]/[[knnUpsertDeletes]] applied through
+    * [[graft.operators.SimilarityOps.upsertedCorpus]].
+    */
+  private val knnUpsertCorpusSql: String =
+    """(SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 9 <> 5 AND vec_id % 10 <> 0
+       UNION ALL
+       SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings
+         WHERE vec_id % 9 <> 5 AND vec_id % 10 = 0
+       UNION ALL
+       SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+         WHERE vec_id % 7 = 3)"""
 
   /** Output-boundary convention (round-2 fix, VERDICT r1 §W1): money/sum
     * math stays in exact decimal INTERNALLY (order-independent), but every
@@ -8903,7 +8974,161 @@ object Queries {
                CAST(MIN(cnt) AS BIGINT) AS min_cnt,
                CAST(MAX(cnt) AS BIGINT) AS max_cnt,
                CAST(SUM(freq_bits) * 256 // COUNT(*) AS BIGINT) AS mean_freq_bits_q8
-        FROM b GROUP BY rank_bucket ORDER BY rank_bucket"""))
+        FROM b GROUP BY rank_bucket ORDER BY rank_bucket""")),
+
+    // ================= round-16 additions ==============================
+
+    // INCREMENTAL kNN-GRAPH UPSERT (SimilarityOps.knnGraphUpserted,
+    // VERDICT r15 #6): the stored edge artifact folded forward per
+    // ingest batch — %9=5 taken down, %10=0 re-crawled with new content
+    // (element-reversed, same id), %7=3 inserted under shifted ids —
+    // under the FROZEN base hyperplanes (plane 0 is re-crawled and
+    // plane 5 deleted IN the corpus, so the key exercises the
+    // planes-are-index-parameters distinction; the q_ann_codes_upsert
+    // frozen-codebook economics on the graph artifact). Unaffected
+    // queries merge their stored top-k against the broadcast batch;
+    // only queries that LOST a stored neighbor re-search. Oracle = the
+    // from-scratch graph over the post-upsert corpus bucketed by the
+    // base planes — the upsert is EXACT, so hash-equality is the
+    // incremental-maintenance contract, not an approximation bound.
+    Declared("q_knn_edges_upsert",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        SimilarityOps.knnGraphUpserted(emb, knnUpsertBatch(emb),
+          knnUpsertDeletes(emb),
+          srcDir = s"$d/embeddings.parquet",
+          outDir = new java.io.File(
+            s"target/knn_graph_${math.abs(d.hashCode.toLong)}")
+            .getAbsolutePath,
+          probeIds = lshProbeIds, k = 3)
+      },
+      Some(s"""WITH ${knnGraphCtes(3, knnUpsertCorpusSql, "embeddings")}
+        SELECT q_id, rn, n_id, score_s14 FROM g ORDER BY q_id, rn""")),
+
+    // CLUSTERS OVER THE UPSERTED GRAPH: the q_knn_edges_upsert relation
+    // through the shared mutuality + CC tail over the post-upsert
+    // corpus — semantic clusters kept current per ingest batch without
+    // ever re-self-joining the corpus. Oracle = the from-scratch
+    // cluster chain on the merged corpus under frozen planes.
+    Declared("q_knn_upsert_cc",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        SimilarityOps.mutualKnnClustersUpserted(emb, knnUpsertBatch(emb),
+          knnUpsertDeletes(emb),
+          srcDir = s"$d/embeddings.parquet",
+          outDir = new java.io.File(
+            s"target/knn_graph_${math.abs(d.hashCode.toLong)}")
+            .getAbsolutePath,
+          probeIds = lshProbeIds, k = 3)
+      },
+      Some(knnMutualOracle(3, knnUpsertCorpusSql, "embeddings"))),
+
+    // SCHEDULE EXECUTION PRICING (TextOps.schedulePriceBatches, VERDICT
+    // r15 #6): the stream-side consumer of q_mixture_schedule — two
+    // micro-batches of arriving documents (%3=2, split by doc_id
+    // parity) priced against the FROZEN schedule: each doc repeats
+    // epochs_q8 div 256 times plus one more when its md5-60 draw lands
+    // under the fractional part (stochastic rounding, retry-invariant).
+    // The 25k budget sits the per-domain epochs_q8 ASTRIDE 256 at
+    // sf0.01, so both execution regimes — subsampled domains dropping
+    // docs (repeats 0) and oversampled domains repeating them — are
+    // live in the audited values. Stateless per doc — the streaming
+    // twin (StreamingOps.priceScheduleStream) is append-safe with no
+    // state store; stream/batch parity is spec-pinned. Oracle = the
+    // shared reweight CTEs + one token rollup + the portable md5 draw.
+    Declared("q_schedule_price",
+      (s, d) => {
+        val docs = documents(s, d)
+        val arriving = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .withColumn("batch_id", pmod(col("doc_id"), lit(2)).cast(LongType))
+        TextOps.schedulePriceBatches(docs, arriving,
+          budgetTokens = 25000L, iters = 5)
+      },
+      Some(s"""WITH ${domainReweightCtes(5, 4096L, 64L)},
+        av AS (SELECT source, COUNT(*)::BIGINT AS avail_tokens
+               FROM w GROUP BY source),
+        sch AS (SELECT i5.source,
+                  (i5.w_ppm * 25000 // 1000000) * 256 // av.avail_tokens
+                    AS epochs_q8
+                FROM i5 JOIN av USING (source)),
+        arr AS (SELECT doc_id, doc_id % 2 AS batch_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents WHERE doc_id % 3 = 2),
+        px AS (SELECT a.batch_id, a.source, a.n_tokens, sch.epochs_q8,
+                 sch.epochs_q8 // 256 + CASE WHEN
+                   ('0x'||substr(md5(CAST(a.doc_id AS VARCHAR)),1,15))::BIGINT
+                     % 256 < sch.epochs_q8 % 256
+                   THEN 1 ELSE 0 END AS repeats
+               FROM arr a JOIN sch ON a.source = sch.source)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+          COUNT(*)::BIGINT AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS arr_tokens,
+          CAST(SUM(CASE WHEN repeats > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS sampled_docs,
+          CAST(SUM(n_tokens * repeats) AS BIGINT) AS sampled_tokens,
+          CAST(MAX(epochs_q8) AS BIGINT) AS epochs_q8
+        FROM px GROUP BY batch_id, source
+        ORDER BY batch_id, source""")),
+
+    // EDGE-CHURN AUDIT (SimilarityOps.knnUpsertChurn): the monitoring
+    // relation beside q_knn_edges_upsert — kept / dropped / new edge
+    // mass per ingest batch, each with its distinct-query reach. The
+    // 'dropped' row trending toward the graph size is the rebuild
+    // signal (the q_index_drift discipline on the graph artifact).
+    // Oracle: TWO namespaced instantiations of the knn CTE chain (the
+    // base graph and the frozen-plane post-upsert graph) diffed by one
+    // full-outer join.
+    Declared("q_knn_upsert_churn",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        SimilarityOps.knnUpsertChurn(emb, knnUpsertBatch(emb),
+          knnUpsertDeletes(emb),
+          srcDir = s"$d/embeddings.parquet",
+          outDir = new java.io.File(
+            s"target/knn_graph_${math.abs(d.hashCode.toLong)}")
+            .getAbsolutePath,
+          probeIds = lshProbeIds, k = 3)
+      },
+      Some(s"""WITH ${knnGraphCtes(3, "embeddings", "embeddings", "o")},
+        ${knnGraphCtes(3, knnUpsertCorpusSql, "embeddings", "n")},
+        df AS (SELECT COALESCE(og.q_id, ng.q_id) AS q_id,
+                 CASE WHEN og.q_id IS NOT NULL AND ng.q_id IS NOT NULL
+                        THEN 'kept'
+                      WHEN og.q_id IS NOT NULL THEN 'dropped'
+                      ELSE 'new' END AS status
+               FROM og FULL OUTER JOIN ng
+                 ON og.q_id = ng.q_id AND og.n_id = ng.n_id)
+        SELECT status, COUNT(*)::BIGINT AS n_edges,
+               COUNT(DISTINCT q_id)::BIGINT AS n_queries
+        FROM df GROUP BY status ORDER BY status""")),
+
+    // MIXTURE-DRIFT AUDIT (TextOps.scheduleDrift): the refreeze signal
+    // for the frozen schedule — the reweighting run once on the corpus
+    // q_mixture_schedule froze on and once on the corpus after an
+    // ingest cycle (%3=2 docs re-crawled REVERSED — new vocabulary
+    // mass, the tokenizer-drift stream trick), per-domain final loss
+    // and weight under each plus the ppm weight delta. Oracle: two
+    // namespaced reweight chains joined on the domain.
+    Declared("q_schedule_drift",
+      (s, d) => {
+        val docs = documents(s, d)
+        val current = docs.select("source", "text")
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+            .select(col("source"), reverse(col("text")).as("text")))
+        TextOps.scheduleDrift(docs, current, iters = 5)
+      },
+      Some(s"""WITH ${domainReweightCtes(5, 4096L, 64L)},
+        ${domainReweightCtes(5, 4096L, 64L,
+          """(SELECT source, text FROM documents
+              UNION ALL
+              SELECT source, reverse(text) AS text FROM documents
+              WHERE doc_id % 3 = 2)""", "n")}
+        SELECT source, i5.loss_q8 AS loss_frozen,
+               ni5.loss_q8 AS loss_refit, i5.w_ppm AS w_frozen,
+               ni5.w_ppm AS w_refit,
+               ni5.w_ppm - i5.w_ppm AS delta_ppm
+        FROM i5 JOIN ni5 USING (source)
+        ORDER BY source"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -301,13 +301,27 @@ object SimilarityOps {
     * pick |probes| ≈ log₂(corpus / target bucket size) so buckets stay
     * executor-sized at any corpus scale.
     */
-  private def signBuckets(withInts: DataFrame, probeIds: Seq[Long]): DataFrame = {
+  private def signBuckets(withInts: DataFrame, probeIds: Seq[Long]): DataFrame =
+    signBucketsWithPlanes(withInts,
+      withInts
+        .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
+        .select(col("vec_id").as("p_id"), col("vi").as("pvi")),
+      probeIds)
+
+  /** [[signBuckets]] with the hyperplane frame supplied EXPLICITLY
+    * (round 16): the planes are index PARAMETERS, not corpus rows — an
+    * incremental maintainer ([[knnGraphUpserted]]) must bucket new
+    * content under the planes the BASE build froze, even when the plane
+    * vectors themselves were re-crawled or deleted from the corpus
+    * (the codesUpsert frozen-codebook discipline applied to sign-LSH).
+    * `probes` carries (p_id, pvi); bit index = p_id's POSITION in
+    * `probeIds`, as in [[signBuckets]].
+    */
+  private def signBucketsWithPlanes(withInts: DataFrame, probes: DataFrame,
+                                    probeIds: Seq[Long]): DataFrame = {
     require(probeIds.nonEmpty && probeIds.size <= 63 &&
       probeIds.distinct.size == probeIds.size,
       s"probeIds must be 1..63 distinct ids, got $probeIds")
-    val probes = withInts
-      .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
-      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
     val bitVal = probeIds.zipWithIndex
       .map { case (pid, i) => (col("p_id") === pid, lit(1L << i)) }
       .foldLeft(lit(0L)) { case (acc, (cond, v)) => when(cond, v).otherwise(acc) }
@@ -1948,10 +1962,25 @@ object SimilarityOps {
     * by the graph's natural key, no global sort.
     */
   def knnGraphExact(embeddings: DataFrame, probeIds: Seq[Long],
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    knnGraphExactWithPlanes(embeddings, embeddings, probeIds, k)
+
+  /** [[knnGraphExact]] with the hyperplane SOURCE decoupled from the
+    * corpus (round 16): `planesFrom`'s probe-id vectors bucket
+    * `corpus`. The two coincide for the fresh build; they differ for
+    * the incremental path, where [[knnGraphUpserted]]'s output is
+    * hash-checked against THIS from-scratch build over the post-upsert
+    * corpus under the BASE corpus's frozen planes.
+    */
+  def knnGraphExactWithPlanes(corpus: DataFrame, planesFrom: DataFrame,
+                              probeIds: Seq[Long], k: Int): DataFrame = {
     // 2 consumers (both sides of the bucket self-join) — the usual
     // truncation discipline so sign assignment runs once
-    val bucketed = signBuckets(withFixedInts(embeddings), probeIds)
+    val bucketed = signBucketsWithPlanes(withFixedInts(corpus),
+      withFixedInts(planesFrom)
+        .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
+        .select(col("vec_id").as("p_id"), col("vi").as("pvi")),
+      probeIds)
       .lineageTruncate()
     val numPlanes = probeIds.size
     val probeBuckets = array((col("bucket") +: (0 until numPlanes).map(p =>
@@ -2139,4 +2168,177 @@ object SimilarityOps {
         .select(col("q_id"), col("n_id")),
       embeddings, checkpointDir)
   }
+
+  /** The post-upsert corpus: `base` minus the deleted ids, minus the
+    * re-crawled ids (whose NEW content arrives in `batch`), plus the
+    * batch. Shared by [[knnGraphUpserted]] and its cluster consumer so
+    * the two cannot disagree about corpus membership.
+    */
+  def upsertedCorpus(base: DataFrame, batch: DataFrame,
+                     deleteIds: Seq[Long]): DataFrame = {
+    val batchKeys = batch.select("vec_id").distinct()
+    base
+      .filter(if (deleteIds.isEmpty) lit(true)
+        else !col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
+      .join(batchKeys, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding")
+      .unionByName(batch.select("vec_id", "embedding"))
+  }
+
+  /** INCREMENTAL kNN-GRAPH UPSERT (round 16) — the
+    * [[knnGraphWrite]] artifact's maintenance path: fold a batch of
+    * re-crawled / inserted vectors plus a takedown list into the STORED
+    * edge relation without rebuilding the graph, under the FROZEN base
+    * hyperplanes (the q_ann_codes_upsert no-refit economics applied to
+    * the graph artifact). The result is EXACTLY the from-scratch
+    * [[knnGraphExact]] over the post-upsert corpus bucketed by the
+    * frozen planes — hash-checkable, not approximate — because:
+    *
+    *  - an unchanged query's bucket is unchanged under frozen planes, so
+    *    its stored top-k remains the true top-k over the SURVIVING old
+    *    candidates (any old candidate outside it ranks strictly below by
+    *    the total order (score DESC, n_id), and a sub-k stored list
+    *    already holds every old candidate);
+    *  - only batch vectors can therefore displace into an unaffected
+    *    query's list — one bucket-equi-join of the old queries against
+    *    the batch-only candidate side covers them;
+    *  - a query whose stored list LOST a member (an edge to a deleted or
+    *    re-crawled id) gets a full re-search: rank-(k+1) old vectors may
+    *    be promoted, and no merge of survivors can see them. That
+    *    affected set is bounded by |invalid|·k stored rows.
+    *
+    * Scale shape: never a corpus×corpus self-join. Per batch the work is
+    * one bucket pass over the merged corpus (at 100 TB the unchanged
+    * vectors' buckets would ALSO be served from a persisted bucket
+    * column — same memo discipline as the edges), a broadcast-small
+    * batch-candidate join against the old queries, and full searches
+    * only for the batch + affected queries (|batch|·(1+planes)/2^planes
+    * of the corpus each). Deletes propagate by edge invalidation, not by
+    * rebuild.
+    */
+  def knnGraphUpserted(base: DataFrame, batch: DataFrame,
+                       deleteIds: Seq[Long], srcDir: String, outDir: String,
+                       probeIds: Seq[Long], k: Int): DataFrame = {
+    knnGraphWrite(base, srcDir, outDir, probeIds, k)
+    val stored = base.sparkSession.read.parquet(s"$outDir/edges")
+    val delFilter: Column =
+      if (deleteIds.isEmpty) lit(false)
+      else col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*)
+    val batchKeys = batch.select("vec_id").distinct().lineageTruncate()
+
+    // FROZEN hyperplanes: the probe vectors as the BASE build saw them —
+    // re-crawled or deleted plane ids keep their index-time content
+    val planes = withFixedInts(base)
+      .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
+    val bucketed = signBucketsWithPlanes(
+      withFixedInts(upsertedCorpus(base, batch, deleteIds)),
+      planes, probeIds).lineageTruncate()
+
+    // stored rows pointing at a deleted or re-crawled id are stale;
+    // their queries need the full re-search (see scaladoc)
+    val invalidN = batchKeys
+      .unionByName(base.filter(delFilter).select("vec_id"))
+      .distinct()
+    val affectedQ = stored
+      .join(invalidN.select(col("vec_id").as("n_id")), Seq("n_id"),
+        "left_semi")
+      .select(col("q_id").as("vec_id")).distinct()
+    val fullQ = affectedQ.unionByName(batchKeys).distinct()
+      .filter(!delFilter)
+      .lineageTruncate()
+
+    val numPlanes = probeIds.size
+    val probeBuckets = array((col("bucket") +: (0 until numPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+
+    // (a) full re-search: batch + affected queries against everything
+    val fullQueries = bucketed
+      .join(fullQ, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
+        explode(probeBuckets).as("bucket"))
+    val fullCands = bucketed
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket"))
+      .join(fullQueries, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .select("q_id", "n_id", "score_s14")
+
+    // (b) unaffected old queries: stored list survives verbatim; only
+    // batch vectors can displace, via one bucket join against the
+    // broadcast-small batch candidate side
+    val keepQueries = bucketed
+      .join(fullQ, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
+        explode(probeBuckets).as("bucket"))
+    val freshCands = broadcast(bucketed
+      .join(batchKeys, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket")))
+      .join(keepQueries, Seq("bucket"))
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .select("q_id", "n_id", "score_s14")
+    val keptStored = stored
+      .join(fullQ.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
+      .filter(if (deleteIds.isEmpty) lit(true)
+        else !col("q_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
+      .select("q_id", "n_id", "score_s14")
+
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    keptStored.unionByName(freshCands).unionByName(fullCands)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  /** EDGE-CHURN AUDIT of the graph upsert (round 16) — the monitoring
+    * relation a maintainer watches per ingest batch: how many stored
+    * edges survived ('kept'), how many were invalidated or displaced
+    * ('dropped'), and how many the batch introduced ('new'), each with
+    * the distinct query count it touched. A 'dropped' mass trending
+    * toward the graph size is the rebuild/re-plan signal — the
+    * q_index_drift discipline applied to the graph artifact.
+    *
+    * Scale shape: both graphs are n·k rows; the diff is ONE full-outer
+    * equi-join on (q_id, n_id) + a 3-key rollup. Nothing beyond the
+    * upsert's own cost.
+    */
+  def knnUpsertChurn(base: DataFrame, batch: DataFrame,
+                     deleteIds: Seq[Long], srcDir: String, outDir: String,
+                     probeIds: Seq[Long], k: Int): DataFrame = {
+    val newG = knnGraphUpserted(base, batch, deleteIds, srcDir, outDir,
+      probeIds, k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("in_new"))
+    // knnGraphUpserted just built/validated the artifact — read it back
+    val oldG = base.sparkSession.read.parquet(s"$outDir/edges")
+      .select(col("q_id"), col("n_id"), lit(1L).as("in_old"))
+    oldG.join(newG, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNotNull && col("in_new").isNotNull, "kept")
+          .when(col("in_old").isNotNull, "dropped")
+          .otherwise(lit("new")))
+      .groupBy("status")
+      .agg(count(lit(1)).cast(LongType).as("n_edges"),
+        countDistinct(col("q_id")).cast(LongType).as("n_queries"))
+      .orderBy("status")
+  }
+
+  /** Mutual-kNN clustering over the UPSERTED graph — the
+    * [[knnGraphUpserted]] edge relation fed to the shared mutuality +
+    * CC tail over the post-upsert corpus: how a 100 TB pipeline keeps
+    * its semantic clusters current per ingest batch without ever
+    * re-self-joining the corpus. Same parameters ⇒ the same oracle as a
+    * from-scratch build on the merged corpus under frozen planes.
+    */
+  def mutualKnnClustersUpserted(base: DataFrame, batch: DataFrame,
+                                deleteIds: Seq[Long], srcDir: String,
+                                outDir: String, probeIds: Seq[Long], k: Int,
+                                checkpointDir: Option[String] = None)
+      : DataFrame =
+    mutualClustersFromGraph(
+      knnGraphUpserted(base, batch, deleteIds, srcDir, outDir, probeIds, k)
+        .select(col("q_id"), col("n_id")).lineageTruncate(),
+      upsertedCorpus(base, batch, deleteIds), checkpointDir)
 }

@@ -818,6 +818,112 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** SCHEDULE EXECUTION PRICING (round 16) — the operational consumer
+    * of [[mixtureSchedule]], closing reweight → schedule → EXECUTION:
+    * each arriving document is priced against the FROZEN schedule's
+    * per-domain oversampling factor. A doc from domain s repeats
+    * `epochs_q8(s) div 256` times plus one more with probability
+    * `(epochs_q8 mod 256)/256` — stochastic rounding of the repetition
+    * factor, drawn DETERMINISTICALLY from the doc id's portable md5-60
+    * hash (the weighted-sample draw discipline), so the executed sample
+    * is retry-invariant and engine-exact. Domains the frozen schedule
+    * never saw price to zero repeats (allocated nothing) while their
+    * arriving mass still reports — the new-domain monitor signal.
+    *
+    * Stateless per document given the domain-bounded (source,
+    * epochs_q8) table — which is exactly what makes the streaming twin
+    * ([[graft.streaming.StreamingOps.priceScheduleStream]]) safe in
+    * append mode with no state store, the scoreTokenizerStream
+    * discipline. This batch side rolls the same per-doc pricing up per
+    * (batch_id, source).
+    *
+    * Scale shape: [[mixtureSchedule]]'s cost once per freeze (domain-
+    * bounded collect), then ONE map pass over the arriving stream (the
+    * schedule rides in a literal map) + a map-side-combined rollup on
+    * the (batches × domains)-bounded key. The corpus that FITTED the
+    * schedule is never touched again.
+    */
+  def schedulePriceBatches(documents: DataFrame, arriving: DataFrame,
+                           budgetTokens: Long, iters: Int = 5,
+                           scaleQ: Long = 4096L,
+                           etaQ: Long = 64L): DataFrame = {
+    val sched = mixtureSchedule(documents, budgetTokens, iters, scaleQ, etaQ)
+      .select("source", "epochs_q8")
+      // bounded collect: one row per DOMAIN — the frozen schedule a
+      // training job ships to its loaders anyway
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    priceDocsAgainstSchedule(arriving, sched)
+      .groupBy("batch_id", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("arr_tokens"),
+        sum(when(col("repeats") > 0, 1L).otherwise(0L)).cast("long")
+          .as("sampled_docs"),
+        sum(col("n_tokens") * col("repeats")).cast("long")
+          .as("sampled_tokens"),
+        max(col("epochs_q8")).as("epochs_q8"))
+      .orderBy("batch_id", "source")
+  }
+
+  /** MIXTURE-DRIFT AUDIT (round 16) — the refreeze signal for the
+    * frozen schedule, closing the lifecycle the tokenizer-drift key
+    * opened for the OTHER frozen artifact: run [[domainReweight]] once
+    * on the corpus the schedule froze on and once on the corpus as it
+    * stands after an ingest cycle, and report per domain the final
+    * loss and weight under each, plus the ppm weight delta. A delta
+    * mass drifting from zero is the signal that the executed mixture
+    * ([[schedulePriceBatches]]) no longer matches what the reweighting
+    * would choose today — time to refreeze.
+    *
+    * Scale shape: two reweight plans (each one corpus explode + two
+    * rollups + the domain-bounded driver loop) + a domain-sized join.
+    */
+  def scheduleDrift(frozenCorpus: DataFrame, currentCorpus: DataFrame,
+                    iters: Int = 5, scaleQ: Long = 4096L,
+                    etaQ: Long = 64L): DataFrame = {
+    val frozen = domainReweight(frozenCorpus, iters, scaleQ, etaQ)
+      .filter(col("iter") === iters.toLong)
+      .select(col("source"), col("loss_q8").as("loss_frozen"),
+        col("w_ppm").as("w_frozen"))
+    val current = domainReweight(currentCorpus, iters, scaleQ, etaQ)
+      .filter(col("iter") === iters.toLong)
+      .select(col("source"), col("loss_q8").as("loss_refit"),
+        col("w_ppm").as("w_refit"))
+    frozen.join(current, Seq("source"), "full_outer")
+      .withColumn("loss_frozen", coalesce(col("loss_frozen"), lit(0L)))
+      .withColumn("loss_refit", coalesce(col("loss_refit"), lit(0L)))
+      .withColumn("w_frozen", coalesce(col("w_frozen"), lit(0L)))
+      .withColumn("w_refit", coalesce(col("w_refit"), lit(0L)))
+      .withColumn("delta_ppm", col("w_refit") - col("w_frozen"))
+      .select("source", "loss_frozen", "loss_refit", "w_frozen",
+        "w_refit", "delta_ppm")
+      .orderBy("source")
+  }
+
+  /** The per-document stateless pricing projection shared by
+    * [[schedulePriceBatches]] and the streaming twin: n_tokens,
+    * epochs_q8 (0 for unseen domains), the md5-drawn repeat count, and
+    * the repeated token mass. `domainEpochs` is the frozen schedule's
+    * domain-bounded (source, epochs_q8) table as literals.
+    */
+  def priceDocsAgainstSchedule(docs: DataFrame,
+                               domainEpochs: Seq[(String, Long)])
+      : DataFrame = {
+    require(domainEpochs.nonEmpty,
+      "domainEpochs must be non-empty — freeze the schedule first")
+    val em = map(domainEpochs.flatMap { case (s, e) =>
+      Seq(lit(s), lit(e)) }: _*)
+    docs
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("epochs_q8",
+        coalesce(element_at(em, col("source")), lit(0L)))
+      .withColumn("__draw",
+        DedupOps.md5Hash60(col("doc_id").cast("string")) % 256L)
+      .withColumn("repeats",
+        expr("epochs_q8 div 256L") +
+          when(col("__draw") < expr("epochs_q8 % 256L"), 1L).otherwise(0L))
+      .drop("__draw")
+  }
+
   /** ZIPF RANK-FREQUENCY AUDIT (round 15, wave 8) — vocabulary health
     * in log₂-log₂ buckets: words ranked by frequency (ties broken by
     * word), grouped into doubling rank buckets (`floor(log₂ rank)`),

@@ -599,6 +599,25 @@ object StreamingOps {
             .otherwise(0L)).as("oov_words"))
   }
 
+  /** Streaming SCHEDULE pricing against the frozen mixture (round 16)
+    * — the online half of
+    * [[graft.operators.TextOps.schedulePriceBatches]]: each arriving
+    * document prices to its md5-drawn repeat count under the frozen
+    * per-domain oversampling factor, as a STATELESS projection — no
+    * aggregation, no state store, safe in append mode at any
+    * watermark. Downstream rolls (source, n_tokens, repeats) per
+    * micro-batch however it likes; a monitor watching unpriced mass
+    * (epochs_q8 = 0 rows) rise is the new-domain / schedule-refreeze
+    * signal, the scoreTokenizerStream OOV discipline. `domainEpochs`
+    * is the domain-bounded frozen schedule — the same
+    * bounded-driver-state contract as the vocab maps.
+    */
+  def priceScheduleStream(stream: DataFrame,
+                          domainEpochs: Seq[(String, Long)]): DataFrame =
+    graft.operators.TextOps.priceDocsAgainstSchedule(
+      stream.filter(col("text").isNotNull), domainEpochs)
+      .select("doc_id", "source", "n_tokens", "epochs_q8", "repeats")
+
   /** Streaming BIGRAM surprisal against a frozen fit (round 15) — the
     * online twin of [[graft.operators.TextOps.surprisalBigramBits]],
     * completing the every-batch-filter-has-a-stream-twin symmetry for

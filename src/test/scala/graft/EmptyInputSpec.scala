@@ -275,4 +275,18 @@ class EmptyInputSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(bfs == Seq((3L, 0L), (7L, 0L)))
   }
+
+  test("round-16 operators handle empty inputs") {
+    // pricing an empty arriving stream against a frozen schedule: no
+    // rows, but the frozen-schedule precondition stays loud
+    assert(TextOps.priceDocsAgainstSchedule(emptyDocs,
+      Seq("src0" -> 512L)).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextOps.priceDocsAgainstSchedule(emptyDocs, Seq.empty)
+    }
+    // schedule fitting itself inherits domainReweight's loud failure
+    intercept[IllegalArgumentException] {
+      TextOps.schedulePriceBatches(emptyDocs, emptyDocs, 1000L)
+    }
+  }
 }

@@ -59,7 +59,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // ranking, iterative BFS frontier, cluster-purity argmax, and the
     // dimension-variance rank over a single window
     "q_interval_join", "q_domain_reweight", "q_hard_negatives",
-    "q_graph_bfs", "q_cluster_purity", "q_emb_dim_audit")
+    "q_graph_bfs", "q_cluster_purity", "q_emb_dim_audit",
+    // r16: the incremental graph upsert (stored-edge merge + rank
+    // across three candidate unions), the md5-drawn schedule
+    // execution, and the two-chain drift join must not depend on
+    // partition count
+    "q_knn_edges_upsert", "q_schedule_price", "q_schedule_drift")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"
