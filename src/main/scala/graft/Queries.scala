@@ -57,14 +57,18 @@ object Queries {
     * hash-equality between the two declared rows IS the stored-vs-fresh
     * parity contract (the q_simsearch_ivfpq_stored pattern).
     */
-  private def bm25Oracle(k: Int): String =
+  /** `corpus` (round 16, default preserves the r15 string): the
+    * (doc_id, text) relation being indexed — the postings-upsert key
+    * passes the base ∪ appended-batch union.
+    */
+  private def bm25Oracle(k: Int, corpus: String = "documents"): String =
     s"""WITH tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-                     FROM documents)
+                     FROM $corpus)
                GROUP BY doc_id, word),
         dl AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-               FROM documents),
+               FROM $corpus),
         dfq AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word),
         scs AS (SELECT COUNT(*)::BIGINT AS n_docs,
                   CAST(SUM(dl) AS BIGINT) AS l_total,
@@ -9128,7 +9132,83 @@ object Queries {
                ni5.w_ppm AS w_refit,
                ni5.w_ppm - i5.w_ppm AS delta_ppm
         FROM i5 JOIN ni5 USING (source)
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // INCREMENTAL POSTINGS UPSERT (RetrievalOps.bm25TopKUpserted): the
+    // codesUpsert economics on the lexical index — a new-crawl batch
+    // (%5=4 docs under +3e7 ids) tokenized ONCE and served against the
+    // stored postings/df/scalars with pure-ADDITION statistic updates
+    // (old docs' scores shift correctly under the new N/avgdl/df — no
+    // stale-idf approximation); re-used ids refused loudly. Oracle =
+    // the proven bm25 chain over the merged corpus, exact because
+    // disjoint-id union commutes with every rollup.
+    Declared("q_bm25_postings_upsert",
+      (s, d) => {
+        val docs = documents(s, d)
+        val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+          .withColumn("doc_id", col("doc_id") + lit(30000000L))
+        RetrievalOps.bm25TopKUpserted(base, batch,
+          srcDir = s"$d/documents.parquet",
+          outDir = new java.io.File(
+            s"target/bm25_base_${math.abs(d.hashCode.toLong)}")
+            .getAbsolutePath,
+          queries = bm25Queries, k = 10)
+      },
+      Some(bm25Oracle(10,
+        """(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+           UNION ALL
+           SELECT doc_id + 30000000 AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 4)"""))),
+
+    // SCHEDULE-EXECUTED PACKING (TextOps.packScheduledBins): the
+    // sampled stream — each arriving doc realized `repeats` times —
+    // concatenated in (doc_id, copy) order and cut into 300-token bins
+    // per (micro-batch, domain): the training batches the frozen
+    // mixture actually assembles, closing reweight → schedule → price
+    // → pack. The prefix-sum window partitions by (batch_id, source),
+    // never globally. Oracle = the shared reweight/pricing CTEs + a
+    // copy-unnest + the proven gaps-and-islands prefix sum.
+    Declared("q_pack_scheduled",
+      (s, d) => {
+        val docs = documents(s, d)
+        val arriving = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+          .withColumn("batch_id", pmod(col("doc_id"), lit(2)).cast(LongType))
+        TextOps.packScheduledBins(docs, arriving,
+          budgetTokens = 25000L, binTokens = 300L, iters = 5)
+      },
+      Some(s"""WITH ${domainReweightCtes(5, 4096L, 64L)},
+        av AS (SELECT source, COUNT(*)::BIGINT AS avail_tokens
+               FROM w GROUP BY source),
+        sch AS (SELECT i5.source,
+                  (i5.w_ppm * 25000 // 1000000) * 256 // av.avail_tokens
+                    AS epochs_q8
+                FROM i5 JOIN av USING (source)),
+        arr AS (SELECT doc_id, doc_id % 2 AS batch_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents WHERE doc_id % 3 = 2),
+        px AS (SELECT a.doc_id, a.batch_id, a.source, a.n_tokens,
+                 sch.epochs_q8 // 256 + CASE WHEN
+                   ('0x'||substr(md5(CAST(a.doc_id AS VARCHAR)),1,15))::BIGINT
+                     % 256 < sch.epochs_q8 % 256
+                   THEN 1 ELSE 0 END AS repeats
+               FROM arr a JOIN sch ON a.source = sch.source),
+        cp AS (SELECT batch_id, source, doc_id, n_tokens,
+                 unnest(range(1, repeats + 1)) AS copy
+               FROM px WHERE repeats >= 1),
+        pf AS (SELECT batch_id, source, doc_id, copy, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY batch_id, source ORDER BY doc_id, copy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bf
+               FROM cp)
+        SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+          CAST(bf // 300 AS BIGINT) AS bin,
+          COUNT(*)::BIGINT AS n_items,
+          COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM pf GROUP BY batch_id, source, bin
+        ORDER BY batch_id, source, bin"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -205,6 +205,81 @@ object RetrievalOps {
     bm25TopKFromIndex(documents.sparkSession, outDir, queries, k)
   }
 
+  /** INCREMENTAL POSTINGS UPSERT (round 16) — the codesUpsert/
+    * pack_shards_upsert economics applied to the lexical index: a batch
+    * of NEW documents is tokenized ONCE (batch-only [[tfDl]]) and the
+    * stored index serves the merged corpus without ever re-reading the
+    * base postings beyond the query terms —
+    *
+    *  - postings: the term-pushed stored scan UNION the batch-only
+    *    posting rows (ids disjoint, so union IS the merged tf relation);
+    *  - df: stored ⊕ batch per-word counts (full-outer coalesced sum);
+    *  - scalars: stored (N, L) plus the batch delta — BM25's global
+    *    statistics update by pure ADDITION, which is what makes the
+    *    lexical index append-friendly where the ANN index needed frozen
+    *    codebooks. Scores of OLD documents shift correctly under the
+    *    new N/avgdl/df — no stale-idf approximation.
+    *
+    * APPEND-ONLY by contract: a batch doc_id already in the base would
+    * double-count its tf, so a clash fails loudly (the
+    * pack_shards_upsert interleaving-refusal discipline). Oracle = the
+    * from-scratch [[bm25TopK]] chain over the merged corpus — exact,
+    * because disjoint-id union commutes with every rollup above.
+    *
+    * Scale shape: batch-only explode + the usual broadcast-small
+    * df/scalars/terms; the stored postings contribute a pushed
+    * `word IN (terms)` scan exactly as [[bm25TopKFromIndex]].
+    */
+  def bm25TopKUpserted(base: DataFrame, batch: DataFrame, srcDir: String,
+                       outDir: String,
+                       queries: Seq[(String, Seq[String])],
+                       k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopKUpserted needs at least one query with at least one term")
+    bm25WriteIndex(base, srcDir, outDir)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val clash = batch.select("doc_id")
+      .join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "bm25TopKUpserted is append-only: batch doc_ids must be NEW " +
+        "(a re-crawled id would double-count its term frequencies — " +
+        "delete-then-append or rebuild instead)")
+    val termList = queries.flatMap(_._2).distinct.map(_.asInstanceOf[Any])
+    val (btf, bdl) = tfDl(batch)
+    val btfT = btf.lineageTruncate() // 2 consumers: df delta + postings
+    val bdlT = bdl.lineageTruncate() // 2 consumers: postings + scalars
+    val postings = spark.read.parquet(s"$outDir/postings")
+      .filter(col("word").isin(termList: _*))
+      .unionByName(btfT.join(bdlT, Seq("doc_id"))
+        .select("word", "doc_id", "tf", "dl")
+        .filter(col("word").isin(termList: _*)))
+    val dfRel = spark.read.parquet(s"$outDir/df")
+      .filter(col("word").isin(termList: _*))
+      .join(btfT.groupBy("word")
+        .agg(count(lit(1)).cast(LongType).as("df_b"))
+        .filter(col("word").isin(termList: _*)),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"))
+    val scalars = spark.read.parquet(s"$outDir/scalars")
+      .crossJoin(bdlT.agg(
+        count(lit(1)).cast(LongType).as("n_b"),
+        coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("l_b")))
+      .select((col("n_docs") + col("n_b")).as("n_docs"),
+        (col("l_total") + col("l_b")).as("l_total"))
+      .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
+    val terms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "word")
+    val matched = postings
+      .join(broadcast(terms), Seq("word"))
+      .join(broadcast(dfRel), Seq("word"))
+      .crossJoin(broadcast(scalars))
+    bm25ScoreRank(matched, k)
+  }
+
   /** Per-probe tf·idf-dot ranking: neighbors of each probe document by
     * the integer dot product of `tf·(10⁶ div df)` weight vectors (the
     * [[DedupOps.tfidfCosinePairs]] weight grid), self excluded, top

@@ -864,6 +864,49 @@ object TextOps {
       .orderBy("batch_id", "source")
   }
 
+  /** SCHEDULE-EXECUTED PACKING (round 16) — the step after
+    * [[schedulePriceBatches]]: the sampled stream (each doc realized
+    * `repeats` times by the md5-drawn stochastic rounding) concatenated
+    * in (doc_id, copy) order and cut into fixed `binTokens` bins per
+    * (batch, domain) — the training batches a run under the frozen
+    * mixture actually assembles, closing reweight → schedule → price →
+    * PACK. Attribution is [[packSequences]]' concat-then-chunk rule:
+    * each copy lands in the bin its first token falls in.
+    *
+    * Scale shape: the pricing map pass + one copy-explode (bounded by
+    * Σrepeats ≤ max_epochs·|batch|), then ONE prefix-sum window
+    * partitioned by (batch_id, source) — bounded by the micro-batch,
+    * never a global sort — and a (batches × domains × bins)-key rollup.
+    */
+  def packScheduledBins(documents: DataFrame, arriving: DataFrame,
+                        budgetTokens: Long, binTokens: Long,
+                        iters: Int = 5, scaleQ: Long = 4096L,
+                        etaQ: Long = 64L): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    val sched = mixtureSchedule(documents, budgetTokens, iters, scaleQ,
+        etaQ)
+      .select("source", "epochs_q8")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val copies = priceDocsAgainstSchedule(arriving, sched)
+      // repeats >= 1 BEFORE sequence(): Spark's sequence(1, 0) counts
+      // DOWN ([1, 0]) rather than yielding empty — dropped docs must
+      // never reach the explode
+      .filter(col("repeats") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("repeats"))))
+    val before = Window.partitionBy("batch_id", "source")
+      .orderBy("doc_id", "copy")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    copies
+      .withColumn("__before",
+        coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${binTokens}L"))
+      .groupBy("batch_id", "source", "bin")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"))
+      .orderBy("batch_id", "source", "bin")
+  }
+
   /** MIXTURE-DRIFT AUDIT (round 16) — the refreeze signal for the
     * frozen schedule, closing the lifecycle the tokenizer-drift key
     * opened for the OTHER frozen artifact: run [[domainReweight]] once

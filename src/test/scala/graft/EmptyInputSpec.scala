@@ -288,5 +288,10 @@ class EmptyInputSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.schedulePriceBatches(emptyDocs, emptyDocs, 1000L)
     }
+    // packing an empty arriving stream: schedule fit fails loudly on
+    // an empty corpus; with a real corpus and empty stream it's empty
+    intercept[IllegalArgumentException] {
+      TextOps.packScheduledBins(emptyDocs, emptyDocs, 1000L, 100L)
+    }
   }
 }

@@ -62,9 +62,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_graph_bfs", "q_cluster_purity", "q_emb_dim_audit",
     // r16: the incremental graph upsert (stored-edge merge + rank
     // across three candidate unions), the md5-drawn schedule
-    // execution, and the two-chain drift join must not depend on
-    // partition count
-    "q_knn_edges_upsert", "q_schedule_price", "q_schedule_drift")
+    // execution, the two-chain drift join, the postings-upsert
+    // full-outer df merge, and the per-(batch, source) prefix-sum
+    // packing must not depend on partition count
+    "q_knn_edges_upsert", "q_schedule_price", "q_schedule_drift",
+    "q_bm25_postings_upsert", "q_pack_scheduled")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -141,6 +141,56 @@ class Round16OpsSpec extends SparkSpec {
       "reversed re-crawl must move ppm mass")
   }
 
+  test("bm25 postings upsert equals the from-scratch index over the " +
+    "merged corpus, and refuses a re-used doc_id loudly") {
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .withColumn("doc_id", col("doc_id") + lit(30000000L))
+    val qs = Seq("q1" -> Seq("dup", "merge"), "q2" -> Seq("spark", "the"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25_upsert_spec").toString
+    val got = RetrievalOps.bm25TopKUpserted(base, batch,
+      srcDir = s"$sf/documents.parquet", outDir = dir, qs, k = 7)
+      .collect().map(_.toString).toSeq
+    val want = RetrievalOps.bm25TopK(base.unionByName(batch), qs, k = 7)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // append-only contract: an id on both sides fails loudly
+    intercept[IllegalArgumentException] {
+      RetrievalOps.bm25TopKUpserted(base, base.limit(1),
+        srcDir = s"$sf/documents.parquet", outDir = dir, qs, k = 7)
+    }
+  }
+
+  test("scheduled packing conserves the priced token mass per " +
+    "(batch, domain) and realizes repeats as bin items") {
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .withColumn("batch_id", pmod(col("doc_id"), lit(2)).cast("long"))
+    val packed = TextOps.packScheduledBins(docs, arriving,
+      budgetTokens = 25000L, binTokens = 300L, iters = 3)
+      .groupBy("batch_id", "source")
+      .agg(sum(col("bin_tokens")).as("packed_tokens"),
+        sum(col("n_items")).as("items"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val priced = TextOps.schedulePriceBatches(docs, arriving,
+      budgetTokens = 25000L, iters = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(5)).toMap
+    // every priced group with sampled mass packs exactly that mass
+    priced.foreach { case (key, sampledTokens) =>
+      val (packedTokens, _) = packed.getOrElse(key, (0L, 0L))
+      assert(packedTokens == sampledTokens,
+        s"$key packs $packedTokens of $sampledTokens sampled tokens")
+    }
+    assert(packed.nonEmpty)
+  }
+
   test("schedule pricing: streaming twin matches the batch projection " +
     "doc-for-doc; repeats realize the epochs_q8 stochastic rounding; " +
     "unknown domains price to zero") {
