@@ -108,6 +108,49 @@ object Bench {
     // worst-cost key (4.6 s isolated; q_knn_edges_upsert and
     // q_schedule_price price under existing family representatives)
     "q_knn_upsert_cc")
+    // round-17 drops (the established cheap-near-duplicate rule), to pay
+    // the line budget for the positional control samples (VERDICT r16
+    // #6): q_simsearch_ivf (family keeps q_simsearch_fast /
+    // q_simsearch_pq_refined), q_cms_counts (keeps q_hll_registers),
+    // q_join_asof (keeps q_join_inner / q_join_3way), q_window_rank
+    // (keeps q_window_session), q_mixture_epochs (keeps
+    // q_dedup_tokens_saved / q_dsir_weights), q_repetition (keeps
+    // q_tfidf_topterms / q_boilerplate), q_zorder_scan (keeps
+    // q_bucketed_join), q_bpe_merges (q_pipeline_curate_bpe carries the
+    // BPE cost path), q_grouping_sets (keeps q_agg_multi /
+    // q_agg_count2key). All stay measured in target/bench.json.
+    .filterNot(Set("q_simsearch_ivf", "q_cms_counts", "q_join_asof",
+      "q_window_rank", "q_mixture_epochs", "q_repetition",
+      "q_zorder_scan", "q_bpe_merges", "q_grouping_sets"))
+
+  /** The four fixed-plan CONTROL keys (VERDICT r16 #6): cheap queries
+    * whose plans have been stable since round 10, re-timed min-of-2
+    * every [[controlEvery]] suite positions (and at the end) so a
+    * driver-vs-local divergence is attributable FROM THE ARTIFACT
+    * ALONE — controls inflated at a position ⇒ host/storage pressure
+    * there; controls flat while a key moved ⇒ a real plan regression.
+    * Samples ride the printed line as `ctrl_cs` rows
+    * `[position, cs…]` in THIS key order, centiseconds (10 ms
+    * resolution — a 1.3× host inflation on a 0.25 s control is 8 cs),
+    * −1 for a failed sample.
+    */
+  val controls: Seq[String] =
+    Seq("q_topk", "q_pivot", "q_agg_count2key", "q_agg_multi")
+  val controlEvery: Int = 50
+
+  /** Highest run-to-run-variance keys (round-17 triage of the r16
+    * driver artifact): the three composed pipelines run 15–20 Spark
+    * jobs per sample — the most of any key — so transient host/session
+    * pressure amplifies on them (measured same-day spread at the same
+    * suite position: 6.6→11.1 s on q_pipeline_curate, stage
+    * attribution flat at anchor throughout — SCALE.md round-17
+    * triage). They get ONE extra sample (min-of-3) so a single hot
+    * moment cannot set their reported minimum; everything else stays
+    * on the long-standing min-of-2 protocol.
+    */
+  val varianceTier: Set[String] =
+    Set("q_pipeline_curate", "q_pipeline_curate_bpe",
+      "q_pipeline_incremental")
 
   /** Sentinel a timed sample returns when its query THREW: Double.MaxValue
     * rather than the (near-zero) elapsed-to-throw time, so that under
@@ -180,8 +223,13 @@ object Bench {
     // runs measures warm steady-state and is noise-resistant; the
     // second run re-executes the full plan (nothing is persisted
     // between runs), so it is a legitimate timing, not a cache read.
-    val results = queries.sortBy(_._1).map { case (name, fn) =>
-      val t = bestOf(2)(timeOnce(fn(spark, sfDir).count()))
+    val qmap = queries.toMap
+    val ctrlKeys = controls.filter(qmap.contains)
+    val ctrlRows = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Double])]
+    val sorted = queries.sortBy(_._1)
+    val results = sorted.zipWithIndex.map { case ((name, fn), idx) =>
+      val t = bestOf(if (varianceTier(name)) 3 else 2)(
+        timeOnce(fn(spark, sfDir).count()))
       // Inter-query storage hygiene (round-8 triage of the r7 driver
       // outliers): many declared plans localCheckpoint/cache frames that
       // are only reclaimed by ContextCleaner AFTER their DataFrame is
@@ -207,14 +255,27 @@ object Bench {
       spark.catalog.clearCache()
       graft.operators.Lineage.releaseAll(spark)
       System.gc()
+      // positional control samples (VERDICT r16 #6): after the hygiene
+      // block so the controls see the same storage state the NEXT query
+      // will — a control inflated here means the position is hot, not
+      // the plan. min-of-2 like every suite key; untimed in the total.
+      if (ctrlKeys.nonEmpty &&
+          ((idx + 1) % controlEvery == 0 || idx == sorted.size - 1)) {
+        val ts = ctrlKeys.map(c =>
+          bestOf(2)(timeOnce(qmap(c)(spark, sfDir).count())))
+        spark.catalog.clearCache()
+        graft.operators.Lineage.releaseAll(spark)
+        System.gc()
+        ctrlRows += ((idx, ts))
+      }
       name -> t
     }
     val out = java.nio.file.Paths.get(jsonPath)
     if (out.getParent != null)
       java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out,
-      renderJson(results, sfDir, results.map(_._1)) + "\n")
-    renderJson(results, sfDir, headline)
+      renderJson(results, sfDir, results.map(_._1), ctrlRows.toSeq) + "\n")
+    renderJson(results, sfDir, headline, ctrlRows.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,14 +324,24 @@ object Bench {
     * round-trip it through a strict parser and bound its length.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-                 keep: Seq[String]): String = {
+                 keep: Seq[String],
+                 ctrl: Seq[(Int, Seq[Double])] = Nil): String = {
     def f(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val keepSet = keep.toSet
     val qs = results.filter(r => keepSet(r._1))
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // positional control rows: [suite position, centiseconds per
+    // control in [[controls]] order]; −1 = every sample failed
+    val ctrlJson =
+      if (ctrl.isEmpty) ""
+      else ctrl.map { case (pos, ts) =>
+        (pos.toString +: ts.map(t =>
+          if (t < 0) "-1" else math.round(t * 100).toString))
+          .mkString("[", ",", "]")
+      }.mkString(""","ctrl_cs":[""", ",", "]")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":$qs$ctrlJson,"sf":"$sfDir"}"""
   }
 }

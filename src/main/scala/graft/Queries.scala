@@ -9009,6 +9009,32 @@ object Queries {
       Some(s"""WITH ${knnGraphCtes(3, knnUpsertCorpusSql, "embeddings")}
         SELECT q_id, rn, n_id, score_s14 FROM g ORDER BY q_id, rn""")),
 
+    // THE POST-UPSERT GRAPH AS A PERSISTED GENERATION (round 17,
+    // SimilarityOps.knnGraphUpsertedStored): q_knn_edges_upsert's fold
+    // written back q_id-clustered under the knnGraphWrite fingerprint
+    // memo — a repeated upsert against an unchanged base + identical
+    // batch serves the artifact with NO base re-scan (memo-hit pinned
+    // by Round17OpsSpec via artifact mtime), and a fleet worker reads
+    // edges alone. SAME parameters ⇒ the SAME oracle as
+    // q_knn_edges_upsert: hash-equality between the two declared rows
+    // IS the generation-parity contract (the q_bm25_stored pattern).
+    Declared("q_knn_graph_upsert_stored",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val h = math.abs(d.hashCode.toLong)
+        SimilarityOps.knnGraphUpsertedStored(emb, knnUpsertBatch(emb),
+          knnUpsertDeletes(emb),
+          srcDir = s"$d/embeddings.parquet",
+          outDir = new java.io.File(s"target/knn_graph_$h")
+            .getAbsolutePath,
+          genDir = new java.io.File(s"target/knn_graph_gen_$h")
+            .getAbsolutePath,
+          batchKey = "recrawl10_new7s3_del9s5",
+          probeIds = lshProbeIds, k = 3)
+      },
+      Some(s"""WITH ${knnGraphCtes(3, knnUpsertCorpusSql, "embeddings")}
+        SELECT q_id, rn, n_id, score_s14 FROM g ORDER BY q_id, rn""")),
+
     // CLUSTERS OVER THE UPSERTED GRAPH: the q_knn_edges_upsert relation
     // through the shared mutuality + CC tail over the post-upsert
     // corpus — semantic clusters kept current per ingest batch without
@@ -9161,6 +9187,44 @@ object Queries {
            SELECT doc_id + 30000000 AS doc_id, text FROM documents
            WHERE doc_id % 5 = 4)"""))),
 
+    // POSTINGS COMPACTION / TAKEDOWN (round 17, VERDICT r16 #3 —
+    // RetrievalOps.bm25TopKCompacted): the step q_bm25_postings_upsert
+    // could not do — documents leave the corpus. One maintenance cycle
+    // writes the next index GENERATION from the stored one by pure
+    // index arithmetic: the %7=2 takedown slice's postings drop by
+    // anti-join (the takedown list stays a DISTRIBUTED join side,
+    // never an isin literal), df/N/avgdl shift DOWN by subtraction of
+    // the deleted rows' own stored statistics (base never
+    // re-tokenized), a %5=4 re-crawl batch under +3e7 ids appends
+    // tokenized-once, and the survivors rewrite word-clustered so
+    // row-group pruning survives the swap. Served through the shared
+    // bm25TopKFromIndex tail at k=8 (deliberately different request
+    // shape from the upsert key). Oracle = the proven from-scratch
+    // bm25 chain over (base ∖ takedown) ∪ batch — exact, because
+    // disjoint membership algebra commutes with every rollup.
+    Declared("q_postings_compact",
+      (s, d) => {
+        val docs = documents(s, d)
+        val h = math.abs(d.hashCode.toLong)
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+          .withColumn("doc_id", col("doc_id") + lit(30000000L))
+        RetrievalOps.bm25TopKCompacted(docs, batch,
+          deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+            .select("doc_id"),
+          srcDir = s"$d/documents.parquet",
+          baseDir = new java.io.File(s"target/bm25_index_$h")
+            .getAbsolutePath,
+          outDir = new java.io.File(s"target/bm25_compact_$h")
+            .getAbsolutePath,
+          batchKey = "del_mod7_2_add_mod5_4",
+          queries = bm25Queries, k = 8)
+      },
+      Some(bm25Oracle(8,
+        """(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 2
+           UNION ALL
+           SELECT doc_id + 30000000 AS doc_id, text FROM documents
+           WHERE doc_id % 5 = 4)"""))),
+
     // SCHEDULE-EXECUTED PACKING (TextOps.packScheduledBins): the
     // sampled stream — each arriving doc realized `repeats` times —
     // concatenated in (doc_id, copy) order and cut into 300-token bins
@@ -9256,20 +9320,63 @@ object Queries {
     * each CTE evaluate exactly once: measured suite total at sf0.01
     * dropped 164 s → 10.7 s with all 272 oracles hash-identical.
     *
-    * Rewrite contract (regex on the whitespace-collapsed string):
-    * `name AS (` ⇒ `name AS MATERIALIZED (`. Column aliases (`expr AS
-    * name`) have no following paren; subquery aliases (`) AS t(c…)`) and
-    * column-list CTEs (`q(a, b) AS (…)`) have no bare identifier
-    * immediately before AS, so neither matches. The one non-CTE
-    * collision in the corpus — `WINDOW w AS (PARTITION …)` — is
-    * excluded by the lookbehind. selfcheck.py's per-oracle run catches
-    * any future collision as a parse error before the driver sees it.
+    * Rewrite contract (round-17 tightening of the r16 regex, which
+    * rewrote every `name AS (` and relied on a `(?<!WINDOW )`
+    * lookbehind that only protected the FIRST named window): walk the
+    * collapsed string, and at each `WITH [RECURSIVE]` keyword parse the
+    * CTE prologue — identifier, optional balanced column list, ` AS (`,
+    * balanced body, then `, ` → next CTE — inserting MATERIALIZED only
+    * at those definition sites. Multi-window WINDOW clauses, derived-
+    * table aliases, and any other non-CTE `ident AS (` are untouched by
+    * construction. Column-list CTEs (`q(a, b) AS (…)`) are skipped to
+    * stay byte-identical with the r16 output (none exist in the
+    * corpus). NormalizeSpec pins the behavior; selfcheck.py's
+    * per-oracle run still catches any parse regression before the
+    * driver sees it.
     */
-  private def normalize(sql: String): String =
-    sql
-      .replaceAll("\\s+", " ")
-      .trim
-      .replaceAll(
-        "(?<!WINDOW )\\b([A-Za-z_][A-Za-z0-9_]*) AS \\(",
-        "$1 AS MATERIALIZED (")
+  private[graft] def normalize(sql: String): String = {
+    val s = sql.replaceAll("\\s+", " ").trim
+    // index just past the balanced ')' matching the '(' at `open`
+    def skipBalanced(open: Int): Int = {
+      var depth = 0; var j = open
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return j + 1 }
+        j += 1
+      }
+      s.length
+    }
+    val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+    val insertAt = scala.collection.mutable.SortedSet[Int]()
+    for (m <- "\\bWITH (RECURSIVE )?".r.findAllMatchIn(s)) {
+      var i = m.end
+      var more = true
+      while (more) {
+        more = false
+        identRe.findPrefixMatchOf(s.subSequence(i, s.length)).foreach { id =>
+          var j = i + id.end
+          val hasColList = j < s.length && s.charAt(j) == '('
+          if (hasColList) j = skipBalanced(j)
+          // a hand-pinned `AS MATERIALIZED (` is already done — step
+          // over it so the walk reaches the CTEs after it
+          val open =
+            if (s.regionMatches(j, " AS MATERIALIZED (", 0, 18)) j + 17
+            else if (s.regionMatches(j, " AS (", 0, 5)) {
+              if (!hasColList) insertAt += j + 4 // before the body '('
+              j + 4
+            } else -1
+          if (open >= 0) {
+            val bodyEnd = skipBalanced(open)
+            if (s.regionMatches(bodyEnd, ", ", 0, 2)) {
+              i = bodyEnd + 2; more = true
+            }
+          }
+        }
+      }
+    }
+    val out = new StringBuilder(s)
+    insertAt.toSeq.reverse.foreach(p => out.insert(p, "MATERIALIZED "))
+    out.toString
+  }
 }

@@ -268,6 +268,10 @@ object RetrievalOps {
       .crossJoin(bdlT.agg(
         count(lit(1)).cast(LongType).as("n_b"),
         coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("l_b")))
+      // additive stat updates are int64-safe: n_docs wraps past 9.2·10¹⁸
+      // documents and l_total past 9.2·10¹⁸ corpus tokens (≥10⁵× beyond
+      // the 100 TB target); l_total*256 in avgdl_q8 is the binding term
+      // and still allows 3.6·10¹⁶ tokens ≈ 100 PB of text (r17 audit)
       .select((col("n_docs") + col("n_b")).as("n_docs"),
         (col("l_total") + col("l_b")).as("l_total"))
       .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
@@ -278,6 +282,128 @@ object RetrievalOps {
       .join(broadcast(dfRel), Seq("word"))
       .crossJoin(broadcast(scalars))
     bm25ScoreRank(matched, k)
+  }
+
+  /** POSTINGS COMPACTION / TAKEDOWN (round 17, VERDICT r16 #3) — the
+    * step that completes the lexical index's lifecycle symmetry with
+    * the ANN artifact (build → serve → upsert → COMPACT):
+    * [[bm25TopKUpserted]] can only APPEND; real corpora also take
+    * documents DOWN (the q_card_diff takedown signal). One compaction
+    * writes the next ARTIFACT GENERATION at `outDir` from the stored
+    * generation at `baseDir` plus a maintenance batch — `deletes`
+    * (doc_ids leaving the corpus) and `batch` (new documents arriving,
+    * may be empty) — by PURE index arithmetic:
+    *
+    *  - postings: stored rows anti-joined against the takedown keys,
+    *    union the batch-only rows (tokenized ONCE), rewritten
+    *    word-clustered exactly as [[bm25WriteIndex]] so row-group
+    *    pruning survives the generation swap;
+    *  - df: stored minus the deleted docs' per-word counts plus the
+    *    batch's — df shifts DOWN by subtraction, no corpus re-scan;
+    *  - scalars: (N, L) minus the deleted docs' counts/lengths (read
+    *    from the denormalized dl channel of the DELETED postings rows
+    *    themselves) plus the batch's — BM25's global statistics update
+    *    by pure addition/subtraction, so surviving documents score
+    *    correctly under the post-takedown N/avgdl/df with the base
+    *    corpus NEVER re-tokenized.
+    *
+    * Contract guards (the [[bm25TopKUpserted]] clash discipline):
+    * batch ids must be NEW (an id already in the base would
+    * double-count tf) and disjoint from `deletes` (delete+re-add is
+    * two maintenance cycles, the knnGraphUpserted rule). Memoized on
+    * the source fingerprint + `batchKey` (the caller's identity for
+    * this batch/takedown set — the ivfPqCompactWrite discipline).
+    *
+    * Scale shape: one stored-postings scan (the rewrite is unavoidable
+    * and IS the compaction), the takedown keys as a distributed
+    * semi/anti join side (never an `isin` literal — a 100 TB takedown
+    * list is itself a table), batch-only tokenization, and three
+    * broadcast-sized stat rollups.
+    */
+  def bm25CompactWrite(base: DataFrame, batch: DataFrame,
+                       deletes: DataFrame, srcDir: String, baseDir: String,
+                       outDir: String, batchKey: String,
+                       rangeParts: Int = 32): Boolean = {
+    bm25WriteIndex(base, srcDir, baseDir)
+    val spark = base.sparkSession
+    val delKeys = deletes.select("doc_id").distinct()
+    val reAdd = batch.select("doc_id")
+      .join(delKeys, Seq("doc_id"), "left_semi").limit(1).count()
+    require(reAdd == 0L,
+      "bm25CompactWrite: batch doc_ids and deletes must be disjoint — " +
+        "a delete+re-add is two maintenance cycles, not one")
+    val clash = batch.select("doc_id")
+      .join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "bm25CompactWrite: batch doc_ids must be NEW (an id already in " +
+        "the base would double-count its term frequencies — take it " +
+        "down first, then append the re-crawl)")
+    graft.sources.StorageOps.materializeCached(spark,
+      s"bm25_compact:$outDir:$batchKey:$rangeParts", srcDir, outDir) {
+      val storedP = spark.read.parquet(s"$baseDir/postings")
+      val delT = delKeys.lineageTruncate() // 3 consumers below
+      // the deleted docs' own stored rows carry every statistic the
+      // subtraction needs (tf rows per word, denormalized dl per doc)
+      val delP = storedP.join(delT, Seq("doc_id"), "left_semi")
+        .lineageTruncate() // 2 consumers: df delta + scalar delta
+      val (btf, bdl) = tfDl(batch)
+      val btfT = btf.lineageTruncate() // 2 consumers: postings + df
+      val bdlT = bdl.lineageTruncate() // 2 consumers: postings + scalars
+      storedP.join(delT, Seq("doc_id"), "left_anti")
+        .unionByName(btfT.join(bdlT, Seq("doc_id"))
+          .select("word", "doc_id", "tf", "dl"))
+        .repartitionByRange(rangeParts, col("word"))
+        .sortWithinPartitions("word", "doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/postings")
+      val dfDel = delP.groupBy("word")
+        .agg(count(lit(1)).cast(LongType).as("df_d"))
+      val dfAdd = btfT.groupBy("word")
+        .agg(count(lit(1)).cast(LongType).as("df_a"))
+      spark.read.parquet(s"$baseDir/df")
+        .join(dfDel, Seq("word"), "left_outer")
+        .select(col("word"),
+          (col("df") - coalesce(col("df_d"), lit(0L))).as("df"))
+        .join(dfAdd, Seq("word"), "full_outer")
+        .select(col("word"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_a"), lit(0L)))
+            .as("df"))
+        .filter(col("df") > 0L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/df")
+      // one dl per deleted doc (denormalized per posting — max of a
+      // constant); subtraction then addition keeps (N, L) exact
+      val delDl = delP.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      spark.read.parquet(s"$baseDir/scalars")
+        .crossJoin(delDl.agg(
+          count(lit(1)).cast(LongType).as("n_d"),
+          coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("l_d")))
+        .crossJoin(bdlT.agg(
+          count(lit(1)).cast(LongType).as("n_a"),
+          coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("l_a")))
+        .select((col("n_docs") - col("n_d") + col("n_a")).as("n_docs"),
+          (col("l_total") - col("l_d") + col("l_a")).as("l_total"))
+        .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
+        .write.mode("overwrite").parquet(s"$outDir/scalars")
+    }
+    true
+  }
+
+  /** Compact-then-serve: the declared-key entry point for the
+    * post-takedown lexical search. The served relation is EXACTLY the
+    * from-scratch [[bm25TopK]] over (base ∖ deletes) ∪ batch — disjoint
+    * membership algebra commutes with every rollup above — so the
+    * from-scratch oracle over the surviving corpus IS the identity
+    * contract (the [[bm25TopKStored]] pattern).
+    */
+  def bm25TopKCompacted(base: DataFrame, batch: DataFrame,
+                        deletes: DataFrame, srcDir: String,
+                        baseDir: String, outDir: String, batchKey: String,
+                        queries: Seq[(String, Seq[String])],
+                        k: Int): DataFrame = {
+    bm25CompactWrite(base, batch, deletes, srcDir, baseDir, outDir,
+      batchKey)
+    bm25TopKFromIndex(base.sparkSession, outDir, queries, k)
   }
 
   /** Per-probe tf·idf-dot ranking: neighbors of each probe document by

@@ -2218,7 +2218,23 @@ object SimilarityOps {
     */
   def knnGraphUpserted(base: DataFrame, batch: DataFrame,
                        deleteIds: Seq[Long], srcDir: String, outDir: String,
-                       probeIds: Seq[Long], k: Int): DataFrame = {
+                       probeIds: Seq[Long], k: Int,
+                       broadcastBatch: Boolean = true): DataFrame = {
+    // batch∩deleteIds would leave the re-added vector serving as a
+    // candidate while fullQ's !delFilter denies it a top-k list of its
+    // own — silent divergence from the from-scratch oracle. Refuse
+    // loudly (the bm25TopKUpserted append-only clash discipline):
+    // delete-then-upsert are two separate batches.
+    if (deleteIds.nonEmpty) {
+      val clash = batch.select("vec_id")
+        .filter(col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
+        .limit(1).count()
+      require(clash == 0L,
+        "knnGraphUpserted: batch vec_ids and deleteIds must be disjoint " +
+          "(a deleted-and-re-added id would serve as a candidate but " +
+          "never receive its own top-k list — run the delete and the " +
+          "re-add as separate upserts)")
+    }
     knnGraphWrite(base, srcDir, outDir, probeIds, k)
     val stored = base.sparkSession.read.parquet(s"$outDir/edges")
     val delFilter: Column =
@@ -2272,9 +2288,13 @@ object SimilarityOps {
       .join(fullQ, Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
         explode(probeBuckets).as("bucket"))
-    val freshCands = broadcast(bucketed
+    val batchSide = bucketed
       .join(batchKeys, Seq("vec_id"), "left_semi")
-      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket")))
+      .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket"))
+    // broadcastBatch=false falls back to a shuffled bucket join for
+    // re-crawl batches too large to broadcast (the decontaminateSemantic
+    // hint-parameter discipline per the r10 rule)
+    val freshCands = (if (broadcastBatch) broadcast(batchSide) else batchSide)
       .join(keepQueries, Seq("bucket"))
       .withColumn("score_s14",
         graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
@@ -2289,6 +2309,53 @@ object SimilarityOps {
     keptStored.unionByName(freshCands).unionByName(fullCands)
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "score_s14")
+      .orderBy("q_id", "rn")
+  }
+
+  /** PERSIST THE POST-UPSERT GRAPH AS THE NEXT ARTIFACT GENERATION
+    * (round 17, VERDICT r16 #5) — the q_ann_compact generation story
+    * applied to edges: [[knnGraphUpserted]] produces a session-local
+    * PLAN; this writes it back q_id-clustered at `genDir` under the
+    * same fingerprint-memo discipline as [[knnGraphWrite]], keyed on
+    * the source fingerprint plus `batchKey` (the caller's identity for
+    * this batch/takedown set — the ivfPqCompactWrite discipline). A
+    * repeated upsert against an unchanged base + identical batch is a
+    * memo HIT: no base-embeddings re-scan, no edge fold, no rewrite —
+    * the generation on disk serves (Round17OpsSpec pins the hit by
+    * artifact mtime). Corpus regeneration moves the fingerprint and
+    * forces the rebuild, exactly as the codes path.
+    */
+  def knnGraphUpsertWrite(base: DataFrame, batch: DataFrame,
+                          deleteIds: Seq[Long], srcDir: String,
+                          outDir: String, genDir: String, batchKey: String,
+                          probeIds: Seq[Long], k: Int): Boolean = {
+    graft.sources.StorageOps.materializeCached(base.sparkSession,
+      s"knn_graph_gen:$genDir:$batchKey:k=$k:p=${probeIds.mkString("_")}",
+      srcDir, genDir) {
+      knnGraphUpserted(base, batch, deleteIds, srcDir, outDir, probeIds, k)
+        .repartitionByRange(8, col("q_id"))
+        .sortWithinPartitions("q_id", "rn")
+        .write.mode("overwrite").parquet(s"$genDir/edges")
+    }
+    true
+  }
+
+  /** Write-if-needed + serve the persisted post-upsert generation —
+    * the fleet path for the maintained graph: a worker session reads
+    * the edge artifact alone. Same parameters ⇒ the SAME oracle as the
+    * in-plan [[knnGraphUpserted]] key: hash-equality between the two
+    * declared rows IS the generation-parity contract (the
+    * q_bm25_stored pattern).
+    */
+  def knnGraphUpsertedStored(base: DataFrame, batch: DataFrame,
+                             deleteIds: Seq[Long], srcDir: String,
+                             outDir: String, genDir: String,
+                             batchKey: String, probeIds: Seq[Long],
+                             k: Int): DataFrame = {
+    knnGraphUpsertWrite(base, batch, deleteIds, srcDir, outDir, genDir,
+      batchKey, probeIds, k)
+    base.sparkSession.read.parquet(s"$genDir/edges")
       .select("q_id", "rn", "n_id", "score_s14")
       .orderBy("q_id", "rn")
   }

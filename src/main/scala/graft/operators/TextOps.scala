@@ -858,6 +858,9 @@ object TextOps {
         sum(col("n_tokens")).cast("long").as("arr_tokens"),
         sum(when(col("repeats") > 0, 1L).otherwise(0L)).cast("long")
           .as("sampled_docs"),
+        // int64-safe by priceDocsAgainstSchedule's repeats<2³¹ require:
+        // per-doc product < 2⁶³ for docs under 4G tokens, and the group
+        // sum wraps only past 9.2·10¹⁸ sampled tokens per batch×domain
         sum(col("n_tokens") * col("repeats")).cast("long")
           .as("sampled_tokens"),
         max(col("epochs_q8")).as("epochs_q8"))
@@ -887,7 +890,22 @@ object TextOps {
         etaQ)
       .select("source", "epochs_q8")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val copies = priceDocsAgainstSchedule(arriving, sched)
+    packDocsAgainstSchedule(arriving, sched, binTokens)
+  }
+
+  /** The per-batch packing tail shared by [[packScheduledBins]] and the
+    * streaming twin ([[graft.streaming.StreamingOps
+    * .packScheduledStream]]) — stream/batch parity BY CONSTRUCTION,
+    * the curateIngest discipline. `arriving` must carry (batch_id,
+    * doc_id, source, text); the window partitions per (batch_id,
+    * source), so in the stream twin the frame is exactly one
+    * micro-batch and the prefix sum never crosses batches.
+    */
+  def packDocsAgainstSchedule(arriving: DataFrame,
+                              domainEpochs: Seq[(String, Long)],
+                              binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be > 0, got $binTokens")
+    val copies = priceDocsAgainstSchedule(arriving, domainEpochs)
       // repeats >= 1 BEFORE sequence(): Spark's sequence(1, 0) counts
       // DOWN ([1, 0]) rather than yielding empty — dropped docs must
       // never reach the explode
@@ -897,6 +915,9 @@ object TextOps {
       .orderBy("doc_id", "copy")
       .rowsBetween(Window.unboundedPreceding, -1)
     copies
+      // prefix sum over the realized copies: bounded by the group's
+      // sampled token mass — int64-safe under the same 9.2·10¹⁸-per-
+      // batch×domain bound as schedulePriceBatches' sampled_tokens
       .withColumn("__before",
         coalesce(sum(col("n_tokens")).over(before), lit(0L)))
       .withColumn("bin", expr(s"__before div ${binTokens}L"))
@@ -953,6 +974,24 @@ object TextOps {
       : DataFrame = {
     require(domainEpochs.nonEmpty,
       "domainEpochs must be non-empty — freeze the schedule first")
+    // a duplicate source would hit Spark's opaque duplicate-map-key
+    // error (or silently last-win) inside the literal map — fail with
+    // the precondition instead
+    require(domainEpochs.map(_._1).distinct.size == domainEpochs.size,
+      "domainEpochs sources must be unique — a frozen schedule has one " +
+        "epochs_q8 row per domain")
+    // Overflow bound (ADVICE-r15 class, audited r17): downstream
+    // consumers form n_tokens·repeats and sum it per (batch, domain).
+    // With repeats < 2³¹ every per-doc product stays < 2⁶³ for any doc
+    // under 2³² (≈4·10⁹) tokens, and the per-group sum wraps only past
+    // 9.2·10¹⁸ sampled tokens in ONE micro-batch×domain — not a
+    // micro-batch. A schedule demanding ≥2³¹ repeats of single
+    // documents is a degenerate fit (budget ≫ corpus); refuse it here
+    // rather than wrap silently downstream.
+    require(domainEpochs.forall(_._2 / 256L < (1L << 31)),
+      "domainEpochs repeats (epochs_q8 div 256) must stay below 2^31 — " +
+        "a larger oversampling factor risks int64 wrap in " +
+        "n_tokens*repeats; refit with a smaller budget")
     val em = map(domainEpochs.flatMap { case (s, e) =>
       Seq(lit(s), lit(e)) }: _*)
     docs

@@ -1,0 +1,248 @@
+package graft
+
+import graft.operators.{SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-17 engine pins: the precondition guards the r16 ADVICE items
+  * asked for (upsert/delete disjointness, frozen-schedule key
+  * uniqueness, the repeats overflow bound) and the graph-upsert's
+  * broadcast-hint fallback parity.
+  */
+class Round17OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val probes = 0L until 8L
+
+  test("knnGraphUpserted refuses a batch that overlaps the takedown " +
+    "list (delete+re-add must be two separate upserts)") {
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 5)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val deletes = batch.select("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(deletes.nonEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_upsert_clash").toString
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.knnGraphUpserted(emb, batch, deletes,
+        srcDir = s"$sf/embeddings.parquet", outDir = dir,
+        probeIds = probes, k = 3).count()
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
+  test("knnGraphUpserted broadcastBatch=false (the shuffled-join " +
+    "fallback for large re-crawl batches) returns identical rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    val d1 = java.nio.file.Files
+      .createTempDirectory("knn_upsert_bc").toString
+    val d2 = java.nio.file.Files
+      .createTempDirectory("knn_upsert_nobc").toString
+    val withHint = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+      srcDir = s"$sf/embeddings.parquet", outDir = d1,
+      probeIds = probes, k = 3).collect().map(_.toString).toSeq
+    val without = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+      srcDir = s"$sf/embeddings.parquet", outDir = d2,
+      probeIds = probes, k = 3, broadcastBatch = false)
+      .collect().map(_.toString).toSeq
+    assert(withHint == without)
+  }
+
+  test("priceDocsAgainstSchedule refuses duplicate schedule domains " +
+    "and an epochs factor that could wrap n_tokens*repeats") {
+    val docs = Tables.documents(spark, sf)
+    val dup = intercept[IllegalArgumentException] {
+      TextOps.priceDocsAgainstSchedule(docs,
+        Seq("web" -> 256L, "web" -> 512L))
+    }
+    assert(dup.getMessage.contains("unique"))
+    val wrap = intercept[IllegalArgumentException] {
+      TextOps.priceDocsAgainstSchedule(docs,
+        Seq("web" -> (256L * (1L << 31))))
+    }
+    assert(wrap.getMessage.contains("2^31"))
+    // boundary: the largest admissible factor passes the guard
+    assert(TextOps.priceDocsAgainstSchedule(docs,
+      Seq("web" -> (256L * ((1L << 31) - 1)))).columns
+      .contains("repeats"))
+  }
+
+  // ---- postings compaction (VERDICT r16 #3) ----
+
+  test("bm25 compaction: append-then-delete ≡ from-scratch over the " +
+    "surviving corpus (df/N/avgdl shift by pure subtraction)") {
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .withColumn("doc_id", col("doc_id") + lit(30000000L))
+      .select("doc_id", "text")
+    val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_base").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_gen").toString
+    val qs = Seq("q_rare" -> Seq("dup", "merge"),
+      "q_common" -> Seq("spark", "join", "window"))
+    val got = RetrievalOps.bm25TopKCompacted(
+      docs.select("doc_id", "text"), batch, deletes,
+      srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+      outDir = outDir, batchKey = "spec", queries = qs, k = 8)
+      .collect().map(_.toString).toSeq
+    val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .select("doc_id", "text").unionByName(batch)
+    val want = RetrievalOps.bm25TopK(survivors, qs, k = 8)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("bm25 compaction refuses a batch that overlaps the takedown " +
+    "list or re-uses a live base id") {
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_guard").toString
+    def dir() = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_guard_out").toString
+    val reAdd = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25CompactWrite(docs,
+        batch = docs.filter(col("doc_id") === 0L),
+        deletes = docs.filter(col("doc_id") === 0L).select("doc_id"),
+        srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+        outDir = dir(), batchKey = "clash1")
+    }
+    assert(reAdd.getMessage.contains("disjoint"))
+    val dup = intercept[IllegalArgumentException] {
+      RetrievalOps.bm25CompactWrite(docs,
+        batch = docs.filter(col("doc_id") === 1L),
+        deletes = docs.filter(col("doc_id") === 0L).select("doc_id"),
+        srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+        outDir = dir(), batchKey = "clash2")
+    }
+    assert(dup.getMessage.contains("NEW"))
+  }
+
+  test("the compacted generation still serves as an INDEXED lookup: a " +
+    "fresh worker session gets the pushed word-IN filter and a " +
+    "repeated identical compaction is a memo HIT") {
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    val emptyBatch = docs.filter(lit(false))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_push_base").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bm25_cmp_push_gen").toString
+    def compact() = RetrievalOps.bm25CompactWrite(docs, emptyBatch,
+      deletes, srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+      outDir = outDir, batchKey = "push_spec")
+    assert(compact())
+    def mtimes() = new java.io.File(s"$outDir/postings").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes()
+    assert(compact())
+    assert(mtimes() == before,
+      "repeated identical compaction must not rewrite the generation")
+    // fleet worker: artifacts only, no memo state
+    val worker = spark.newSession()
+    val served = RetrievalOps.bm25TopKFromIndex(worker, outDir,
+      Seq("qa" -> Seq("dup", "merge")), k = 5)
+    assert(served.collect().nonEmpty)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val postingScans = allScans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("postings")))
+    assert(postingScans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("In(word")),
+      "query terms must reach the COMPACTED postings scan as a pushed " +
+        "filter — the generation swap must not lose the indexed layout")
+  }
+
+  // ---- streaming schedule-executed packing (VERDICT r16 #4) ----
+
+  test("packScheduledStream packs each micro-batch EXACTLY as the " +
+    "batch operator (shared-code parity, per micro-batch id)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val sched = TextOps.mixtureSchedule(docs, budgetTokens = 25000L,
+      iters = 5)
+      .select("source", "epochs_q8")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val arriving = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select("doc_id", "source", "text")
+    val rows = arriving.as[(Long, String, String)].collect().toSeq
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("pack_stream_ckpt").toString
+    val q = graft.streaming.StreamingOps.packScheduledStream(
+      input.toDF().toDF("doc_id", "source", "text"), sched,
+      binTokens = 300L, checkpoint = ckpt,
+      writeBins = (bins, id) =>
+        got(id) = bins.collect().map(_.toString).toSeq)
+      .start()
+    try {
+      input.addData(b0)
+      q.processAllAvailable()
+      input.addData(b1)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet == Set(0L, 1L))
+    Seq(0L -> b0, 1L -> b1).foreach { case (id, slice) =>
+      val want = TextOps.packDocsAgainstSchedule(
+        slice.toDF("doc_id", "source", "text")
+          .withColumn("batch_id", lit(id)),
+        sched, binTokens = 300L)
+        .collect().map(_.toString).toSeq
+      assert(want.nonEmpty, s"batch $id fixture must produce bins")
+      assert(got(id) == want, s"micro-batch $id stream/batch parity")
+    }
+  }
+
+  // ---- persisted post-upsert graph generation (VERDICT r16 #5) ----
+
+  test("knnGraphUpsertedStored serves the in-plan upsert's rows and a " +
+    "repeated identical upsert is a memo HIT (artifact untouched, no " +
+    "base re-scan)") {
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("knn_gen_build").toString
+    val genDir = java.nio.file.Files
+      .createTempDirectory("knn_gen_art").toString
+    def serve() = SimilarityOps.knnGraphUpsertedStored(emb, batch, Nil,
+      srcDir = s"$sf/embeddings.parquet", outDir = outDir,
+      genDir = genDir, batchKey = "spec", probeIds = probes, k = 3)
+    val first = serve().collect().map(_.toString).toSeq
+    val want = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+      srcDir = s"$sf/embeddings.parquet", outDir = outDir,
+      probeIds = probes, k = 3).collect().map(_.toString).toSeq
+    assert(first.nonEmpty && first == want)
+    def mtimes() = {
+      val d = new java.io.File(s"$genDir/edges")
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = mtimes()
+    val second = serve().collect().map(_.toString).toSeq
+    assert(second == first)
+    assert(mtimes() == before,
+      "second identical upsert must not rewrite the generation")
+  }
+}

@@ -41,11 +41,38 @@ class VerifyJsonSpec extends AnyFunSuite {
       assert(SparkEntry.queries.contains(q), s"headline query $q not declared")
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.4567891)
-    val line = Bench.renderJson(results, "/root/testdata/sf0.1", Bench.headline)
+    // worst-case ctrl_cs block: one row per controlEvery positions plus
+    // the final row, every sample 5 digits (a 123 s control)
+    val ctrlRowCount = results.size / Bench.controlEvery + 1
+    val ctrl = (0 until ctrlRowCount).map(i =>
+      (results.size - 1) -> Bench.controls.map(_ => 123.4567891))
+    val line = Bench.renderJson(results, "/root/testdata/sf0.1",
+      Bench.headline, ctrl)
     assert(line.length < 1500, s"printed bench line too long: ${line.length}")
     val parsed = parseJson(line)
     assert(parsed.get("queries").size() == Bench.headline.size)
     assert(parsed.get("n").asInt() == SparkEntry.queries.size)
+    assert(parsed.get("ctrl_cs").size() == ctrlRowCount)
+    assert(parsed.get("ctrl_cs").get(0).size() == Bench.controls.size + 1)
+    assert(parsed.get("ctrl_cs").get(0).get(1).asInt() == 12346)
+  }
+
+  test("ctrl_cs rows render positions, centiseconds, and -1 failures") {
+    val results = Seq("q_a" -> 1.0, "q_b" -> 2.0)
+    val line = Bench.renderJson(results, "sf", Seq("q_a"),
+      Seq(49 -> Seq(0.245, -1.0), 99 -> Seq(0.305, 0.62)))
+    val parsed = parseJson(line)
+    val c = parsed.get("ctrl_cs")
+    assert(c.get(0).get(0).asInt() == 49)
+    assert(c.get(0).get(1).asInt() == 25)   // 0.245 s → 25 cs (rounded)
+    assert(c.get(0).get(2).asInt() == -1)   // failed sample
+    assert(c.get(1).get(0).asInt() == 99)
+    assert(c.get(1).get(2).asInt() == 62)
+    // every control key must itself be a declared query
+    Bench.controls.foreach(c =>
+      assert(SparkEntry.queries.contains(c), s"control $c not declared"))
+    // no-ctrl rendering stays byte-identical to the r16 format
+    assert(!Bench.renderJson(results, "sf", Seq("q_a")).contains("ctrl_cs"))
   }
 
   test("bestOf takes the min of fresh samples") {
