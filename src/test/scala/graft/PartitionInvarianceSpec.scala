@@ -66,7 +66,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // full-outer df merge, and the per-(batch, source) prefix-sum
     // packing must not depend on partition count
     "q_knn_edges_upsert", "q_schedule_price", "q_schedule_drift",
-    "q_bm25_postings_upsert", "q_pack_scheduled")
+    "q_bm25_postings_upsert", "q_pack_scheduled",
+    // r17: the compacted-generation search (stat subtraction + rewrite
+    // + pushed-term scan) and the persisted post-upsert graph serve
+    // must not depend on partition count
+    "q_postings_compact", "q_knn_graph_upsert_stored")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -170,6 +170,37 @@ class Round17OpsSpec extends SparkSpec {
         "filter — the generation swap must not lose the indexed layout")
   }
 
+  test("degenerate maintenance cycles: empty deletes + empty batch " +
+    "compaction reproduces the stored index; packing an empty batch " +
+    "yields zero bins") {
+    import graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val none = docs.filter(lit(false))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("bm25_noop_base").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bm25_noop_gen").toString
+    val qs = Seq("qa" -> Seq("dup", "merge"))
+    val compacted = RetrievalOps.bm25TopKCompacted(docs, none,
+      none.select("doc_id"), srcDir = s"$sf/documents.parquet",
+      baseDir = baseDir, outDir = outDir, batchKey = "noop",
+      queries = qs, k = 5).collect().map(_.toString).toSeq
+    val stored = RetrievalOps.bm25TopKFromIndex(spark, baseDir, qs, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(compacted.nonEmpty && compacted == stored,
+      "a no-op maintenance cycle must reproduce the stored index")
+    // empty micro-batch through the shared packing tail: zero bins,
+    // declared schema intact
+    import spark.implicits._
+    val emptyArr = Seq.empty[(Long, Long, String, String)]
+      .toDF("batch_id", "doc_id", "source", "text")
+    val bins = TextOps.packDocsAgainstSchedule(emptyArr,
+      Seq("web" -> 256L), binTokens = 300L)
+    assert(bins.isEmpty)
+    assert(bins.columns.toSeq ==
+      Seq("batch_id", "source", "bin", "n_items", "n_docs", "bin_tokens"))
+  }
+
   // ---- streaming schedule-executed packing (VERDICT r16 #4) ----
 
   test("packScheduledStream packs each micro-batch EXACTLY as the " +
