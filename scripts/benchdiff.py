@@ -26,6 +26,15 @@ Accepts BOTH artifact shapes:
     lost its opening brace), re-extracted from the "tail" text;
   - raw bench line / target/bench.json: {"metric","value","queries",...}.
 
+Position-aware attribution (round 17): bench artifacts now carry
+"ctrl_cs" rows -- the four fixed-plan controls re-timed every ~50
+suite positions ([position, centiseconds...]). A suspect-real key
+whose NEAREST control row reads >= HOT_POSITION x its own suite
+minimum ran at a provably hot moment: it is attributed to transient
+host/session pressure (printed, but exempt from the triage-line
+requirement). Keys at cold positions still gate. Artifacts without
+ctrl_cs (pre-r17) behave exactly as before.
+
 Usage:
   scripts/benchdiff.py OLD.json NEW.json [--append-scale] [--gate]
 
@@ -49,20 +58,67 @@ CONTROL_FLAT = 1.3   # controls at/below this median ratio count as flat
 # known-cheap queries whose inflation indicates HOST noise, not a plan
 # regression -- rendered alongside flagged rows for attribution
 CONTROLS = ("q_topk", "q_pivot", "q_filter_conj", "q_scan_limit")
+HOT_POSITION = 1.4   # nearest ctrl row at/above this x its own suite
+                     # minimum marks the position as provably hot
 
 
 def load_queries(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:  # raw bench line / target/bench.json
-        return d["queries"], float(d.get("value", 0.0))
+        return d["queries"], float(d.get("value", 0.0)), d
     parsed = d.get("parsed")
     if not parsed:  # driver artifact whose tail lost the opening brace
         m = re.findall(r'\{"metric":.*?"sf":"[^"]*"\}', d.get("tail", ""))
         if not m:
             sys.exit(f"benchdiff: no bench line recoverable from {path}")
         parsed = json.loads(m[-1])
-    return parsed["queries"], float(parsed.get("value", 0.0))
+    return parsed["queries"], float(parsed.get("value", 0.0)), parsed
+
+
+def ctrl_row_factors(parsed):
+    """[(suite position, hotness factor)] from an artifact's ctrl_cs:
+    per row, the median over controls of (this row's centiseconds /
+    that control's minimum across rows) -- 1.0 = the run's own quiet
+    floor, >= HOT_POSITION = a provably hot stretch of the suite."""
+    rows = parsed.get("ctrl_cs") or []
+    if len(rows) < 2:
+        return []
+    ncols = len(rows[0]) - 1
+    mins = []
+    for i in range(ncols):
+        vals = [r[i + 1] for r in rows if len(r) > i + 1 and r[i + 1] > 0]
+        mins.append(min(vals) if vals else 0)
+    out = []
+    for r in rows:
+        fs = [r[i + 1] / mins[i] for i in range(ncols)
+              if len(r) > i + 1 and r[i + 1] > 0 and mins[i] > 0]
+        out.append((r[0], statistics.median(fs) if fs else None))
+    return [(p, f) for p, f in out if f is not None]
+
+
+def hot_position_split(hard_keys, new_q, new_parsed):
+    """(hot: [(key, pos, ctrl_pos, factor)], cold: [key]): split the
+    suspect-real keys by whether their nearest ctrl_cs row proves the
+    position hot. No ctrl_cs -> everything stays cold (old behavior)."""
+    facs = ctrl_row_factors(new_parsed)
+    if not facs:
+        return [], list(hard_keys)
+    all_keys = sorted(new_q)
+    n_total = int(new_parsed.get("n", len(all_keys)))
+    scale = n_total / len(all_keys) if all_keys else 1.0
+    hot, cold = [], []
+    for k in hard_keys:
+        pos = all_keys.index(k) * scale if k in all_keys else None
+        if pos is None:
+            cold.append(k)
+            continue
+        cpos, f = min(facs, key=lambda t: abs(t[0] - pos))
+        if f >= HOT_POSITION:
+            hot.append((k, int(pos), cpos, f))
+        else:
+            cold.append(k)
+    return hot, cold
 
 
 def classify(old_q, new_q, flagged):
@@ -98,8 +154,8 @@ def main():
     gate = "--gate" in sys.argv
     if len(args) != 2:
         sys.exit(__doc__)
-    old_q, old_total = load_queries(args[0])
-    new_q, new_total = load_queries(args[1])
+    old_q, old_total, _old_parsed = load_queries(args[0])
+    new_q, new_total, new_parsed = load_queries(args[1])
     common = sorted(set(old_q) & set(new_q))
     flagged = []
     for k in common:
@@ -135,7 +191,14 @@ def main():
                 f"{HARD_RATIO}x: {', '.join(hard)}. This is a plan or "
                 "suite-hygiene regression until an IsolatedBench "
                 "fresh-JVM min-of-3 triage in SCALE.md proves otherwise.")
-            missing = untriaged(hard)
+            hot, cold = hot_position_split(hard, new_q, new_parsed)
+            for k, pos, cpos, f in hot:
+                lines.append(
+                    f"  position-attributed: `{k}` (suite position ~{pos}) "
+                    f"-- nearest ctrl_cs row at {cpos} reads {f:.2f}x this "
+                    f"run's own control floor (>= {HOT_POSITION}): the "
+                    "suite was provably hot there; host pressure, not plan.")
+            missing = untriaged(cold)
             if missing:
                 lines.append(
                     "UNTRIAGED suspect-real keys (no 'triage:' line in "

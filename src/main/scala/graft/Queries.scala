@@ -9272,7 +9272,71 @@ object Queries {
           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         FROM pf GROUP BY batch_id, source, bin
-        ORDER BY batch_id, source, bin"""))
+        ORDER BY batch_id, source, bin""")),
+
+    // CCNET PERPLEXITY TERCILES (round 17, TextOps.ccnetBuckets —
+    // Wenzek et al. 2020): per DOMAIN, docs split head/middle/tail by
+    // the integer unigram code length (the LM-perplexity proxy every
+    // audited loss here uses), so curation keeps buckets per domain
+    // instead of one global threshold that starves clean-but-unusual
+    // domains. NTILE ties broken by doc_id — deterministic. Oracle =
+    // the proven q_surprisal CTE chain + the identical NTILE rollup.
+    Declared("q_ccnet_buckets",
+      (s, d) => TextOps.ccnetBuckets(documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+               FROM wc CROSS JOIN tot),
+        db AS (SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+                 CAST(SUM(wb.bits) * 256 // COUNT(*) AS BIGINT) AS bits_q8
+               FROM w JOIN wb USING (word) GROUP BY w.doc_id),
+        t3 AS (SELECT d.source, db.n_words, db.bits_q8,
+                 CAST(NTILE(3) OVER (PARTITION BY d.source
+                   ORDER BY db.bits_q8, db.doc_id) AS BIGINT) AS tercile
+               FROM db JOIN documents d USING (doc_id))
+        SELECT source, tercile, COUNT(*)::BIGINT AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS tokens,
+          MIN(bits_q8) AS min_bits_q8, MAX(bits_q8) AS max_bits_q8
+        FROM t3 GROUP BY source, tercile
+        ORDER BY source, tercile""")),
+
+    // PADDING-WASTE AUDIT (round 17, TextOps.paddingWaste): per exact
+    // length-quantile bucket — computed over the DISTINCT length-value
+    // table, whole length-groups assigned the first doc's bucket, so
+    // no ntile tie-splitting — the padded-token waste of batching that
+    // bucket to its max length, plus the one-global-batch baseline
+    // (bucket -1). The baseline-vs-bucketed waste_permille delta is
+    // the throughput argument for length-bucketed batch shaping.
+    Declared("q_padding_waste",
+      (s, d) => TextOps.paddingWaste(documents(s, d), buckets = 8),
+      Some("""WITH l AS (SELECT CAST(len(string_split(text, ' '))
+                   AS BIGINT) AS len FROM documents),
+        lc AS (SELECT len, COUNT(*)::BIGINT AS cnt FROM l GROUP BY len),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM lc),
+        cb AS (SELECT len, cnt,
+                 COALESCE(CAST(SUM(cnt) OVER (ORDER BY len
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) AS cum_before
+               FROM lc),
+        bk AS (SELECT len, cnt, cum_before * 8 // n_total AS bucket
+               FROM cb CROSS JOIN tot),
+        per AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                  CAST(SUM(len * cnt) AS BIGINT) AS sum_tokens,
+                  MAX(len) AS max_len
+                FROM bk GROUP BY bucket),
+        allr AS (SELECT bucket, n_docs, sum_tokens, max_len FROM per
+                 UNION ALL
+                 SELECT -1, CAST(SUM(n_docs) AS BIGINT),
+                   CAST(SUM(sum_tokens) AS BIGINT), MAX(max_len)
+                 FROM per)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
+          max_len, CAST(max_len * n_docs AS BIGINT) AS padded_tokens,
+          CAST((max_len * n_docs - sum_tokens) * 1000
+            // (max_len * n_docs) AS BIGINT) AS waste_permille
+        FROM allr ORDER BY bucket"""))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -700,6 +701,96 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum("bits").as("sum_bits"))
       .withColumn("bits_q8", expr("sum_bits * 256L div n_words"))
       .orderBy("doc_id")
+  }
+
+  /** CCNET-STYLE PERPLEXITY TERCILES (round 17) — the Wenzek et al.
+    * 2020 bucketing ("CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): per DOMAIN, documents split into
+    * head/middle/tail terciles by language-model perplexity, so
+    * curation keeps or reweights buckets instead of applying one
+    * global threshold — the per-domain normalization is the point
+    * (domains differ in baseline perplexity; a global cut starves
+    * clean-but-unusual domains). The loss proxy is [[surprisalBits]]'
+    * integer unigram code length (the [[domainReweight]] discipline; a
+    * production run swaps LM perplexity through the identical
+    * bucketing). Returns per (source, tercile): doc count, token mass,
+    * and the bits_q8 band — the audit read before choosing buckets.
+    *
+    * Tercile = ntile(3) within source over (bits_q8, doc_id) — the
+    * standard SQL NTILE both engines implement identically, ties
+    * broken by doc_id so the relation is hash-checkable.
+    *
+    * Scale shape: one surprisal pass (explode + two map-side-combined
+    * rollups) + ONE per-source window (each partition is one domain's
+    * doc count, never global) + a (domains × 3)-key rollup.
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val bits = surprisalBits(documents)
+      .select("doc_id", "n_words", "bits_q8")
+    val w = Window.partitionBy("source")
+      .orderBy(asc("bits_q8"), asc("doc_id"))
+    bits.join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .groupBy("source", "tercile")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("tokens"),
+        min(col("bits_q8")).as("min_bits_q8"),
+        max(col("bits_q8")).as("max_bits_q8"))
+      .orderBy("source", "tercile")
+  }
+
+  /** PADDING-WASTE AUDIT under length-bucketed batching (round 17) —
+    * the training-throughput audit: documents batched together pad to
+    * the longest member, so a batching policy's padded-token waste is
+    * `Σ_bucket (max_len·n_docs − Σ len)`. Reports each EXACT length-
+    * quantile bucket plus the one-global-batch baseline (bucket −1);
+    * the delta between the baseline's waste_permille and the buckets'
+    * IS the throughput argument for length-bucketed batch shaping.
+    *
+    * Buckets are exact quantiles computed SCALE-SAFELY: the cumulative
+    * distribution runs over the DISTINCT length-value table (bounded
+    * by max document length, not corpus size — the documented-bounded
+    * global-window discipline), and a whole length-group takes its
+    * first document's bucket (`cum_before·B div N`) — deterministic,
+    * partition-invariant, and equal-length docs never split across
+    * buckets the way raw NTILE tie-splitting would.
+    *
+    * Arithmetic: waste is per-MILLE (×1000, not ppm) so
+    * `(padded − sum)·1000` stays in int64 for any bucket under
+    * 9.2·10¹⁵ padded tokens — ~700× headroom over a 100 TB corpus
+    * split 8 ways (ppm would cut that to 9.2·10¹², reachable).
+    */
+  def paddingWaste(documents: DataFrame, buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val lens = documents
+      .select(size(words(col("text"))).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).cast("long").as("cnt"))
+      .lineageTruncate() // 2 consumers: cumulative window + total
+    val cumW = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = lens
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      .crossJoin(broadcast(
+        lens.agg(sum(col("cnt")).cast("long").as("n_total"))))
+      .withColumn("bucket", expr(s"cum_before * ${buckets}L div n_total"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).cast("long").as("n_docs"),
+        sum(col("len") * col("cnt")).cast("long").as("sum_tokens"),
+        max(col("len")).as("max_len"))
+      .lineageTruncate() // 2 consumers: bucket rows + baseline rollup
+    val baseline = per.agg(
+      sum(col("n_docs")).cast("long").as("n_docs"),
+      sum(col("sum_tokens")).cast("long").as("sum_tokens"),
+      max(col("max_len")).as("max_len"))
+      .select(lit(-1L).as("bucket"), col("n_docs"), col("sum_tokens"),
+        col("max_len"))
+    per.select("bucket", "n_docs", "sum_tokens", "max_len")
+      .unionByName(baseline)
+      .withColumn("padded_tokens", expr("max_len * n_docs"))
+      .withColumn("waste_permille",
+        expr("(padded_tokens - sum_tokens) * 1000L div padded_tokens"))
+      .orderBy("bucket")
   }
 
   /** DOMAIN REWEIGHTING by multiplicative weights (round 15, wave 5) —

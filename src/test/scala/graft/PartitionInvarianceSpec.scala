@@ -68,9 +68,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_knn_edges_upsert", "q_schedule_price", "q_schedule_drift",
     "q_bm25_postings_upsert", "q_pack_scheduled",
     // r17: the compacted-generation search (stat subtraction + rewrite
-    // + pushed-term scan) and the persisted post-upsert graph serve
-    // must not depend on partition count
-    "q_postings_compact", "q_knn_graph_upsert_stored")
+    // + pushed-term scan), the persisted post-upsert graph serve, the
+    // per-source NTILE terciles, and the distinct-length cumulative
+    // bucketing must not depend on partition count
+    "q_postings_compact", "q_knn_graph_upsert_stored",
+    "q_ccnet_buckets", "q_padding_waste")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

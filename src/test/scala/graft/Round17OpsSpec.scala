@@ -245,6 +245,58 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets: terciles PARTITION each domain's docs (sizes " +
+    "within 1), and the bits bands are non-overlapping and ordered") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      assert(ts.map(_._3).sum == perSource(src),
+        s"$src terciles must partition the domain")
+      assert(ts.map(_._3).max - ts.map(_._3).min <= 1,
+        s"$src NTILE sizes must differ by at most 1")
+      // tercile 1 = lowest-bits band: ordering by (bits, doc_id) means
+      // every bits value in tercile k is <= every value in k+1, so
+      // consecutive bands may touch at a shared boundary value but
+      // never invert
+      val sorted = ts.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._5 <= hi._4,
+            s"$src tercile ${lo._2} max_bits ${lo._5} exceeds " +
+              s"tercile ${hi._2} min_bits ${hi._4}")
+        case _ => ()
+      }
+    }
+    assert(rows.map(_._1).distinct.length > 1, "multiple domains live")
+  }
+
+  test("paddingWaste: buckets partition the corpus, equal lengths " +
+    "never split, and length-bucketed batching never pads MORE than " +
+    "the one-global-batch baseline") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.paddingWaste(docs, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val (baseline, buckets) = rows.partition(_._1 == -1L)
+    assert(baseline.length == 1 && buckets.nonEmpty &&
+      buckets.length <= 8)
+    val b = baseline.head
+    assert(buckets.map(_._2).sum == b._2, "docs partitioned")
+    assert(buckets.map(_._3).sum == b._3, "tokens partitioned")
+    assert(buckets.map(_._4).max == b._4, "baseline max is global max")
+    assert(buckets.map(_._5).sum <= b._5,
+      "bucketed padded mass must never exceed the global batch's")
+    // waste arithmetic is internally consistent on every row
+    rows.foreach { case (_, n, sum, mx, padded, permille) =>
+      assert(padded == mx * n)
+      assert(permille == (padded - sum) * 1000L / padded)
+    }
+  }
+
   // ---- persisted post-upsert graph generation (VERDICT r16 #5) ----
 
   test("knnGraphUpsertedStored serves the in-plan upsert's rows and a " +
