@@ -49,6 +49,10 @@ KNOWN_BENIGN = {
     ("q_map_funcs", "m_size"), ("q_map_funcs", "keys"),  # literal structure
     ("q_median", "p90_qty_s3"),             # uniform quantity grid
     ("q_neardup_clusters", "cluster_id"),   # %10 slice is ONE cluster (doc'd)
+    # uniform 25 docs/source testdata: every domain's doc count and its
+    # NTILE(3) head+middle size (9+8=17) are the same by construction;
+    # the token columns vary and carry the audited signal
+    ("q_ccnet_filter", "docs_in"), ("q_ccnet_filter", "docs_kept"),
     # every signal pair is evaluated over the SAME document domain
     # (docs carrying ≥1 word — the three flag frames inner-join on
     # doc_id), so n_docs is uniform across the 3 rows BY CONSTRUCTION;

@@ -9303,6 +9303,37 @@ object Queries {
         FROM t3 GROUP BY source, tercile
         ORDER BY source, tercile""")),
 
+    // CCNET FILTER DECISION (round 17, TextOps.ccnetFilter): the
+    // curation step the tercile audit feeds — keep head+middle, drop
+    // the high-perplexity tail, per DOMAIN (the published CCNet
+    // default), reported as the per-domain docs/tokens in/kept
+    // accounting. Buckets computed ONCE by the identical NTILE rule as
+    // q_ccnet_buckets, so decision provably matches audit. Oracle =
+    // the shared tercile chain + a conditional rollup.
+    Declared("q_ccnet_filter",
+      (s, d) => TextOps.ccnetFilter(documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM w GROUP BY word),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM wc),
+        wb AS (SELECT word,
+                 CAST(length(bin(t // cnt)) - 1 AS BIGINT) AS bits
+               FROM wc CROSS JOIN tot),
+        db AS (SELECT w.doc_id, COUNT(*)::BIGINT AS n_words,
+                 CAST(SUM(wb.bits) * 256 // COUNT(*) AS BIGINT) AS bits_q8
+               FROM w JOIN wb USING (word) GROUP BY w.doc_id),
+        t3 AS (SELECT d.source, db.n_words,
+                 CAST(NTILE(3) OVER (PARTITION BY d.source
+                   ORDER BY db.bits_q8, db.doc_id) AS BIGINT) AS tercile
+               FROM db JOIN documents d USING (doc_id))
+        SELECT source, COUNT(*)::BIGINT AS docs_in,
+          CAST(SUM(CASE WHEN tercile IN (1, 2) THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+          CAST(SUM(n_words) AS BIGINT) AS tokens_in,
+          CAST(SUM(CASE WHEN tercile IN (1, 2) THEN n_words ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+        FROM t3 GROUP BY source ORDER BY source""")),
+
     // PADDING-WASTE AUDIT (round 17, TextOps.paddingWaste): per exact
     // length-quantile bucket — computed over the DISTINCT length-value
     // table, whole length-groups assigned the first doc's bucket, so

@@ -739,6 +739,41 @@ object TextOps {
       .orderBy("source", "tercile")
   }
 
+  /** CCNET FILTER DECISION (round 17) — the curation step
+    * [[ccnetBuckets]]' audit feeds: keep each domain's documents whose
+    * tercile is in `keepTerciles` (CCNet's published default keeps
+    * head+middle and drops the high-perplexity tail), reported as the
+    * per-domain accounting relation a pipeline logs beside the kept
+    * corpus — docs in/kept and token mass in/kept. The audit→decision
+    * symmetry every other quality signal here has (threshold filters,
+    * the quality gate): buckets are computed ONCE with the identical
+    * NTILE rule, so the decision provably matches the audit.
+    *
+    * Scale shape: [[ccnetBuckets]]' one surprisal pass + per-source
+    * window, then a conditional rollup — no second corpus pass.
+    */
+  def ccnetFilter(documents: DataFrame,
+                  keepTerciles: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(keepTerciles.nonEmpty &&
+      keepTerciles.forall(t => t >= 1 && t <= 3),
+      s"keepTerciles must be a non-empty subset of 1..3, got $keepTerciles")
+    val bits = surprisalBits(documents)
+      .select("doc_id", "n_words", "bits_q8")
+    val w = Window.partitionBy("source")
+      .orderBy(asc("bits_q8"), asc("doc_id"))
+    val keep = col("tercile")
+      .isin(keepTerciles.map(_.toLong.asInstanceOf[Any]): _*)
+    bits.join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("docs_in"),
+        sum(when(keep, 1L).otherwise(0L)).cast("long").as("docs_kept"),
+        sum(col("n_words")).cast("long").as("tokens_in"),
+        sum(when(keep, col("n_words")).otherwise(0L)).cast("long")
+          .as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** PADDING-WASTE AUDIT under length-bucketed batching (round 17) —
     * the training-throughput audit: documents batched together pad to
     * the longest member, so a batching policy's padded-token waste is

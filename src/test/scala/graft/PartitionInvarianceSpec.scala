@@ -72,7 +72,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-source NTILE terciles, and the distinct-length cumulative
     // bucketing must not depend on partition count
     "q_postings_compact", "q_knn_graph_upsert_stored",
-    "q_ccnet_buckets", "q_padding_waste")
+    "q_ccnet_buckets", "q_ccnet_filter", "q_padding_waste")
 
   test("sampled queries are row-identical at 3 vs 17 shuffle partitions") {
     val dir = "/root/testdata/sf0.001"

@@ -274,6 +274,31 @@ class Round17OpsSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length > 1, "multiple domains live")
   }
 
+  test("ccnetFilter: the decision provably matches the audit (kept " +
+    "mass = tercile 1+2 mass per domain) and refuses bad tercile sets") {
+    val docs = Tables.documents(spark, sf)
+    val audit = TextOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val decided = TextOps.ccnetFilter(docs).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    audit.groupBy(_._1).foreach { case (src, ts) =>
+      val (in, kept, tin, tkept) = decided(src)
+      assert(in == ts.map(_._3).sum, s"$src docs_in")
+      assert(kept == ts.filter(_._2 <= 2L).map(_._3).sum, s"$src docs_kept")
+      assert(tin == ts.map(_._4).sum, s"$src tokens_in")
+      assert(tkept == ts.filter(_._2 <= 2L).map(_._4).sum,
+        s"$src tokens_kept")
+      assert(kept < in, s"$src must actually drop its tail tercile")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.ccnetFilter(docs, keepTerciles = Seq(0, 4))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.ccnetFilter(docs, keepTerciles = Nil)
+    }
+  }
+
   test("paddingWaste: buckets partition the corpus, equal lengths " +
     "never split, and length-bucketed batching never pads MORE than " +
     "the one-global-batch baseline") {
