@@ -9365,8 +9365,9 @@ object Queries {
                  FROM per)
         SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
           max_len, CAST(max_len * n_docs AS BIGINT) AS padded_tokens,
-          CAST((max_len * n_docs - sum_tokens) * 1000
-            // (max_len * n_docs) AS BIGINT) AS waste_permille
+          CAST(CASE WHEN max_len * n_docs > 0 THEN
+            (max_len * n_docs - sum_tokens) * 1000 // (max_len * n_docs)
+            ELSE 0 END AS BIGINT) AS waste_permille
         FROM allr ORDER BY bucket"""))
   )
 
@@ -9431,20 +9432,41 @@ object Queries {
     */
   private[graft] def normalize(sql: String): String = {
     val s = sql.replaceAll("\\s+", " ").trim
+    // positions inside '…' string literals ('' = escaped quote): paren
+    // counting and WITH-keyword matching must ignore these, or an
+    // unbalanced paren in a regex literal (`'[(]'`) or a literal
+    // containing `'WITH x AS ('` would misparse the prologue (r17
+    // ADVICE)
+    val inLit: Array[Boolean] = {
+      val a = new Array[Boolean](s.length)
+      var j = 0; var in = false
+      while (j < s.length) {
+        if (s.charAt(j) == '\'') {
+          if (in && j + 1 < s.length && s.charAt(j + 1) == '\'') {
+            a(j) = true; a(j + 1) = true; j += 1 // escaped '' stays inside
+          } else { in = !in; a(j) = true }
+        } else a(j) = in
+        j += 1
+      }
+      a
+    }
     // index just past the balanced ')' matching the '(' at `open`
     def skipBalanced(open: Int): Int = {
       var depth = 0; var j = open
       while (j < s.length) {
         val c = s.charAt(j)
-        if (c == '(') depth += 1
-        else if (c == ')') { depth -= 1; if (depth == 0) return j + 1 }
+        if (!inLit(j)) {
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) return j + 1 }
+        }
         j += 1
       }
       s.length
     }
     val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
     val insertAt = scala.collection.mutable.SortedSet[Int]()
-    for (m <- "\\bWITH (RECURSIVE )?".r.findAllMatchIn(s)) {
+    for (m <- "\\bWITH (RECURSIVE )?".r.findAllMatchIn(s)
+         if !inLit(m.start)) {
       var i = m.end
       var more = true
       while (more) {

@@ -823,8 +823,13 @@ object TextOps {
     per.select("bucket", "n_docs", "sum_tokens", "max_len")
       .unionByName(baseline)
       .withColumn("padded_tokens", expr("max_len * n_docs"))
+      // a bucket of all-zero-length docs (or an empty corpus baseline)
+      // has padded_tokens = 0: Spark's div would yield null where the
+      // oracle's // errors — define waste as 0 there, on both engines
       .withColumn("waste_permille",
-        expr("(padded_tokens - sum_tokens) * 1000L div padded_tokens"))
+        expr("CASE WHEN padded_tokens > 0 THEN " +
+          "(padded_tokens - sum_tokens) * 1000L div padded_tokens " +
+          "ELSE 0L END"))
       .orderBy("bucket")
   }
 

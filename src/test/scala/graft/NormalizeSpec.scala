@@ -75,4 +75,29 @@ class NormalizeSpec extends AnyFunSuite {
     val sql = "WITH q(a, b) AS (SELECT 1, 2) SELECT * FROM q ORDER BY a"
     assert(!Queries.normalize(sql).contains("MATERIALIZED"))
   }
+
+  test("unbalanced paren inside a string literal does not break the walk " +
+    "(r17 ADVICE)") {
+    val sql = """WITH a AS (SELECT regexp_extract(text, '[(]') AS p FROM t),
+                      b AS (SELECT * FROM a)
+                 SELECT * FROM b ORDER BY 1"""
+    val out = Queries.normalize(sql)
+    assert(out.contains("a AS MATERIALIZED ("))
+    assert(out.contains("b AS MATERIALIZED ("), // r17 bug: b was missed
+      out)
+  }
+
+  test("'WITH x AS (' inside a string literal is not a prologue (r17 ADVICE)") {
+    val sql = """SELECT 'WITH x AS (' AS s FROM t ORDER BY 1"""
+    assert(!Queries.normalize(sql).contains("MATERIALIZED"))
+  }
+
+  test("escaped '' quote inside a literal keeps the literal region closed") {
+    val sql = """WITH a AS (SELECT 'it''s a ) paren' AS s FROM t),
+                      b AS (SELECT * FROM a)
+                 SELECT * FROM b ORDER BY 1"""
+    val out = Queries.normalize(sql)
+    assert(out.contains("a AS MATERIALIZED ("))
+    assert(out.contains("b AS MATERIALIZED ("))
+  }
 }
