@@ -703,41 +703,134 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** CCNET-STYLE PERPLEXITY TERCILES (round 17) — the Wenzek et al.
-    * 2020 bucketing ("CCNet: Extracting High Quality Monolingual
-    * Datasets from Web Crawl Data"): per DOMAIN, documents split into
-    * head/middle/tail terciles by language-model perplexity, so
-    * curation keeps or reweights buckets instead of applying one
-    * global threshold — the per-domain normalization is the point
-    * (domains differ in baseline perplexity; a global cut starves
-    * clean-but-unusual domains). The loss proxy is [[surprisalBits]]'
-    * integer unigram code length (the [[domainReweight]] discipline; a
-    * production run swaps LM perplexity through the identical
-    * bucketing). Returns per (source, tercile): doc count, token mass,
-    * and the bits_q8 band — the audit read before choosing buckets.
+  /** Per-domain NTILE(3) over (bits_q8, doc_id) WITHOUT a corpus-sized
+    * window partition (round 18, VERDICT r17 #1) — byte-identical to
+    * `ntile(3) OVER (PARTITION BY source ORDER BY bits_q8, doc_id)`
+    * (Round18OpsSpec equates the two on ragged fixtures), but computed
+    * by CUT POINTS so no task ever sorts a whole domain:
     *
-    * Tercile = ntile(3) within source over (bits_q8, doc_id) — the
-    * standard SQL NTILE both engines implement identically, ties
-    * broken by doc_id so the relation is hash-checkable.
+    *  1. roll `ds` up to the DISTINCT (source, bits_q8) value table —
+    *     bounded by loss-value cardinality, never corpus size (the
+    *     [[paddingWaste]] discipline); cumulative counts over that
+    *     bounded table give each value group its 0-based start rank;
+    *  2. NTILE's two boundary ranks per source are pure arithmetic
+    *     (`cut_j = j·(n div 3) + min(j, n mod 3)`); locate each inside
+    *     its containing value group;
+    *  3. a cut landing INSIDE a tie group (offset > 0) needs the
+    *     doc_id NTILE would split at: rank doc_ids within the ≤2
+    *     boundary groups per source ONLY (a window partitioned by the
+    *     (source, bits_q8) tie group, semi-joined down to boundary
+    *     groups first — never a domain-wide partition);
+    *  4. broadcast the per-source (cut_bits, cut_id) pairs and assign
+    *     `tercile = 1 + Σ_j [(bits_q8, doc_id) ≥ cut_j]` by comparison.
+    *
+    * Input `ds`: (doc_id, source, n_words, bits_q8) with doc_id unique.
+    * Output adds `tercile` (long, 1..3).
+    */
+  private[graft] def tercilesByCuts(ds0: DataFrame): DataFrame = {
+    val ds = ds0.lineageTruncate() // 3 consumers: value groups,
+                                   // boundary-group ranks, assignment
+    val vg = ds.groupBy("source", "bits_q8")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cumW = Window.partitionBy("source").orderBy("bits_q8")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // both windows run over the BOUNDED value table (vg), not documents
+    val cuts = vg
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy("source")))
+      .select(col("source"), col("bits_q8"), col("cnt"),
+        col("cum_before"), col("n"),
+        explode(array(lit(1L), lit(2L))).as("j"))
+      .withColumn("cut_rank", expr("j * (n div 3) + least(j, n % 3)"))
+      // a cut at rank n means the higher bucket is empty: no boundary
+      .filter(col("cut_rank") < col("n"))
+      // keep the value group CONTAINING the cut rank
+      .filter(col("cut_rank") >= col("cum_before") &&
+        col("cut_rank") < col("cum_before") + col("cnt"))
+      .select(col("source"), col("j"), col("bits_q8").as("cut_bits"),
+        (col("cut_rank") - col("cum_before")).as("off"))
+      .lineageTruncate() // 3 consumers: boundary groups, in-group cuts,
+                         // group-start cuts
+    val bdGroups = cuts.filter(col("off") > 0L)
+      .select(col("source"), col("cut_bits").as("bits_q8")).distinct()
+    val bdRanks = ds
+      .join(broadcast(bdGroups), Seq("source", "bits_q8"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "bits_q8").orderBy("doc_id"))
+        .cast("long"))
+    val cutIn = bdRanks
+      .join(broadcast(cuts.filter(col("off") > 0L)
+        .withColumnRenamed("cut_bits", "bits_q8")),
+        Seq("source", "bits_q8"))
+      .filter(col("rn") === col("off") + 1L)
+      .select(col("source"), col("j"), col("bits_q8").as("cut_bits"),
+        col("doc_id").as("cut_id"))
+    // a cut at a group start boundary needs no doc_id: every doc_id in
+    // the group is past it
+    val cutStart = cuts.filter(col("off") === 0L)
+      .select(col("source"), col("j"), col("cut_bits"),
+        lit(Long.MinValue).as("cut_id"))
+    val cutRow = cutIn.unionByName(cutStart)
+      .groupBy("source")
+      .agg(max(when(col("j") === 1L, col("cut_bits"))).as("c1_bits"),
+        max(when(col("j") === 1L, col("cut_id"))).as("c1_id"),
+        max(when(col("j") === 2L, col("cut_bits"))).as("c2_bits"),
+        max(when(col("j") === 2L, col("cut_id"))).as("c2_id"))
+    def passed(b: Column, i: Column): Column =
+      b.isNotNull && (col("bits_q8") > b ||
+        (col("bits_q8") === b && col("doc_id") >= i))
+    ds.join(broadcast(cutRow), Seq("source"), "left_outer")
+      .withColumn("tercile",
+        lit(1L) +
+          when(passed(col("c1_bits"), col("c1_id")), 1L).otherwise(0L) +
+          when(passed(col("c2_bits"), col("c2_id")), 1L).otherwise(0L))
+      .select("doc_id", "source", "n_words", "bits_q8", "tercile")
+  }
+
+  /** The shared tercile relation both CCNet keys consume: surprisal
+    * bits joined to the domain column, terciled by [[tercilesByCuts]].
+    */
+  private def ccnetTerciles(documents: DataFrame): DataFrame =
+    tercilesByCuts(
+      surprisalBits(documents)
+        .select("doc_id", "n_words", "bits_q8")
+        .join(documents.select("doc_id", "source"), Seq("doc_id")))
+
+  /** CCNET-STYLE PERPLEXITY TERCILES (round 17; de-windowed round 18)
+    * — the Wenzek et al. 2020 bucketing ("CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data"): per DOMAIN,
+    * documents split into head/middle/tail terciles by language-model
+    * perplexity, so curation keeps or reweights buckets instead of
+    * applying one global threshold — the per-domain normalization is
+    * the point (domains differ in baseline perplexity; a global cut
+    * starves clean-but-unusual domains). The loss proxy is
+    * [[surprisalBits]]' integer unigram code length (the
+    * [[domainReweight]] discipline; a production run swaps LM
+    * perplexity through the identical bucketing). Returns per (source,
+    * tercile): doc count, token mass, and the bits_q8 band — the audit
+    * read before choosing buckets.
+    *
+    * Tercile semantics = ntile(3) within source over (bits_q8, doc_id)
+    * — the standard SQL NTILE both engines implement identically, ties
+    * broken by doc_id so the relation is hash-checkable — but computed
+    * via [[tercilesByCuts]], so at 100 TB no task ever sorts a whole
+    * domain (a web-crawl domain is terabytes; a per-source window
+    * partition would single-thread it).
     *
     * Scale shape: one surprisal pass (explode + two map-side-combined
-    * rollups) + ONE per-source window (each partition is one domain's
-    * doc count, never global) + a (domains × 3)-key rollup.
+    * rollups) + the bounded cut-point chain + a (domains × 3)-key
+    * rollup.
     */
-  def ccnetBuckets(documents: DataFrame): DataFrame = {
-    val bits = surprisalBits(documents)
-      .select("doc_id", "n_words", "bits_q8")
-    val w = Window.partitionBy("source")
-      .orderBy(asc("bits_q8"), asc("doc_id"))
-    bits.join(documents.select("doc_id", "source"), Seq("doc_id"))
-      .withColumn("tercile", ntile(3).over(w).cast("long"))
+  def ccnetBuckets(documents: DataFrame): DataFrame =
+    ccnetTerciles(documents)
       .groupBy("source", "tercile")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_words")).cast("long").as("tokens"),
         min(col("bits_q8")).as("min_bits_q8"),
         max(col("bits_q8")).as("max_bits_q8"))
       .orderBy("source", "tercile")
-  }
 
   /** CCNET FILTER DECISION (round 17) — the curation step
     * [[ccnetBuckets]]' audit feeds: keep each domain's documents whose
@@ -747,24 +840,21 @@ object TextOps {
     * corpus — docs in/kept and token mass in/kept. The audit→decision
     * symmetry every other quality signal here has (threshold filters,
     * the quality gate): buckets are computed ONCE with the identical
-    * NTILE rule, so the decision provably matches the audit.
+    * [[tercilesByCuts]] rule, so the decision provably matches the
+    * audit.
     *
-    * Scale shape: [[ccnetBuckets]]' one surprisal pass + per-source
-    * window, then a conditional rollup — no second corpus pass.
+    * Scale shape: [[ccnetBuckets]]' one surprisal pass + the bounded
+    * cut-point chain, then a conditional rollup — no second corpus
+    * pass, no per-domain window.
     */
   def ccnetFilter(documents: DataFrame,
                   keepTerciles: Seq[Int] = Seq(1, 2)): DataFrame = {
     require(keepTerciles.nonEmpty &&
       keepTerciles.forall(t => t >= 1 && t <= 3),
       s"keepTerciles must be a non-empty subset of 1..3, got $keepTerciles")
-    val bits = surprisalBits(documents)
-      .select("doc_id", "n_words", "bits_q8")
-    val w = Window.partitionBy("source")
-      .orderBy(asc("bits_q8"), asc("doc_id"))
     val keep = col("tercile")
       .isin(keepTerciles.map(_.toLong.asInstanceOf[Any]): _*)
-    bits.join(documents.select("doc_id", "source"), Seq("doc_id"))
-      .withColumn("tercile", ntile(3).over(w).cast("long"))
+    ccnetTerciles(documents)
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("docs_in"),
         sum(when(keep, 1L).otherwise(0L)).cast("long").as("docs_kept"),

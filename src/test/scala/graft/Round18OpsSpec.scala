@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, NTile}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-18 engine pins (VERDICT r17 #1): the CCNet tercile pair must
+  * keep NTILE's exact semantics while computing them from bounded
+  * cut-point tables — no corpus-sized per-domain window partition.
+  */
+class Round18OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Ragged fixture: domain sizes 1..7 with tie groups engineered to
+    * straddle tercile boundaries (every doc in source g3t shares one
+    * bits value; g5 has a 3-doc tie across the first cut; g7 mixes
+    * singleton and tied values), plus negative bits and non-contiguous
+    * doc_ids.
+    */
+  private def raggedDs(): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      // (doc_id, source, n_words, bits_q8)
+      (1L, "g1", 5L, 100L),
+      (10L, "g2", 5L, 50L), (11L, "g2", 5L, 50L),
+      (20L, "g3t", 5L, 7L), (21L, "g3t", 5L, 7L), (23L, "g3t", 5L, 7L),
+      (30L, "g4", 5L, 9L), (31L, "g4", 5L, 8L),
+      (32L, "g4", 5L, 8L), (34L, "g4", 5L, 1L),
+      (40L, "g5", 5L, 2L), (41L, "g5", 5L, 2L), (42L, "g5", 5L, 2L),
+      (44L, "g5", 5L, -3L), (45L, "g5", 5L, 99L),
+      (50L, "g7", 5L, 4L), (51L, "g7", 5L, 4L), (52L, "g7", 5L, 4L),
+      (53L, "g7", 5L, 4L), (55L, "g7", 5L, 6L), (56L, "g7", 5L, 3L),
+      (57L, "g7", 5L, 4L))
+    rows.toDF("doc_id", "source", "n_words", "bits_q8")
+  }
+
+  test("tercilesByCuts is byte-identical to per-domain NTILE(3) on " +
+    "ragged tie-straddling fixtures") {
+    val ds = raggedDs()
+    val w = Window.partitionBy("source")
+      .orderBy(asc("bits_q8"), asc("doc_id"))
+    val want = ds
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .select("doc_id", "source", "n_words", "bits_q8", "tercile")
+      .orderBy("source", "doc_id")
+      .collect().toSeq
+    val got = TextOps.tercilesByCuts(ds)
+      .orderBy("source", "doc_id")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("tercilesByCuts matches NTILE on the real surprisal relation " +
+    "at sf0.001") {
+    val docs = Tables.documents(spark, sf)
+    val ds = TextOps.surprisalBits(docs)
+      .select("doc_id", "n_words", "bits_q8")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(asc("bits_q8"), asc("doc_id"))
+    val want = ds
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .select("doc_id", "source", "n_words", "bits_q8", "tercile")
+      .orderBy("doc_id").collect().toSeq
+    val got = TextOps.tercilesByCuts(ds)
+      .orderBy("doc_id").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  private def collectWindows(plan: LogicalPlan): Seq[LWindow] =
+    plan.collect { case w: LWindow => w }
+
+  test("ccnetBuckets/ccnetFilter plans contain no NTILE and no window " +
+    "partitioned by source alone over the document relation") {
+    val docs = Tables.documents(spark, sf)
+    for (df <- Seq(TextOps.ccnetBuckets(docs), TextOps.ccnetFilter(docs))) {
+      val windows = collectWindows(df.queryExecution.optimizedPlan)
+      assert(windows.nonEmpty) // the bounded cut chain does use windows
+      windows.foreach { w =>
+        assert(!w.windowExpressions.exists(_.exists(_.isInstanceOf[NTile])),
+          "NTILE must not appear: terciles are assigned by cut-point " +
+            "comparison")
+        val parts = w.partitionSpec.collect { case a: Attribute => a.name }
+        if (parts == Seq("source")) {
+          // a source-only partition is legal ONLY over the bounded
+          // (source, bits_q8) value-group table — pinned by requiring
+          // that aggregate beneath the window
+          val overValueTable = w.child.collectFirst {
+            case a: Aggregate if a.groupingExpressions.size == 2 &&
+              a.groupingExpressions.collect { case at: Attribute => at.name }
+                .sorted == Seq("bits_q8", "source") => a
+          }.isDefined
+          assert(overValueTable,
+            s"window partitioned by source alone must sit over the " +
+              s"value-group aggregate, got child:\n${w.child.treeString}")
+        } else {
+          // the boundary-group ranking partitions by the tie group
+          assert(parts.toSet == Set("source", "bits_q8"),
+            s"unexpected window partitioning $parts")
+        }
+      }
+    }
+  }
+
+  test("tercilesByCuts: singleton and two-doc domains fill buckets " +
+    "1..2 exactly as NTILE (empty-tercile edge)") {
+    import spark.implicits._
+    val ds = Seq((1L, "solo", 3L, 10L), (2L, "duo", 3L, 4L),
+      (3L, "duo", 3L, 4L))
+      .toDF("doc_id", "source", "n_words", "bits_q8")
+    val got = TextOps.tercilesByCuts(ds)
+      .select("doc_id", "tercile").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+}
