@@ -392,13 +392,13 @@ object Queries {
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           col("embedding")))
 
-  /** The takedown list (%9=5) as a BOUNDED driver-side id list — the
-    * shape a legal takedown actually arrives in (and plane id 5 is on
-    * it, so the frozen-plane distinction is exercised).
+  /** The takedown set (%9=5) as a RELATION — at 100 TB a takedown list
+    * is itself a table, so it enters the upsert as a distributed
+    * anti-join side, never a collected literal (VERDICT r17 #2; plane
+    * id 5 is on it, so the frozen-plane distinction is exercised).
     */
-  private def knnUpsertDeletes(emb: DataFrame): Seq[Long] =
-    emb.filter(pmod(col("vec_id"), lit(9)) === 5)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+  private def knnUpsertDeletes(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(9)) === 5).select("vec_id")
 
   /** The post-upsert corpus as oracle SQL — MUST mirror
     * [[knnUpsertBatch]]/[[knnUpsertDeletes]] applied through

@@ -2172,14 +2172,17 @@ object SimilarityOps {
   /** The post-upsert corpus: `base` minus the deleted ids, minus the
     * re-crawled ids (whose NEW content arrives in `batch`), plus the
     * batch. Shared by [[knnGraphUpserted]] and its cluster consumer so
-    * the two cannot disagree about corpus membership.
+    * the two cannot disagree about corpus membership. `deletes` is a
+    * one-column (`vec_id`) RELATION, never an in-literal id list — a
+    * 100 TB takedown list is itself a table (the
+    * [[RetrievalOps.bm25CompactWrite]] discipline), so membership is a
+    * distributed anti-join.
     */
   def upsertedCorpus(base: DataFrame, batch: DataFrame,
-                     deleteIds: Seq[Long]): DataFrame = {
+                     deletes: DataFrame): DataFrame = {
     val batchKeys = batch.select("vec_id").distinct()
     base
-      .filter(if (deleteIds.isEmpty) lit(true)
-        else !col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
+      .join(deletes.select("vec_id"), Seq("vec_id"), "left_anti")
       .join(batchKeys, Seq("vec_id"), "left_anti")
       .select("vec_id", "embedding")
       .unionByName(batch.select("vec_id", "embedding"))
@@ -2214,32 +2217,32 @@ object SimilarityOps {
     * batch-candidate join against the old queries, and full searches
     * only for the batch + affected queries (|batch|·(1+planes)/2^planes
     * of the corpus each). Deletes propagate by edge invalidation, not by
-    * rebuild.
+    * rebuild — and the takedown side is a RELATION joined distributively
+    * (the [[RetrievalOps.bm25CompactWrite]] discipline; a 100 TB
+    * takedown list is itself a table, never an `isin` literal).
     */
   def knnGraphUpserted(base: DataFrame, batch: DataFrame,
-                       deleteIds: Seq[Long], srcDir: String, outDir: String,
+                       deletes: DataFrame, srcDir: String, outDir: String,
                        probeIds: Seq[Long], k: Int,
                        broadcastBatch: Boolean = true): DataFrame = {
-    // batch∩deleteIds would leave the re-added vector serving as a
-    // candidate while fullQ's !delFilter denies it a top-k list of its
-    // own — silent divergence from the from-scratch oracle. Refuse
-    // loudly (the bm25TopKUpserted append-only clash discipline):
-    // delete-then-upsert are two separate batches.
-    if (deleteIds.nonEmpty) {
-      val clash = batch.select("vec_id")
-        .filter(col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
-        .limit(1).count()
-      require(clash == 0L,
-        "knnGraphUpserted: batch vec_ids and deleteIds must be disjoint " +
-          "(a deleted-and-re-added id would serve as a candidate but " +
-          "never receive its own top-k list — run the delete and the " +
-          "re-add as separate upserts)")
-    }
+    val delKeys = deletes.select("vec_id").distinct()
+      .lineageTruncate() // 4 consumers: clash guard, invalidN, fullQ
+                         // anti, keptStored anti
+    // batch∩deletes would leave the re-added vector serving as a
+    // candidate while fullQ's takedown anti-join denies it a top-k list
+    // of its own — silent divergence from the from-scratch oracle.
+    // Refuse loudly (the bm25TopKUpserted append-only clash
+    // discipline): delete-then-upsert are two separate batches.
+    val clash = batch.select("vec_id")
+      .join(delKeys, Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "knnGraphUpserted: batch vec_ids and deletes must be disjoint " +
+        "(a deleted-and-re-added id would serve as a candidate but " +
+        "never receive its own top-k list — run the delete and the " +
+        "re-add as separate upserts)")
     knnGraphWrite(base, srcDir, outDir, probeIds, k)
     val stored = base.sparkSession.read.parquet(s"$outDir/edges")
-    val delFilter: Column =
-      if (deleteIds.isEmpty) lit(false)
-      else col("vec_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*)
     val batchKeys = batch.select("vec_id").distinct().lineageTruncate()
 
     // FROZEN hyperplanes: the probe vectors as the BASE build saw them —
@@ -2248,20 +2251,18 @@ object SimilarityOps {
       .filter(col("vec_id").isin(probeIds.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
     val bucketed = signBucketsWithPlanes(
-      withFixedInts(upsertedCorpus(base, batch, deleteIds)),
+      withFixedInts(upsertedCorpus(base, batch, delKeys)),
       planes, probeIds).lineageTruncate()
 
     // stored rows pointing at a deleted or re-crawled id are stale;
     // their queries need the full re-search (see scaladoc)
-    val invalidN = batchKeys
-      .unionByName(base.filter(delFilter).select("vec_id"))
-      .distinct()
+    val invalidN = batchKeys.unionByName(delKeys).distinct()
     val affectedQ = stored
       .join(invalidN.select(col("vec_id").as("n_id")), Seq("n_id"),
         "left_semi")
       .select(col("q_id").as("vec_id")).distinct()
     val fullQ = affectedQ.unionByName(batchKeys).distinct()
-      .filter(!delFilter)
+      .join(delKeys, Seq("vec_id"), "left_anti")
       .lineageTruncate()
 
     val numPlanes = probeIds.size
@@ -2301,8 +2302,8 @@ object SimilarityOps {
       .select("q_id", "n_id", "score_s14")
     val keptStored = stored
       .join(fullQ.select(col("vec_id").as("q_id")), Seq("q_id"), "left_anti")
-      .filter(if (deleteIds.isEmpty) lit(true)
-        else !col("q_id").isin(deleteIds.map(_.asInstanceOf[Any]): _*))
+      .join(delKeys.select(col("vec_id").as("q_id")), Seq("q_id"),
+        "left_anti")
       .select("q_id", "n_id", "score_s14")
 
     val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
@@ -2325,15 +2326,26 @@ object SimilarityOps {
     * the generation on disk serves (Round17OpsSpec pins the hit by
     * artifact mtime). Corpus regeneration moves the fingerprint and
     * forces the rebuild, exactly as the codes path.
+    *
+    * `batchKey` is the caller's identity for BOTH the batch and the
+    * takedown relation — batch and deletes are DataFrames, so the memo
+    * cannot key their contents itself (the [[RetrievalOps
+    * .bm25CompactWrite]] contract): a different batch/takedown set
+    * MUST arrive under a new key. The probe list is keyed by md5, not
+    * embedded (a production plane set is thousands of ids — r17
+    * ADVICE).
     */
   def knnGraphUpsertWrite(base: DataFrame, batch: DataFrame,
-                          deleteIds: Seq[Long], srcDir: String,
+                          deletes: DataFrame, srcDir: String,
                           outDir: String, genDir: String, batchKey: String,
                           probeIds: Seq[Long], k: Int): Boolean = {
+    val probeKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(probeIds.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     graft.sources.StorageOps.materializeCached(base.sparkSession,
-      s"knn_graph_gen:$genDir:$batchKey:k=$k:p=${probeIds.mkString("_")}",
+      s"knn_graph_gen:$genDir:$batchKey:k=$k:p=$probeKey",
       srcDir, genDir) {
-      knnGraphUpserted(base, batch, deleteIds, srcDir, outDir, probeIds, k)
+      knnGraphUpserted(base, batch, deletes, srcDir, outDir, probeIds, k)
         .repartitionByRange(8, col("q_id"))
         .sortWithinPartitions("q_id", "rn")
         .write.mode("overwrite").parquet(s"$genDir/edges")
@@ -2349,11 +2361,11 @@ object SimilarityOps {
     * q_bm25_stored pattern).
     */
   def knnGraphUpsertedStored(base: DataFrame, batch: DataFrame,
-                             deleteIds: Seq[Long], srcDir: String,
+                             deletes: DataFrame, srcDir: String,
                              outDir: String, genDir: String,
                              batchKey: String, probeIds: Seq[Long],
                              k: Int): DataFrame = {
-    knnGraphUpsertWrite(base, batch, deleteIds, srcDir, outDir, genDir,
+    knnGraphUpsertWrite(base, batch, deletes, srcDir, outDir, genDir,
       batchKey, probeIds, k)
     base.sparkSession.read.parquet(s"$genDir/edges")
       .select("q_id", "rn", "n_id", "score_s14")
@@ -2373,9 +2385,9 @@ object SimilarityOps {
     * upsert's own cost.
     */
   def knnUpsertChurn(base: DataFrame, batch: DataFrame,
-                     deleteIds: Seq[Long], srcDir: String, outDir: String,
+                     deletes: DataFrame, srcDir: String, outDir: String,
                      probeIds: Seq[Long], k: Int): DataFrame = {
-    val newG = knnGraphUpserted(base, batch, deleteIds, srcDir, outDir,
+    val newG = knnGraphUpserted(base, batch, deletes, srcDir, outDir,
       probeIds, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("in_new"))
     // knnGraphUpserted just built/validated the artifact — read it back
@@ -2400,12 +2412,12 @@ object SimilarityOps {
     * from-scratch build on the merged corpus under frozen planes.
     */
   def mutualKnnClustersUpserted(base: DataFrame, batch: DataFrame,
-                                deleteIds: Seq[Long], srcDir: String,
+                                deletes: DataFrame, srcDir: String,
                                 outDir: String, probeIds: Seq[Long], k: Int,
                                 checkpointDir: Option[String] = None)
       : DataFrame =
     mutualClustersFromGraph(
-      knnGraphUpserted(base, batch, deleteIds, srcDir, outDir, probeIds, k)
+      knnGraphUpserted(base, batch, deletes, srcDir, outDir, probeIds, k)
         .select(col("q_id"), col("n_id")).lineageTruncate(),
-      upsertedCorpus(base, batch, deleteIds), checkpointDir)
+      upsertedCorpus(base, batch, deletes), checkpointDir)
 }

@@ -21,8 +21,10 @@ class Round16OpsSpec extends SparkSpec {
       .unionByName(emb.filter(pmod(col("vec_id"), lit(7)) === 3)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           col("embedding")))
+    // the takedown side is a RELATION (r18: the bm25CompactWrite
+    // discipline — a production takedown list is itself a table)
     val deletes = emb.filter(pmod(col("vec_id"), lit(9)) === 5)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      .select("vec_id")
     (batch, deletes)
   }
 
@@ -31,8 +33,9 @@ class Round16OpsSpec extends SparkSpec {
     "re-crawls, and inserts all present") {
     val emb = Tables.embeddings(spark, sf)
     val (batch, deletes) = upsertFixture(emb)
-    assert(deletes.nonEmpty, "fixture must exercise takedowns")
-    assert(deletes.contains(5L), "plane id 5 must be on the takedown list")
+    val delIds = deletes.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "fixture must exercise takedowns")
+    assert(delIds.contains(5L), "plane id 5 must be on the takedown list")
     val dir = java.nio.file.Files
       .createTempDirectory("knn_upsert_spec").toString
     val got = SimilarityOps.knnGraphUpserted(emb, batch, deletes,
@@ -48,16 +51,17 @@ class Round16OpsSpec extends SparkSpec {
     val merged = SimilarityOps.upsertedCorpus(emb, batch, deletes)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(merged.exists(_ >= 1000000L), "inserts present")
-    assert(deletes.forall(d => !merged.contains(d)), "takedowns absent")
+    assert(delIds.forall(d => !merged.contains(d)), "takedowns absent")
   }
 
-  test("empty batch + empty takedown list degenerates to the stored " +
+  test("empty batch + empty takedown relation degenerates to the stored " +
     "graph itself") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files
       .createTempDirectory("knn_upsert_noop").toString
     val got = SimilarityOps.knnGraphUpserted(emb,
-      emb.filter(lit(false)).select("vec_id", "embedding"), Nil,
+      emb.filter(lit(false)).select("vec_id", "embedding"),
+      emb.filter(lit(false)).select("vec_id"),
       srcDir = s"$sf/embeddings.parquet", outDir = dir,
       probeIds = probes, k = 3)
       .collect().map(_.toString).toSeq

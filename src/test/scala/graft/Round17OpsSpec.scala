@@ -19,8 +19,7 @@ class Round17OpsSpec extends SparkSpec {
     val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 5)
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
     val deletes = batch.select("vec_id").limit(2)
-      .collect().map(_.getLong(0)).toSeq
-    assert(deletes.nonEmpty)
+    assert(deletes.count() > 0)
     val dir = java.nio.file.Files
       .createTempDirectory("knn_upsert_clash").toString
     val ex = intercept[IllegalArgumentException] {
@@ -41,10 +40,11 @@ class Round17OpsSpec extends SparkSpec {
       .createTempDirectory("knn_upsert_bc").toString
     val d2 = java.nio.file.Files
       .createTempDirectory("knn_upsert_nobc").toString
-    val withHint = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+    val noDel = emb.filter(lit(false)).select("vec_id")
+    val withHint = SimilarityOps.knnGraphUpserted(emb, batch, noDel,
       srcDir = s"$sf/embeddings.parquet", outDir = d1,
       probeIds = probes, k = 3).collect().map(_.toString).toSeq
-    val without = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+    val without = SimilarityOps.knnGraphUpserted(emb, batch, noDel,
       srcDir = s"$sf/embeddings.parquet", outDir = d2,
       probeIds = probes, k = 3, broadcastBatch = false)
       .collect().map(_.toString).toSeq
@@ -335,11 +335,12 @@ class Round17OpsSpec extends SparkSpec {
       .createTempDirectory("knn_gen_build").toString
     val genDir = java.nio.file.Files
       .createTempDirectory("knn_gen_art").toString
-    def serve() = SimilarityOps.knnGraphUpsertedStored(emb, batch, Nil,
+    val noDel = emb.filter(lit(false)).select("vec_id")
+    def serve() = SimilarityOps.knnGraphUpsertedStored(emb, batch, noDel,
       srcDir = s"$sf/embeddings.parquet", outDir = outDir,
       genDir = genDir, batchKey = "spec", probeIds = probes, k = 3)
     val first = serve().collect().map(_.toString).toSeq
-    val want = SimilarityOps.knnGraphUpserted(emb, batch, Nil,
+    val want = SimilarityOps.knnGraphUpserted(emb, batch, noDel,
       srcDir = s"$sf/embeddings.parquet", outDir = outDir,
       probeIds = probes, k = 3).collect().map(_.toString).toSeq
     assert(first.nonEmpty && first == want)

@@ -106,6 +106,27 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphUpserted's takedown side is a distributed anti-join, " +
+    "never an id-literal filter (VERDICT r17 #2)") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    val deletes = emb.filter(pmod(col("vec_id"), lit(9)) === 5)
+      .select("vec_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("knn_upsert_plan").toString
+    val plan = SimilarityOps.knnGraphUpserted(emb, batch, deletes,
+      srcDir = s"$sf/embeddings.parquet", outDir = dir,
+      probeIds = 0L until 8L, k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("vec_id#") || !"""(vec_id|q_id)#\d+L? IN \("""
+      .r.findFirstIn(plan).isDefined,
+      "takedown ids leaked into an IN-literal predicate")
+    assert(plan.contains("LeftAnti"), "takedown must anti-join")
+  }
+
   test("tercilesByCuts: singleton and two-doc domains fill buckets " +
     "1..2 exactly as NTILE (empty-tercile edge)") {
     import spark.implicits._
