@@ -129,7 +129,15 @@ object RetrievalOps {
     *    pruning), so a `word IN (query terms)` filter prunes file and
     *    row-group stats and a search reads ~|terms|/|vocab| of the
     *    bytes.
-    *  - `$outDir/df` — (word, df): the document-frequency table.
+    *  - `$outDir/df` — (word, df): the document-frequency table,
+    *    range-partitioned on word like the postings channel (a web
+    *    vocabulary is 10⁸–10⁹ rows — never a single-task write;
+    *    VERDICT r17 #3).
+    *  - `$outDir/dl` — (doc_id, dl): the per-doc length table. The
+    *    channel takedown arithmetic subtracts (N, L) from — a document
+    *    with no postings rows (zero tokens under a stricter tokenizer)
+    *    still has a dl row, so deleting it decrements n_docs correctly
+    *    (r17 ADVICE).
     *  - `$outDir/scalars` — one row (n_docs, l_total, avgdl_q8).
     *
     * Memoized on the source-directory fingerprint + outDir (the codes
@@ -139,18 +147,23 @@ object RetrievalOps {
   def bm25WriteIndex(documents: DataFrame, srcDir: String,
                      outDir: String, rangeParts: Int = 32): Boolean = {
     graft.sources.StorageOps.materializeCached(documents.sparkSession,
-      s"bm25_index:$outDir:$rangeParts", srcDir, outDir) {
+      s"bm25_index:$outDir:$rangeParts:dl", srcDir, outDir) {
       val (tf, dl) = tfDl(documents)
       val tfT = tf.lineageTruncate() // 2 consumers: postings + df
-      val dlT = dl.lineageTruncate() // 2 consumers: postings + scalars
+      val dlT = dl.lineageTruncate() // 3 consumers: postings + dl +
+                                     // scalars
       tfT.join(dlT, Seq("doc_id"))
         .select("word", "doc_id", "tf", "dl")
         .repartitionByRange(rangeParts, col("word"))
         .sortWithinPartitions("word", "doc_id")
         .write.mode("overwrite").parquet(s"$outDir/postings")
       tfT.groupBy("word").agg(count(lit(1)).cast(LongType).as("df"))
-        .coalesce(1)
+        .repartitionByRange(rangeParts, col("word"))
+        .sortWithinPartitions("word")
         .write.mode("overwrite").parquet(s"$outDir/df")
+      dlT.repartitionByRange(rangeParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/dl")
       dlT.agg(count(lit(1)).cast(LongType).as("n_docs"),
           sum(col("dl")).cast(LongType).as("l_total"))
         .withColumn("avgdl_q8", expr("l_total * 256L div n_docs"))
@@ -300,12 +313,17 @@ object RetrievalOps {
     *    pruning survives the generation swap;
     *  - df: stored minus the deleted docs' per-word counts plus the
     *    batch's — df shifts DOWN by subtraction, no corpus re-scan;
-    *  - scalars: (N, L) minus the deleted docs' counts/lengths (read
-    *    from the denormalized dl channel of the DELETED postings rows
-    *    themselves) plus the batch's — BM25's global statistics update
-    *    by pure addition/subtraction, so surviving documents score
-    *    correctly under the post-takedown N/avgdl/df with the base
-    *    corpus NEVER re-tokenized.
+    *  - dl: stored per-doc lengths anti-joined against the takedown
+    *    keys, union the batch's — the next generation keeps its own
+    *    subtraction channel;
+    *  - scalars: (N, L) minus the deleted docs' counts/lengths read
+    *    from the stored per-doc dl TABLE (not the deleted postings
+    *    rows — a zero-token document has a dl row but no postings, so
+    *    postings-derived deltas would silently miss it; r17 ADVICE)
+    *    plus the batch's — BM25's global statistics update by pure
+    *    addition/subtraction, so surviving documents score correctly
+    *    under the post-takedown N/avgdl/df with the base corpus NEVER
+    *    re-tokenized.
     *
     * Contract guards (the [[bm25TopKUpserted]] clash discipline):
     * batch ids must be NEW (an id already in the base would
@@ -340,16 +358,19 @@ object RetrievalOps {
         "the base would double-count its term frequencies — take it " +
         "down first, then append the re-crawl)")
     graft.sources.StorageOps.materializeCached(spark,
-      s"bm25_compact:$outDir:$batchKey:$rangeParts", srcDir, outDir) {
+      s"bm25_compact:$outDir:$batchKey:$rangeParts:dl", srcDir, outDir) {
       val storedP = spark.read.parquet(s"$baseDir/postings")
-      val delT = delKeys.lineageTruncate() // 3 consumers below
-      // the deleted docs' own stored rows carry every statistic the
-      // subtraction needs (tf rows per word, denormalized dl per doc)
+      val storedDl = spark.read.parquet(s"$baseDir/dl")
+        .lineageTruncate() // 2 consumers: scalar delta + next-gen dl
+      val delT = delKeys.lineageTruncate() // 4 consumers below
+      // the deleted docs' stored POSTINGS rows carry the per-word df
+      // deltas; their stored DL rows carry the (N, L) deltas — the dl
+      // channel also covers docs with no postings at all
       val delP = storedP.join(delT, Seq("doc_id"), "left_semi")
-        .lineageTruncate() // 2 consumers: df delta + scalar delta
       val (btf, bdl) = tfDl(batch)
       val btfT = btf.lineageTruncate() // 2 consumers: postings + df
-      val bdlT = bdl.lineageTruncate() // 2 consumers: postings + scalars
+      val bdlT = bdl.lineageTruncate() // 3 consumers: postings + dl +
+                                       // scalars
       storedP.join(delT, Seq("doc_id"), "left_anti")
         .unionByName(btfT.join(bdlT, Seq("doc_id"))
           .select("word", "doc_id", "tf", "dl"))
@@ -369,11 +390,18 @@ object RetrievalOps {
           (coalesce(col("df"), lit(0L)) + coalesce(col("df_a"), lit(0L)))
             .as("df"))
         .filter(col("df") > 0L)
-        .coalesce(1)
+        .repartitionByRange(rangeParts, col("word"))
+        .sortWithinPartitions("word")
         .write.mode("overwrite").parquet(s"$outDir/df")
-      // one dl per deleted doc (denormalized per posting — max of a
-      // constant); subtraction then addition keeps (N, L) exact
-      val delDl = delP.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+      storedDl.join(delT, Seq("doc_id"), "left_anti")
+        .unionByName(bdlT)
+        .repartitionByRange(rangeParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/dl")
+      // (N, L) deltas from the stored dl table: one row per deleted doc
+      // WHETHER OR NOT it had postings; subtraction then addition keeps
+      // the scalars exact
+      val delDl = storedDl.join(delT, Seq("doc_id"), "left_semi")
       spark.read.parquet(s"$baseDir/scalars")
         .crossJoin(delDl.agg(
           count(lit(1)).cast(LongType).as("n_d"),

@@ -127,6 +127,42 @@ class Round18OpsSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), "takedown must anti-join")
   }
 
+  test("bm25 index carries a per-doc dl channel; compaction subtracts " +
+    "(N, L) from it and emits the next generation's (r17 ADVICE)") {
+    import graft.operators.{RetrievalOps, TextOps}
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .withColumn("doc_id", col("doc_id") + lit(30000000L))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+      .select("doc_id")
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("bm25_dl_base").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bm25_dl_gen").toString
+    RetrievalOps.bm25CompactWrite(docs, batch, deletes,
+      srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+      outDir = outDir, batchKey = "spec-dl")
+    val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .unionByName(batch)
+    val wantDl = survivors
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("dl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotDl = spark.read.parquet(s"$outDir/dl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDl == wantDl)
+    // scalars agree with the generation's own dl channel
+    val sc = spark.read.parquet(s"$outDir/scalars").collect().head
+    assert(sc.getLong(0) == wantDl.size)
+    assert(sc.getLong(1) == wantDl.toSeq.map(_._2).sum)
+    // df channel is a multi-task word-clustered write, never one file
+    for (d <- Seq(s"$baseDir/df", s"$outDir/df")) {
+      val parts = new java.io.File(d).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts > 1, s"$d wrote $parts parquet files")
+    }
+  }
+
   test("tercilesByCuts: singleton and two-doc domains fill buckets " +
     "1..2 exactly as NTILE (empty-tercile edge)") {
     import spark.implicits._
