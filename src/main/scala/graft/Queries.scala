@@ -106,11 +106,10 @@ object Queries {
     * the engine joins on its xxhash64 — same result absent a cross-side
     * 64-bit collision (see the decontaminate Scaladoc).
     */
-  private val deconOracle: String =
-    """WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+  private def deconOracleFor(benchSql: String): String =
+    s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents WHERE doc_id % 100 <> 0),
-        b AS (SELECT doc_id AS bench_id, string_split(text, ' ') AS w
-              FROM documents WHERE doc_id % 100 = 0),
+        b AS ($benchSql),
         cs AS (SELECT DISTINCT doc_id, sh
                FROM (SELECT doc_id,
                        unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sh
@@ -124,6 +123,22 @@ object Queries {
         GROUP BY cs.doc_id, bs.bench_id
         HAVING COUNT(*) >= 3
         ORDER BY doc_id, bench_id"""
+
+  private val deconOracle: String = deconOracleFor(
+    """SELECT doc_id AS bench_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 100 = 0""")
+
+  /** The post-upsert benchmark suite as oracle SQL — MUST mirror the
+    * q_decon_index_upsert fixture: %300=0 benchmarks retired, the
+    * %100=50 slice arriving as NEW benchmarks under +40000000 ids.
+    */
+  private val deconUpsertOracle: String = deconOracleFor(
+    """SELECT doc_id AS bench_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 100 = 0 AND doc_id % 300 <> 0
+            UNION ALL
+            SELECT doc_id + 40000000 AS bench_id,
+              string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 100 = 50""")
 
   /** DuckDB replay of [[graft.operators.TextOps.domainReweight]] —
     * `iters` unrolled multiplicative-weight rounds over the per-source
@@ -332,6 +347,102 @@ object Queries {
                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                    ORDER BY score_s14 DESC, n_id) AS BIGINT) AS rn
           FROM ${p}sc) WHERE rn <= $k)"""
+  }
+
+  /** DuckDB replay of
+    * [[graft.operators.SimilarityOps.knnPlanesRetrainRecall]] — the
+    * merged-corpus fixed-point table, a brute-force exact top-k for the
+    * drifted query slice, and TWO plane configurations (stale = BASE
+    * content of the frozen probe ids, retrained = post-ingest content
+    * of live probe ids) pushed through the identical
+    * bucket/hamming≤1/top-k chain of [[knnGraphCtes]], each joined
+    * against the exact set for per-query hit counts.
+    */
+  private def knnPlanesRetrainOracle(k: Int, staleIds: Seq[Long],
+                                     freshIds: Seq[Long],
+                                     queryIds: Seq[Long],
+                                     corpus: String): String = {
+    // (vec_id, bucket) under planes `prCte` over content table `eSrc`
+    def bktCte(p: String, eSrc: String, prCte: String,
+               ids: Seq[Long]): String = {
+      val bits = ids.zipWithIndex
+        .map { case (pid, i) => s"WHEN p_id = $pid THEN ${1L << i}" }
+        .mkString(" ")
+      s"""${p}dp AS (SELECT e.vec_id, pr.p_id, SUM(e.vi * pr.pvi) AS dt
+               FROM $eSrc e JOIN $prCte pr USING (pos)
+               GROUP BY e.vec_id, pr.p_id),
+        ${p}bkt AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN dt <= 0 THEN 0 $bits
+                         ELSE 0 END) AS BIGINT) AS bucket
+              FROM ${p}dp GROUP BY vec_id)"""
+    }
+    // hamming≤1 search of bucket table `${p}bkt` with merged content +
+    // hit count vs the exact set
+    def searchCte(p: String, nPlanes: Int): String =
+      s"""${p}qb AS (SELECT q.vec_id AS q_id,
+                 CASE WHEN f.f = 0 THEN q.bucket
+                      ELSE xor(q.bucket, (1::BIGINT << (f.f - 1))) END AS bucket
+               FROM ${p}bkt q
+               CROSS JOIN (SELECT unnest(range(${nPlanes + 1})) AS f) f
+               WHERE q.vec_id IN (${queryIds.mkString(", ")})),
+        ${p}cand AS (SELECT qb.q_id, b.vec_id AS n_id
+                 FROM ${p}qb qb JOIN ${p}bkt b ON qb.bucket = b.bucket
+                 WHERE b.vec_id <> qb.q_id),
+        ${p}sc AS (SELECT c.q_id, c.n_id,
+                CAST(SUM(a.vi * b.vi) AS BIGINT) AS s
+              FROM ${p}cand c JOIN me a ON a.vec_id = c.q_id
+                          JOIN me b ON b.vec_id = c.n_id AND a.pos = b.pos
+              GROUP BY c.q_id, c.n_id),
+        ${p}tk AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY s DESC, n_id) AS rn
+            FROM ${p}sc) WHERE rn <= $k),
+        ${p}h AS (SELECT t.q_id, COUNT(*)::BIGINT AS hits
+               FROM ${p}tk t JOIN xs ON xs.q_id = t.q_id AND xs.n_id = t.n_id
+               GROUP BY t.q_id)"""
+    s"""WITH me AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM $corpus)),
+        be AS (SELECT vec_id,
+                CAST(round(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS vi, pos
+              FROM (SELECT vec_id, unnest(embedding) AS v,
+                      unnest(range(64)) AS pos FROM embeddings)),
+        ql AS (SELECT CAST(unnest([${queryIds.mkString(", ")}]) AS BIGINT)
+                 AS q_id),
+        xq AS (SELECT vec_id AS q_id, vi, pos FROM me
+               WHERE vec_id IN (${queryIds.mkString(", ")})),
+        xsc AS (SELECT q.q_id, c.vec_id AS n_id,
+                  CAST(SUM(q.vi * c.vi) AS BIGINT) AS s
+                FROM xq q JOIN me c ON q.pos = c.pos
+                WHERE c.vec_id <> q.q_id
+                GROUP BY q.q_id, c.vec_id),
+        xs AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY s DESC, n_id) AS rn FROM xsc) WHERE rn <= $k),
+        spr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM be
+                WHERE vec_id IN (${staleIds.mkString(", ")})),
+        ${bktCte("sa", "be", "spr", staleIds)},
+        ${bktCte("sc0", "me", "spr", staleIds)},
+        sbkt AS (SELECT m.vec_id,
+                   COALESCE(a.bucket, c.bucket) AS bucket
+                 FROM (SELECT DISTINCT vec_id FROM me) m
+                 LEFT JOIN sabkt a USING (vec_id)
+                 LEFT JOIN sc0bkt c USING (vec_id)),
+        ${searchCte("s", staleIds.size)},
+        fpr AS (SELECT vec_id AS p_id, vi AS pvi, pos FROM me
+                WHERE vec_id IN (${freshIds.mkString(", ")})),
+        ${bktCte("f", "me", "fpr", freshIds)},
+        ${searchCte("f", freshIds.size)}
+        SELECT config, q_id, hits FROM (
+          SELECT 'retrained' AS config, ql.q_id,
+            CAST(COALESCE(fh.hits, 0) AS BIGINT) AS hits
+          FROM ql LEFT JOIN fh USING (q_id)
+          UNION ALL
+          SELECT 'stale', ql.q_id, CAST(COALESCE(sh.hits, 0) AS BIGINT)
+          FROM ql LEFT JOIN sh USING (q_id))
+        ORDER BY config, q_id"""
   }
 
   /** DuckDB replay of [[graft.operators.SimilarityOps.mutualKnnClusters]]
@@ -9368,7 +9479,141 @@ object Queries {
           CAST(CASE WHEN max_len * n_docs > 0 THEN
             (max_len * n_docs - sum_tokens) * 1000 // (max_len * n_docs)
             ELSE 0 END AS BIGINT) AS waste_permille
-        FROM allr ORDER BY bucket"""))
+        FROM allr ORDER BY bucket""")),
+
+    // ================= round-18 additions ==============================
+
+    // DECON-INDEX UPSERT (round 18, DedupOps.deconIndexUpsert — VERDICT
+    // r17 #5): the benchmark-shingle artifact's maintenance generation.
+    // The %300=0 benchmarks retire (takedown by anti-join on the stored
+    // shingles — a RELATION, never a literal list) and the %100=50
+    // slice ships as NEW benchmarks under +40000000 ids (shingled ONCE;
+    // the base suite is never re-shingled); the corpus probes the
+    // upserted artifact alone. Oracle = from-scratch decontaminate over
+    // the merged benchmark set — upsert ≡ rebuild is the identity the
+    // append/takedown economics claim.
+    Declared("q_decon_index_upsert",
+      (s, d) => {
+        val docs = documents(s, d)
+        val h = math.abs(d.hashCode.toLong)
+        DedupOps.deconIndexUpsert(
+          docs.filter(pmod(col("doc_id"), lit(100)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(100)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(100)) === 50)
+            .withColumn("doc_id", col("doc_id") + lit(40000000L)),
+          docs.filter(pmod(col("doc_id"), lit(300)) === 0)
+            .select(col("doc_id").as("bench_id")),
+          srcDir = s"$d/documents.parquet",
+          baseDir = new java.io.File(s"target/decon_index_$h")
+            .getAbsolutePath,
+          outDir = new java.io.File(s"target/decon_upsert_$h")
+            .getAbsolutePath,
+          n = 3, minShared = 3, baseKey = "docmod100",
+          batchKey = "retire300_new100s50")
+      },
+      Some(deconUpsertOracle)),
+
+    // SHARD-PACK TAKEDOWN / COMPACTION (round 18,
+    // TextOps.packShardsCompact — VERDICT r17 #7): the
+    // q_postings_compact generation story on the packed-bin artifact.
+    // The %11=7 documents leave the corpus; ONLY their (source, shard)
+    // bins repack (from surviving docs, under the FROZEN tokenizer —
+    // the per-shard prefix-sum independence that makes the carry-over
+    // sound), every other bin is carried as stored bytes, and the %6=3
+    // re-crawl batch appends into its own shards exactly as
+    // q_pack_shards_upsert. The declared relation is the merged
+    // corpus's manifest sliced against the compacted generation; the
+    // oracle recomputes every surviving document's encoding from
+    // scratch — hash equality IS append-then-delete ≡ from-scratch.
+    Declared("q_pack_compact",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+        val syms = TextOps.bpeWordSyms(docs, merges, topWords = 31)
+        val batch = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L))
+        val deletes = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+          .select("doc_id")
+        val h = math.abs(d.hashCode.toLong)
+        val out = new java.io.File(s"target/pack_shards_$h").getAbsolutePath
+        val gen = new java.io.File(s"target/pack_compact_$h").getAbsolutePath
+        TextOps.packShardsCompact(docs, batch, deletes, syms, 128L, 100L,
+          srcDir = s"$d/documents.parquet", outDir = out, genDir = gen,
+          batchKey = "del11s7_recrawl6s3")
+        TextOps.packShardsSliceAudit(
+          docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+            .unionByName(batch),
+          syms, 128L, 100L, gen)
+      },
+      Some(s"""WITH ${bpeOracleCtes(rounds = 6, topWords = 31)},
+        docs AS (SELECT * FROM documents WHERE doc_id % 11 <> 7
+          UNION ALL
+          SELECT doc_id + 20000000, text, lang, source, n_chars
+          FROM documents WHERE doc_id % 6 = 3),
+        wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe FROM s6),
+        wtok AS (SELECT doc_id,
+                   CAST(SUM(COALESCE(wt.n_bpe, len(w.word))) AS BIGINT) AS n
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                       FROM docs) w
+                 LEFT JOIN wt ON w.word = wt.word
+                 GROUP BY doc_id),
+        t AS (SELECT d.source, d.doc_id // 100 AS shard, d.doc_id,
+                COALESCE(wtok.n, 0) AS n
+              FROM docs d LEFT JOIN wtok USING (doc_id)),
+        cpk AS (SELECT source, shard, doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM t),
+        ww AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 unnest(range(len(string_split(text, ' ')))) AS wpos
+               FROM docs),
+        wtk AS (SELECT ww.doc_id, ww.wpos,
+                  COALESCE(s6.syms,
+                    list_filter(string_split(ww.word, ''),
+                      x -> x <> '')) AS syms
+                FROM ww LEFT JOIN s6 ON ww.word = s6.word),
+        flat AS (SELECT doc_id, wpos, unnest(syms) AS sym,
+                   unnest(range(len(syms))) AS spos
+                 FROM wtk),
+        dstr AS (SELECT doc_id,
+                   COALESCE(string_agg(sym, ' ' ORDER BY wpos, spos), '')
+                     AS str
+                 FROM flat GROUP BY doc_id)
+        SELECT cpk.source, cpk.shard, cpk.cb // 128 AS bin, cpk.doc_id,
+          cpk.n AS n_tokens,
+          CAST(cpk.cb - MIN(cpk.cb) OVER (PARTITION BY cpk.source,
+            cpk.shard, cpk.cb // 128) AS BIGINT) AS tok_offset,
+          COALESCE(md5(dstr.str), md5('')) AS tok_md5
+        FROM cpk LEFT JOIN dstr USING (doc_id)
+        ORDER BY source, shard, bin, doc_id""")),
+
+    // SIGN-LSH PLANES RETRAIN (round 18,
+    // SimilarityOps.knnPlanesRetrainRecall — VERDICT r17 #6): the
+    // RESPONSE to q_knn_upsert_churn's rebuild signal, on the SAME
+    // ingest cycle that key audits. The bucketer serves the merged
+    // corpus either under the planes the base build froze ('stale' —
+    // plane 0's pre-re-crawl content, deleted plane 5's ghost) or
+    // under planes re-drawn from the post-ingest corpus ('retrained' —
+    // live ids 0-8 minus the takedown, current content); both run the
+    // identical hamming≤1 search for the re-crawled query slice, and
+    // each row reports hits against the exact top-5 — recall recovery
+    // is MEASURED in the relation, making the churn signal actionable
+    // (the q_index_retrain discipline on the graph artifact).
+    Declared("q_knn_planes_retrain",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        SimilarityOps.knnPlanesRetrainRecall(emb, knnUpsertBatch(emb),
+          knnUpsertDeletes(emb),
+          stalePlaneIds = lshProbeIds,
+          freshPlaneIds = Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L),
+          queryIds = Seq(0L, 10L, 20L, 30L, 40L, 60L, 70L, 80L), k = 5)
+      },
+      Some(knnPlanesRetrainOracle(k = 5, staleIds = lshProbeIds,
+        freshIds = Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L),
+        queryIds = Seq(0L, 10L, 20L, 30L, 40L, 60L, 70L, 80L),
+        corpus = knnUpsertCorpusSql)))
   )
 
   /** TPC-H Q1-shaped multi-aggregate (SURVEY §2 D5) — also the flagship

@@ -1903,6 +1903,62 @@ object DedupOps {
     decontaminateStored(corpus, outDir, n, minShared)
   }
 
+  /** DECON-INDEX UPSERT (round 18, VERDICT r17 #5) — the benchmark
+    * suite is stable, but not FROZEN: a new eval ships (append) and a
+    * retired one leaves (takedown). This folds both into the NEXT
+    * generation of the shingle artifact by the bm25CompactWrite
+    * economics — stored shingles anti-joined against the retired
+    * bench_ids (a RELATION, never a literal list), union the NEW
+    * benchmarks' shingles (shingled ONCE), rewritten shingle-clustered
+    * at `outDir` so the probe path's layout survives the generation
+    * swap. The BASE benchmark suite is never re-shingled.
+    *
+    * Contract guards (the compaction clash discipline): batch
+    * bench_ids must be NEW (an id already indexed would double its
+    * shingles) and disjoint from the takedown (delete+re-add is two
+    * maintenance cycles). Memoized on the benchmark source fingerprint
+    * + `batchKey` (batch/deletes are DataFrames — the caller's key IS
+    * their identity).
+    *
+    * Serving the corpus against the upserted artifact equals
+    * from-scratch [[decontaminate]] over the merged benchmark set
+    * exactly (shingle sets union/difference per bench_id, and the
+    * scoring tail is per (doc, bench) pair) — q_decon_index_upsert
+    * hash-checks that identity.
+    */
+  def deconIndexUpsert(corpus: DataFrame, benchBase: DataFrame,
+                       benchBatch: DataFrame, benchDeletes: DataFrame,
+                       srcDir: String, baseDir: String, outDir: String,
+                       n: Int, minShared: Int, baseKey: String,
+                       batchKey: String): DataFrame = {
+    deconWriteIndex(benchBase, srcDir, baseDir, n, baseKey)
+    val spark = corpus.sparkSession
+    val delKeys = benchDeletes.select("bench_id").distinct()
+      .lineageTruncate() // 3 consumers: two clash guards + stored anti
+    val reAdd = benchBatch.select(col("doc_id").as("bench_id"))
+      .join(delKeys, Seq("bench_id"), "left_semi").limit(1).count()
+    require(reAdd == 0L,
+      "deconIndexUpsert: batch bench_ids and deletes must be disjoint " +
+        "— a delete+re-add is two maintenance cycles, not one")
+    val clash = benchBatch.select("doc_id")
+      .join(benchBase.select("doc_id"), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "deconIndexUpsert: batch bench_ids must be NEW (an id already " +
+        "indexed would double-count its shingles — take it down first, " +
+        "then append the refreshed benchmark)")
+    graft.sources.StorageOps.materializeCached(spark,
+      s"decon_upsert:$outDir:n=$n:$batchKey", srcDir, outDir) {
+      spark.read.parquet(s"$baseDir/shingles")
+        .join(delKeys, Seq("bench_id"), "left_anti")
+        .unionByName(deconShingles(benchBatch, "bench_id", n))
+        .repartitionByRange(8, col("sh"))
+        .sortWithinPartitions("sh", "bench_id")
+        .write.mode("overwrite").parquet(s"$outDir/shingles")
+    }
+    decontaminateStored(corpus, outDir, n, minShared)
+  }
+
   /** Deterministic "keep one row per key" for arbitrary tables: first row
     * per key under an explicit total order.
     */

@@ -2404,6 +2404,120 @@ object SimilarityOps {
       .orderBy("status")
   }
 
+  /** SIGN-LSH PLANES RETRAIN (round 18, VERDICT r17 #6) — the RESPONSE
+    * to [[knnUpsertChurn]]'s rebuild signal, the q_index_retrain
+    * discipline applied to the graph artifact's bucketing state. At
+    * 100 TB bucket assignments are SERVED from a persisted bucket
+    * column (the [[knnGraphUpserted]] scaladoc's own scale note), so
+    * after an ingest cycle the index is in one of two states:
+    *
+    *  - "stale": the stored assignments under the frozen base planes —
+    *    a re-crawled vector still sits at the bucket its PRE-drift
+    *    content hashed to (inserts, having no stored row, are coded
+    *    under the frozen planes on arrival, the codesUpsert
+    *    discipline). This is the degenerate serve-past-the-re-crawl
+    *    mode the churn signal exists to catch: a drifted query probes
+    *    hamming≤1 around its obsolete bucket, where its true
+    *    neighbors no longer live.
+    *  - "retrained": the maintenance response — planes re-drawn from
+    *    live post-ingest probe ids and every vector rebucketed under
+    *    its current content.
+    *
+    * Both configurations run the IDENTICAL hamming≤1 bucketed search
+    * over the merged corpus for the re-crawled query slice; each row
+    * reports how many of the exact top-k that configuration recovered
+    * — recall recovery is MEASURED inside the relation (retrained rows
+    * vs stale rows), which is what makes the churn signal actionable.
+    * (The exact fold q_knn_edges_upsert hash-checks is the middle
+    * road — frozen planes, fresh rebucketing; this key brackets it
+    * with the two endpoint states.)
+    *
+    * Scale shape: one bucket pass per configuration plus one over the
+    * base content (three map-side plane-dot rollups); the query side
+    * is parameter-bounded and broadcasts; the exact scan is
+    * |queries|·n dots — the audit's own cost, same as the IVF retrain
+    * key.
+    */
+  def knnPlanesRetrainRecall(base: DataFrame, batch: DataFrame,
+                             deletes: DataFrame, stalePlaneIds: Seq[Long],
+                             freshPlaneIds: Seq[Long],
+                             queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "knnPlanesRetrainRecall needs queries")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qSet = queryIds.map(_.asInstanceOf[Any])
+    val mi = withFixedInts(upsertedCorpus(base, batch, deletes))
+      .lineageTruncate() // consumers: exact scan (2 sides), two
+                         // bucketers, fresh planes
+    // exact top-k over the post-ingest corpus: the recall ground truth
+    val exQ = mi.filter(col("vec_id").isin(qSet: _*))
+      .select(col("vec_id").as("q_id"), col("vi").as("qvi"))
+    val w = Window.partitionBy("q_id").orderBy(desc("score_s14"), asc("n_id"))
+    val exact = mi.select(col("vec_id").as("n_id"), col("vi").as("nvi"))
+      .crossJoin(broadcast(exQ))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("score_s14",
+        graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select("q_id", "n_id")
+      .lineageTruncate() // 2 consumers: one hit-join per configuration
+    // bucketed: (vec_id, bucket, vi over CURRENT content)
+    def configHits(cfg: String, bucketed0: DataFrame,
+                   numPlanes: Int): DataFrame = {
+      val bucketed = bucketed0
+        .lineageTruncate() // 2 consumers: query slice + candidate side
+      val probeBuckets = array((col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+      val queries = bucketed.filter(col("vec_id").isin(qSet: _*))
+        .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
+          explode(probeBuckets).as("bucket"))
+      val approx = bucketed
+        .select(col("vec_id").as("n_id"), col("vi").as("nvi"),
+          col("bucket"))
+        .join(broadcast(queries), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("score_s14",
+          graft.plans.VecDot.dotLong(col("qvi"), col("nvi")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= k)
+      val hits = approx
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id")
+        .agg(count(lit(1)).cast(LongType).as("hits"))
+      queryIds.toDF("q_id")
+        .join(hits, Seq("q_id"), "left_outer")
+        .select(lit(cfg).as("config"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }
+    val stalePlanes = withFixedInts(base)
+      .filter(col("vec_id").isin(stalePlaneIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
+      .lineageTruncate() // 2 consumers: stored assignments + arrivals
+    // the artifact's stored bucket column: base-content assignments
+    val storedAssign = signBucketsWithPlanes(withFixedInts(base),
+      stalePlanes, stalePlaneIds)
+      .select(col("vec_id"), col("bucket").as("stored_b"))
+    // arrivals (no stored row) coded under the frozen planes on their
+    // current content; everything else serves the stored assignment
+    val staleBucketed = signBucketsWithPlanes(mi, stalePlanes,
+      stalePlaneIds)
+      .select(col("vec_id"), col("bucket").as("cur_b"), col("vi"))
+      .join(storedAssign, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("stored_b"), col("cur_b")).as("bucket"), col("vi"))
+    val freshPlanes = mi
+      .filter(col("vec_id").isin(freshPlaneIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("p_id"), col("vi").as("pvi"))
+    val freshBucketed = signBucketsWithPlanes(mi, freshPlanes,
+      freshPlaneIds)
+      .select(col("vec_id"), col("bucket"), col("vi"))
+    configHits("stale", staleBucketed, stalePlaneIds.size)
+      .unionByName(configHits("retrained", freshBucketed,
+        freshPlaneIds.size))
+      .orderBy("config", "q_id")
+  }
+
   /** Mutual-kNN clustering over the UPSERTED graph — the
     * [[knnGraphUpserted]] edge relation fed to the shared mutuality +
     * CC tail over the post-upsert corpus: how a 100 TB pipeline keeps

@@ -2464,6 +2464,90 @@ object TextOps {
     }
   }
 
+  /** SHARD-PACK TAKEDOWN / COMPACTION (round 18, VERDICT r17 #7) — the
+    * q_postings_compact generation story applied to the packed-bin
+    * artifact: documents leaving the corpus (`deletes`, a RELATION —
+    * the takedown-list-is-a-table discipline) plus an arriving batch
+    * fold into the NEXT artifact generation at `genDir` under the
+    * FROZEN tokenizer, with the base corpus re-encoded only where the
+    * takedown actually lands:
+    *
+    *  - bins of (source, shard) keys holding NO deleted doc carry over
+    *    from the stored generation UNTOUCHED (shard identity is
+    *    `doc_id div shardDocs` per source and the bin prefix sum runs
+    *    WITHIN (source, shard), so a deletion elsewhere cannot shift
+    *    them — the same independence [[packShardsUpsert]] exploits);
+    *  - AFFECTED shards repack from their surviving documents only —
+    *    an O(|affected shards| · shardDocs) slice of the corpus, never
+    *    a full re-encode (deleting a doc shifts the offsets of the
+    *    docs AFTER it in its own shard, so those bins must rewrite —
+    *    exactly them and nothing more);
+    *  - the batch packs into its own new shards under the
+    *    [[packShardsUpsert]] append-only guard.
+    *
+    * Append-then-delete ≡ from-scratch over the merged corpus, exactly
+    * (per-shard independence again) — q_pack_compact hash-checks that
+    * identity against the from-scratch oracle. Memoized on the source
+    * fingerprint + `batchKey` (the caller's identity for this
+    * batch/takedown set — batch and deletes are DataFrames, the
+    * bm25CompactWrite memo contract).
+    */
+  def packShardsCompact(baseDocs: DataFrame, batchDocs: DataFrame,
+                        deletes: DataFrame, wordSyms: DataFrame,
+                        budgetTokens: Long, shardDocs: Long,
+                        srcDir: String, outDir: String, genDir: String,
+                        batchKey: String,
+                        tokKey: String = "bpe6x31"): Unit = {
+    packShardsWrite(baseDocs, wordSyms, budgetTokens, shardDocs, srcDir,
+      outDir, tokKey)
+    val spark = baseDocs.sparkSession
+    val delKeys = deletes.select("doc_id").distinct()
+      .lineageTruncate() // 3 consumers: clash guard, affected shards,
+                         // survivor anti-join
+    val clash = batchDocs.select("doc_id")
+      .join(delKeys, Seq("doc_id"), "left_semi").limit(1).count()
+    require(clash == 0L,
+      "packShardsCompact: batch doc_ids and deletes must be disjoint — " +
+        "a delete+re-add is two maintenance cycles, not one")
+    graft.sources.StorageOps.materializeCached(spark,
+      s"pack_compact:$genDir:$batchKey:$tokKey:$budgetTokens:$shardDocs",
+      srcDir, genDir) {
+      val stored = spark.read.parquet(outDir)
+        .lineageTruncate() // 2 consumers: append guard + carried bins
+      // append-only guard: bounded by |sources|, one scalar to the driver
+      val overlapping = stored
+        .groupBy("source").agg(max("shard").as("max_shard"))
+        .join(batchDocs.select(col("source"),
+            expr(s"doc_id div $shardDocs").as("shard"))
+          .groupBy("source").agg(min("shard").as("min_shard")),
+          Seq("source"))
+        .filter(col("min_shard") <= col("max_shard")).count()
+      require(overlapping == 0,
+        s"packShardsCompact: batch shards interleave stored shards for " +
+          s"$overlapping source(s) — append-only packing needs batch " +
+          "doc_ids beyond every stored shard; repack from scratch")
+      // only shards that LOST a document rewrite; everything else is
+      // carried over as stored bytes
+      val affected = baseDocs.join(delKeys, Seq("doc_id"), "left_semi")
+        .select(col("source"), expr(s"doc_id div $shardDocs").as("shard"))
+        .distinct()
+        .lineageTruncate() // 2 consumers: carried anti + survivor semi
+      val carried = stored.join(affected, Seq("source", "shard"),
+        "left_anti")
+      val survivors = baseDocs
+        .withColumn("shard", expr(s"doc_id div $shardDocs"))
+        .join(affected, Seq("source", "shard"), "left_semi")
+        .join(delKeys, Seq("doc_id"), "left_anti")
+        .drop("shard")
+      carried
+        .unionByName(
+          packBinStreams(survivors, wordSyms, budgetTokens, shardDocs))
+        .unionByName(
+          packBinStreams(batchDocs, wordSyms, budgetTokens, shardDocs))
+        .write.mode("overwrite").parquet(genDir)
+    }
+  }
+
   /** Round-trip audit of the packed shards: for every manifest row,
     * slice [tok_offset, tok_offset + n_tokens) out of the bin's stored
     * stream and fingerprint it — the declared q_pack_shards relation,

@@ -163,6 +163,121 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("packShardsCompact ≡ from-scratch pack over the merged corpus, " +
+    "and refuses a batch overlapping the takedown") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val merges = TextOps.bpeMerges(docs, rounds = 6, topWords = 31)
+    val syms = TextOps.bpeWordSyms(docs, merges, topWords = 31)
+    val batch = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+      .withColumn("doc_id", col("doc_id") + lit(20000000L))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(11)) === 7)
+      .select("doc_id")
+    val out = java.nio.file.Files
+      .createTempDirectory("pack_cmp_base").toString
+    val gen = java.nio.file.Files
+      .createTempDirectory("pack_cmp_gen").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("pack_cmp_fresh").toString
+    TextOps.packShardsCompact(docs, batch, deletes, syms, 128L, 100L,
+      srcDir = s"$sf/documents.parquet", outDir = out, genDir = gen,
+      batchKey = "spec")
+    val merged = docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+      .unionByName(batch)
+    TextOps.packShardsWrite(merged, syms, 128L, 100L,
+      srcDir = s"$sf/documents.parquet", outDir = fresh,
+      tokKey = "spec-fresh")
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select(col("source"), col("shard"), col("bin"),
+        md5(concat_ws(" ", col("tokens"))).as("m"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = rows(gen)
+    assert(got.nonEmpty && got == rows(fresh))
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.packShardsCompact(docs,
+        docs.join(deletes.limit(1), Seq("doc_id"), "left_semi"),
+        deletes, syms, 128L, 100L,
+        srcDir = s"$sf/documents.parquet", outDir = out,
+        genDir = java.nio.file.Files
+          .createTempDirectory("pack_cmp_clash").toString,
+        batchKey = "spec-clash")
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
+  test("deconIndexUpsert ≡ from-scratch decontaminate over the merged " +
+    "benchmark set, and refuses re-added or duplicated bench ids") {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    val benchBase = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val benchBatch = docs.filter(pmod(col("doc_id"), lit(100)) === 50)
+      .withColumn("doc_id", col("doc_id") + lit(40000000L))
+    val benchDeletes = docs.filter(pmod(col("doc_id"), lit(300)) === 0)
+      .select(col("doc_id").as("bench_id"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("decon_up_base").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("decon_up_gen").toString
+    val got = DedupOps.deconIndexUpsert(corpus, benchBase, benchBatch,
+      benchDeletes, srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+      outDir = outDir, n = 3, minShared = 3, baseKey = "spec",
+      batchKey = "spec-up").collect().map(_.toString).toSeq
+    val mergedBench = benchBase
+      .join(benchDeletes.select(col("bench_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .unionByName(benchBatch)
+    val want = DedupOps.decontaminate(corpus, mergedBench, n = 3,
+      minShared = 3).collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+    val reAdd = intercept[IllegalArgumentException] {
+      DedupOps.deconIndexUpsert(corpus, benchBase,
+        benchBase.limit(1), benchDeletes.limit(0)
+          .unionByName(benchBase.limit(1).select(col("doc_id").as("bench_id"))),
+        srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+        outDir = java.nio.file.Files
+          .createTempDirectory("decon_up_readd").toString,
+        n = 3, minShared = 3, baseKey = "spec", batchKey = "spec-readd")
+    }
+    assert(reAdd.getMessage.contains("disjoint"))
+    val dup = intercept[IllegalArgumentException] {
+      DedupOps.deconIndexUpsert(corpus, benchBase,
+        benchBase.filter(pmod(col("doc_id"), lit(300)) =!= 0).limit(1),
+        benchDeletes,
+        srcDir = s"$sf/documents.parquet", baseDir = baseDir,
+        outDir = java.nio.file.Files
+          .createTempDirectory("decon_up_dup").toString,
+        n = 3, minShared = 3, baseKey = "spec", batchKey = "spec-dup")
+    }
+    assert(dup.getMessage.contains("NEW"))
+  }
+
+  test("knnPlanesRetrainRecall: the stale bucket column loses the " +
+    "re-crawled queries' neighbors; the retrained configuration " +
+    "recovers them (the churn signal's actionable response)") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+    val batch = emb.filter(pmod(col("vec_id"), lit(9)) =!= 5 &&
+        pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+    val deletes = emb.filter(pmod(col("vec_id"), lit(9)) === 5)
+      .select("vec_id")
+    val qs = Seq(0L, 10L, 20L, 30L, 40L, 60L, 70L, 80L)
+    val rows = SimilarityOps.knnPlanesRetrainRecall(emb, batch, deletes,
+      stalePlaneIds = 0L until 8L,
+      freshPlaneIds = Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L),
+      queryIds = qs, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2 * qs.size) // every query present per config
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum.toDouble / rs.size).toMap
+    assert(mean("retrained") > mean("stale"),
+      s"recovery must be visible: $mean")
+  }
+
   test("tercilesByCuts: singleton and two-doc domains fill buckets " +
     "1..2 exactly as NTILE (empty-tercile edge)") {
     import spark.implicits._
