@@ -8,10 +8,27 @@ object Bench {
     * round-2 BENCH artifacts came back `parsed: null` because the full
     * 89-query line was ~2.3 KB and lost its opening brace to truncation,
     * with sbt's `[success] Total time …` trailer eating further bytes).
-    * So the printed line carries a fixed representative subset — one per
-    * operator family — and stays well under 1.5 KB no matter how many
-    * queries the full suite grows to. The complete per-query map is
-    * always written to target/bench.json.
+    * So the printed line carries a fixed subset under a 1.5 KB budget
+    * (VerifyJsonSpec bounds the worst-case render); the complete
+    * per-query map is always written to target/bench.json.
+    *
+    * THE SAMPLING RULE (round 18, VERDICT r17 #8 — every membership
+    * change must preserve these invariants, in priority order):
+    *
+    *  1. all four [[controls]] and every [[varianceTier]] key ride the
+    *     line (spec-enforced: VerifyJsonSpec subset assertions);
+    *  2. the suite's worst-cost tier rides the line regardless of
+    *     family (the r7 rule — a regression in the most expensive
+    *     plans must be visible in the binding artifact, not hidden in
+    *     the total);
+    *  3. every operator family keeps at least one representative —
+    *     its worst-cost member at current sf0.1 anchors. A key may be
+    *     dropped ONLY as a cheap near-duplicate: another KEPT key must
+    *     exercise the same physical-plan shape (noted at the drop
+    *     site); a family is never dropped entirely;
+    *  4. budget for new keys is paid by rule-3 drops, never by
+    *     removing a control, a varianceTier key, or a family's last
+    *     representative.
     */
   val headline: Seq[String] = Seq(
     "q_scan_limit", "q_filter_conj", "q_topk",
@@ -94,6 +111,11 @@ object Bench {
     // family's representative is q_ann_codes_upsert (retrain/shards/
     // card price under it)
     "q_pipeline_incremental", "q_ann_codes_upsert",
+    // round-18: the shard-pack maintenance generation is the pack
+    // family's worst-cost member (base build + affected-shard repack);
+    // q_pack_shards/_upsert/_manifest price under it and the family was
+    // previously unrepresented on the line (rule 3)
+    "q_pack_compact",
     // round-15 second wave: the four-signal agreement matrix is the
     // wave's worst-cost key (~2.6 s isolated — three signal passes +
     // the bigram chain); the other nine wave keys price at or under
@@ -108,20 +130,33 @@ object Bench {
     // worst-cost key (4.6 s isolated; q_knn_edges_upsert and
     // q_schedule_price price under existing family representatives)
     "q_knn_upsert_cc")
-    // round-17 drops (the established cheap-near-duplicate rule), to pay
+    // round-17 drops (the rule-3 cheap-near-duplicate clause), to pay
     // the line budget for the positional control samples (VERDICT r16
     // #6): q_simsearch_ivf (family keeps q_simsearch_fast /
     // q_simsearch_pq_refined), q_cms_counts (keeps q_hll_registers),
-    // q_join_asof (keeps q_join_inner / q_join_3way), q_window_rank
-    // (keeps q_window_session), q_mixture_epochs (keeps
-    // q_dedup_tokens_saved / q_dsir_weights), q_repetition (keeps
-    // q_tfidf_topterms / q_boilerplate), q_zorder_scan (keeps
-    // q_bucketed_join), q_bpe_merges (q_pipeline_curate_bpe carries the
-    // BPE cost path), q_grouping_sets (keeps q_agg_multi /
-    // q_agg_count2key). All stay measured in target/bench.json.
+    // q_join_asof (keeps q_join_inner / q_join_3way), q_mixture_epochs
+    // (keeps q_dedup_tokens_saved / q_dsir_weights), q_repetition
+    // (keeps q_tfidf_topterms / q_boilerplate), q_bpe_merges
+    // (q_pipeline_curate_bpe carries the BPE cost path),
+    // q_grouping_sets (keeps q_agg_multi / q_agg_count2key). All stay
+    // measured in target/bench.json.
+    //
+    // Round 18 (VERDICT r17 #8): the r17 drops of q_window_rank and
+    // q_zorder_scan left the ranking-window and sort-layout-pruning
+    // shapes with no representative (q_window_session is session
+    // windows, q_bucketed_join is hash-bucket pruning — different
+    // physical shapes), violating rule 3 — both RESTORED. Budget paid
+    // by three rule-3 drops: q_minhash_lsh (q_neardup_lsh_verified
+    // contains the identical shingle→minhash→band→bucket-join plan
+    // plus verification; q_dedup_exact keeps the exact path),
+    // q_novelty_by_source (keeps q_ngram_novelty — the same n-gram
+    // first-occurrence rollup, grouped differently), q_leakage_split
+    // (keeps q_decontaminate — the same benchmark-shingle broadcast
+    // join shape).
     .filterNot(Set("q_simsearch_ivf", "q_cms_counts", "q_join_asof",
-      "q_window_rank", "q_mixture_epochs", "q_repetition",
-      "q_zorder_scan", "q_bpe_merges", "q_grouping_sets"))
+      "q_mixture_epochs", "q_repetition",
+      "q_bpe_merges", "q_grouping_sets",
+      "q_minhash_lsh", "q_novelty_by_source", "q_leakage_split"))
 
   /** The four fixed-plan CONTROL keys (VERDICT r16 #6): cheap queries
     * whose plans have been stable since round 10, re-timed min-of-2

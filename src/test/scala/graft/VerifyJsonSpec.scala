@@ -40,6 +40,13 @@ class VerifyJsonSpec extends AnyFunSuite {
     Bench.headline.foreach { q =>
       assert(SparkEntry.queries.contains(q), s"headline query $q not declared")
     }
+    // the sampling rule's spec-enforced invariants (r18, VERDICT r17
+    // #8): controls and varianceTier keys always ride the line
+    val online = Bench.headline.toSet
+    Bench.controls.foreach(c =>
+      assert(online(c), s"control $c fell off the headline"))
+    Bench.varianceTier.foreach(v =>
+      assert(online(v), s"varianceTier key $v fell off the headline"))
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.4567891)
     // worst-case ctrl_cs block: one row per controlEvery positions plus
     // the final row, every sample 5 digits (a 123 s control)
