@@ -910,8 +910,20 @@ object DedupOps {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct(),
       checkpointDir)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 1 folded into initialization (optimization round 18, guide
+    // §2.4 — remove shuffles outright): with labels⁰(x) = x, round 1's
+    // join against the identity labeling reduces to min(dst) per src
+    // over the edge relation — ONE map-side-combined groupBy, no join,
+    // and no separate `distinct` for the node set (the groupBy provides
+    // it). labels¹ is therefore computed directly and the loop starts
+    // from round 2: per invocation this removes one exchange (the old
+    // node-set distinct) plus one full propagation round (join +
+    // groupBy + checksum action). Identical fixpoint by induction — the
+    // recurrence labelₖ₊₁(x) = min over closed neighborhood of labelₖ
+    // is unchanged, only its first step is evaluated in closed form.
+    val init = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("label")).persist()
+    var labels = init
     // Convergence probe without a prev-vs-next comparison join: label
     // updates are monotone decreasing, so sum(label) strictly decreases
     // until the fixpoint — an unchanged checksum ⟺ converged. One scalar
@@ -919,10 +931,17 @@ object DedupOps {
     // be 60-bit portable hashes (fuzzyEntityResolve), whose int64 sum
     // overflows under ANSI after a few dozen rows — exact decimal keeps
     // the monotone-decrease argument intact at any id magnitude.
-    var checksum: java.math.BigDecimal = null
+    // The init checksum seeds the probe so a graph already at its
+    // fixpoint after round 1 converges after ONE verification round;
+    // a null sum means the edge set is empty — vacuously converged.
+    val initSumRow = init.agg(
+      sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    ).collect()(0)
+    var checksum: java.math.BigDecimal =
+      if (initSumRow.isNullAt(0)) null else initSumRow.getDecimal(0)
     var iter = 0
-    var converged = false
-    var prev: Option[DataFrame] = None
+    var converged = initSumRow.isNullAt(0)
+    var prev: Option[DataFrame] = Some(init)
     while (!converged && iter < maxIter) {
       val computed = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
@@ -1174,22 +1193,29 @@ object DedupOps {
       checkpointDir)
     val deg = truncateLineage(
       edges.groupBy("src").agg(count(lit(1)).as("outdeg")), checkpointDir)
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_ppm"))
+    // outdeg rides IN the rank relation (optimization round 18, guide
+    // §2.4): it is a static property of the graph, so re-joining the
+    // loop-invariant edges ⋈ deg every round paid one |E|-sized join
+    // per iteration for nothing — each round is now ONE edges ⋈ ranks
+    // join plus the |V|-keyed rollup and repair join. Same ppm
+    // arithmetic, bit-identical trajectory.
+    var ranks = deg.select(col("src").as("id"), col("outdeg"),
+      lit(1000000L).as("rank_ppm"))
     for (i <- 1 to iterations) {
       val contrib = edges
-        .join(deg, "src")
-        .join(ranks.select(col("id").as("src"), col("rank_ppm")), "src")
-        .select(col("dst"), expr("rank_ppm div outdeg").as("c"))
+        .join(ranks.select(col("id").as("src"),
+          expr("rank_ppm div outdeg").as("c")), "src")
+        .select(col("dst"), col("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
-      ranks = deg.select(col("src").as("id"))
+      ranks = deg.select(col("src").as("id"), col("outdeg"))
         .join(contrib.select(col("dst").as("id"), col("sc")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           (lit(150000L) + expr("850000L * coalesce(sc, 0L) div 1000000L"))
             .as("rank_ppm"))
       if (i % PageRankCheckpointEvery == 0 && i < iterations)
         ranks = truncateLineage(ranks, checkpointDir)
     }
-    ranks.orderBy("id")
+    ranks.select(col("id"), col("rank_ppm")).orderBy("id")
   }
 
   /** L2/graph — per-node triangle counts over an undirected pair graph
@@ -1351,9 +1377,11 @@ object DedupOps {
         checkpointDir)
       frontierNonEmpty = !next.isEmpty
       if (frontierNonEmpty) {
-        visited = truncateLineage(
-          visited.unionByName(next.withColumn("depth", lit(d.toLong))),
-          checkpointDir)
+        // visited needs no checkpoint of its own (optimization round
+        // 18): every frontier in it is already truncated, so the union
+        // is a shallow plan of ≤ maxDepth checkpoint scans — one fewer
+        // materialization job per round at the same anti-join cost.
+        visited = visited.unionByName(next.withColumn("depth", lit(d.toLong)))
         frontier = next
       }
       d += 1
