@@ -770,25 +770,35 @@ object Relational {
       .orderBy(col(strataCol), col("rn"))
   }
 
-  /** INTERVAL-OVERLAP SELF-JOIN by grid bucketing (round 15, wave 5) —
-    * the two-sided-range sibling of [[bandJoin]]: find every pair of
-    * intervals `[s_start, s_end]` (inclusive, non-negative longs) that
-    * overlap, WITHOUT an inequality-only join. Each interval explodes
-    * onto the fixed-width `cellUs` grid cells it covers; candidates
-    * equi-join on the cell (the shuffle key), and each overlapping pair
-    * is kept exactly ONCE — at the cell containing the LATER of the two
-    * starts. That attribution needs no `distinct`: if two intervals
-    * overlap, the later start lies inside BOTH, so its cell appears in
-    * both explode sets, and no other cell satisfies the equality.
-    * Candidates sharing a cell without truly overlapping are dropped by
-    * the exact bound check after the join.
+  /** INTERVAL-OVERLAP SELF-JOIN by grid bucketing (round 15, wave 5;
+    * re-shaped round 18) — the two-sided-range sibling of [[bandJoin]]:
+    * find every pair of intervals `[s_start, s_end]` (inclusive,
+    * non-negative longs) that overlap, WITHOUT an inequality-only join.
     *
-    * Scale shape: work is Σ over cells of |a∩cell|·|b∩cell| — the LOCAL
-    * interval density, never n²; the explode factor is bounded by
-    * interval_length/cellUs + 1, so pick `cellUs` at or above the
-    * typical interval length (a skewed hot cell is an AQE skew-join
-    * split, not a plan change). This is how a 100 TB co-occurrence /
-    * overlap join runs: grid-partition time, join within cells.
+    * START-CELL PROBE (optimization round 18, guide §3/§2.3): the
+    * original form exploded BOTH sides onto every covered cell and
+    * self-joined, enumerating Σ_cell n_cell² candidate pairs — each
+    * co-resident pair at every shared cell, kept once by a
+    * later-start-cell attribution filter. But if two intervals overlap,
+    * the LATER start lies inside the other interval, so it suffices to
+    * probe each interval's single START cell against the covered-cell
+    * relation: candidates fall to Σ_cell starts_cell·cover_cell ≈ one
+    * enumeration per truly-overlapping pair plus cell-granularity
+    * near-misses (measured at sf0.1: 115 M → 38 M candidate rows for
+    * the q_interval_join sessions at the same output). Attribution is
+    * exact and needs no `distinct`: the probe side `a` is the
+    * later-start interval of the pair (ties to the larger id), its
+    * start cell is unique, and the cover side contributes one row per
+    * (interval, cell).
+    *
+    * Scale shape: work is Σ over cells of starts·density — local
+    * interval density, never n². Only the COVER side pays the explode
+    * factor (interval_length/cellUs + 1); the probe side is one row
+    * per interval, so `cellUs` can sit BELOW the typical interval
+    * length to tighten candidates, trading cover-side rows for fewer
+    * evaluated pairs (a skewed hot cell is an AQE skew-join split, not
+    * a plan change). This is how a 100 TB co-occurrence / overlap join
+    * runs: grid-partition time, join within cells.
     *
     * Input: one row per interval, columns (iv_id UNIQUE long, s_start,
     * s_end) with `0 <= s_start <= s_end`. Output: (a_id, b_id, ov_us)
@@ -798,27 +808,30 @@ object Relational {
   def intervalOverlapPairs(iv: DataFrame, cellUs: Long): DataFrame = {
     require(cellUs > 0, s"cellUs must be positive, got $cellUs")
     import graft.operators.Lineage.LineageOps
-    val cells = iv
+    val base = iv
       .select(col("iv_id"), col("s_start").cast(LongType).as("s_start"),
         col("s_end").cast(LongType).as("s_end"))
+      .lineageTruncate() // consumed twice: cover side + probe side
+    val cover = base
       .withColumn("cell", explode(sequence(
         expr(s"s_start div ${cellUs}L"), expr(s"s_end div ${cellUs}L"))))
-      .lineageTruncate() // both sides of the self-join below
-    val a = cells.select(col("iv_id").as("a_id"),
+      .select(col("iv_id").as("b_id"), col("s_start").as("b_start"),
+        col("s_end").as("b_end"), col("cell"))
+    val probe = base.select(col("iv_id").as("a_id"),
       col("s_start").as("a_start"), col("s_end").as("a_end"),
-      col("cell").as("a_cell"))
-    val b = cells.select(col("iv_id").as("b_id"),
-      col("s_start").as("b_start"), col("s_end").as("b_end"),
-      col("cell").as("b_cell"))
-    a.join(b, col("a_cell") === col("b_cell") && col("a_id") < col("b_id"))
-      // unique attribution: only the later start's cell survives
-      .filter(col("a_cell") ===
-        expr(s"greatest(a_start, b_start) div ${cellUs}L"))
-      // exact overlap check (cell sharing is necessary, not sufficient)
-      .filter(col("a_start") <= col("b_end") &&
-        col("b_start") <= col("a_end"))
-      .select(col("a_id"), col("b_id"),
-        (least(col("a_end"), col("b_end")) -
-          greatest(col("a_start"), col("b_start"))).as("ov_us"))
+      expr(s"s_start div ${cellUs}L").as("cell"))
+    probe.join(cover, Seq("cell"))
+      // a must be the LATER-start side of the pair (ties to the larger
+      // id): exactly one of the two orientations survives, and for that
+      // one a's start lies inside b, so a's start cell IS in b's cover
+      // set — each overlapping pair is enumerated exactly once
+      .filter(col("b_start") < col("a_start") ||
+        (col("b_start") === col("a_start") && col("b_id") < col("a_id")))
+      // exact overlap check (covering the start cell is necessary, not
+      // sufficient); b_start <= a_end holds already via b_start <= a_start
+      .filter(col("a_start") <= col("b_end"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        (least(col("a_end"), col("b_end")) - col("a_start")).as("ov_us"))
   }
 }
