@@ -1973,7 +1973,21 @@ object SimilarityOps {
     * corpus under the BASE corpus's frozen planes.
     */
   def knnGraphExactWithPlanes(corpus: DataFrame, planesFrom: DataFrame,
-                              probeIds: Seq[Long], k: Int): DataFrame = {
+                              probeIds: Seq[Long], k: Int): DataFrame =
+    knnGraphExactWithPlanesUnsorted(corpus, planesFrom, probeIds, k)
+      .orderBy("q_id", "rn")
+
+  /** [[knnGraphExactWithPlanes]] without the final total-order sort
+    * (optimization round 18 — the lshVerifiedJaccardPairsUnsorted
+    * discipline): the declared-query contract needs the sort, but the
+    * graph's internal consumers (mutuality joins, CC, the
+    * q_id-clustered artifact write) checkpoint or re-shuffle the frame
+    * immediately, which EXECUTES the range-partition sort for nothing —
+    * Catalyst's EliminateSorts cannot see across a localCheckpoint.
+    */
+  private[graft] def knnGraphExactWithPlanesUnsorted(
+      corpus: DataFrame, planesFrom: DataFrame,
+      probeIds: Seq[Long], k: Int): DataFrame = {
     // 2 consumers (both sides of the bucket self-join) — the usual
     // truncation discipline so sign assignment runs once
     val bucketed = signBucketsWithPlanes(withFixedInts(corpus),
@@ -1998,8 +2012,15 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "score_s14")
-      .orderBy("q_id", "rn")
   }
+
+  /** Internal unsorted twin of [[knnGraphExact]] — see
+    * [[knnGraphExactWithPlanesUnsorted]].
+    */
+  private[graft] def knnGraphExactUnsorted(embeddings: DataFrame,
+                                           probeIds: Seq[Long],
+                                           k: Int): DataFrame =
+    knnGraphExactWithPlanesUnsorted(embeddings, embeddings, probeIds, k)
 
   /** kNN LABEL VOTE (round 15): classify every vector by the majority
     * label of its [[knnGraphExact]] neighbors — the
@@ -2018,7 +2039,7 @@ object SimilarityOps {
     val labels = embeddings
       .select(col("vec_id"), col("label").cast(LongType).as("label"))
       .lineageTruncate() // 2 consumers: neighbor labels + truth join-back
-    val graph = knnGraphExact(embeddings, probeIds, k)
+    val graph = knnGraphExactUnsorted(embeddings, probeIds, k)
     val votes = graph
       .join(labels.select(col("vec_id").as("n_id"),
         col("label").as("n_label")), Seq("n_id"))
@@ -2051,8 +2072,9 @@ object SimilarityOps {
   def mutualKnnClusters(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
                         checkpointDir: Option[String] = None): DataFrame =
     mutualClustersFromGraph(
-      // 2 consumers (both sides of the mutuality self-join)
-      knnGraphExact(embeddings, probeIds, k)
+      // 2 consumers (both sides of the mutuality self-join); unsorted —
+      // the checkpoint would otherwise execute the declared-output sort
+      knnGraphExactUnsorted(embeddings, probeIds, k)
         .select(col("q_id"), col("n_id")).lineageTruncate(),
       embeddings, checkpointDir)
 
@@ -2094,7 +2116,7 @@ object SimilarityOps {
   def mutualKnnEdges(embeddings: DataFrame, probeIds: Seq[Long],
                      k: Int): DataFrame =
     mutualEdgesFromGraph(
-      knnGraphExact(embeddings, probeIds, k)
+      knnGraphExactUnsorted(embeddings, probeIds, k)
         .select(col("q_id"), col("n_id")).lineageTruncate())
 
   /** CLUSTER-PURITY AUDIT (round 15, wave 7) — per non-singleton
@@ -2144,7 +2166,7 @@ object SimilarityOps {
     graft.sources.StorageOps.materializeCached(embeddings.sparkSession,
       s"knn_graph:$outDir:k=$k:p=${probeIds.mkString("_")}",
       srcDir, outDir) {
-      knnGraphExact(embeddings, probeIds, k)
+      knnGraphExactUnsorted(embeddings, probeIds, k)
         .repartitionByRange(8, col("q_id"))
         .sortWithinPartitions("q_id", "rn")
         .write.mode("overwrite").parquet(s"$outDir/edges")
@@ -2224,7 +2246,21 @@ object SimilarityOps {
   def knnGraphUpserted(base: DataFrame, batch: DataFrame,
                        deletes: DataFrame, srcDir: String, outDir: String,
                        probeIds: Seq[Long], k: Int,
-                       broadcastBatch: Boolean = true): DataFrame = {
+                       broadcastBatch: Boolean = true): DataFrame =
+    knnGraphUpsertedUnsorted(base, batch, deletes, srcDir, outDir,
+      probeIds, k, broadcastBatch).orderBy("q_id", "rn")
+
+  /** [[knnGraphUpserted]] without the final total-order sort — the
+    * [[knnGraphExactWithPlanesUnsorted]] rationale: the cluster tail,
+    * the churn diff, and the generation write all checkpoint or
+    * re-shuffle the fold immediately, which would execute the
+    * declared-output range sort for nothing.
+    */
+  private[graft] def knnGraphUpsertedUnsorted(
+      base: DataFrame, batch: DataFrame,
+      deletes: DataFrame, srcDir: String, outDir: String,
+      probeIds: Seq[Long], k: Int,
+      broadcastBatch: Boolean = true): DataFrame = {
     val delKeys = deletes.select("vec_id").distinct()
       .lineageTruncate() // 4 consumers: clash guard, invalidN, fullQ
                          // anti, keptStored anti
@@ -2311,7 +2347,6 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "score_s14")
-      .orderBy("q_id", "rn")
   }
 
   /** PERSIST THE POST-UPSERT GRAPH AS THE NEXT ARTIFACT GENERATION
@@ -2345,7 +2380,8 @@ object SimilarityOps {
     graft.sources.StorageOps.materializeCached(base.sparkSession,
       s"knn_graph_gen:$genDir:$batchKey:k=$k:p=$probeKey",
       srcDir, genDir) {
-      knnGraphUpserted(base, batch, deletes, srcDir, outDir, probeIds, k)
+      knnGraphUpsertedUnsorted(base, batch, deletes, srcDir, outDir,
+        probeIds, k)
         .repartitionByRange(8, col("q_id"))
         .sortWithinPartitions("q_id", "rn")
         .write.mode("overwrite").parquet(s"$genDir/edges")
@@ -2387,8 +2423,8 @@ object SimilarityOps {
   def knnUpsertChurn(base: DataFrame, batch: DataFrame,
                      deletes: DataFrame, srcDir: String, outDir: String,
                      probeIds: Seq[Long], k: Int): DataFrame = {
-    val newG = knnGraphUpserted(base, batch, deletes, srcDir, outDir,
-      probeIds, k)
+    val newG = knnGraphUpsertedUnsorted(base, batch, deletes, srcDir,
+      outDir, probeIds, k)
       .select(col("q_id"), col("n_id"), lit(1L).as("in_new"))
     // knnGraphUpserted just built/validated the artifact — read it back
     val oldG = base.sparkSession.read.parquet(s"$outDir/edges")
@@ -2531,7 +2567,8 @@ object SimilarityOps {
                                 checkpointDir: Option[String] = None)
       : DataFrame =
     mutualClustersFromGraph(
-      knnGraphUpserted(base, batch, deletes, srcDir, outDir, probeIds, k)
+      knnGraphUpsertedUnsorted(base, batch, deletes, srcDir, outDir,
+        probeIds, k)
         .select(col("q_id"), col("n_id")).lineageTruncate(),
       upsertedCorpus(base, batch, deletes), checkpointDir)
 }
