@@ -237,8 +237,7 @@ object Bench {
     // alphabetical position no longer decides who pays JIT. Untimed,
     // ~2 s once per suite at sf0.1.
     try {
-      import org.apache.spark.sql.functions.{approx_count_distinct, col,
-        count, lit, md5, posexplode, row_number, split, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
       spark.range(1000).selectExpr("sum(id)").collect()
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val or = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -252,6 +251,10 @@ object Bench {
         .filter(col("rn") === 1).collect()
       li.join(or, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus").count().collect()
+    } catch { case _: Throwable => () }
+    try {
+      import org.apache.spark.sql.functions.{approx_count_distinct, col,
+        count, lit, md5, posexplode, split, sum, xxhash64}
       // Round-18 widening (measurement fix, OPTIMIZATION_r18.md): the
       // r17/r18-baseline artifacts inflate the alphabetically-EARLY
       // keys 2-15× against their IsolatedBench anchors

@@ -8783,9 +8783,13 @@ object Queries {
     // of users, how many of their padded activity sessions overlapped in
     // time and for how long — the co-occurrence join shape (ad
     // attribution windows, incident correlation, co-session mining).
-    // Engine: grid-bucketed self-join (explode onto 4 h cells, equi-join
-    // on the cell, later-start-cell unique attribution, exact bound
-    // check) — never an inequality-only or all-pairs join. Oracle: the
+    // Engine (round-18 form): grid-bucketed start-cell probe — each
+    // interval probes its single START cell against the covered-cell
+    // relation (the later-start side of an overlapping pair provably
+    // finds the other, exactly once), exact bound check after the
+    // equi-join; cells BELOW the interval length are the intended
+    // regime since only the cover side pays the explode factor — never
+    // an inequality-only or all-pairs join. Oracle: the
     // proven q_window_session CTE chain + DuckDB's native inequality
     // join. Sessions are 30-min-gap (the q_window_session gap) with the
     // end padded +2 h into an activity window, so distinct users
