@@ -221,70 +221,16 @@ object Bench {
                queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                jsonPath: String = "target/bench.json"): String = {
     // Warm up the session (codegen, shuffle machinery, parquet reader)
-    // so first-query timings measure the query, not JVM init.
-    //
-    // Round-12 widening (VERDICT r11 #2): the r11 artifact's two
-    // recurring >1.5× keys (q_agg_count2key 0.673 s, q_agg_multi
-    // 0.611 s vs r10's 0.36 s) re-measured AT their r10 anchors in
-    // IsolatedBench min-of-3 on the same committed tree
-    // (0.369 / 0.347 s, controls flat — SCALE.md r12 entry), so the
-    // inflation was suite-POSITION, not plan: the two tiny collects
-    // below left Spark's hash-aggregate / exchange / sort codegen
-    // C2-cold, and the alphabetically-first agg family paid the JIT
-    // compile inside its timed samples (visible even in IsolatedBench's
-    // own sample decay: 0.856 → 0.412 → 0.369). Touch each hot operator
-    // family once — decimal multi-agg, window rank, equi-join — so
-    // alphabetical position no longer decides who pays JIT. Untimed,
-    // ~2 s once per suite at sf0.1.
-    try {
-      import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
-      spark.range(1000).selectExpr("sum(id)").collect()
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val or = spark.read.parquet(s"$sfDir/orders.parquet")
-      li.groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
-          count(lit(1)).as("c"))
-        .collect()
-      li.select(col("l_orderkey"), row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("l_returnflag").orderBy("l_orderkey")).as("rn"))
-        .filter(col("rn") === 1).collect()
-      li.join(or, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderstatus").count().collect()
-    } catch { case _: Throwable => () }
-    try {
-      import org.apache.spark.sql.functions.{approx_count_distinct, col,
-        count, lit, md5, posexplode, split, sum, xxhash64}
-      // Round-18 widening (measurement fix, OPTIMIZATION_r18.md): the
-      // r17/r18-baseline artifacts inflate the alphabetically-EARLY
-      // keys 2-15× against their IsolatedBench anchors
-      // (q_agg_approx_distinct 3.17 s in-suite vs 0.21 s isolated,
-      // q_ann_codes_upsert 3.88 vs 1.53, q_bm25_postings_upsert 8.31
-      // vs 1.72 — this round's triage) because whole execution
-      // subsystems first initialize/JIT inside the first timed keys:
-      // ObjectHashAggregate (approx_count_distinct), the parquet WRITE
-      // path (every artifact-building key), generator nodes
-      // (explode/posexplode over split), hash expressions (md5 /
-      // xxhash64 — the dedup family's keys), and the Dataset
-      // mapPartitions codec path (localSpanningForest). Touch each
-      // once, untimed — the same r12 rationale that added the three
-      // family warmups above.
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      docs.select(approx_count_distinct(col("source"))).collect()
-      docs.limit(64)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .agg(count(lit(1))).collect()
-      docs.limit(64)
-        .select(md5(col("text")).as("m"), xxhash64(col("text")).as("x"))
-        .agg(count(col("m")), sum(col("x"))).collect()
-      locally { import spark.implicits._
-        spark.range(512).as[Long].mapPartitions(it => it.map(_ + 1L))
-          .agg(sum(col("value"))).collect() }
-      spark.range(1024).select(col("id"), (col("id") * 2).as("v"))
-        .repartitionByRange(2, col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite").parquet("target/warmup_parquet")
-      spark.read.parquet("target/warmup_parquet").agg(sum(col("v"))).collect()
-    } catch { case _: Throwable => () }
+    // so first-query timings measure the query, not JVM init. Two
+    // isolated failure domains (r18 review discipline), each factored
+    // into a catch-free method so WarmupSpec can assert the jobs
+    // actually RUN — round 19 found [[warmupSubsystems]]'s
+    // sum(xxhash64) overflowing int64 under ANSI, which aborted one
+    // job on EVERY host ("Task 0 in stage 24 … aborting job" at bench
+    // start in the r18 driver artifact) and silently skipped the
+    // mapPartitions-codec and parquet-committer warmups behind it.
+    try warmupRelational(spark, sfDir) catch { case _: Throwable => () }
+    try warmupSubsystems(spark, sfDir) catch { case _: Throwable => () }
     // min-of-2 per query: the round-3 driver artifact recorded a 34 s
     // q_repetition that re-timed at 1.8 s on an idle host — a single
     // sample is hostage to co-tenant load. The min of two back-to-back
@@ -344,6 +290,79 @@ object Bench {
     java.nio.file.Files.writeString(out,
       renderJson(results, sfDir, results.map(_._1), ctrlRows.toSeq) + "\n")
     renderJson(results, sfDir, headline, ctrlRows.toSeq)
+  }
+
+  /** Untimed warmup, domain 1 — the relational operator families.
+    *
+    * Round-12 widening (VERDICT r11 #2): the r11 artifact's two
+    * recurring >1.5× keys (q_agg_count2key 0.673 s, q_agg_multi
+    * 0.611 s vs r10's 0.36 s) re-measured AT their r10 anchors in
+    * IsolatedBench min-of-3 on the same committed tree
+    * (0.369 / 0.347 s, controls flat — SCALE.md r12 entry), so the
+    * inflation was suite-POSITION, not plan: a near-empty warmup left
+    * Spark's hash-aggregate / exchange / sort codegen C2-cold, and the
+    * alphabetically-first agg family paid the JIT compile inside its
+    * timed samples (visible even in IsolatedBench's own sample decay:
+    * 0.856 → 0.412 → 0.369). Touch each hot operator family once —
+    * decimal multi-agg, window rank, equi-join — so alphabetical
+    * position no longer decides who pays JIT. Untimed, ~2 s once per
+    * suite at sf0.1.
+    */
+  private[graft] def warmupRelational(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val or = spark.read.parquet(s"$sfDir/orders.parquet")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("c"))
+      .collect()
+    li.select(col("l_orderkey"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("l_orderkey")).as("rn"))
+      .filter(col("rn") === 1).collect()
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count().collect()
+  }
+
+  /** Untimed warmup, domain 2 — execution subsystems beyond the
+    * relational families (round-18 widening, OPTIMIZATION_r18.md): the
+    * r17/r18-baseline artifacts inflate the alphabetically-EARLY keys
+    * 2-15× against their IsolatedBench anchors (q_agg_approx_distinct
+    * 3.17 s in-suite vs 0.21 s isolated, q_bm25_postings_upsert 8.31
+    * vs 1.72) because whole execution subsystems first initialize/JIT
+    * inside the first timed keys: ObjectHashAggregate
+    * (approx_count_distinct), the parquet WRITE path (every
+    * artifact-building key), generator nodes (explode/posexplode over
+    * split), hash expressions (md5 / xxhash64 — the dedup family's
+    * keys), and the Dataset mapPartitions codec path
+    * (localSpanningForest). Touch each once, untimed.
+    *
+    * The hash rollup sums `xxhash64 div 256`, NOT the raw hash: 64
+    * uniform int64 values overflow a long sum roughly half the time,
+    * and under ANSI mode that throw aborted THIS job and skipped the
+    * two warmups after it on every host (round-19 fix; WarmupSpec now
+    * runs both domains catch-free so a failing warmup job is a test
+    * failure, not a silent cold start).
+    */
+  private[graft] def warmupSubsystems(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col,
+      count, expr, lit, md5, posexplode, split, sum, xxhash64}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(approx_count_distinct(col("source"))).collect()
+    docs.limit(64)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .agg(count(lit(1))).collect()
+    docs.limit(64)
+      .select(md5(col("text")).as("m"), xxhash64(col("text")).as("x"))
+      .agg(count(col("m")), sum(expr("x div 256"))).collect()
+    locally { import spark.implicits._
+      spark.range(512).as[Long].mapPartitions(it => it.map(_ + 1L))
+        .agg(sum(col("value"))).collect() }
+    spark.range(1024).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet("target/warmup_parquet")
+    spark.read.parquet("target/warmup_parquet").agg(sum(col("v"))).collect()
   }
 
   def main(args: Array[String]): Unit = {
