@@ -8811,12 +8811,14 @@ object Queries {
               .as("iv_id"),
             col("session_start").as("s_start"),
             (col("session_end") + lit(7200000000L)).as("s_end"))
-        // cellUs 4 h → 1 h (optimization round 18): under the start-cell
-        // probe only the cover side pays the explode factor (~3 rows per
-        // padded session at 1 h), while candidate pairs tighten 2×
-        // (76 M → 38 M measured at sf0.1). Output is cell-size-invariant
-        // (Round15ePropertySpec), so the declared relation is unchanged.
-        Relational.intervalOverlapPairs(iv, cellUs = 3600000000L)
+        // cell width DERIVED from the interval-length distribution
+        // (optimization round 19, VERDICT r18 #2): p50(len)/2 — which
+        // lands on the 1 h knee the r18 sweep picked by hand at sf0.1
+        // (p50 padded-session length is 2 h) and keeps tracking the
+        // knee when the corpus's session-length distribution drifts.
+        // Output is cell-size-invariant (Round15ePropertySpec), so the
+        // declared relation is unchanged.
+        Relational.intervalOverlapPairs(iv)
           .withColumn("user_a", expr("a_id div 4294967296L"))
           .withColumn("user_b", expr("b_id div 4294967296L"))
           .filter(col("user_a") =!= col("user_b"))
