@@ -223,15 +223,22 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("a cap-exceeding graph fails LOUDLY, not with a deep-plan OOM") {
-    // hash-fragmented chain: partitions hold scattered 1-2 edge
-    // segments, contraction barely bites, and min-label cannot close a
-    // ~250 diameter in 12 rounds — the contract is the actionable
-    // IllegalStateException; the in-loop lineage truncation (every 8th
-    // round, crossed here) is what keeps the plan shallow enough to
-    // reach it instead of OOMing on plan stringification
-    val path = (0L until 499L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // residue-scattered chain (edge i → partition i mod 8, so no
+    // partition holds adjacent edges and contraction cannot bite): the
+    // round-19 two-hop jump doubles label reach per round, so closing a
+    // 5000 diameter needs ~13 rounds — the 12-round cap is exceeded and
+    // the contract is the actionable IllegalStateException; the in-loop
+    // lineage truncation (every 8th round, crossed here) is what keeps
+    // the plan shallow enough to reach it instead of OOMing on plan
+    // stringification. (Pre-r19 this pin used a 499-chain, which the
+    // one-hop engine couldn't close in 12 rounds; the jump engine can —
+    // only the fixture grew, the loud-cap contract is unchanged.)
+    val byResidue = (0 until 8).flatMap(p =>
+      (0 until 5000).filter(_ % 8 == p).map(i => (i.toLong, i + 1L)))
+    val path = spark.sparkContext.parallelize(byResidue, 8)
+      .toDF("a_id", "b_id")
     val e = intercept[IllegalStateException] {
-      DedupOps.connectedComponents(path.repartition(8), maxIter = 12).collect()
+      DedupOps.connectedComponents(path, maxIter = 12).collect()
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
