@@ -316,7 +316,20 @@ object DedupOps {
                                 rowsPerBand: Int,
                                 seedHash: (Int, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
                                   XxSeedHash): DataFrame = {
+    // EXPLICIT fan-out partitioning (optimization round 19, guide §2.5):
+    // the band relation is a few longs per doc — small enough in BYTES
+    // that AQE coalesced the self-join's exchanges to ONE partition on
+    // dense corpora, and the join's quadratic-per-bucket candidate
+    // explosion happens after the shuffle read: one task enumerated
+    // every candidate pair at any core count (measured 21.8 s serial on
+    // the ×10 scaling corpus; the same shape at sf0.1). Repartition by
+    // the band key with the session's configured shuffle parallelism —
+    // explicit N is AQE-non-coalescible, and N tracks
+    // `spark.sql.shuffle.partitions`, never a literal.
     val bands = bandFrame(documents, numHashes, rowsPerBand, seedHash)
+      .repartition(
+        documents.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_idx"), col("band_hash"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -849,9 +849,22 @@ object Relational {
         expr(s"s_start div ${cellUs}L"), expr(s"s_end div ${cellUs}L"))))
       .select(col("iv_id").as("b_id"), col("s_start").as("b_start"),
         col("s_end").as("b_end"), col("cell"))
+    // EXPLICIT fan-out partitioning (optimization round 19, guide §2.5):
+    // the probe side reads a lineage-truncated leaf whose partition
+    // count reflects the INPUT's bytes (AQE-coalesced: ~2 MB at sf0.1 →
+    // 1-2 partitions), but the cell equi-join multiplies rows ~400×
+    // AFTER that read — measured: the entire candidate enumeration ran
+    // in ≤2 tasks regardless of core count (flat 8-vs-32 scaling,
+    // SCALE.md round-19 diagnostics). Repartitioning the probe by cell
+    // with the session's configured shuffle parallelism spreads the
+    // join compute; the explicit N makes the exchange non-coalescible,
+    // and N tracks `spark.sql.shuffle.partitions` (deploy-tuned), never
+    // a literal. Cost: one exchange of the narrow probe rows (4 longs).
     val probe = base.select(col("iv_id").as("a_id"),
       col("s_start").as("a_start"), col("s_end").as("a_end"),
       expr(s"s_start div ${cellUs}L").as("cell"))
+      .repartition(base.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
     probe.join(cover, Seq("cell"))
       // a must be the LATER-start side of the pair (ties to the larger
       // id): exactly one of the two orientations survives, and for that

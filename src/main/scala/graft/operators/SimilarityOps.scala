@@ -2002,6 +2002,13 @@ object SimilarityOps {
     val queries = bucketed
       .select(col("vec_id").as("q_id"), col("vi").as("qvi"),
         explode(probeBuckets).as("bucket"))
+    // NOTE (optimization round 19): an explicit by-bucket repartition of
+    // the candidate side — the §2.5 fan-out fix applied to the interval
+    // and MinHash-band joins this round — was measured here and REVERTED:
+    // the bucket join's fan-out ((1+planes)/2^planes of the corpus per
+    // probe) never collapsed to a serial task, and the extra exchange
+    // cost more than it spread (×10 corpus, 32 cores: graph build
+    // 2.76→3.04 s, mutual-CC serve 3.46→4.96 s — SCALE.md round-19).
     val cands = bucketed
       .select(col("vec_id").as("n_id"), col("vi").as("nvi"), col("bucket"))
       .join(queries, Seq("bucket"))
