@@ -857,26 +857,52 @@ object DedupOps {
     * partition; a pathological skew that concentrates more distinct
     * nodes than memory should `repartition(n)` the pair frame first
     * (any partitioning is correctness-neutral here).
+    *
+    * TWO PASSES (optimization round 19, guide §2.4): pass 1 contracts
+    * each partition of the raw pairs; pass 2 re-contracts the pass-1
+    * forest after ONE narrow shuffle that co-locates rows by MEMBER, so
+    * trees built in different pass-1 partitions merge wherever they
+    * share a node. Pass-1 contraction quality depends entirely on the
+    * INPUT's partition layout — measured both ways this round: the
+    * stored-kNN parquet edge artifact scatters adjacent edges across
+    * partitions (20 propagation rounds even with jump rounds), and the
+    * round-19 fan-out repartition of the MinHash band join spreads
+    * verified pairs the same way (connectedComponentsStar grew from ~1
+    * round to several: 2.0 → 3.0 s on q_neardup_clusters_star). Pass 2
+    * makes contraction layout-insensitive: same-member rows co-locate
+    * by hash regardless of where the edges were produced. Exactness:
+    * every forest row (root, member) is a real same-component edge, so
+    * re-contracting a union of such edges preserves components exactly
+    * (same argument as pass 1). The pass-2 exchange shuffles ≤ 2 rows
+    * per node of 2 longs each — `repartition(col)` WITHOUT an explicit
+    * count, so AQE sizes it from bytes: a small forest collapses to few
+    * partitions (local contraction goes global — q_knn_graph_stored
+    * 3.7 → 0.63 s, 20 rounds → 1-round fixpoint at sf0.1), a 100 TB
+    * forest stays wide with per-task memory bounded by the hash
+    * distribution of members.
     */
   private[graft] def localSpanningForest(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs
-      .select(col(pairs.columns(0)).cast("long"), col(pairs.columns(1)).cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val uf = new LongUnionFind(1 << 10)
-        it.foreach { case (a, b) => uf.union(a, b) }
-        // one output row per tracked node: (find(k), k) — a root's own
-        // row degenerates to (r, r), which for size-1 components
-        // (self-loop-only nodes) is the ONLY trace of the node, and for
-        // larger ones is one redundant self-edge per component that the
-        // engines already tolerate (min-label folds self-loops in, the
-        // star engine filters u ≠ v). Emitted LAZILY off the table —
-        // no second output-sized buffer alongside it.
-        uf.entries
-      }
-      .toDF("a_id", "b_id")
+    def contract(edges: DataFrame): DataFrame = {
+      import spark.implicits._
+      edges
+        .select(col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val uf = new LongUnionFind(1 << 10)
+          it.foreach { case (a, b) => uf.union(a, b) }
+          // one output row per tracked node: (find(k), k) — a root's own
+          // row degenerates to (r, r), which for size-1 components
+          // (self-loop-only nodes) is the ONLY trace of the node, and for
+          // larger ones is one redundant self-edge per component that the
+          // engines already tolerate (min-label folds self-loops in, the
+          // star engine filters u ≠ v). Emitted LAZILY off the table —
+          // no second output-sized buffer alongside it.
+          uf.entries
+        }
+        .toDF("a_id", "b_id")
+    }
+    contract(contract(pairs).repartition(col("b_id")))
   }
 
   /** L2 — connected components over candidate pairs by iterative

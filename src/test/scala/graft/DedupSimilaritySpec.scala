@@ -224,23 +224,35 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("a cap-exceeding graph fails LOUDLY, not with a deep-plan OOM") {
     // residue-scattered chain (edge i → partition i mod 8, so no
-    // partition holds adjacent edges and contraction cannot bite): the
-    // round-19 two-hop jump doubles label reach per round, so closing a
-    // 5000 diameter needs ~13 rounds — the 12-round cap is exceeded and
-    // the contract is the actionable IllegalStateException; the in-loop
-    // lineage truncation (every 8th round, crossed here) is what keeps
-    // the plan shallow enough to reach it instead of OOMing on plan
-    // stringification. (Pre-r19 this pin used a 499-chain, which the
-    // one-hop engine couldn't close in 12 rounds; the jump engine can —
-    // only the fixture grew, the loud-cap contract is unchanged.)
+    // partition holds adjacent edges and pass-1 contraction cannot
+    // bite): the round-19 two-hop jump doubles label reach per round,
+    // so closing a 20000 diameter needs ~15+ rounds — the 12-round cap
+    // is exceeded and the contract is the actionable
+    // IllegalStateException; the in-loop lineage truncation (every 8th
+    // round, crossed here) is what keeps the plan shallow enough to
+    // reach it instead of OOMing on plan stringification. (Pre-r19 this
+    // pin used a 499-chain, which the one-hop engine couldn't close in
+    // 12 rounds; the jump engine can. The round-19 member-co-located
+    // SECOND contraction pass collapses any forest that AQE coalesces
+    // into one partition, so the fixture additionally pins
+    // coalescing OFF for the duration — the 100 TB regime, where the
+    // forest never fits one partition and the hash-scattered chain
+    // keeps near-full diameter through pass 2 — and grew to 20000 so
+    // the residual diameter still exceeds the cap with margin. The
+    // loud-cap contract itself is unchanged.)
     val byResidue = (0 until 8).flatMap(p =>
-      (0 until 5000).filter(_ % 8 == p).map(i => (i.toLong, i + 1L)))
+      (0 until 20000).filter(_ % 8 == p).map(i => (i.toLong, i + 1L)))
     val path = spark.sparkContext.parallelize(byResidue, 8)
       .toDF("a_id", "b_id")
-    val e = intercept[IllegalStateException] {
-      DedupOps.connectedComponents(path, maxIter = 12).collect()
-    }
-    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val e = intercept[IllegalStateException] {
+        DedupOps.connectedComponents(path, maxIter = 12).collect()
+      }
+      assert(e.getMessage.contains("did not converge"), e.getMessage)
+    } finally spark.conf.set(coalesceKey, before)
   }
 
   test("LongUnionFind survives rehash growth: 60k nodes through a 16-slot table") {

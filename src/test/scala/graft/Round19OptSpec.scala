@@ -97,6 +97,20 @@ class Round19OptSpec extends SparkSpec {
       "the chain must collapse to cluster 0 within 12 jump rounds")
   }
 
+  test("member-co-located second contraction pass makes forest quality " +
+    "layout-insensitive: the scattered chain converges in ≤3 rounds") {
+    // the same adversarial layout as the jump-round pin above — pass 1
+    // contracts nothing by construction. Pass 2 co-locates forest rows
+    // by member, and at this size AQE coalesces the exchange to one
+    // partition: contraction completes there and propagation fix-points
+    // immediately, instead of walking the chain ~12 jump rounds.
+    val path = scatteredPath(96, 8)
+    val got = DedupOps.connectedComponents(path, maxIter = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 97 && got.forall(_._2 == 0L),
+      "pass-2 contraction must collapse the scattered chain within 3 rounds")
+  }
+
   test("adaptive-cell interval overlap equals the fixed-cell relation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
