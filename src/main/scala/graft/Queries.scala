@@ -7546,11 +7546,18 @@ object Queries {
             .select("a_id", "b_id"))
         val idxBands = DedupOps.corpusBandDocs(c0, 32, 2).lineageTruncate()
         val idxSets = DedupOps.corpusHashedSets(c0).lineageTruncate()
-        val edges = DedupOps.pairsAgainstIndexVerified(b1, idxBands, idxSets,
+        // ONE-PASS batch edge derivation (optimization round 19): the
+        // separate pairsAgainstIndexVerified + lshVerifiedJaccardPairs
+        // calls banded and set-hashed the batch FIVE times between them;
+        // batchEdgesVerified (the verb built for exactly this fold) bands
+        // and set-hashes it once and serves both candidate joins from the
+        // truncated frames. Same edge SET (same hash family, same
+        // candidates, same verify) ⇒ identical CC labels — interleaved
+        // same-JVM A/B: 5.4-6.6 s → 3.5-3.7 s for the full key, collected
+        // relations compared equal (plans/r19/dedup_incremental_onepass_ab.txt).
+        val edges = DedupOps.batchEdgesVerified(b1, idxBands, idxSets,
             32, 2, 80)
-          .select(col("doc_id").as("a_id"), col("corpus_id").as("b_id"))
-          .unionByName(DedupOps.lshVerifiedJaccardPairsUnsorted(b1, 32, 2, 80)
-            .select("a_id", "b_id"))
+          .select("a_id", "b_id")
         DedupOps.incrementalComponents(labels0, edges)
           .select(col("id").as("doc_id"), col("cluster_id"))
           .orderBy("doc_id")
